@@ -1,0 +1,136 @@
+"""Technical-indicator pipeline — the reference's analytical core.
+
+Semantics pinned to reference ``dags/spark_job_1.py:25-54`` (cited per
+function):
+
+* window: ``PARTITION BY key ORDER BY ts`` with a trailing 14-ROW frame
+  ``rowsBetween(-13, 0)`` — ROWS not RANGE (``spark_job_1.py:25,28``).
+  The reference orders by ``close_time`` alone, which is nondeterministic
+  under ties; we append a unique tie-breaker column (``event_id``) to the
+  ORDER BY so results are stable (SURVEY §5).
+* SMA-14 = avg(value) over the frame (``spark_job_1.py:28-29``).
+* RSI-14 (simple-average variant, NOT Wilder's smoothing,
+  ``spark_job_1.py:32-39``): diff = value - lag(value); gain/loss default
+  to 0.0 when diff is NULL (first row per key — ``when().otherwise(0.0)``
+  maps the NULL condition to the otherwise branch); rs = avg(gain)/
+  avg(loss) with 0-loss → NULL (division by zero); RSI = 100 - 100/(1+rs);
+  NULL RSI rows dropped by the isNotNull filter (``spark_job_1.py:54``).
+* Bollinger: mean ± 2 * sample stddev over the frame
+  (``spark_job_1.py:42-45``; Spark ``stddev`` = ``stddev_samp``; NULL on a
+  1-row frame).
+
+Spark-first departures from the reference plan shape (same results):
+
+* The reference builds 4 branch DataFrames off a cached scan and unions
+  them (``spark_job_1.py:28-53``) — 4 Window sorts over the same child.
+  Here all indicators are computed as columns over ONE window
+  (one Exchange + one Sort) and unpivoted with ``stack`` — a no-shuffle
+  generate. At 100 TB this is 1 shuffle of the fact instead of 4.
+* The dim join (``spark_job_1.py:64-67``) is hinted ``broadcast`` — the
+  dim has 4 rows; never let it shuffle the fact side.
+* The anti-join dedup (``spark_job_1.py:81-85``) keeps the same
+  ``left_anti`` API; at scale the "existing keys" side should be
+  pre-filtered to the ingest time-range so it broadcasts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+INDICATOR_TYPES = (("SMA", 1), ("RSI", 2), ("BB_UP", 3), ("BB_DOWN", 4))
+
+WINDOW_ROWS = 14  # trailing frame length, reference spark_job_1.py:28
+
+
+def indicator_type_dim(spark: SparkSession) -> DataFrame:
+    """The reference's ``dim_indicator_type_1`` seed rows
+    (``datawarehouse/indicator_dim_fact.sql:1-9``)."""
+    return spark.createDataFrame(
+        [(name, tid) for name, tid in INDICATOR_TYPES], ["type_name", "type_id"]
+    )
+
+
+def compute_indicators(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    frame_rows: int = WINDOW_ROWS,
+) -> DataFrame:
+    """Long-format indicator relation: key cols + (type_name, ind_value, ts).
+
+    Single window pass: SMA / RSI inputs / stddev share one
+    partition+sort; the 4 indicator series come out of a ``stack``
+    unpivot (vs the reference's 4 windowed branches + 3 unions,
+    ``spark_job_1.py:28-53``). Rows whose indicator is NULL (warm-up /
+    zero-loss RSI) are dropped, mirroring ``spark_job_1.py:54``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    wf = w.rowsBetween(-(frame_rows - 1), 0)
+    v = F.col(value_col)
+
+    diffed = df.withColumn("_diff", v - F.lag(value_col).over(w))
+    gained = diffed.withColumns(
+        {
+            "_gain": F.when(F.col("_diff") > 0, F.col("_diff")).otherwise(F.lit(0.0)),
+            "_loss": F.when(F.col("_diff") < 0, -F.col("_diff")).otherwise(F.lit(0.0)),
+        }
+    )
+    framed = gained.withColumns(
+        {
+            "_sma": F.avg(value_col).over(wf),
+            "_avg_gain": F.avg("_gain").over(wf),
+            "_avg_loss": F.avg("_loss").over(wf),
+            "_sd": F.stddev(value_col).over(wf),
+        }
+    )
+    # rs division: Spark yields NULL on /0 already; nullif makes the
+    # semantics explicit (and keeps the DuckDB oracle identical even
+    # under IEEE float division settings).
+    rs = F.col("_avg_gain") / F.nullif(F.col("_avg_loss"), F.lit(0.0))
+    enriched = framed.withColumns(
+        {
+            "_rsi": F.lit(100.0) - (F.lit(100.0) / (F.lit(1.0) + rs)),
+            "_bb_up": F.col("_sma") + F.lit(2.0) * F.col("_sd"),
+            "_bb_down": F.col("_sma") - F.lit(2.0) * F.col("_sd"),
+        }
+    )
+
+    keep = [*key_cols, F.col(ts_col).alias("ts")]
+    stacked = enriched.select(
+        *keep,
+        F.expr(
+            "stack(4, 'SMA', _sma, 'RSI', _rsi, 'BB_UP', _bb_up, 'BB_DOWN', _bb_down)"
+            " as (type_name, ind_value)"
+        ),
+    )
+    return stacked.filter(F.col("ind_value").isNotNull())
+
+
+def indicator_pipeline(
+    spark: SparkSession,
+    events: DataFrame,
+    existing: DataFrame | None = None,
+    key_cols: Sequence[str] = ("user_id",),
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Full flagship pipeline: indicators → broadcast dim join → left-anti
+    dedup against already-persisted keys (reference entry point A,
+    ``spark_job_1.py:11-97``).
+
+    ``existing`` holds the already-written ``(key..., type_id, ts)``
+    tuples; rows matching it are dropped so the append is idempotent
+    (``spark_job_1.py:81-85``).
+    """
+    ind = compute_indicators(events, key_cols, order_cols, value_col, ts_col)
+    dim = indicator_type_dim(spark)
+    ind = ind.join(F.broadcast(dim), "type_name", "inner")
+    if existing is not None:
+        ind = ind.join(existing, on=[*key_cols, "type_id", "ts"], how="left_anti")
+    return ind.select(*key_cols, "type_id", "type_name", "ind_value", "ts")

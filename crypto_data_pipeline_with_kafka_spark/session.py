@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+The reference hand-tunes ``spark.sql.shuffle.partitions=8`` and relies on
+defaults otherwise (reference ``dags/spark_job_1.py:13-14``). Here: AQE on
+(runtime shuffle coalescing + skew-join splitting supersede hand tuning),
+UTC session timezone (the reference's epoch-ms -> datetime conversion at
+``dags/consumer_prices.py:76-78`` is local-TZ; we pin UTC for determinism
+and oracle parity), and Arrow enabled for the Pandas-UDF slow path.
+
+At 100 TB these same settings hold: AQE picks post-shuffle partition
+counts from runtime statistics, so the config does not need retuning per
+scale factor; only ``spark.sql.shuffle.partitions`` (the pre-AQE upper
+bound) should rise with cluster size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crypto_data_pipeline_with_kafka_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism;
+    shuffle partitions default to that so local runs don't over-schedule
+    tiny tasks, while AQE coalesces further at runtime.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,96 @@
+"""Golden tests pinning the reference's exact indicator semantics
+(dags/spark_job_1.py:25-54): trailing 14-ROW frame, simple-average RSI
+(not Wilder's), sample stddev, NULL warm-up rows dropped, gain/loss
+defaulting to 0.0 on the first row's NULL diff."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import statistics
+
+import pytest
+
+from crypto_data_pipeline_with_kafka_spark.operators.indicators import (
+    compute_indicators,
+    indicator_pipeline,
+)
+
+PRICES = [
+    100.0, 101.5, 99.8, 102.3, 103.1, 101.0, 104.2, 105.5, 103.9, 106.1,
+    107.0, 105.2, 108.3, 109.1, 107.8, 110.2, 111.0, 109.5, 112.3, 113.0,
+]
+
+
+def _expected():
+    """Independent pure-Python recomputation of the reference semantics."""
+    rows = {}
+    diffs = [None] + [PRICES[i] - PRICES[i - 1] for i in range(1, len(PRICES))]
+    gains = [0.0 if d is None or d <= 0 else d for d in diffs]
+    losses = [0.0 if d is None or d >= 0 else -d for d in diffs]
+    for i in range(len(PRICES)):
+        lo = max(0, i - 13)
+        frame = PRICES[lo : i + 1]
+        sma = sum(frame) / len(frame)
+        rows[("SMA", i)] = sma
+        ag = sum(gains[lo : i + 1]) / len(frame)
+        al = sum(losses[lo : i + 1]) / len(frame)
+        rows[("RSI", i)] = None if al == 0 else 100 - 100 / (1 + ag / al)
+        sd = statistics.stdev(frame) if len(frame) > 1 else None
+        rows[("BB_UP", i)] = None if sd is None else sma + 2 * sd
+        rows[("BB_DOWN", i)] = None if sd is None else sma - 2 * sd
+    return {k: v for k, v in rows.items() if v is not None}
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(hours=i), 1, p) for i, p in enumerate(PRICES)
+    ]
+    return spark.createDataFrame(data, "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_indicator_values_match_reference_semantics(spark, series_df):
+    got = {
+        (r["type_name"], r["_i"]): r["ind_value"]
+        for r in compute_indicators(series_df, order_cols=("ts", "event_id"))
+        .withColumnRenamed("ts", "_ts")
+        .join(series_df.selectExpr("ts as _ts", "event_id as _i"), "_ts")
+        .collect()
+    }
+    want = _expected()
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert math.isclose(got[k], v, rel_tol=1e-9), (k, got[k], v)
+
+
+def test_first_row_rsi_is_dropped_not_zero(spark, series_df):
+    """First row: diff NULL → gain=loss=0.0 → rs NULL (0/0) → RSI dropped."""
+    rsi = (
+        compute_indicators(series_df)
+        .filter("type_name = 'RSI'")
+        .join(series_df.selectExpr("ts", "event_id as i"), "ts")
+        .select("i")
+        .collect()
+    )
+    assert 0 not in {r["i"] for r in rsi}
+
+
+def test_bollinger_warmup_dropped(spark, series_df):
+    """1-row frame → sample stddev NULL → BB rows dropped."""
+    bb = (
+        compute_indicators(series_df)
+        .filter("type_name like 'BB%'")
+        .join(series_df.selectExpr("ts", "event_id as i"), "ts")
+        .select("i")
+        .collect()
+    )
+    assert 0 not in {r["i"] for r in bb}
+
+
+def test_pipeline_anti_join_idempotent(spark, series_df):
+    full = indicator_pipeline(spark, series_df)
+    existing = full.select("user_id", "type_id", "ts")
+    again = indicator_pipeline(spark, series_df, existing=existing)
+    assert again.count() == 0  # re-run writes nothing (spark_job_1.py:81-85)
