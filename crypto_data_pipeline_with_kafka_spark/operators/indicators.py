@@ -80,17 +80,45 @@ def compute_indicators(
             "_loss": F.when(F.col("_diff") < 0, -F.col("_diff")).otherwise(F.lit(0.0)),
         }
     )
+    # Frame aggregates are computed as exact DECIMAL sums cast back to
+    # double, divided by the frame count — mathematically identical to
+    # avg()/stddev_samp() over the frame (the fixture doubles are exact
+    # 2-decimal values), but bitwise-reproducible across engines: float
+    # summation order never enters, so the DuckDB oracle matches exactly
+    # instead of to-within-ulps.
+    dv = v.cast("decimal(18,6)")
+    n = F.count(F.lit(1)).over(wf)
     framed = gained.withColumns(
         {
-            "_sma": F.avg(value_col).over(wf),
-            "_avg_gain": F.avg("_gain").over(wf),
-            "_avg_loss": F.avg("_loss").over(wf),
-            "_sd": F.stddev(value_col).over(wf),
+            "_n": n,
+            "_sx": F.sum(dv).over(wf).cast("double"),
+            "_sxx": F.sum(dv * dv).over(wf).cast("double"),
+            "_sg": F.sum(F.col("_gain").cast("decimal(18,6)")).over(wf).cast("double"),
+            "_sl": F.sum(F.col("_loss").cast("decimal(18,6)")).over(wf).cast("double"),
         }
     )
-    # rs division: Spark yields NULL on /0 already; nullif makes the
-    # semantics explicit (and keeps the DuckDB oracle identical even
-    # under IEEE float division settings).
+    framed = framed.withColumns(
+        {
+            "_sma": F.col("_sx") / F.col("_n"),
+            "_avg_gain": F.col("_sg") / F.col("_n"),
+            "_avg_loss": F.col("_sl") / F.col("_n"),
+            # sample stddev from exact sums; greatest() guards the
+            # sqrt of a tiny negative from cancellation, and n>1 keeps
+            # the reference's NULL-on-1-row-frame semantics.
+            "_sd": F.when(
+                F.col("_n") > 1,
+                F.sqrt(
+                    F.greatest(
+                        (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n"))
+                        / (F.col("_n") - 1),
+                        F.lit(0.0),
+                    )
+                ),
+            ),
+        }
+    )
+    # rs division: explicit nullif keeps 0-loss frames NULL in both
+    # engines (DuckDB's IEEE mode would otherwise give +inf).
     rs = F.col("_avg_gain") / F.nullif(F.col("_avg_loss"), F.lit(0.0))
     enriched = framed.withColumns(
         {

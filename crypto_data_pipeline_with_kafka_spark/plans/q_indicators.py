@@ -4,6 +4,10 @@ The ``events`` fixture plays the kline fact: user_id ↔ symbol_id
 (partition key), ts ↔ close_time (order key), value ↔ close_price
 (measure); ``event_id`` is appended to the ORDER BY as the deterministic
 tie-breaker the reference lacks (``dags/spark_job_1.py:25``).
+
+Float parity: frame aggregates use exact DECIMAL sums cast to double
+(see ``operators/indicators.py``) so Spark and the DuckDB oracle agree
+bitwise — no tolerance, no rounding.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 _W = "PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW"
 _WO = "PARTITION BY user_id ORDER BY ts, event_id"
 
+# Exact-decimal frame sums (bitwise-identical to the Spark plan).
 _FRAMED_CTE = f"""
 WITH diffed AS (
   SELECT user_id, event_id, ts, value,
@@ -33,18 +38,27 @@ WITH diffed AS (
          CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
          CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
   FROM diffed
-), framed AS (
+), sums AS (
   SELECT user_id, event_id, ts,
-         avg(value) OVER w AS sma,
-         avg(gain) OVER w AS avg_gain,
-         avg(loss) OVER w AS avg_loss,
-         stddev_samp(value) OVER w AS sd
+         count(*) OVER w AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx,
+         CAST(sum(CAST(gain AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sg,
+         CAST(sum(CAST(loss AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sl
   FROM gained
   WINDOW w AS ({_W})
+), framed AS (
+  SELECT user_id, event_id, ts,
+         sx / n AS sma,
+         sg / n AS avg_gain,
+         sl / n AS avg_loss,
+         CASE WHEN n > 1
+              THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END AS sd
+  FROM sums
 ), stacked AS (
   SELECT user_id, ts, 'SMA' AS type_name, sma AS ind_value FROM framed
   UNION ALL
-  SELECT user_id, ts, 'RSI', 100 - (100 / (1 + (avg_gain / nullif(avg_loss, 0)))) FROM framed
+  SELECT user_id, ts, 'RSI', 100 - (100 / (1 + (avg_gain / nullif(avg_loss, 0.0)))) FROM framed
   UNION ALL
   SELECT user_id, ts, 'BB_UP', sma + 2 * sd FROM framed
   UNION ALL
@@ -64,12 +78,18 @@ def _wspec():
     return w, w.rowsBetween(-13, 0)
 
 
+def _exact_sma(wf):
+    dv = F.col("value").cast("decimal(18,6)")
+    return F.sum(dv).over(wf).cast("double") / F.count(F.lit(1)).over(wf)
+
+
 @register(
     "ind_sma",
     f"""
     SELECT user_id, event_id, ts,
-           round(avg(value) OVER ({_W}), 6) AS sma
-    FROM events
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w AS sma
+    FROM events WINDOW w AS ({_W})
     """,
     doc="W1: trailing 14-row simple moving average (spark_job_1.py:28-29)",
     tags=("window",),
@@ -77,10 +97,7 @@ def _wspec():
 def ind_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     _w, _wf = _wspec()
     return _events(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.round(F.avg("value").over(_wf), 6).alias("sma"),
+        "user_id", "event_id", "ts", _exact_sma(_wf).alias("sma")
     )
 
 
@@ -88,7 +105,7 @@ def ind_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ind_lag_diff",
     f"""
     SELECT user_id, event_id, ts,
-           round(value - lag(value) OVER ({_WO}), 6) AS diff
+           value - lag(value) OVER ({_WO}) AS diff
     FROM events
     """,
     doc="W2: lag-1 price diff, NULL on first row per key (spark_job_1.py:32)",
@@ -100,7 +117,7 @@ def ind_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round(F.col("value") - F.lag("value").over(_w), 6).alias("diff"),
+        (F.col("value") - F.lag("value").over(_w)).alias("diff"),
     )
 
 
@@ -116,15 +133,17 @@ def ind_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
              CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
       FROM diffed
+    ), sums AS (
+      SELECT user_id, event_id, ts, count(*) OVER w AS n,
+             CAST(sum(CAST(gain AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sg,
+             CAST(sum(CAST(loss AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sl
+      FROM gained WINDOW w AS ({_W})
     ), framed AS (
       SELECT user_id, event_id, ts,
-             avg(gain) OVER w AS avg_gain, avg(loss) OVER w AS avg_loss
-      FROM gained WINDOW w AS ({_W})
+             100 - (100 / (1 + ((sg / n) / nullif(sl / n, 0.0)))) AS rsi
+      FROM sums
     )
-    SELECT user_id, event_id, ts,
-           round(100 - (100 / (1 + (avg_gain / nullif(avg_loss, 0)))), 6) AS rsi
-    FROM framed
-    WHERE (avg_gain / nullif(avg_loss, 0)) IS NOT NULL
+    SELECT user_id, event_id, ts, rsi FROM framed WHERE rsi IS NOT NULL
     """,
     doc="W3: RSI-14, simple-average variant — NOT Wilder's (spark_job_1.py:32-39); "
     "zero-loss frames yield NULL and are filtered (spark_job_1.py:54)",
@@ -140,29 +159,36 @@ def ind_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_loss": F.when(F.col("_diff") < 0, -F.col("_diff")).otherwise(F.lit(0.0)),
         }
     )
-    rs = F.avg("_gain").over(_wf) / F.nullif(F.avg("_loss").over(_wf), F.lit(0.0))
+    n = F.count(F.lit(1)).over(_wf)
+    avg_gain = F.sum(F.col("_gain").cast("decimal(18,6)")).over(_wf).cast("double") / n
+    avg_loss = F.sum(F.col("_loss").cast("decimal(18,6)")).over(_wf).cast("double") / n
+    rs = avg_gain / F.nullif(avg_loss, F.lit(0.0))
     return (
         df.select(
             "user_id",
             "event_id",
             "ts",
-            (F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs)).alias("_rsi"),
+            (F.lit(100) - F.lit(100) / (F.lit(1) + rs)).alias("rsi"),
         )
-        .filter(F.col("_rsi").isNotNull())
-        .select("user_id", "event_id", "ts", F.round("_rsi", 6).alias("rsi"))
+        .filter(F.col("rsi").isNotNull())
     )
 
 
 @register(
     "ind_bollinger",
     f"""
-    WITH framed AS (
-      SELECT user_id, event_id, ts,
-             avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd
+    WITH sums AS (
+      SELECT user_id, event_id, ts, count(*) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
       FROM events WINDOW w AS ({_W})
+    ), framed AS (
+      SELECT user_id, event_id, ts, sx / n AS m,
+             CASE WHEN n > 1
+                  THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END AS sd
+      FROM sums
     )
-    SELECT user_id, event_id, ts,
-           round(m + 2 * sd, 6) AS bb_up, round(m - 2 * sd, 6) AS bb_down
+    SELECT user_id, event_id, ts, m + 2 * sd AS bb_up, m - 2 * sd AS bb_down
     FROM framed WHERE sd IS NOT NULL
     """,
     doc="W4+W5: Bollinger Bands = mean ± 2·sample-stddev over the 14-row "
@@ -172,8 +198,12 @@ def ind_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ind_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     _w, _wf = _wspec()
     df = _events(spark, sf_dir)
-    m = F.avg("value").over(_wf)
-    sd = F.stddev("value").over(_wf)
+    dv = F.col("value").cast("decimal(18,6)")
+    n = F.count(F.lit(1)).over(_wf)
+    sx = F.sum(dv).over(_wf).cast("double")
+    sxx = F.sum(dv * dv).over(_wf).cast("double")
+    m = sx / n
+    sd = F.when(n > 1, F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))))
     return (
         df.select("user_id", "event_id", "ts", m.alias("_m"), sd.alias("_sd"))
         .filter(F.col("_sd").isNotNull())
@@ -181,8 +211,8 @@ def ind_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "ts",
-            F.round(F.col("_m") + 2 * F.col("_sd"), 6).alias("bb_up"),
-            F.round(F.col("_m") - 2 * F.col("_sd"), 6).alias("bb_down"),
+            (F.col("_m") + 2 * F.col("_sd")).alias("bb_up"),
+            (F.col("_m") - 2 * F.col("_sd")).alias("bb_down"),
         )
     )
 
@@ -191,7 +221,7 @@ def ind_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ind_union_branches",
     _FRAMED_CTE
     + """
-    SELECT user_id, ts, type_name, round(ind_value, 6) AS ind_value
+    SELECT user_id, ts, type_name, ind_value
     FROM stacked WHERE ind_value IS NOT NULL
     """,
     doc="U1: the reference's 4-branch unionByName pivot into the long "
@@ -201,9 +231,7 @@ def ind_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ind_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ind = compute_indicators(_events(spark, sf_dir))
-    return ind.select(
-        "user_id", "ts", "type_name", F.round("ind_value", 6).alias("ind_value")
-    )
+    return ind.select("user_id", "ts", "type_name", "ind_value")
 
 
 @register(
@@ -217,7 +245,7 @@ def ind_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING (type_name)
       WHERE s.ind_value IS NOT NULL
     )
-    SELECT user_id, type_id, type_name, round(ind_value, 6) AS ind_value, ts
+    SELECT user_id, type_id, type_name, ind_value, ts
     FROM named n
     WHERE NOT EXISTS (
       SELECT 1 FROM named e
@@ -245,6 +273,6 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("type_id").cast("long").alias("type_id"),
         "type_name",
-        F.round("ind_value", 6).alias("ind_value"),
+        "ind_value",
         "ts",
     )

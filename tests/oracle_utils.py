@@ -32,7 +32,7 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             pdf[c] = pd.to_datetime(s).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(s):
-            pdf[c] = s.astype("float64").round(6)
+            pdf[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
             pdf[c] = s.astype("int64")
         elif s.dtype == object:
@@ -43,7 +43,11 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(key, na_position="first").reset_index(drop=True)
 
 
-def compare(spark_df, sql: str, sf_dir: str, float_tol: float = 1e-6) -> None:
+def compare(spark_df, sql: str, sf_dir: str, float_tol: float = 0.0) -> None:
+    """Default float_tol=0.0: engine queries are written so float results
+    are BITWISE identical across Spark and DuckDB (exact decimal sums cast
+    to double; identical IEEE expression trees). Pass a tolerance only for
+    inherently inexact ops."""
     got = _normalize(spark_df.toPandas())
     want = _normalize(run_oracle(sql, sf_dir))
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
