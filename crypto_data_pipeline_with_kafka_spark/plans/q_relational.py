@@ -1,1 +1,615 @@
-"""Placeholder — populated incrementally."""
+"""Relational operator queries (SURVEY §2.2 P1-P7, §2.3 J1-J4, §2.4
+aggregations, §2.6 sorts/limits, §2.7 set ops) over the TPC-H-ish star
+and the events stream table.
+
+Float parity convention: every float aggregate is an exact DECIMAL sum
+cast to DOUBLE (optionally divided by a count) — bitwise identical in
+Spark and DuckDB. Integer-typed results are cast so both engines emit
+the same width (BIGINT / INTEGER).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.operators.relational import (
+    asof_join,
+    get_or_create_keys,
+    idempotent_append,
+    top_k_per_group,
+)
+from crypto_data_pipeline_with_kafka_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- filters
+
+
+@register(
+    "rel_projection_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
+    """,
+    doc="P1+P3: column projection + predicates; both reach the parquet "
+    "scan (PushedFilters / ReadSchema) — the reference prunes manually "
+    "(spark_job_1.py:22), Catalyst prunes for us",
+    tags=("filter",),
+)
+def rel_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "rel_rename_cast",
+    """
+    SELECT event_id,
+           user_id AS symbol_id,
+           ts AS close_time,
+           CAST(CAST(value AS DECIMAL(20,10)) AS VARCHAR) AS close_price_dec
+    FROM events
+    """,
+    doc="P2+F12: projection with rename and the explicit string/double → "
+    "DECIMAL(20,10) cast the reference leaves implicit to MySQL "
+    "(consumer_prices.py:70-78, kline_dim_fact.sql:15-18); stringified "
+    "for cross-engine comparison",
+    tags=("project", "cast"),
+)
+def rel_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("symbol_id"),
+        F.col("ts").alias("close_time"),
+        F.col("value").cast("decimal(20,10)").cast("string").alias("close_price_dec"),
+    )
+
+
+@register(
+    "rel_conditional",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END AS discounted_price,
+           CASE WHEN l_tax > 0.04 THEN 'high' WHEN l_tax > 0.02 THEN 'mid' ELSE 'low' END AS tax_band
+    FROM lineitem
+    """,
+    doc="P4: when/otherwise conditional projection (the reference's "
+    "gain/loss split, spark_job_1.py:33-34)",
+    tags=("project",),
+)
+def rel_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+        .otherwise(F.lit(0.0))
+        .alias("discounted_price"),
+        F.when(F.col("l_tax") > 0.04, F.lit("high"))
+        .when(F.col("l_tax") > 0.02, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("tax_band"),
+    )
+
+
+@register(
+    "rel_regex_filter",
+    r"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE regexp_matches(text, '^the [a-z]+ ') AND regexp_matches(source, '^src[0-9]+$')
+    """,
+    doc="P5: regex predicates gating rows (the reference's RSS URL "
+    "validators, producer_news.py:29-36,56)",
+    tags=("filter", "string"),
+)
+def rel_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike(r"^the [a-z]+ ") & F.col("source").rlike(r"^src[0-9]+$"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "rel_high_watermark",
+    """
+    WITH wm AS (
+      SELECT user_id, max(ts) AS wm_ts
+      FROM events WHERE ts < TIMESTAMP '2024-01-21'
+      GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, e.ts
+    FROM events e JOIN wm USING (user_id)
+    WHERE e.ts > wm.wm_ts
+    """,
+    doc="P6: per-key monotonic high-watermark filter — the producer skips "
+    "klines with open_time <= last seen (producer_prices.py:44-46); "
+    "set-based: join against per-key max and keep strictly-newer rows",
+    tags=("filter", "join"),
+)
+def rel_high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    wm = (
+        events.filter(F.col("ts") < F.lit("2024-01-21").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("wm_ts"))
+    )
+    return (
+        events.join(wm, "user_id")
+        .filter(F.col("ts") > F.col("wm_ts"))
+        .select("user_id", "event_id", "ts")
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+
+@register(
+    "rel_join_dim_chain",
+    """
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="J1: inner equi-join dim lookups (the reference's 4-row "
+    "dim_indicator_type join, spark_job_1.py:64-67) — both dims "
+    "broadcast-hinted; never shuffles the fact side",
+    tags=("join", "agg"),
+)
+def rel_join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "rel_join_left_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="J2-shape: left anti join — customers with no orders (the "
+    "reference's 'not already inserted' dedup, spark_job_1.py:81-85)",
+    tags=("join",),
+)
+def rel_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return idempotent_append(
+        c.withColumnRenamed("c_custkey", "o_custkey"), o, ["o_custkey"]
+    ).select(F.col("o_custkey").alias("c_custkey"), "c_name")
+
+
+@register(
+    "rel_join_left_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    doc="J4: semi-join key-presence check (the reference's per-row "
+    "'SELECT id WHERE url=%s' existence probe, consumer_news.py:47-49)",
+    tags=("join",),
+)
+def rel_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "rel_get_or_create_keys",
+    """
+    WITH existing(type_name, type_id) AS (VALUES ('signup', 1), ('purchase', 2)),
+    news AS (
+      SELECT DISTINCT event_type AS type_name FROM events
+      WHERE event_type NOT IN (SELECT type_name FROM existing)
+    ),
+    keyed AS (
+      SELECT type_name,
+             (SELECT max(type_id) FROM existing) + row_number() OVER (ORDER BY type_name) AS type_id
+      FROM news
+    )
+    SELECT type_name, CAST(type_id AS BIGINT) AS type_id FROM existing
+    UNION ALL
+    SELECT type_name, CAST(type_id AS BIGINT) AS type_id FROM keyed
+    """,
+    doc="J3: get-or-create dim surrogate keys — the reference resolves "
+    "per row with SELECT-else-INSERT lastrowid (consumer_prices.py:31-39); "
+    "set-based: anti-join + max(id)+row_number, union back",
+    tags=("join", "dim"),
+)
+def rel_get_or_create_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = spark.createDataFrame(
+        [("signup", 1), ("purchase", 2)], "type_name string, type_id long"
+    )
+    incoming = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("type_name")
+    )
+    return get_or_create_keys(existing, incoming, "type_name", "type_id")
+
+
+@register(
+    "rel_asof_join",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ), errors AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.event_id, e.ts, p.value AS asof_value
+    FROM errors e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc="As-of join extension (SURVEY §2.3): price at-or-before each "
+    "event — union trick with last(ignorenulls) over one ordered window; "
+    "one shuffle, no per-key Python. Oracle uses DuckDB's native ASOF",
+    tags=("join", "asof"),
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        partition_cols=("user_id",),
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=("value",),
+        tie_col="event_id",
+    )
+    return out.select("user_id", "event_id", "ts", F.col("asof_value"))
+
+
+# ---------------------------------------------------------------- aggregation
+
+
+@register(
+    "agg_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="§2.4: grouped aggregation, TPC-H Q1 shape (the engine-side "
+    "equivalent of the reference's Grafana rollups); partial+final agg "
+    "automatic; exact decimal sums for cross-engine determinism",
+    tags=("agg",),
+)
+def agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="§2.4: count_distinct + min/max (exact, no float arithmetic)",
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    None,  # HLL sketches are engine-specific — rows-only check (SURVEY §5)
+    doc="§2.4: approx_count_distinct (HLL) — sketch values differ by "
+    "engine, so no value oracle; the exact variant above is the checked one",
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="§2.4: rollup with subtotal + grand-total rows (NULL markers)",
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="§2.4: cube over two dims",
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="§2.4: explicit grouping sets (SQL API path — same Catalyst plan)",
+    tags=("agg", "sql"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------- sort / topk
+
+
+@register(
+    "sort_limit_top100",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    doc="§2.6 O1/O2: global sort + limit (TakeOrderedAndProject — no full "
+    "sort materialization); unique tie-breakers make the LIMIT deterministic",
+    tags=("sort",),
+)
+def sort_limit_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-K per group: row_number ≤ K per customer (window sort only, "
+    "no global sort)",
+    tags=("sort", "window"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_k_per_group(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=("o_custkey",),
+        order_cols=(F.col("o_totalprice").desc(), F.col("o_orderkey")),
+        k=3,
+    )
+
+
+@register(
+    "win_navigation",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank,
+           CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INTEGER) AS type_rank,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+    FROM events
+    """,
+    doc="§2.5 note: ranking/navigation surface (row_number/rank/dense_rank/"
+    "lead/first_value) — ~0 extra cost once the Window surface exists",
+    tags=("window",),
+)
+def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(w_ts).alias("rn"),
+        F.rank().over(w_val).alias("value_rank"),
+        F.dense_rank().over(w_type).alias("type_rank"),
+        F.lead("value").over(w_ts).alias("next_value"),
+        F.first("value").over(w_ts.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "first_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+    """,
+    doc="§2.7: intersect (distinct semantics) — customers active in both years",
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="§2.7: except (distinct) — the J2 anti-join's set-op twin",
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)  # EXCEPT (distinct semantics)
+
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT event_type FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    UNION
+    SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+    """,
+    doc="§2.7 U1 relative: union with distinct (unionByName + distinct)",
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp")).select("event_type")
+    b = e.filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp")).select("event_type")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "pivot_fixed",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot with fixed value list (no extra pass to discover values); "
+    "oracle is the equivalent conditional aggregation",
+    tags=("agg", "pivot"),
+)
+def pivot_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_o"), F.col("F").alias("qty_f")
+    )

@@ -1,1 +1,249 @@
-"""Placeholder — populated incrementally."""
+"""Scalar function queries (SURVEY §2.8 F1-F12): JSON, date/time,
+string, regex, arithmetic — the in-flight message-shaping functions of
+the reference's producers/consumers, expressed as JVM-side built-ins
+(never row-at-a-time Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "fn_json_extract",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+    doc="F2: JSON deserialize — the consumers' json.loads "
+    "(consumer_prices.py:51); engine uses get_json_object on the "
+    "in-flight payload column",
+    tags=("json",),
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+@register(
+    "fn_json_build",
+    """
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
+    FROM events
+    """,
+    doc="F1: JSON serialize — the producers' json.dumps "
+    "(producer_prices.py:13); engine: to_json(struct(...)) for Kafka "
+    "value columns",
+    tags=("json",),
+)
+def fn_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
+    )
+
+
+@register(
+    "fn_epoch_millis",
+    """
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts_from_ms
+    FROM events
+    """,
+    doc="F3: epoch-ms ↔ timestamp — the consumer's "
+    "datetime.fromtimestamp(ms/1000) (consumer_prices.py:76-78), with "
+    "UTC pinned instead of local-TZ",
+    tags=("time",),
+)
+def fn_epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_from_ms"),
+    )
+
+
+@register(
+    "fn_iso_parse",
+    """
+    SELECT event_id,
+           CAST(ts AS VARCHAR) AS iso_str,
+           CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS parsed
+    FROM events
+    """,
+    doc="F5: ISO-8601 timestamp string round-trip (the producer's "
+    "datetime.now().isoformat(), producer_prices.py:58)",
+    tags=("time", "string"),
+)
+def fn_iso_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("string").alias("iso_str"),
+        F.to_timestamp(F.col("ts").cast("string")).alias("parsed"),
+    )
+
+
+@register(
+    "fn_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dy,
+           date_trunc('month', o_orderdate) AS month_start
+    FROM orders
+    """,
+    doc="Date-part extraction + truncation (engine-side rollup keys for "
+    "the reference's Grafana time axes)",
+    tags=("time",),
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@register(
+    "fn_string_ops",
+    """
+    SELECT doc_id,
+           trim(text) AS trimmed,
+           upper(source) AS source_uc,
+           concat_ws('-', lang, source) AS lang_source,
+           CAST(length(text) AS BIGINT) AS text_len,
+           substring(text, 1, 10) AS prefix10
+    FROM documents
+    """,
+    doc="F6/F8: trim / case / concat_ws key-building (the producer's "
+    "f-string Kafka key, producer_prices.py:63) / length / substring",
+    tags=("string",),
+)
+def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim("text").alias("trimmed"),
+        F.upper("source").alias("source_uc"),
+        F.concat_ws("-", "lang", "source").alias("lang_source"),
+        F.length("text").cast("long").alias("text_len"),
+        F.substring("text", 1, 10).alias("prefix10"),
+    )
+
+
+@register(
+    "fn_regex_extract",
+    r"""
+    SELECT doc_id,
+           nullif(regexp_extract(text, 'the ([a-z]+)', 1), '') AS word_after_the,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len
+    FROM documents
+    """,
+    doc="F7: regexp_extract / regexp_replace (the RSS validators & "
+    "strip-tags approximation, producer_news.py:29-36); nullif('') "
+    "normalizes no-match between engines",
+    tags=("string", "regex"),
+)
+def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.nullif(F.regexp_extract("text", r"the ([a-z]+)", 1), F.lit("")).alias(
+            "word_after_the"
+        ),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).cast("long").alias(
+            "novowel_len"
+        ),
+    )
+
+
+@register(
+    "fn_coalesce_default",
+    """
+    SELECT event_id,
+           coalesce(json_extract_string(props, '$.missing'), '1h') AS with_default,
+           coalesce(nullif(event_type, 'error'), 'unknown') AS type_or_unknown
+    FROM events
+    """,
+    doc="F11: coalesce/default fallbacks (the consumer's "
+    "data.get('interval','1h'), consumer_prices.py:63)",
+    tags=("scalar",),
+)
+def fn_coalesce_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("1h")).alias(
+            "with_default"
+        ),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias(
+            "type_or_unknown"
+        ),
+    )
+
+
+@register(
+    "fn_arithmetic",
+    """
+    SELECT event_id,
+           value * 2 - 1 AS scaled,
+           value / (value + 1) AS ratio,
+           abs(value - 100) AS dist100,
+           CAST(floor(value) AS BIGINT) AS flr,
+           CAST(ceil(value) AS BIGINT) AS cl,
+           greatest(value, 100.0) AS g, least(value, 100.0) AS l
+    FROM events
+    """,
+    doc="F9: column arithmetic/comparison surface (spark_job_1.py:32-45) "
+    "— identical IEEE expression trees in both engines",
+    tags=("scalar",),
+)
+def fn_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("value")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        (v * 2 - 1).alias("scaled"),
+        (v / (v + 1)).alias("ratio"),
+        F.abs(v - 100).alias("dist100"),
+        F.floor(v).cast("long").alias("flr"),
+        F.ceil(v).cast("long").alias("cl"),
+        F.greatest(v, F.lit(100.0)).alias("g"),
+        F.least(v, F.lit(100.0)).alias("l"),
+    )
+
+
+@register(
+    "fn_literal_tag",
+    """
+    SELECT event_id, 'SMA' AS type_name, 14 AS window_len, value AS ind_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="F10: literal tag columns (the reference's F.lit('SMA') branch "
+    "tags, spark_job_1.py:29)",
+    tags=("scalar",),
+)
+def fn_literal_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.lit("SMA").alias("type_name"),
+            F.lit(14).alias("window_len"),
+            F.col("value").alias("ind_value"),
+        )
+    )
