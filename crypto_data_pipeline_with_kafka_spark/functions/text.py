@@ -1,0 +1,114 @@
+"""Text-analysis column builders: tokenization, shingling, sentiment,
+language-ID scoring, quality metrics.
+
+These are the engine's first-class versions of the reference's news-text
+path (VADER sentiment UD1 at ``dags/producer_news.py:16-17,66-74``;
+HTML-text join UD2 at ``:68-70``) plus the LLM-training-pipeline text
+operators (language-ID, quality scoring, token counting,
+fingerprinting).
+
+Everything here is a *built-in-function composition* (JVM-side,
+codegen'd); the one Pandas UDF (``sentiment_pandas_udf``) exists to
+exercise the Arrow UDF surface the reference's VADER scoring needs —
+with a deterministic half-point lexicon so both the UDF and the pure-SQL
+twin produce bitwise-identical doubles (sums of halves are exact in
+binary, in any order).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+# Deterministic sentiment lexicon (VADER-shaped: compound-style score per
+# token; half-point values are exactly representable so summation order
+# cannot perturb results). On real news text this would be the VADER
+# lexicon broadcast to executors (reference producer_news.py:16-17).
+SENTIMENT_LEXICON: dict[str, float] = {
+    "fast": 2.0,
+    "slow": -2.0,
+    "big": 1.0,
+    "small": -1.0,
+    "value": 1.5,
+    "merge": 0.5,
+    "filter": -0.5,
+    "error": -3.0,
+}
+
+# Marker-token sets for the n-gram/stopword language-ID heuristic. The
+# fixture "languages" share one synthetic vocabulary, so markers are
+# engine-defined; on real data these are per-language stopword lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "query": ("query", "table", "row"),
+    "exec": ("scan", "join", "hash", "sort"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+# BPE-ish token pattern: letter runs, digit runs, single non-alnum marks.
+BPE_TOKEN_PATTERN = r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (reference news body is a
+    ' '-joined paragraph string, producer_news.py:69-70)."""
+    return F.split(F.trim(col), " ")
+
+
+def shingles_from_tokens(ws: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a pre-tokenized array column (for
+    MinHash / n-gram Jaccard dedup). Requires ≥ k words (guard upstream:
+    ``F.size(ws) >= k``)."""
+    idx = F.sequence(F.lit(0), F.size(ws) - k)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+
+
+def sentiment_builtin(text_col: Column | str) -> Column:
+    """Lexicon sentiment as pure built-ins: mean lexicon score over all
+    tokens (unmatched tokens score 0). JVM-side; the 100-TB hot path."""
+    ws = tokens(text_col)
+    mapping = F.create_map(
+        *[x for w, s in sorted(SENTIMENT_LEXICON.items()) for x in (F.lit(w), F.lit(s))]
+    )
+    scores = F.transform(ws, lambda w: F.coalesce(mapping[w], F.lit(0.0)))
+    total = F.aggregate(scores, F.lit(0.0), lambda acc, x: acc + x)
+    return total / F.size(ws)
+
+
+def sentiment_pandas_udf() -> Column:
+    """Arrow-batched scalar Pandas UDF twin of ``sentiment_builtin`` —
+    the UD1 surface (reference wraps VADER's polarity_scores compound).
+    Bitwise-equal to the built-in version because lexicon scores are
+    binary-exact halves."""
+
+    lex = dict(SENTIMENT_LEXICON)
+
+    @F.pandas_udf(DoubleType())
+    def _sent(texts: pd.Series) -> pd.Series:
+        def score(t: str) -> float:
+            ws = t.strip().split(" ")
+            return sum(lex.get(w, 0.0) for w in ws) / len(ws)
+
+        return texts.map(score)
+
+    return _sent
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    """Marker-hit ratio per candidate language (n-gram heuristic shape)."""
+    ws = tokens(text_col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(ws, lambda w: w.isin(*markers)))
+        out[lang] = hits.cast("double") / F.size(ws)
+    return out

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+stages.
+
+The decode step itself is STUBBED (image/audio codecs are not in this
+container): ``decode_image_stub`` derives deterministic fake metadata
+from the bytes, and ``decode_image_real`` raises NotImplementedError with
+the intended signature. Everything AROUND the decode — schema, binary
+payload handling, Arrow batch iteration, partition-parallel UDF shape —
+is real and tested. Swapping in PIL/ffmpeg later changes one function.
+
+At 100 TB: binary payloads ride the same parquet scans as everything
+else (no side-channel object fetches in the hot path); decode runs
+inside mapInPandas per Arrow batch, so Python overhead amortizes over
+thousands of rows, and the operator parallelizes per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width int, height int, channels int"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary column (utf-8 bytes standing in for an
+    image/audio blob) + typed metadata, as a multimodal table would
+    carry: (payload binary, n_bytes, content_hash)."""
+    return df.withColumns(
+        {
+            "payload": F.encode(F.col(text_col), "UTF-8"),
+            "n_bytes": F.length(F.encode(F.col(text_col), "UTF-8")).cast("long"),
+            "content_hash": F.md5(F.col(text_col)),
+        }
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """The real decoder slot (PIL / libvips / ffmpeg frame-grab).
+
+    Not available in this environment — the container ships no image
+    codecs. Swap this in and ``decode_batch`` below needs no changes.
+    """
+    raise NotImplementedError(
+        "image codecs not available in this container; use decode_image_stub"
+    )
+
+
+def decode_image_stub(payload: bytes) -> tuple[str, int, int, int]:
+    """Deterministic fake decode: (format, width, height, channels)
+    derived from the byte content so tests are stable and the full
+    Spark-side plumbing (schema, batching, partitioning) is exercised."""
+    n = len(payload)
+    fmt = "png" if n % 2 == 0 else "jpeg"
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    channels = 3 if n % 3 else 4
+    return fmt, width, height, channels
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: binary payload → typed image metadata.
+
+    Arrow batches stream through ``it``; each pandas DataFrame holds
+    thousands of rows, so the per-row Python cost is amortized and the
+    stage scales with partition count."""
+
+    def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NB: self-contained closure (duplicates decode_image_stub) so
+        # cloudpickle ships it BY VALUE — executors must not need this
+        # package importable on their own sys.path.
+        def _stub(payload: bytes) -> tuple[str, int, int, int]:
+            n = len(payload)
+            return (
+                "png" if n % 2 == 0 else "jpeg",
+                16 + (n % 64),
+                16 + ((n // 64) % 64),
+                3 if n % 3 else 4,
+            )
+
+        for pdf in it:
+            decoded = pdf["payload"].map(_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "format": decoded.map(lambda d: d[0]),
+                    "width": decoded.map(lambda d: d[1]),
+                    "height": decoded.map(lambda d: d[2]),
+                    "channels": decoded.map(lambda d: d[3]),
+                }
+            )
+
+    return df.select("doc_id", "payload", "n_bytes").mapInPandas(
+        decode_batch, schema=DECODED_SCHEMA
+    )
+
+
+def frame_sample(df: DataFrame, every_nth: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling shape for video-like payloads: keep every Nth row
+    per stream — a pure filter (id % N), no decode needed to subsample."""
+    return df.filter((F.col(id_col) % every_nth) == 0)

@@ -1,0 +1,226 @@
+"""Document deduplication family (LLM-training-pipeline operators):
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+* everything is inverted-index / band-bucket joins — NO cartesian
+  products anywhere; candidate generation shuffles on shingle / band-key
+  / simhash-chunk, each of which is high-cardinality and well-spread.
+* hashes are md5-based (built-in, identical in Spark and DuckDB), so the
+  DuckDB oracles verify these pipelines VALUE-exactly — minhash included.
+* the verify stage (exact Jaccard) runs only on candidate pairs.
+
+The reference's only dedup is exact-key anti-join / INSERT IGNORE
+(SURVEY §2.2 P6, §2.3 J2); the near-dup family is the engine's
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.functions.text import (
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct
+    content, with the canonical (min) id and the duplicate count.
+    Map-side partial agg keeps the shuffle at one row per distinct hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) rows — distinct k-shingles per document."""
+    ws = tokens(text_col)
+    return (
+        df.filter(F.size(ws) >= k)
+        .select(F.col(id_col), F.explode(shingles_from_tokens(ws, k)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index
+    self-join: only pairs sharing ≥1 shingle are ever materialized;
+    intersection counts come from the shingle-equality join, union sizes
+    from per-doc shingle counts. Returns (id_a, id_b, jaccard)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= min_jaccard)
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
+) -> DataFrame:
+    """MinHash signature per document: h_i = min(md5('i|' || shingle)).
+    Lexicographic min over fixed-width hex == numeric min of the hash —
+    and md5 is identical across engines, so signatures are oracle-exact.
+    One aggregation pass computes all hashes (no per-hash explode)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: signature split into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents sharing any band key become
+    candidate pairs. Returns distinct (id_a, id_b)."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stack_expr = "stack({n}, {args}) as (band_id, band_key)".format(
+        n=bands, args=", ".join(f"'{b}', band{b}" for b in range(bands))
+    )
+    long = banded.select(F.col(id_col), F.expr(stack_expr))
+    a = long.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = long.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: shingle → signature → band
+    candidates → exact-Jaccard verification on candidates only.
+    At 100 TB the candidate set (not the corpus square) bounds the cost."""
+    sh = shingle_rows(df, text_col, id_col, k)
+    cand = minhash_band_pairs(minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, bands)
+    verified = jaccard_pairs(sh, id_col, min_jaccard)
+    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# --------------------------------------------------------------- SimHash
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_bits(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash as a 64-char '0'/'1' string per document.
+
+    Token hash = first 16 hex chars of md5(word); bit j of the token is
+    bit (3 - j%4) of hex digit j/4. Each token contributes
+    count * (2*bit - 1) to dimension j; simhash bit j = (sum > 0).
+    Pure built-ins (explode over 64 dims × distinct words); the md5 base
+    keeps it oracle-exact in DuckDB.
+    """
+    wc = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.substring(F.md5("w"), 1, 16))
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
+    bits = wc.select(F.col(id_col), "cnt", "h", j)
+    digit = F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1)
+    bits = bits.withColumn("dval", F.instr(F.lit(_HEX), digit) - 1)
+    # shiftright() needs a literal count, so shift via expr
+    bit = F.expr("(dval >> (3 - j % 4)) & 1")
+    contrib = F.col("cnt") * (bit * 2 - 1)
+    dims = bits.select(F.col(id_col), "j", contrib.alias("contrib"))
+    agg = dims.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
+    per_doc = agg.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), (F.col("s") > 0).cast("int").alias("b")))
+                ),
+                lambda x: x["b"].cast("string"),
+            ),
+            "",
+        ).alias("simhash")
+    )
+    return per_doc
+
+
+def simhash_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
+    blocked on the 4 × 16-bit chunks (a pair within hamming ≤ 3 per
+    pigeonhole shares a chunk; with 6 we still block, trading recall for
+    candidate-set size as real simhash dedup does). Returns
+    (id_a, id_b, hamming)."""
+    chunks = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("c"), F.substring("simhash", 1 + 16 * c, 16).alias("key")) for c in range(4)])
+        ).alias("ck"),
+    ).select(F.col(id_col), "simhash", F.col("ck.c").alias("c"), F.col("ck.key").alias("key"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "c", "key")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "c", "key")
+    cand = (
+        a.join(b, ["c", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.col("sh_a").substr(i, F.lit(1))
+            != F.col("sh_b").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

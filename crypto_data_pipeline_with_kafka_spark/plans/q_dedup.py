@@ -1,1 +1,198 @@
-"""Placeholder — populated incrementally."""
+"""Deduplication queries over ``documents``: exact, n-gram Jaccard,
+MinHash+LSH, SimHash — each VALUE-checked against a DuckDB oracle
+(md5-based hashing is identical across engines, so even the LSH
+candidate generation is oracle-exact)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_band_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    shingle_rows,
+    simhash_bits,
+    simhash_pairs,
+)
+from crypto_data_pipeline_with_kafka_spark.plans.registry import register
+
+# Shared DuckDB CTEs ------------------------------------------------------
+
+_SH_CTE = """
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, len(ws) - 1)])) AS shingle
+  FROM toks WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+"""
+
+_MINHASH_N = 12
+_MINHASH_BANDS = 4
+
+_SIG_COLS = ",\n         ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_MINHASH_N)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, '{b}' AS band_id, h{b * 3} || h{b * 3 + 1} || h{b * 3 + 2} AS band_key FROM sig"
+    for b in range(_MINHASH_BANDS)
+)
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: content-hash groupBy with canonical (min) id — the "
+    "distributed form of the reference's INSERT IGNORE / URL-check "
+    "(consumer_prices.py:70-80); map-side combine keeps the shuffle at "
+    "one row per distinct hash",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    doc="n-gram (3-word shingle) Jaccard near-dup pairs via inverted-"
+    "index self-join — only shingle-sharing pairs materialize, never the "
+    "corpus square",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_rows(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh, min_jaccard=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SH_CTE},
+    sig AS (
+      SELECT doc_id,
+         {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bandl AS (
+      {_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandl a
+      JOIN bandl b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j USING (id_a, id_b)
+    WHERE j.jaccard >= 0.8
+    """,
+    doc="MinHash(12)+LSH(4 bands × 3) near-dup dedup: shingle → signature "
+    "(min of md5('i|'||shingle) — lexicographic min of fixed-width hex) → "
+    "band-bucket join for candidates → exact-Jaccard verify on candidates "
+    "only. The 100-TB path: cost bounded by collisions, not corpus²",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        min_jaccard=0.8,
+    )
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    wc AS (
+      SELECT doc_id, w, count(*) AS cnt, substr(md5(w), 1, 16) AS h
+      FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+      GROUP BY doc_id, w
+    ),
+    dims AS (
+      SELECT doc_id, j,
+             sum(cnt * (2 * ((instr('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+                             >> (3 - (j % 4)) & 1) - 1)) AS s
+      FROM wc, range(0, 64) t(j)
+      GROUP BY doc_id, j
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      FROM dims GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c, substr(simhash, 1 + 16 * CAST(c AS INT), 16) AS key
+      FROM per_doc, range(0, 4) t(c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT id_a, id_b,
+             len([i for i in range(1, 65) if substr(sh_a, CAST(i AS INT), 1) <> substr(sh_b, CAST(i AS INT), 1)]) AS hamming
+      FROM cand
+    )
+    SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+    FROM ham WHERE hamming <= 6
+    """,
+    doc="SimHash near-dup pairs: 64-bit count-weighted simhash from "
+    "md5 word hashes, 4×16-bit chunk blocking for candidates, hamming ≤ 6 "
+    "verify — all built-ins, oracle-exact",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = simhash_bits(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(sims, max_hamming=6)
+
+
+@register(
+    "dedup_minhash_signature",
+    f"""
+    WITH {_SH_CTE},
+    sig AS (
+      SELECT doc_id,
+         {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, {", ".join(f"h{i}" for i in range(_MINHASH_N))} FROM sig
+    """,
+    doc="MinHash signatures themselves (12 hashes per doc) — checked "
+    "value-exactly; the building block the LSH query bands over",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_rows(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures(sh, num_hashes=_MINHASH_N)

@@ -1,1 +1,194 @@
-"""Placeholder — populated incrementally."""
+"""Similarity-search queries over ``embeddings`` (array<float>, dim 64):
+brute-force cosine top-k (exactness baseline) and random-hyperplane LSH
+ANN (scale path). Decimal-exact dot products keep both engines bitwise
+aligned, so even top-k rank order is oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_for_pairs,
+    embedding_components,
+    lsh_ann_pairs,
+    lsh_buckets,
+    norms,
+)
+from crypto_data_pipeline_with_kafka_spark.plans.registry import register
+
+_DIM = 64
+
+# (vec_id, pos 1-based, v decimal) + norms — the shared oracle base.
+_COMP_CTE = f"""
+comp AS (
+  SELECT vec_id, CAST(i AS INT) AS pos,
+         CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(16,12)) AS v
+  FROM embeddings, range(1, {_DIM + 1}) t(i)
+),
+nrm AS (
+  SELECT vec_id, CAST(sum(v * v) AS DOUBLE) AS norm_sq FROM comp GROUP BY vec_id
+)
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH {_COMP_CTE},
+    dots AS (
+      SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+             CAST(sum(qa.v * qb.v) AS DOUBLE) AS dot
+      FROM comp qa
+      JOIN comp qb ON qa.pos = qb.pos AND qa.vec_id <> qb.vec_id
+      WHERE qa.vec_id < 20
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT id_a, id_b, dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine
+      FROM dots
+      JOIN nrm na ON na.vec_id = id_a
+      JOIN nrm nb ON nb.vec_id = id_b
+    ),
+    rk AS (
+      SELECT id_a, id_b, cosine,
+             CAST(row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS INTEGER) AS rnk
+      FROM cos
+    )
+    SELECT id_a, id_b, cosine, rnk FROM rk WHERE rnk <= 5
+    """,
+    doc="Brute-force cosine top-5 for 20 query vectors against the whole "
+    "corpus: posexplode + pos-join + decimal-exact dot products; "
+    "deterministic tie-break on id_b. O(queries × corpus) — the "
+    "exactness baseline ANN variants are judged against",
+    tags=("similarity",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(_emb(spark, sf_dir), query_ids_max=20, k=5)
+
+
+@register(
+    "sim_ann_lsh",
+    f"""
+    WITH {_COMP_CTE},
+    planes AS (
+      SELECT CAST(p AS INT) AS p, CAST(i AS INT) AS i,
+             CASE WHEN instr('02468ace', substr(md5(p || '_' || i), 1, 1)) > 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM range(0, 16) t(p), range(1, {_DIM + 1}) u(i)
+    ),
+    proj AS (
+      SELECT c.vec_id, pl.p, CAST(sum(c.v * pl.sign) AS DOUBLE) AS proj
+      FROM comp c JOIN planes pl ON pl.i = c.pos
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    banded AS (
+      SELECT vec_id, CAST(b AS INT) AS band_id,
+             substr(bucket, 1 + 4 * CAST(b AS INT), 4) AS band_key
+      FROM buckets, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT id_a, id_b, CAST(sum(ca.v * cb.v) AS DOUBLE) AS dot
+      FROM cand
+      JOIN comp ca ON ca.vec_id = id_a
+      JOIN comp cb ON cb.vec_id = id_b AND cb.pos = ca.pos
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine
+    FROM dots
+    JOIN nrm na ON na.vec_id = id_a
+    JOIN nrm nb ON nb.vec_id = id_b
+    WHERE dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) >= 0.4
+    """,
+    doc="ANN near-neighbor pairs, the scale path: 16 deterministic "
+    "random-hyperplane sign bits (md5-derived, oracle-identical), banded "
+    "4×4 so vectors sharing any band collide; exact cosine ≥ 0.4 verify "
+    "on candidates only. Cost ~ band collisions, not corpus²",
+    tags=("similarity", "lsh"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_ann_pairs(_emb(spark, sf_dir), num_planes=16, bands=4, min_cosine=0.4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_COMP_CTE},
+    dots AS (
+      SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+             CAST(sum(qa.v * qb.v) AS DOUBLE) AS dot
+      FROM comp qa
+      JOIN comp qb ON qa.pos = qb.pos AND qa.vec_id < qb.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT id_a, id_b, dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine
+      FROM dots
+      JOIN nrm na ON na.vec_id = id_a
+      JOIN nrm nb ON nb.vec_id = id_b
+    )
+    SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (exact, all pairs ≥ 0.4 — this "
+    "synthetic corpus's near-dup band; real near-dup dedup sets ~0.95): "
+    "embedding member of the dedup family; brute force here as ground "
+    "truth — sim_ann_lsh is the bucketed variant of the same output",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    comp = embedding_components(emb)
+    nrm = norms(comp)
+    pairs = (
+        comp.select(F.col("vec_id").alias("id_a"), "pos", F.col("v").alias("va"))
+        .join(
+            comp.select(F.col("vec_id").alias("id_b"), "pos", F.col("v").alias("vb")),
+            "pos",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("vec_id").alias("id_a"), F.col("norm_sq").alias("na"))
+    nb = nrm.select(F.col("vec_id").alias("id_b"), F.col("norm_sq").alias("nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+@register(
+    "sim_lsh_buckets",
+    None,  # bucket strings are checked via sim_ann_lsh's end-to-end output
+    doc="LSH bucket assignment per vector (16-bit sign signature) — "
+    "rows-only here; the pair output is value-checked in sim_ann_lsh",
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    comp = embedding_components(emb)
+    return lsh_buckets(comp, num_planes=16)

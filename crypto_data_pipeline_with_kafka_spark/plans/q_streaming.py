@@ -1,1 +1,62 @@
-"""Placeholder — populated incrementally."""
+"""Streaming queries (SURVEY §2.9): each runs the REAL Structured
+Streaming engine (file source standing in for the Kafka topic, as §5's
+test strategy prescribes) to completion with the AvailableNow trigger,
+then returns the materialized result — so even streaming semantics are
+value-checked against a batch DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.plans.registry import register
+from crypto_data_pipeline_with_kafka_spark.sources.readers import events_stream_reader
+from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+    run_to_memory,
+    streaming_dedup,
+    streaming_tumbling_counts,
+)
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_stream_reader(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="ST4/ST5: watermarked tumbling-window streaming aggregation, run "
+    "through the real incremental engine (AvailableNow → complete mode "
+    "memory sink); equals the batch result because complete mode emits "
+    "every window",
+    tags=("streaming",),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = streaming_tumbling_counts(_stream(spark, sf_dir))
+    return run_to_memory(agg, output_mode="complete", name_prefix="tumbling_counts")
+
+
+@register(
+    "stream_dedup_distinct",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="ST3: stateful streaming dropDuplicates over (user_id, event_type) "
+    "— the engine-checkpointed replacement for the producer's in-memory "
+    "dedup sets (producer_news.py:45); append mode emits each key once",
+    tags=("streaming",),
+)
+def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dd = streaming_dedup(
+        _stream(spark, sf_dir).select("user_id", "event_type"),
+        ["user_id", "event_type"],
+    )
+    return run_to_memory(dd, output_mode="append", name_prefix="dedup_distinct")

@@ -1,1 +1,267 @@
-"""Placeholder — populated incrementally."""
+"""Text-analysis queries (LLM-pipeline operators over ``documents``):
+language-ID scoring, quality metrics, token counting, fingerprinting,
+sentiment (built-in composition AND the Arrow Pandas-UDF twin — UD1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    BPE_TOKEN_PATTERN,
+    lang_scores,
+    sentiment_builtin,
+    sentiment_pandas_udf,
+    tokens,
+)
+from crypto_data_pipeline_with_kafka_spark.operators.dedup import shingle_rows
+from crypto_data_pipeline_with_kafka_spark.plans.registry import register
+
+_TOKS = "toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws FROM documents)"
+
+_SENT_CASE = (
+    "CASE w WHEN 'fast' THEN 2.0 WHEN 'slow' THEN -2.0 WHEN 'big' THEN 1.0 "
+    "WHEN 'small' THEN -1.0 WHEN 'value' THEN 1.5 WHEN 'merge' THEN 0.5 "
+    "WHEN 'filter' THEN -0.5 WHEN 'error' THEN -3.0 ELSE 0.0 END"
+)
+
+_SENT_SQL = f"""
+WITH {_TOKS},
+sc AS (
+  SELECT doc_id, len(ws) AS n,
+         list_sum(list_transform(ws, w -> {_SENT_CASE})) AS s
+  FROM toks
+)
+SELECT doc_id, s / n AS sentiment FROM sc
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "text_token_count",
+    rf"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(letter runs / digit runs / single marks)",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH {_TOKS}
+    SELECT doc_id,
+      CAST(len(ws) AS BIGINT) AS n_words,
+      CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_word_len,
+      CAST(len(list_filter(ws, w -> w IN {STOPWORDS!r})) AS DOUBLE) / len(ws) AS stopword_ratio,
+      (len(ws) >= 20 AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.2) AS quality_ok
+    FROM toks
+    """,
+    doc="Quality scoring: length / distinct-token ratio / avg word length "
+    "/ stopword ratio + a pass flag (LLM-data quality gates)",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = tokens("text")
+    n = F.size(ws)
+    n_dis = F.size(F.array_distinct(ws))
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    distinct_ratio = n_dis.cast("double") / n
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        n_dis.cast("long").alias("n_distinct"),
+        distinct_ratio.alias("distinct_ratio"),
+        (sum_len.cast("double") / n).alias("avg_word_len"),
+        (n_stop.cast("double") / n).alias("stopword_ratio"),
+        ((n >= 20) & (distinct_ratio >= 0.2)).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH {_TOKS},
+    sc AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws) AS score_en,
+        CAST(len(list_filter(ws, w -> w IN ('query', 'table', 'row'))) AS DOUBLE) / len(ws) AS score_query,
+        CAST(len(list_filter(ws, w -> w IN ('scan', 'join', 'hash', 'sort'))) AS DOUBLE) / len(ws) AS score_exec
+      FROM toks
+    )
+    SELECT doc_id, lang, score_en, score_query, score_exec,
+           CASE WHEN score_en >= score_query AND score_en >= score_exec THEN 'en'
+                WHEN score_query >= score_exec THEN 'query'
+                ELSE 'exec' END AS predicted
+    FROM sc
+    """,
+    doc="Language-ID heuristic: marker-token hit ratios + argmax with "
+    "deterministic tie-break (n-gram/stopword LID shape; real deployments "
+    "swap in per-language stopword lexicons)",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = lang_scores("text")
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("score_en"),
+        scores["query"].alias("score_query"),
+        scores["exec"].alias("score_exec"),
+    )
+    return df.withColumn(
+        "predicted",
+        F.when(
+            (F.col("score_en") >= F.col("score_query"))
+            & (F.col("score_en") >= F.col("score_exec")),
+            F.lit("en"),
+        )
+        .when(F.col("score_query") >= F.col("score_exec"), F.lit("query"))
+        .otherwise(F.lit("exec")),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   for i in range(1, len(ws) - 1)])) AS shingle
+      FROM toks WHERE len(ws) >= 3
+    ),
+    fp AS (
+      SELECT doc_id, min(md5(shingle)) AS fp_min, max(md5(shingle)) AS fp_max
+      FROM sh GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(d.text) AS content_hash,
+           fp.fp_min, fp.fp_max, substr(fp.fp_min, 1, 8) AS short_fp
+    FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+    """,
+    doc="Document fingerprinting: content hash + min/max shingle hash "
+    "(rolling-hash family; the min-hash fingerprint doubles as a "
+    "1-permutation MinHash)",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = shingle_rows(docs)
+    fp = sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fp_min"),
+        F.max(F.md5("shingle")).alias("fp_max"),
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(fp, "doc_id")
+        .select(
+            "doc_id",
+            "content_hash",
+            "fp_min",
+            "fp_max",
+            F.substring("fp_min", 1, 8).alias("short_fp"),
+        )
+    )
+
+
+@register(
+    "text_sentiment",
+    _SENT_SQL,
+    doc="Sentiment scoring, built-in composition (JVM hot path): mean "
+    "lexicon score per token — the engine twin of the reference's VADER "
+    "compound score (producer_news.py:66-74); half-point lexicon keeps "
+    "float sums order-independent",
+    tags=("text", "sentiment"),
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", sentiment_builtin("text").alias("sentiment")
+    )
+
+
+@register(
+    "text_sentiment_udf",
+    _SENT_SQL,
+    doc="UD1: the same sentiment via an Arrow-batched scalar Pandas UDF "
+    "(the reference's only true UDF shape, producer_news.py:16-17) — "
+    "value-identical to the built-in version, so even the UDF is "
+    "oracle-checked",
+    tags=("text", "sentiment", "udf"),
+)
+def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    udf = sentiment_pandas_udf()
+    return _docs(spark, sf_dir).select("doc_id", udf("text").alias("sentiment"))
+
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           substr(md5(text), 1, 8) AS short_hash
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque binary payload column (utf-8 bytes "
+    "standing in for image/audio blobs) + typed metadata — byte length "
+    "and content hash survive the binary hop identically in both engines",
+    tags=("multimodal",),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        F.substring(F.md5("text"), 1, 8).alias("short_hash"),
+    )
+
+
+@register(
+    "mm_decode_stub",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CASE WHEN n_bytes % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(16 + (n_bytes % 64) AS INTEGER) AS width,
+           CAST(16 + ((n_bytes // 64) % 64) AS INTEGER) AS height,
+           CAST(CASE WHEN n_bytes % 3 <> 0 THEN 3 ELSE 4 END AS INTEGER) AS channels
+    FROM b
+    """,
+    doc="Multimodal decode stage via Arrow mapInPandas (binary payload → "
+    "typed image metadata). The decoder is the documented deterministic "
+    "STUB (no codecs in this container) — which makes even the Python "
+    "batch path value-checkable against SQL; swap decode_image_stub for "
+    "PIL/ffmpeg and the plumbing (schema, batching, partitioning) holds",
+    tags=("multimodal", "udf"),
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        attach_binary_payload,
+        decode_images,
+    )
+
+    return decode_images(attach_binary_payload(_docs(spark, sf_dir)))

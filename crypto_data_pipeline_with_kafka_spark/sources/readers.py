@@ -1,0 +1,81 @@
+"""Batch + streaming readers.
+
+The engine's default source is Parquet (driver testdata); the Kafka
+reader builders mirror the reference's consumer settings
+(``dags/consumer_prices.py:45-52``) onto the Structured Streaming Kafka
+source — strictly stronger delivery semantics: checkpointed offsets +
+idempotent sinks give effectively-exactly-once vs the reference's
+at-least-once manual commit (SURVEY §2.9 ST2).
+
+Kafka jars aren't in this container, so ``kafka_stream_reader`` only
+*builds* the configured reader; instantiating it without the package
+raises — gated exactly like the multimodal codecs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream_reader(spark: SparkSession, path: str) -> DataFrame:
+    """File-source streaming reader over the events fixture — the test
+    stand-in for the Kafka topic (same rows, same schema, declared not
+    inferred). NOTE: parquet ns-timestamps read as long under
+    nanosAsLong; declare ts as LongType then convert."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),  # epoch ns (nanosAsLong)
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(schema)
+    if not path.endswith("/") and "." in os.path.basename(path):
+        # the file stream source wants a DIRECTORY; to stream a single
+        # file, stream its parent filtered down to that file name
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Configured Kafka source (reference consumer settings: subscribe,
+    auto_offset_reset='earliest' → startingOffsets, poll max_records →
+    maxOffsetsPerTrigger; offset commits become checkpointLocation).
+    Requires the spark-sql-kafka package on the classpath."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader

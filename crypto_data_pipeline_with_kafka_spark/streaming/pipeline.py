@@ -1,0 +1,132 @@
+"""Structured Streaming pipelines — the reference's entire
+producer-loop / consumer-loop / Airflow-schedule apparatus collapsed
+into streaming queries (SURVEY §3.2-3.3 engine equivalents).
+
+Semantics mapping (SURVEY §2.9):
+  ST1 trigger cadence  → trigger(processingTime=...) / AvailableNow
+  ST2 delivery         → checkpointed offsets + idempotent foreachBatch
+                         (≥ the reference's manual-commit at-least-once)
+  ST3 dedup            → dropDuplicates[WithinWatermark]
+  ST4 late data        → withWatermark + incremental tail recompute
+  ST6 state            → engine-checkpointed (vs the reference's
+                         in-memory dicts lost on restart)
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.operators.indicators import (
+    WINDOW_ROWS,
+    compute_indicators,
+)
+from crypto_data_pipeline_with_kafka_spark.sources.readers import events_stream_reader
+
+_name_counter = itertools.count()
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str, name_prefix: str = "stream_out"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion with the AvailableNow
+    trigger into a memory sink; return the materialized result table.
+    This runs the REAL incremental engine (state store, watermarks) over
+    the bounded input — the hourly-Airflow-batch shape (ST1) done right."""
+    name = f"{name_prefix}_{next(_name_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_dedup(events: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """ST3: stateful duplicate suppression on arbitrary keys — replaces
+    the producer's in-memory sent_urls set (producer_news.py:45) with
+    engine-checkpointed state."""
+    return events.dropDuplicates(list(keys))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """ST4/ST5: watermarked tumbling-window aggregation per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"), "event_type", "n", "total"
+        )
+    )
+
+
+def foreach_batch_idempotent_append(target_path: str, keys: Sequence[str]):
+    """ST2: exactly-once-to-idempotent-sink writer. Each micro-batch is
+    anti-joined against the already-written keys before appending —
+    the reference's INSERT IGNORE / anti-join dedup (spark_job_1.py:81-85)
+    done once per batch instead of once per row. Redelivered batches
+    (crash between write and commit) land as no-ops."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(target_path).select(*keys)
+            fresh = batch_df.join(existing, on=list(keys), how="left_anti")
+        except Exception:  # first batch: target doesn't exist yet
+            fresh = batch_df
+        fresh.write.mode("append").parquet(target_path)
+
+    return _write
+
+
+def incremental_indicator_batch(
+    history: DataFrame,
+    new_batch: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The reference recomputes indicators over the ENTIRE kline history
+    every run — O(history) per run (SURVEY §4, 'the single biggest
+    scalability fix'). Incremental version: indicators are a trailing
+    14-row frame, so a new row's value depends only on the previous 13
+    rows of its key. Recompute over (affected keys' history ∪ new rows)
+    and emit only rows at-or-after each key's first new timestamp.
+
+    At 100 TB with time-partitioned facts, the semi-join prunes to the
+    affected keys and partition pruning bounds the tail read; state never
+    exceeds frame_rows per key."""
+    kc = list(key_cols)
+    affected = new_batch.select(*kc).distinct()
+    first_new = new_batch.groupBy(*kc).agg(F.min(ts_col).alias("_first_new_ts"))
+    scoped_hist = history.join(affected, kc, "left_semi")
+    full = scoped_hist.unionByName(new_batch)
+    ind = compute_indicators(full, key_cols=kc, ts_col=ts_col)
+    return (
+        ind.join(first_new, kc)
+        .filter(F.col("ts") >= F.col("_first_new_ts"))
+        .drop("_first_new_ts")
+    )
+
+
+def price_ingestion_stream(spark: SparkSession, source_path: str) -> DataFrame:
+    """Entry point B as ONE streaming query (SURVEY §3.2): file/Kafka
+    source → typed rows → watermark → stateful dedup. Chain
+    .writeStream.foreachBatch(foreach_batch_idempotent_append(...)) for
+    the warehouse append."""
+    events = events_stream_reader(spark, source_path)
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+    return deduped

@@ -1,0 +1,118 @@
+"""Streaming-layer tests (SURVEY §5 streaming tier): real Structured
+Streaming over file sources; idempotent foreachBatch sink absorbing
+redelivery (ST2); incremental indicator recompute equivalence (ST4 +
+the §4 O(history) fix)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.operators.indicators import (
+    compute_indicators,
+)
+from crypto_data_pipeline_with_kafka_spark.sources.kafka_messages import (
+    typed_news_rows,
+    typed_price_rows,
+    to_kafka_shape,
+)
+from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+    foreach_batch_idempotent_append,
+    incremental_indicator_batch,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_idempotent_foreach_batch_absorbs_redelivery(spark, tmp_path):
+    target = str(tmp_path / "fact")
+    batch = load_table(spark, SF, "events").limit(500)
+    writer = foreach_batch_idempotent_append(target, keys=["event_id"])
+    writer(batch, epoch_id=0)
+    writer(batch, epoch_id=0)  # redelivered batch (crash-before-commit)
+    writer(batch, epoch_id=1)  # and again in a later epoch
+    assert spark.read.parquet(target).count() == 500
+
+
+def test_incremental_indicators_match_full_recompute(spark):
+    """Split events at a cutoff; incremental update over (history, new)
+    must equal the full-recompute rows in the new range — the
+    O(history)→O(tail) fix for spark_job_1.py:18-22."""
+    events = load_table(spark, SF, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    history, new = events.filter(F.col("ts") < cutoff), events.filter(
+        F.col("ts") >= cutoff
+    )
+
+    inc = incremental_indicator_batch(history, new).select(
+        "user_id", "ts", "type_name", "ind_value"
+    )
+    full = compute_indicators(events)
+    first_new = new.groupBy("user_id").agg(F.min("ts").alias("m"))
+    expected = (
+        full.join(first_new, "user_id")
+        .filter(F.col("ts") >= F.col("m"))
+        .select("user_id", "ts", "type_name", "ind_value")
+    )
+    assert inc.count() == expected.count() > 0
+    assert inc.exceptAll(expected).count() == 0
+    assert expected.exceptAll(inc).count() == 0
+
+
+def test_kafka_message_roundtrip(spark):
+    """Price/news message schemas: producer dict → JSON → typed rows,
+    with the reference's defaults, decimal casts, and ms-epoch parsing."""
+    msgs = [
+        (
+            '{"symbol":"BTCUSDT","interval":"1d","open_time":1704067200000,'
+            '"open":"42000.5","high":"43000","low":"41500.25","close":"42750.75",'
+            '"volume":"1234.000000000000000001","close_time":1704153599999,'
+            '"fetched_at":"2024-01-01T12:00:00"}'
+        ),
+        '{"symbol":"ETHUSDT","open_time":1704067200000,"close":"2300.1"}',
+        "not json at all",
+    ]
+    raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+    rows = typed_price_rows(raw).collect()
+    assert len(rows) == 2  # corrupt record dropped
+    btc = next(r for r in rows if r.symbol == "BTCUSDT")
+    assert str(btc.open_price) == "42000.5000000000"
+    assert str(btc.volume) == "1234.000000000000000001"
+    assert btc.open_time.isoformat().startswith("2024-01-01T00:00:00")
+    eth = next(r for r in rows if r.symbol == "ETHUSDT")
+    assert eth.interval == "1h"  # consumer_prices.py:63 default
+
+    news = spark.createDataFrame(
+        [
+            (
+                '{"title":"t","url":"https://x/a","published":'
+                '"Mon, 01 Jan 2024 12:30:00 +0000","tag":"BTC",'
+                '"sentiment_score":0.5,"content":"body"}',
+            )
+        ],
+        "value string",
+    )
+    nrows = typed_news_rows(news).collect()
+    assert nrows[0].created_date.isoformat() == "2024-01-01T12:30:00"
+
+    shaped = to_kafka_shape(
+        spark.createDataFrame([("BTCUSDT", "1h", 1.0)], "symbol string, interval string, v double"),
+        ["symbol", "interval"],
+    ).collect()[0]
+    assert shaped.key == "BTCUSDT-1h"
+    assert '"symbol":"BTCUSDT"' in shaped.value
+
+
+def test_streaming_file_source_runs(spark, sf_smoke):
+    from crypto_data_pipeline_with_kafka_spark.plans.q_streaming import (
+        stream_dedup_distinct,
+    )
+
+    out = stream_dedup_distinct(spark, sf_smoke)
+    batch = (
+        load_table(spark, sf_smoke, "events").select("user_id", "event_type").distinct()
+    )
+    assert out.count() == batch.count()
