@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the flagship pipeline + the heavy representatives of each
+operator family (window analytics, agg, as-of join, candles, dedup
+family, similarity family, text scoring, real streaming) — the queries
+whose plans matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crypto_data_pipeline_with_kafka_spark.plans.registry import queries  # noqa: E402
+from crypto_data_pipeline_with_kafka_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    "ind_pipeline",
+    "agg_q1",
+    "win_tumbling_candles",
+    "win_sessionize",
+    "rel_asof_join",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "text_quality_score",
+    "text_sentiment",
+    "stream_tumbling_counts",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="crypto_data_pipeline_with_kafka_spark-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    qs = queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        best, rows = float("inf"), 0
+        for _ in range(2):  # min-of-2: the box carries background load
+            spark.catalog.clearCache()  # isolate queries: no leftover persists
+            t0 = time.perf_counter()
+            rows = qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
+        print(f"# {name}: {per_query[name]:.3f}s ({rows} rows)", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,34 +40,25 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) rows — distinct k-shingles per document."""
-    ws = tokens(text_col)
+    """(id, shingle) rows — distinct k-shingles per document.
+
+    The token array is materialized as a column FIRST: inlining
+    ``split(trim(text))`` into the shingle lambda would re-evaluate the
+    split for every element_at (k+1 splits per shingle — measured ~7×
+    slower at sf0.1)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_ws"))
     return (
-        df.filter(F.size(ws) >= k)
-        .select(F.col(id_col), F.explode(shingles_from_tokens(ws, k)).alias("shingle"))
+        toked.filter(F.size("_ws") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_ws"), k)).alias("shingle"),
+        )
     )
 
 
-def jaccard_pairs(
-    sh: DataFrame,
-    id_col: str = "doc_id",
-    min_jaccard: float = 0.8,
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted-index
-    self-join: only pairs sharing ≥1 shingle are ever materialized;
-    intersection counts come from the shingle-equality join, union sizes
-    from per-doc shingle counts. Returns (id_a, id_b, jaccard)."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, min_jaccard: float) -> DataFrame:
+    sa = sizes.select(F.col(sizes.columns[0]).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(sizes.columns[0]).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -81,6 +72,51 @@ def jaccard_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= min_jaccard)
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index
+    self-join: only pairs sharing ≥1 shingle are ever materialized;
+    intersection counts come from the shingle-equality join, union sizes
+    from per-doc shingle counts. Returns (id_a, id_b, jaccard).
+
+    ``sh`` feeds three consumers (sizes + both join sides) — persist it
+    so the tokenize/shingle explode runs once."""
+    sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, min_jaccard)
+
+
+def jaccard_for_candidates(
+    sh: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard restricted to an explicit candidate pair list —
+    cost |cand| × shared-shingles, independent of how many non-candidate
+    pairs share shingles. THE verify stage for LSH: never falls back to
+    the full inverted-index join."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, min_jaccard)
 
 
 def minhash_signatures(
@@ -136,12 +172,15 @@ def minhash_lsh_dedup(
     min_jaccard: float = 0.8,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: shingle → signature → band
-    candidates → exact-Jaccard verification on candidates only.
-    At 100 TB the candidate set (not the corpus square) bounds the cost."""
-    sh = shingle_rows(df, text_col, id_col, k)
+    candidates → exact-Jaccard verification ON CANDIDATES ONLY.
+    At 100 TB the candidate set (not the corpus square) bounds the cost;
+    the shingle relation is persisted because signature and verify both
+    consume it."""
+    sh = shingle_rows(df, text_col, id_col, k).persist()
     cand = minhash_band_pairs(minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, bands)
-    verified = jaccard_pairs(sh, id_col, min_jaccard)
-    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return jaccard_for_candidates(sh, cand, id_col, min_jaccard).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 # --------------------------------------------------------------- SimHash
@@ -157,8 +196,10 @@ def simhash_bits(
     Token hash = first 16 hex chars of md5(word); bit j of the token is
     bit (3 - j%4) of hex digit j/4. Each token contributes
     count * (2*bit - 1) to dimension j; simhash bit j = (sum > 0).
-    Pure built-ins (explode over 64 dims × distinct words); the md5 base
-    keeps it oracle-exact in DuckDB.
+    Pure built-ins, computed as 64 aggregate columns over the
+    (doc, word) relation — partial aggregation keeps the shuffle at one
+    64-column row per doc (never doc × word × 64 rows). md5 base keeps
+    it oracle-exact in DuckDB.
     """
     wc = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
@@ -166,25 +207,22 @@ def simhash_bits(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.substring(F.md5("w"), 1, 16))
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
-    bits = wc.select(F.col(id_col), "cnt", "h", j)
-    digit = F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1)
-    bits = bits.withColumn("dval", F.instr(F.lit(_HEX), digit) - 1)
-    # shiftright() needs a literal count, so shift via expr
-    bit = F.expr("(dval >> (3 - j % 4)) & 1")
-    contrib = F.col("cnt") * (bit * 2 - 1)
-    dims = bits.select(F.col(id_col), "j", contrib.alias("contrib"))
-    agg = dims.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
-    per_doc = agg.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("j"), (F.col("s") > 0).cast("int").alias("b")))
-                ),
-                lambda x: x["b"].cast("string"),
-            ),
-            "",
-        ).alias("simhash")
+    # One aggregate column per bit (64 map-side partial sums) instead of
+    # exploding 64× and shuffling (docs × words × 64) rows: the shuffle
+    # carries one 64-column row per doc. Bit j of a token hash is bit
+    # (3 - j%4) of hex digit j/4.
+    sums = []
+    for j in range(64):
+        digit = F.substring(F.col("h"), j // 4 + 1, 1)
+        dval = F.instr(F.lit(_HEX), digit) - 1
+        bit = F.shiftright(dval, 3 - j % 4) % 2
+        sums.append(F.sum(F.col("cnt") * (bit * 2 - 1)).alias(f"s{j}"))
+    agg = wc.groupBy(id_col).agg(*sums)
+    per_doc = agg.select(
+        F.col(id_col),
+        F.concat(
+            *[(F.col(f"s{j}") > 0).cast("int").cast("string") for j in range(64)]
+        ).alias("simhash"),
     )
     return per_doc
 
@@ -197,21 +235,27 @@ def simhash_pairs(
     pigeonhole shares a chunk; with 6 we still block, trading recall for
     candidate-set size as real simhash dedup does). Returns
     (id_a, id_b, hamming)."""
+    sims = sims.persist()
     chunks = sims.select(
         F.col(id_col),
-        "simhash",
         F.explode(
             F.array(*[F.struct(F.lit(c).alias("c"), F.substring("simhash", 1 + 16 * c, 16).alias("key")) for c in range(4)])
         ).alias("ck"),
-    ).select(F.col(id_col), "simhash", F.col("ck.c").alias("c"), F.col("ck.key").alias("key"))
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "c", "key")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "c", "key")
+    ).select(F.col(id_col), F.col("ck.c").alias("c"), F.col("ck.key").alias("key"))
+    a = chunks.select(F.col(id_col).alias("id_a"), "c", "key")
+    b = chunks.select(F.col(id_col).alias("id_b"), "c", "key")
+    # distinct over bare id pairs (cheap), then re-attach the 64-char
+    # signatures from the small per-doc relation via broadcast — keeps
+    # the wide strings out of the shuffle
     cand = (
         a.join(b, ["c", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sims.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sims.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    cand = cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
     ham = F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(64)),

@@ -1,107 +1,103 @@
 """Embedding similarity search (LLM-pipeline operator family):
-brute-force cosine top-k as the exactness baseline, random-hyperplane
-LSH bucketing as the scale path, and cosine near-dup pairing.
+brute-force cosine top-k as the exactness baseline, banded
+random-hyperplane LSH as the scale path, and cosine near-dup pairing.
 
-Numeric determinism: float32 embeddings are cast to DECIMAL(16,12) and
-dot products / norms accumulate as exact decimals before one final cast
-to double — so Spark and the DuckDB oracle agree bitwise, and rank
-order (hence top-k membership) is identical. Everything is expressed as
-posexplode + hash joins + window top-k; no Python in the path.
+Numeric determinism: float32 components are quantized to
+trunc(x·1e12) integers (tie-free — decimal rounding of dyadic floats
+ties, and engines break ties differently); dots and norms accumulate as
+exact integer decimals with one string-hopped cast to double at the
+end — so Spark and the DuckDB oracle agree BITWISE, and rank order
+(hence top-k membership) is identical across engines. Cosine is
+scale-invariant, so the 1e24 factor cancels.
 
-At 100 TB: brute-force is O(queries × corpus) and only for small query
-sets; the LSH variant buckets the corpus once (16 deterministic
-hyperplanes → 2^16 buckets) and joins within buckets.
+Execution shape: the hot path is array-native — ``zip_with`` +
+``aggregate`` folds inside whole-stage codegen. Vectors are never
+posexploded into (id, pos, v) rows, so a pair costs one array fold,
+not a 64-row shuffle. At 100 TB: brute-force is O(queries × corpus)
+and only for small query sets; the banded-LSH variant buckets the
+corpus once and joins within buckets, with band width as the
+recall/candidate-volume knob.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_DEC = "decimal(16,12)"
+# Quantization scale: components become trunc(x * 1e12) integers.
+# Truncation (NOT decimal rounding) because float32 data is dyadic —
+# e.g. 0.1983642578125 is an EXACT half at decimal scale 12, and Spark
+# rounds such ties half-up while DuckDB rounds half-even. trunc() of the
+# identical IEEE product x*1e12 can never disagree.
+_QSCALE = 1e12
+_QDEC = "decimal(14,0)"  # |q| ≤ ~8e12 → 13 digits
+# Accumulator precision 37 (not 38): Spark types d(37,0) + d(29,0) as
+# d(38,0) without loss; the post-add cast back to d(37,0) is exact
+# because dot magnitudes here are << 10^37.
+_ACC = "decimal(37,0)"
 
 
-def embedding_components(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, pos, v) with v as exact decimal; pos is 1-based to align with
-    the DuckDB oracle's 1-based list indexing."""
-    return df.select(
-        F.col(id_col),
-        F.posexplode(vec_col).alias("pos0", "v_raw"),
-    ).select(
-        F.col(id_col),
-        (F.col("pos0") + 1).alias("pos"),
-        # float32 → double (exact) → decimal: the explicit double hop
-        # makes Spark and DuckDB round from the SAME value, keeping the
-        # decimal components (and everything derived) bitwise equal.
-        F.col("v_raw").cast("double").cast(_DEC).alias("v"),
+def quantized_vector(vec_col: Column | str) -> Column:
+    """embedding → array<long> of trunc(x_double * 1e12): exact,
+    tie-free, identical across engines (double→long truncates toward
+    zero in Spark; the oracle uses trunc() explicitly)."""
+    return F.transform(
+        vec_col, lambda x: (x.cast("double") * F.lit(_QSCALE)).cast("long")
     )
 
 
-def norms(comp: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Exact squared-norm per vector (decimal sum → double)."""
-    return comp.groupBy(id_col).agg(
-        F.sum(F.col("v") * F.col("v")).cast("double").alias("norm_sq")
-    )
+def dot_exact(a: Column, b: Column) -> Column:
+    """Exact dot product of two quantized (long) vectors → double, at
+    the quantized scale (the 1e24 factor cancels inside cosine).
+    Products run as exact integer decimals (q² overflows int64); the
+    final wide-decimal → double conversion hops through a STRING because
+    direct decimal→double casts beyond 2^53 round differently by 1 ulp
+    per engine, while string→double parses are correctly rounded in
+    both."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast(_QDEC) * y.cast(_QDEC))
+    total = F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC))
+    return total.cast("string").cast("double")
 
 
-def cosine_pairs(
-    comp_a: DataFrame,
-    comp_b: DataFrame,
-    norms_a: DataFrame,
-    norms_b: DataFrame,
+def with_q_and_norm(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Cosine for every (id_a, id_b) pair reachable through the
-    component join. Callers control the blow-up by pre-filtering either
-    side (query subset, LSH bucket, ...). Returns (id_a, id_b, cosine)."""
-    dots = (
-        comp_a.select(F.col("vec_id").alias("id_a"), "pos", F.col("v").alias("va"))
-        .join(
-            comp_b.select(F.col("vec_id").alias("id_b"), "pos", F.col("v").alias("vb")),
-            "pos",
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).cast("double").alias("dot"))
-    )
-    na = norms_a.select(F.col("vec_id").alias("id_a"), F.col("norm_sq").alias("na"))
-    nb = norms_b.select(F.col("vec_id").alias("id_b"), F.col("norm_sq").alias("nb"))
-    return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
-        )
+    """(id, vq, norm_sq): quantized components + exact squared norm
+    (at the quantized scale)."""
+    d = emb.select(F.col(id_col), quantized_vector(vec_col).alias("vq"))
+    return d.withColumn("norm_sq", dot_exact(F.col("vq"), F.col("vq")))
+
+
+def dbl_vector(vec_col: Column | str) -> Column:
+    """embedding → double components (exact from float32; the compact
+    representation for shuffles and cheap prefilters)."""
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Primitive double dot product — within ~1e-13 relative of the
+    exact value; used ONLY as a prefilter with a margin far wider than
+    that, never as an emitted value."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def cosine_for_pairs(comp: DataFrame, nrm: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact cosine for an explicit (id_a, id_b) pair list — cost is
-    |pairs| × dim, independent of corpus size. This is the verify stage
-    for every candidate-generation scheme (LSH buckets, minhash bands)."""
-    dots = (
-        pairs.join(
-            comp.select(F.col("vec_id").alias("id_a"), "pos", F.col("v").alias("va")),
-            "id_a",
-        )
-        .join(
-            comp.select(F.col("vec_id").alias("id_b"), "pos", F.col("v").alias("vb")),
-            ["id_b", "pos"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).cast("double").alias("dot"))
-    )
-    na = nrm.select(F.col("vec_id").alias("id_a"), F.col("norm_sq").alias("na"))
-    nb = nrm.select(F.col("vec_id").alias("id_b"), F.col("norm_sq").alias("nb"))
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
-        )
-    )
+def with_dbl_and_norm(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, vdbl, norm_sq): double components for cheap pair math +
+    EXACT squared norm (norms are O(corpus), so exactness is cheap;
+    pair dots are O(candidates), so those get the prefilter)."""
+    d = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
+    q = quantized_vector(F.col("vdbl"))
+    return d.withColumn("norm_sq", dot_exact(q, q))
+
+
+def cosine_expr(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    return dot_exact(va, vb) / (F.sqrt(na) * F.sqrt(nb))
 
 
 def brute_force_topk(
@@ -111,12 +107,30 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k for query vectors (id < query_ids_max) against
-    the whole corpus (self excluded). Deterministic tie-break on id_b."""
-    comp = embedding_components(emb, id_col)
-    nrm = norms(comp, id_col)
-    q_comp = comp.filter(F.col(id_col) < query_ids_max)
-    q_nrm = nrm.filter(F.col(id_col) < query_ids_max)
-    pairs = cosine_pairs(q_comp, comp, q_nrm, nrm).filter(F.col("id_a") != F.col("id_b"))
+    the whole corpus (self excluded): broadcast the small query side,
+    one array fold per (query, corpus) pair, window top-k.
+    Deterministic tie-break on id_b."""
+    base = with_q_and_norm(emb, id_col)
+    q = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("vq").alias("va"),
+        F.col("norm_sq").alias("na"),
+    ).filter(F.col("id_a") < query_ids_max)
+    c = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("vq").alias("vb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias(
+                "cosine"
+            ),
+        )
+    )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -125,44 +139,84 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sign(plane: F.Column, pos: F.Column) -> F.Column:
-    """Deterministic pseudo-random ±1 for hyperplane component
-    (plane, pos): +1 iff the first md5 hex digit of 'plane_pos' is even.
-    md5 is identical in Spark and DuckDB → the whole LSH bucketing is
-    oracle-checkable."""
-    digit = F.substring(F.md5(F.concat_ws("_", plane, pos)), 1, 1)
-    return F.when(F.instr(F.lit("02468ace"), digit) > 0, F.lit(1)).otherwise(F.lit(-1))
+def cosine_for_pairs(
+    base_dbl: DataFrame, pairs: DataFrame, min_cosine: float | None = None
+) -> DataFrame:
+    """Exact cosine for an explicit (id_a, id_b) pair list: two hash
+    joins to fetch the vectors, one array fold per pair. Cost |pairs|,
+    independent of corpus size — the verify stage for every
+    candidate-generation scheme.
+
+    With ``min_cosine``, a primitive-double prefilter (margin 1e-6,
+    ~7 orders of magnitude above double/decimal divergence) drops
+    clearly-under-threshold pairs BEFORE the expensive exact-decimal
+    fold — the emitted cosine is always the exact one, so results stay
+    bitwise oracle-equal."""
+    a = base_dbl.select(
+        F.col("vec_id").alias("id_a"), F.col("vdbl").alias("va"), F.col("norm_sq").alias("na")
+    )
+    b = base_dbl.select(
+        F.col("vec_id").alias("id_b"), F.col("vdbl").alias("vb"), F.col("norm_sq").alias("nb")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    if min_cosine is not None:
+        # norms are at the quantized scale (×1e24); rescale the raw
+        # double dot to match before comparing
+        approx = (dot_double(F.col("va"), F.col("vb")) * F.lit(1e24)) / (
+            F.sqrt("na") * F.sqrt("nb")
+        )
+        joined = joined.filter(approx >= min_cosine - 1e-6)
+    va_q = quantized_vector(F.col("va"))
+    vb_q = quantized_vector(F.col("vb"))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        cosine_expr(va_q, vb_q, F.col("na"), F.col("nb")).alias("cosine"),
+    )
+    if min_cosine is not None:
+        out = out.filter(F.col("cosine") >= min_cosine)
+    return out
+
+
+def _plane_signs(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: +1 iff the first md5 hex
+    digit of f'{plane}_{pos}' (pos 1-based) is even — EXACTLY the
+    expression the DuckDB oracle evaluates with its md5(); precomputed
+    driver-side so the plan ships plain literals."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for i in range(1, dim + 1):
+            d = hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0]
+            row.append(1 if d in "02468ace" else -1)
+        planes.append(row)
+    return planes
 
 
 def lsh_buckets(
-    comp: DataFrame, num_planes: int = 16, id_col: str = "vec_id"
+    emb: DataFrame, num_planes: int = 16, dim: int = 64, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Random-hyperplane LSH signature: the full ``num_planes``-bit
-    sign-bit string per vector (band over it for candidate generation)."""
-    planes = comp.select(
+    """Random-hyperplane LSH signature: ``num_planes``-bit sign string
+    per vector. Each projection is one array fold against a literal ±1
+    plane — no explosion, no shuffle until the caller groups/joins."""
+    base = emb.select(F.col(id_col), quantized_vector("embedding").alias("vq"))
+    signs = _plane_signs(num_planes, dim)
+    bit_cols = []
+    for p, row in enumerate(signs):
+        plane = F.array(*[F.lit(s) for s in row])
+        # projections of quantized longs stay below 2^53 (64 × 8e12),
+        # so a plain long fold is exact and casts to double exactly —
+        # no string hop needed here
+        proj = F.aggregate(
+            F.zip_with(F.col("vq"), plane, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        bit_cols.append((proj > 0).cast("int").cast("string").alias(f"b{p}"))
+    with_bits = base.select(F.col(id_col), *bit_cols)
+    return with_bits.select(
         F.col(id_col),
-        "pos",
-        "v",
-        F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("plane"),
-    )
-    contrib = planes.select(
-        F.col(id_col),
-        "plane",
-        (F.col("v") * hyperplane_sign(F.col("plane"), F.col("pos"))).alias("c"),
-    )
-    proj = contrib.groupBy(id_col, "plane").agg(F.sum("c").cast("double").alias("proj"))
-    return proj.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("plane", (F.col("proj") > 0).cast("int").alias("b"))
-                    )
-                ),
-                lambda x: x["b"].cast("string"),
-            ),
-            "",
-        ).alias("bucket")
+        F.concat(*[F.col(f"b{p}") for p in range(num_planes)]).alias("bucket"),
     )
 
 
@@ -171,20 +225,19 @@ def lsh_ann_pairs(
     num_planes: int = 16,
     bands: int = 4,
     min_cosine: float = 0.4,
+    dim: int = 64,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """ANN near-neighbor pairs, banded hyperplane LSH: the
     ``num_planes``-bit signature is split into ``bands`` bands; vectors
-    sharing ANY band key become candidates (multi-probe recall, exactly
-    the MinHash banding trade-off), then exact cosine ≥ threshold is
+    sharing ANY band key become candidates (multi-probe recall — the
+    MinHash banding trade-off), then exact cosine ≥ threshold is
     verified on candidates only. Returns (id_a, id_b, cosine).
 
     Scale path: candidate count ~ Σ per-band bucket collisions, never
-    corpus²; band width tunes recall vs candidate volume (more bits per
-    band at bigger corpora)."""
-    comp = embedding_components(emb, id_col)
-    nrm = norms(comp, id_col)
-    buckets = lsh_buckets(comp, num_planes, id_col)
+    corpus²; widen bands at bigger corpora."""
+    base = with_dbl_and_norm(emb, id_col)
+    buckets = lsh_buckets(emb, num_planes, dim, id_col)
     width = num_planes // bands
     banded = buckets.select(
         F.col(id_col),
@@ -208,4 +261,19 @@ def lsh_ann_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return cosine_for_pairs(comp, nrm, cand).filter(F.col("cosine") >= min_cosine)
+    return cosine_for_pairs(base, cand, min_cosine=min_cosine)
+
+
+def all_pairs_cosine(
+    emb: DataFrame, min_cosine: float = 0.4, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (brute force, id_a < id_b) —
+    ground truth for the ANN variants; O(n²) array folds, only for
+    modest corpora or as a per-bucket subroutine. Double prefilter +
+    exact-decimal emit, like cosine_for_pairs."""
+    base = with_dbl_and_norm(emb, id_col)
+    pairs = (
+        base.select(F.col(id_col).alias("id_a"))
+        .join(base.select(F.col(id_col).alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    return cosine_for_pairs(base, pairs, min_cosine=min_cosine)

@@ -262,13 +262,18 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
     # 'existing' = what a previous run would have persisted: all indicator
     # keys strictly before the cutoff (plays indicator_fact_1's role).
-    full = compute_indicators(events).join(
-        F.broadcast(indicator_type_dim(spark)), "type_name", "inner"
+    # The indicator relation feeds BOTH sides of the anti-join, so persist
+    # it — the reference instead re-executes its whole plan twice
+    # (isEmpty + write, spark_job_1.py:88-93) with only a scan-level cache.
+    full = (
+        compute_indicators(events)
+        .join(F.broadcast(indicator_type_dim(spark)), "type_name", "inner")
+        .persist()
     )
     existing = full.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp")).select(
         "user_id", "type_id", "ts"
     )
-    out = indicator_pipeline(spark, events, existing=existing)
+    out = full.join(existing, on=["user_id", "type_id", "ts"], how="left_anti")
     return out.select(
         "user_id",
         F.col("type_id").cast("long").alias("type_id"),

@@ -10,26 +10,29 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+    all_pairs_cosine,
     brute_force_topk,
-    cosine_for_pairs,
-    embedding_components,
     lsh_ann_pairs,
     lsh_buckets,
-    norms,
 )
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
 _DIM = 64
 
-# (vec_id, pos 1-based, v decimal) + norms — the shared oracle base.
+# (vec_id, pos 1-based, v = trunc(x·1e12) quantized integer) + norms —
+# the shared oracle base. Quantization by TRUNCATION is tie-free (decimal
+# rounding of dyadic float32 values ties, and engines break ties
+# differently); sums of quantized products are exact integer decimals;
+# the decimal → VARCHAR → DOUBLE hop is correctly rounded in both
+# engines (direct wide-decimal→double casts differ by 1 ulp).
 _COMP_CTE = f"""
 comp AS (
   SELECT vec_id, CAST(i AS INT) AS pos,
-         CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(16,12)) AS v
+         CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e12) AS DECIMAL(19,0)) AS v
   FROM embeddings, range(1, {_DIM + 1}) t(i)
 ),
 nrm AS (
-  SELECT vec_id, CAST(sum(v * v) AS DOUBLE) AS norm_sq FROM comp GROUP BY vec_id
+  SELECT vec_id, CAST(CAST(sum(v * v) AS VARCHAR) AS DOUBLE) AS norm_sq FROM comp GROUP BY vec_id
 )
 """
 
@@ -44,7 +47,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_COMP_CTE},
     dots AS (
       SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
-             CAST(sum(qa.v * qb.v) AS DOUBLE) AS dot
+             CAST(CAST(sum(qa.v * qb.v) AS VARCHAR) AS DOUBLE) AS dot
       FROM comp qa
       JOIN comp qb ON qa.pos = qb.pos AND qa.vec_id <> qb.vec_id
       WHERE qa.vec_id < 20
@@ -105,7 +108,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND a.vec_id < b.vec_id
     ),
     dots AS (
-      SELECT id_a, id_b, CAST(sum(ca.v * cb.v) AS DOUBLE) AS dot
+      SELECT id_a, id_b, CAST(CAST(sum(ca.v * cb.v) AS VARCHAR) AS DOUBLE) AS dot
       FROM cand
       JOIN comp ca ON ca.vec_id = id_a
       JOIN comp cb ON cb.vec_id = id_b AND cb.pos = ca.pos
@@ -134,7 +137,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_COMP_CTE},
     dots AS (
       SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
-             CAST(sum(qa.v * qb.v) AS DOUBLE) AS dot
+             CAST(CAST(sum(qa.v * qb.v) AS VARCHAR) AS DOUBLE) AS dot
       FROM comp qa
       JOIN comp qb ON qa.pos = qb.pos AND qa.vec_id < qb.vec_id
       GROUP BY 1, 2
@@ -154,31 +157,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    comp = embedding_components(emb)
-    nrm = norms(comp)
-    pairs = (
-        comp.select(F.col("vec_id").alias("id_a"), "pos", F.col("v").alias("va"))
-        .join(
-            comp.select(F.col("vec_id").alias("id_b"), "pos", F.col("v").alias("vb")),
-            "pos",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).cast("double").alias("dot"))
-    )
-    na = nrm.select(F.col("vec_id").alias("id_a"), F.col("norm_sq").alias("na"))
-    nb = nrm.select(F.col("vec_id").alias("id_b"), F.col("norm_sq").alias("nb"))
-    return (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
-    )
+    return all_pairs_cosine(_emb(spark, sf_dir), min_cosine=0.4)
 
 
 @register(
@@ -189,6 +168,4 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh"),
 )
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    comp = embedding_components(emb)
-    return lsh_buckets(comp, num_planes=16)
+    return lsh_buckets(_emb(spark, sf_dir), num_planes=16)

@@ -58,7 +58,9 @@ def compare(spark_df, sql: str, sf_dir: str, float_tol: float = 0.0) -> None:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g):
             both_nan = g.isna() & w.isna()
-            close = np.isclose(g.fillna(0), w.fillna(0), atol=float_tol, rtol=1e-9)
+            # rtol=0: queries are engineered for BITWISE equality; any
+            # tolerance here would mask decimal→double cast divergence
+            close = np.isclose(g.fillna(0), w.fillna(0), atol=float_tol, rtol=0.0)
             ok = both_nan | (close & (g.isna() == w.isna()))
             if not ok.all():
                 bad = (~ok).idxmax()
