@@ -227,6 +227,57 @@ def fn_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_explode_tokens",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+    SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos, unnest(ws) AS token
+    FROM toks WHERE doc_id < 50
+    """,
+    doc="UD3: UDTF-shaped one-row → N-rows explode with ordinality (the "
+    "RSS-feed → <item> rows expansion, producer_news.py:54-63) — "
+    "posexplode over a generated array, no Python",
+    tags=("udtf", "explode"),
+)
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.functions.text import tokens
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos0", "token"))
+        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+    )
+
+
+@register(
+    "fn_rfc822_roundtrip",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%d %b %Y %H:%M:%S') || ' +0000' AS rfc
+      FROM orders
+    )
+    SELECT o_orderkey, rfc, strptime(rfc, '%d %b %Y %H:%M:%S %z')::TIMESTAMP AS parsed
+    FROM s
+    """,
+    doc="F4: RFC-822-style date format + parse round trip (the news "
+    "pubDate parse, producer_news.py:61; Spark ≥3 refuses day-NAME "
+    "parsing, so the engine strips the 'Mon, ' prefix — see "
+    "sources/kafka_messages.py — and this query checks the remainder)",
+    tags=("time", "string"),
+)
+def fn_rfc822_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rfc = F.concat(
+        F.date_format("o_orderdate", "dd MMM yyyy HH:mm:ss"), F.lit(" +0000")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        rfc.alias("rfc"),
+        F.to_timestamp(rfc, "dd MMM yyyy HH:mm:ss Z").alias("parsed"),
+    )
+
+
+@register(
     "fn_literal_tag",
     """
     SELECT event_id, 'SMA' AS type_name, 14 AS window_len, value AS ind_value

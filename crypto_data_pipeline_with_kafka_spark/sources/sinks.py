@@ -1,0 +1,39 @@
+"""Batch sinks: idempotent append + the empty-result guard.
+
+The reference appends via JDBC after a row-existence anti-join and
+guards with ``indicators_df.rdd.isEmpty()`` (``dags/spark_job_1.py:88-93``).
+Engine equivalents: Parquet append with the same anti-join dedup (the
+streaming twin lives in ``streaming.pipeline.foreach_batch_idempotent_append``),
+and ``DataFrame.isEmpty()`` — never ``.rdd`` (which would deserialize
+rows to Python objects just to peek)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def non_empty(df: DataFrame) -> bool:
+    """P7: empty-result guard (reference uses ``.rdd.isEmpty()``;
+    ``DataFrame.isEmpty`` stays JVM-side and stops at the first row)."""
+    return not df.isEmpty()
+
+
+def write_idempotent_append(
+    df: DataFrame, target_path: str, keys: Sequence[str]
+) -> None:
+    """S6/S7 + J2: append only rows whose key tuple is not already in
+    the target — the set-based version of the reference's per-row
+    ``INSERT IGNORE`` (``consumer_prices.py:70-80``) / pre-write
+    anti-join (``spark_job_1.py:81-93``). Re-running with the same input
+    is a no-op. At scale, time-partition the target and read only the
+    affected partitions for the anti-join side."""
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(target_path).select(*keys)
+        fresh = df.join(existing, on=list(keys), how="left_anti")
+    except Exception:  # target does not exist yet → first write
+        fresh = df
+    if non_empty(fresh):
+        fresh.write.mode("append").parquet(target_path)

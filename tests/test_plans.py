@@ -1,0 +1,84 @@
+"""Physical-plan assertions — the scale properties SURVEY §4 calls out.
+A query that silently loses predicate pushdown, broadcasts nothing, or
+adds an extra window Exchange would still pass value checks; these tests
+pin the plan shape itself."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.operators.indicators import (
+    compute_indicators,
+)
+from crypto_data_pipeline_with_kafka_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filters_and_projection_reach_parquet_scan(spark):
+    q = all_queries()["rel_projection_filter"]
+    plan = plan_of(q.fn(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_discount", plan), plan
+    # column pruning: the scan must not read all 11 lineitem columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 5, m.group(0) if m else plan
+
+
+def test_dim_joins_broadcast(spark):
+    q = all_queries()["rel_join_dim_chain"]
+    plan = plan_of(q.fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_indicators_single_window_exchange(spark):
+    """All indicators share ONE partition+sort: exactly one shuffle
+    Exchange in the whole plan (the reference's 4-branch union would
+    plan 4 window sorts)."""
+    events = load_table(spark, SF, "events")
+    plan = plan_of(compute_indicators(events), "simple")
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\bSort\b", plan)) == 1, plan
+    assert len(re.findall(r"\bWindow\b", plan)) == 2, plan  # lag + frame sums
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side partial agg before the shuffle (partial+final pattern)."""
+    q = all_queries()["agg_q1"]
+    plan = plan_of(q.fn(spark, SF), "simple")
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a
+    full sort + limit."""
+    q = all_queries()["sort_limit_top100"]
+    plan = plan_of(q.fn(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_python_udf_in_builtin_paths(spark):
+    """The hot-path queries must stay JVM-side: no BatchEvalPython /
+    row-at-a-time Python anywhere (ArrowEvalPython is allowed only in
+    the explicitly-UDF queries)."""
+    for name in (
+        "ind_pipeline",
+        "agg_q1",
+        "dedup_minhash_lsh",
+        "sim_cosine_topk",
+        "text_sentiment",
+    ):
+        plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

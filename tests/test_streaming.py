@@ -116,3 +116,17 @@ def test_streaming_file_source_runs(spark, sf_smoke):
         load_table(spark, sf_smoke, "events").select("user_id", "event_type").distinct()
     )
     assert out.count() == batch.count()
+
+
+def test_batch_idempotent_sink_and_empty_guard(spark, tmp_path):
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import (
+        non_empty,
+        write_idempotent_append,
+    )
+
+    target = str(tmp_path / "sink")
+    df = load_table(spark, SF, "events").limit(300)
+    write_idempotent_append(df, target, keys=["event_id"])
+    write_idempotent_append(df, target, keys=["event_id"])  # no-op rerun
+    assert spark.read.parquet(target).count() == 300
+    assert non_empty(df) and not non_empty(df.limit(0))
