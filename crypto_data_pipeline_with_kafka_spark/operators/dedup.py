@@ -205,19 +205,29 @@ def simhash_bits(
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.substring(F.md5("w"), 1, 16))
     )
-    # One aggregate column per bit (64 map-side partial sums) instead of
-    # exploding 64× and shuffling (docs × words × 64) rows: the shuffle
-    # carries one 64-column row per doc. Bit j of a token hash is bit
-    # (3 - j%4) of hex digit j/4.
-    sums = []
+    # Hash bits depend only on the WORD: compute the 64 ±1 signs once
+    # per distinct word (vocab ≪ corpus) and broadcast-join them back,
+    # instead of re-deriving substring/instr bit math per (doc, word)
+    # row × 64 aggregate columns.
+    vocab = wc.select("w").distinct().withColumn(
+        "h", F.substring(F.md5("w"), 1, 16)
+    )
+    signs = []
     for j in range(64):
         digit = F.substring(F.col("h"), j // 4 + 1, 1)
         dval = F.instr(F.lit(_HEX), digit) - 1
         bit = F.shiftright(dval, 3 - j % 4) % 2
-        sums.append(F.sum(F.col("cnt") * (bit * 2 - 1)).alias(f"s{j}"))
-    agg = wc.groupBy(id_col).agg(*sums)
+        signs.append((bit * 2 - 1).alias(f"g{j}"))
+    word_signs = vocab.select("w", F.array(*[s for s in signs]).alias("signs"))
+    joined = wc.join(F.broadcast(word_signs), "w")
+    # One aggregate column per bit (64 map-side partial sums): the
+    # shuffle carries one 64-column row per doc, never doc × word × 64.
+    sums = [
+        F.sum(F.col("cnt") * F.element_at("signs", j + 1)).alias(f"s{j}")
+        for j in range(64)
+    ]
+    agg = joined.groupBy(id_col).agg(*sums)
     per_doc = agg.select(
         F.col(id_col),
         F.concat(
@@ -253,16 +263,22 @@ def simhash_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sims.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sims.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    cand = cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-    ham = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.col("sh_a").substr(i, F.lit(1))
-            != F.col("sh_b").substr(i, F.lit(1)),
-        )
+    # pack the 64-bit string into two longs once per doc; hamming per
+    # candidate pair is then two XOR+bit_count ops instead of 64
+    # substring compares
+    packed = sims.select(
+        F.col(id_col),
+        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("w1"),
+        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("w2"),
     )
+    sa = packed.select(
+        F.col(id_col).alias("id_a"), F.col("w1").alias("a1"), F.col("w2").alias("a2")
+    )
+    sb = packed.select(
+        F.col(id_col).alias("id_b"), F.col("w1").alias("b1"), F.col("w2").alias("b2")
+    )
+    cand = cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    ham = F.expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)").cast("int")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

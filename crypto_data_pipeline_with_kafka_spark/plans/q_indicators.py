@@ -281,3 +281,33 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ind_value",
         "ts",
     )
+
+
+@register(
+    "ind_ema",
+    f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(row_number() OVER ({_WO}) AS BIGINT) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, ts, value, rn, value AS ema
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             CAST(0.125 AS DOUBLE) * o.value + CAST(0.875 AS DOUBLE) * r.ema
+      FROM r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ema FROM r
+    """,
+    doc="EMA (α=0.125, binary-exact): the RECURSIVE indicator a Spark "
+    "window cannot express (SURVEY §2.10) — applyInPandas per key with "
+    "an Arrow-batched ordered walk; oracle is a recursive CTE running "
+    "the identical IEEE recurrence, so even this Python path is "
+    "value-exact",
+    tags=("window", "udf", "recursive"),
+)
+def ind_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.operators.recursive import ema
+
+    return ema(_events(spark, sf_dir), alpha=0.125)

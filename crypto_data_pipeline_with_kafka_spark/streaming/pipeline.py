@@ -120,6 +120,52 @@ def incremental_indicator_batch(
     )
 
 
+def run_incremental_indicator_stream(
+    spark: SparkSession,
+    source_path: str,
+    events_store: str,
+    indicator_store: str,
+    key_cols: Sequence[str] = ("user_id",),
+) -> None:
+    """Entry point A as a STREAMING query with incremental recompute:
+    each micro-batch appends its raw events to ``events_store`` and
+    writes exactly the indicator rows whose frames the batch affects
+    (tail recompute per key) to ``indicator_store`` — idempotently, so
+    redelivery is a no-op. After draining, ``indicator_store`` equals a
+    full-history batch recompute (asserted in tests)."""
+    from crypto_data_pipeline_with_kafka_spark.sources.readers import (
+        events_stream_reader,
+    )
+
+    stream = events_stream_reader(spark, source_path)
+    kc = list(key_cols)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            history = s.read.parquet(events_store)
+        except Exception:
+            history = batch.limit(0)
+        inc = incremental_indicator_batch(history, batch, key_cols=kc)
+        try:
+            existing = s.read.parquet(indicator_store).select(
+                *kc, "type_name", "ts"
+            )
+            fresh = inc.join(existing, on=[*kc, "type_name", "ts"], how="left_anti")
+        except Exception:
+            fresh = inc
+        fresh.write.mode("append").parquet(indicator_store)
+        batch.write.mode("append").parquet(events_store)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def price_ingestion_stream(spark: SparkSession, source_path: str) -> DataFrame:
     """Entry point B as ONE streaming query (SURVEY §3.2): file/Kafka
     source → typed rows → watermark → stateful dedup. Chain

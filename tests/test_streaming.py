@@ -130,3 +130,35 @@ def test_batch_idempotent_sink_and_empty_guard(spark, tmp_path):
     write_idempotent_append(df, target, keys=["event_id"])  # no-op rerun
     assert spark.read.parquet(target).count() == 300
     assert non_empty(df) and not non_empty(df.limit(0))
+
+
+def test_streaming_incremental_indicators_end_to_end(spark, tmp_path):
+    """Two-file stream → foreachBatch incremental indicator writes; the
+    final store must equal a full-history batch recompute (and re-running
+    the stream over the same source must be a no-op)."""
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_indicator_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    # two files = two micro-batches, in time order; the stream reader
+    # expects the driver's on-disk shape (ts = epoch-ns long)
+    as_ns = events.withColumn("ts", F.unix_micros("ts") * 1000)
+    as_ns.filter(F.timestamp_micros(F.expr("ts div 1000")) < cutoff).coalesce(
+        1
+    ).write.parquet(src)
+    as_ns.filter(F.timestamp_micros(F.expr("ts div 1000")) >= cutoff).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    ev_store = str(tmp_path / "events_store")
+    ind_store = str(tmp_path / "ind_store")
+    run_incremental_indicator_stream(spark, src + "/*.parquet", ev_store, ind_store)
+
+    got = spark.read.parquet(ind_store).select("user_id", "ts", "type_name", "ind_value")
+    want = compute_indicators(events).select("user_id", "ts", "type_name", "ind_value")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
