@@ -119,6 +119,34 @@ def asof_join(
     return out
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the fact side gets a random-ish salt
+    (hash of a unique row, modulo buckets), the dim side is replicated
+    once per salt value, and the join runs on (key, salt) — splitting a
+    hot key across ``salt_buckets`` tasks.
+
+    AQE's skew-join handles most cases at runtime
+    (``spark.sql.adaptive.skewJoin.enabled`` is on in the session
+    factory); this explicit form is for the pathological keys AQE can't
+    split (e.g. a single key bigger than every other partition) and for
+    engines/paths where AQE is off. Result is identical to a plain join
+    (asserted by tests)."""
+    salt = (F.abs(F.hash(*[F.col(c) for c in fact.columns])) % salt_buckets).alias(
+        "_salt"
+    )
+    salted_fact = fact.withColumn("_salt", salt)
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_fact.join(exploded_dim, on=[on, "_salt"], how=how).drop("_salt")
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): operator semantics hold on
+arbitrary generated inputs, not just the fixtures. Kept to few examples
+per property — each example spins Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from crypto_data_pipeline_with_kafka_spark.operators.relational import (
+    asof_join,
+    get_or_create_keys,
+    salted_join,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+@st.composite
+def _series(draw):
+    n = draw(st.integers(2, 12))
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=draw(st.integers(0, 500))),
+                draw(st.integers(1, 3)),
+                draw(st.sampled_from(["purchase", "error"])),
+                float(draw(st.integers(1, 1000))) / 4.0,
+            )
+        )
+    return rows
+
+
+@given(_series())
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    left = df.filter("event_type = 'error'").select("user_id", "event_id", "ts")
+    right = df.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    got = (
+        asof_join(left, right, ("user_id",), "ts", "ts", ("value",), tie_col="event_id")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+    lp = left.toPandas().sort_values(["ts", "event_id"])
+    # dedupe right to max event_id per (user, ts), as tie_col does
+    rp = (
+        right.toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()
+        .sort_values(["ts"])
+    )
+    if len(lp) == 0:
+        assert len(got) == 0
+        return
+    want = pd.merge_asof(
+        lp, rp[["user_id", "ts", "value"]], on="ts", by="user_id", direction="backward"
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for g, w in zip(got.itertuples(), want.itertuples()):
+        assert g.user_id == w.user_id and g.event_id == w.event_id
+        gv = None if pd.isna(g.asof_value) else g.asof_value
+        wv = None if pd.isna(w.value) else w.value
+        assert gv == wv, (g, w)
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=20),
+    st.lists(st.sampled_from(["a", "b", "x", "y"]), min_size=0, max_size=5, unique=True),
+)
+@settings(**_SETTINGS)
+def test_get_or_create_keys_properties(spark, incoming_names, existing_names):
+    existing = spark.createDataFrame(
+        [(n, i + 1) for i, n in enumerate(sorted(existing_names))] or [("‐", 0)],
+        "type_name string, type_id long",
+    )
+    if not existing_names:
+        existing = existing.filter("type_id > 0")  # empty dim
+    incoming = spark.createDataFrame(
+        [(n,) for n in incoming_names] or [("‐",)], "type_name string"
+    )
+    if not incoming_names:
+        incoming = incoming.filter("type_name IS NULL")
+    out = get_or_create_keys(existing, incoming, "type_name", "type_id").toPandas()
+    # ids unique; all names covered; existing ids unchanged
+    assert out["type_id"].is_unique
+    assert set(out["type_name"]) >= (set(incoming_names) | set(existing_names))
+    ex = {n: i + 1 for i, n in enumerate(sorted(existing_names))}
+    for _, r in out.iterrows():
+        if r["type_name"] in ex:
+            assert r["type_id"] == ex[r["type_name"]]
+
+
+@given(st.integers(2, 16))
+@settings(max_examples=4, deadline=None)
+def test_salted_join_equals_plain_join(spark, buckets):
+    fact = spark.range(0, 200).selectExpr("id AS k", "id * 2 AS v")
+    # skew: all but 10 rows share key 0
+    fact = fact.selectExpr("CASE WHEN k < 190 THEN 0 ELSE k END AS k", "v")
+    dim = spark.createDataFrame(
+        [(0, "hot"), (195, "cold")], "k long, label string"
+    )
+    got = salted_join(fact, dim, "k", salt_buckets=buckets)
+    want = fact.join(dim, "k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
