@@ -47,6 +47,10 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
+    # Query semantics are defined in UTC; pin it even when the calling
+    # session (the driver builds its own) didn't — otherwise collected
+    # timestamps would shift against the timezone-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _NANO_TS_COLS.get(name, ())
     if nano_cols:
         # runtime-settable; done here so the driver's own SparkSession

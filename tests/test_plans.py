@@ -82,3 +82,33 @@ def test_no_python_udf_in_builtin_paths(spark):
         plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_partitioned_warehouse_prunes(spark, tmp_path):
+    """The warehouse layout: date-partitioned facts, and a time-range
+    read whose partition filter prunes directories at planning time."""
+    from crypto_data_pipeline_with_kafka_spark.warehouse import (
+        read_events_range,
+        write_events_warehouse,
+    )
+
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "wh")
+    write_events_warehouse(events, path)
+
+    ranged = read_events_range(spark, path, "2024-01-10", "2024-01-12")
+    plan = plan_of(ranged)
+    assert re.search(r"PartitionFilters: \[.*dt", plan), plan
+    # correctness of the pruned read
+    import pyspark.sql.functions as F
+
+    expected = events.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
+    ).count()
+    assert ranged.count() == expected > 0
+    # only the 2 matching dt= directories are scanned
+    m = re.search(r"partition count: (\d+)", plan) or re.search(
+        r"selected (\d+) partitions", plan
+    )
+    if m:
+        assert int(m.group(1)) <= 2
