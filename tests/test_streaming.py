@@ -162,3 +162,36 @@ def test_streaming_incremental_indicators_end_to_end(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stateful_streaming_ema_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: two time-ordered files = two micro-batches;
+    the per-key EMA state must carry across them so the streamed result
+    equals a batch recompute over the full history."""
+    from crypto_data_pipeline_with_kafka_spark.operators.recursive import ema
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import run_to_memory
+    from crypto_data_pipeline_with_kafka_spark.streaming.stateful import streaming_ema
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    as_ns = events.withColumn("ts", F.unix_micros("ts") * 1000)
+    ts_back = F.timestamp_micros(F.expr("ts div 1000"))
+    as_ns.filter(ts_back < cutoff).coalesce(1).write.parquet(src)
+    as_ns.filter(ts_back >= cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    # maxFilesPerTrigger=1 ensures two micro-batches
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    got = run_to_memory(streaming_ema(raw), output_mode="append", name_prefix="sema")
+    want = ema(events, alpha=0.125)
+
+    g = got.select("user_id", "event_id", "ema")
+    w = want.select("user_id", "event_id", "ema")
+    assert g.count() == w.count() == events.count()
+    assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
