@@ -112,3 +112,33 @@ def test_partitioned_warehouse_prunes(spark, tmp_path):
     )
     if m:
         assert int(m.group(1)) <= 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing (SURVEY §4 / pyspark guide): facts bucketed on the join
+    key co-locate, so a fact-fact join plans with NO Exchange on either
+    side — the 100-TB answer to repeated big joins on one key."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, SF, "events")
+    (
+        events.write.bucketBy(8, "user_id")
+        .sortBy("user_id", "ts")
+        .option("path", str(tmp_path / "ev_bucketed"))  # external table loc
+        .mode("overwrite")
+        .saveAsTable("ev_bucketed")
+    )
+    agg = (
+        spark.table("ev_bucketed")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = spark.table("ev_bucketed").join(agg, "user_id")
+    plan = plan_of(joined, "simple")
+    # the groupBy on the bucket key needs NO shuffle (partial+final run
+    # back-to-back over bucketed input); a BroadcastExchange for the
+    # tiny agg side is fine — what must be absent is hash repartitioning
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert joined.count() == events.count()
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
