@@ -141,3 +141,68 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@register(
+    "win_gap_fill",
+    """
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    c AS (SELECT user_id, bucket, value AS close_v FROM b WHERE rn = 1),
+    bounds AS (SELECT user_id, min(bucket) AS t0, max(bucket) AS t1 FROM c GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, c.close_v
+      FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
+    )
+    SELECT user_id, bucket, close_v,
+           last_value(close_v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+           (close_v IS NULL) AS was_gap
+    FROM j
+    """,
+    doc="Time-series gap fill / resample: hourly grid per key "
+    "(sequence+explode), last-trade close per bucket, forward fill via "
+    "last(ignorenulls) — the candle-continuity operation the reference "
+    "can't do (it only stores what Binance sends); one window pass, "
+    "grid generated without a shuffle",
+    tags=("window", "time", "resample"),
+)
+def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).withColumn("bucket", F.date_trunc("hour", "ts"))
+    wlast = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closes = (
+        e.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket", F.col("value").alias("close_v"))
+    )
+    bounds = closes.groupBy("user_id").agg(
+        F.min("bucket").alias("t0"), F.max("bucket").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    j = grid.join(closes, ["user_id", "bucket"], "left")
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        "close_v",
+        F.last("close_v", ignorenulls=True).over(wff).alias("close_filled"),
+        F.col("close_v").isNull().alias("was_gap"),
+    )
