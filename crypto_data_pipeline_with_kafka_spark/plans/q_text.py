@@ -265,3 +265,64 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_images(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+@register(
+    "news_pipeline",
+    f"""
+    WITH {_TOKS},
+    scored AS (
+      SELECT doc_id, lang,
+             list_sum(list_transform(ws, w -> {_SENT_CASE})) / len(ws) AS sentiment
+      FROM toks
+    ),
+    existing(tag_name, tag_id) AS (VALUES ('en', 1), ('es', 2)),
+    news AS (
+      SELECT DISTINCT lang AS tag_name FROM scored
+      WHERE lang NOT IN (SELECT tag_name FROM existing)
+    ),
+    keyed AS (
+      SELECT tag_name,
+             (SELECT max(tag_id) FROM existing) + row_number() OVER (ORDER BY tag_name) AS tag_id
+      FROM news
+    ),
+    dim AS (
+      SELECT tag_name, CAST(tag_id AS BIGINT) AS tag_id FROM existing
+      UNION ALL SELECT tag_name, CAST(tag_id AS BIGINT) FROM keyed
+    ),
+    joined AS (
+      SELECT s.doc_id, s.sentiment, d.tag_id
+      FROM scored s JOIN dim d ON d.tag_name = s.lang
+    )
+    SELECT doc_id, tag_id, sentiment
+    FROM joined WHERE doc_id >= 100
+    """,
+    doc="Reference entry point C, end to end (SURVEY §3.3): content → "
+    "sentiment score (UD1) → tag-dim get-or-create surrogate keys (J3, "
+    "consumer_news.py:53-57) → idempotent anti-filter against "
+    "already-loaded ids (J4/url-check; simulated as doc_id < 100) — "
+    "one declarative plan replacing the RSS loop + consumer + "
+    "row-at-a-time inserts",
+    tags=("text", "sentiment", "pipeline", "flagship"),
+)
+def news_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.operators.relational import (
+        get_or_create_keys,
+        idempotent_append,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "lang", sentiment_builtin("text").alias("sentiment")
+    )
+    existing_dim = spark.createDataFrame(
+        [("en", 1), ("es", 2)], "tag_name string, tag_id long"
+    )
+    dim = get_or_create_keys(
+        existing_dim, scored.select(F.col("lang").alias("tag_name")), "tag_name", "tag_id"
+    )
+    joined = scored.join(
+        F.broadcast(dim), scored.lang == dim.tag_name, "inner"
+    ).select("doc_id", "tag_id", "sentiment")
+    already = docs.filter(F.col("doc_id") < 100).select("doc_id")
+    return idempotent_append(joined, already, ["doc_id"])
