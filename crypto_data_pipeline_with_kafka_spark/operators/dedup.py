@@ -78,18 +78,35 @@ def jaccard_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index
     self-join: only pairs sharing ≥1 shingle are ever materialized;
     intersection counts come from the shingle-equality join, union sizes
     from per-doc shingle counts. Returns (id_a, id_b, jaccard).
 
+    ``max_doc_freq`` is the 100-TB guard: drop postings for shingles
+    appearing in more than N documents before pairing (stop-shingles
+    quadratically dominate the candidate count but contribute almost no
+    Jaccard evidence; the union sizes still count them, so reported
+    jaccard only UNDER-estimates — pairs found are still true pairs).
+    None (the oracle-checked default) keeps exact semantics.
+
     ``sh`` feeds three consumers (sizes + both join sides) — persist it
     so the tokenize/shingle explode runs once."""
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    postings = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        postings = sh.join(rare, "shingle")
+    a = postings.select(F.col(id_col).alias("id_a"), "shingle")
+    b = postings.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -83,3 +83,18 @@ def test_multimodal_decode_plumbing(spark):
         assert r.format in ("png", "jpeg")
         assert 16 <= r.width < 80 and 16 <= r.height < 80
         assert r.channels in (3, 4)
+
+
+def test_jaccard_doc_freq_cap_is_precision_preserving(spark):
+    """The max_doc_freq scale guard may lose pairs (recall) but must
+    never invent them, and jaccard only under-estimates."""
+    docs = load_table(spark, SF, "documents")
+    sh = shingle_rows(docs)
+    full = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(sh, min_jaccard=0.5).collect()}
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, min_jaccard=0.5, max_doc_freq=50).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v <= full[k] + 1e-12
