@@ -702,3 +702,64 @@ def agg_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "win_distribution_ranks",
+    """
+    SELECT user_id, event_id,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc="Distribution ranking surface: percent_rank/cume_dist/ntile — "
+    "rank arithmetic over identical integer inputs, so the doubles are "
+    "bitwise equal across engines",
+    tags=("window",),
+)
+def win_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="§2.7: multiset EXCEPT ALL (bag semantics — each occurrence "
+    "cancels one occurrence), completing the set-op family",
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.exceptAll(r)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="§2.7: multiset INTERSECT ALL (min of occurrence counts)",
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.intersectAll(r)
