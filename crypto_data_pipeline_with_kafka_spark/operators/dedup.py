@@ -12,6 +12,13 @@ Design for 100 TB:
 The reference's only dedup is exact-key anti-join / INSERT IGNORE
 (SURVEY §2.2 P6, §2.3 J2); the near-dup family is the engine's
 extension surface.
+
+Cache lifecycle: ``jaccard_pairs`` / ``minhash_lsh_dedup`` /
+``simhash_pairs`` persist intermediates that feed multiple consumers.
+The returned DataFrames are lazy, so they cannot unpersist themselves;
+CALLERS own the cache lifecycle — call ``spark.catalog.clearCache()``
+(or ``.unpersist()`` on the inputs) after the consuming action in
+long-lived sessions (bench.py does).
 """
 
 from __future__ import annotations
@@ -294,7 +301,10 @@ def simhash_pairs(
     sb = packed.select(
         F.col(id_col).alias("id_b"), F.col("w1").alias("b1"), F.col("w2").alias("b2")
     )
-    cand = cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # NO broadcast hint here: sa/sb are O(corpus) (one row per doc) —
+    # forcing a broadcast would OOM the driver at real scale. Plain
+    # equi-joins; AQE turns them into broadcasts when they actually fit.
+    cand = cand.join(sa, "id_a").join(sb, "id_b")
     ham = F.expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)").cast("int")
     return (
         cand.withColumn("hamming", ham)

@@ -86,6 +86,12 @@ def compute_indicators(
     # 2-decimal values), but bitwise-reproducible across engines: float
     # summation order never enters, so the DuckDB oracle matches exactly
     # instead of to-within-ulps.
+    # Value-domain bound: decimal(18,6) requires |value| < 10^12. This
+    # cannot be widened without losing exactness — _sxx sums dv*dv, and
+    # decimal(18,6)² = decimal(37,12) is the widest square that still
+    # fits Spark's 38-digit decimals losslessly. Price-like inputs
+    # (the reference's domain, and the fixtures) are far inside the
+    # bound; out-of-domain inputs should be range-checked upstream.
     dv = v.cast("decimal(18,6)")
     n = F.count(F.lit(1)).over(wf)
     framed = gained.withColumns(

@@ -137,7 +137,10 @@ def salted_join(
     split (e.g. a single key bigger than every other partition) and for
     engines/paths where AQE is off. Result is identical to a plain join
     (asserted by tests)."""
-    salt = (F.abs(F.hash(*[F.col(c) for c in fact.columns])) % salt_buckets).alias(
+    # pmod, not abs(hash) % n: hash() can return Integer.MIN_VALUE, whose
+    # abs overflows and whose % keeps the sign — a negative salt would
+    # silently drop ~1 row per 2^32 from an inner join at scale.
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)).alias(
         "_salt"
     )
     salted_fact = fact.withColumn("_salt", salt)

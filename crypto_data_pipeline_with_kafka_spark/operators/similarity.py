@@ -194,12 +194,18 @@ def _plane_signs(num_planes: int, dim: int) -> list[list[int]]:
 
 
 def lsh_buckets(
-    emb: DataFrame, num_planes: int = 16, dim: int = 64, id_col: str = "vec_id"
+    emb: DataFrame,
+    num_planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH signature: ``num_planes``-bit sign string
     per vector. Each projection is one array fold against a literal ±1
-    plane — no explosion, no shuffle until the caller groups/joins."""
-    base = emb.select(F.col(id_col), quantized_vector("embedding").alias("vq"))
+    plane — no explosion, no shuffle until the caller groups/joins.
+    ``vec_col`` may be any numeric array (e.g. an already-projected
+    double vector, so callers can share one scan of the source)."""
+    base = emb.select(F.col(id_col), quantized_vector(vec_col).alias("vq"))
     signs = _plane_signs(num_planes, dim)
     bit_cols = []
     for p, row in enumerate(signs):
@@ -235,9 +241,14 @@ def lsh_ann_pairs(
     verified on candidates only. Returns (id_a, id_b, cosine).
 
     Scale path: candidate count ~ Σ per-band bucket collisions, never
-    corpus²; widen bands at bigger corpora."""
-    base = with_dbl_and_norm(emb, id_col)
-    buckets = lsh_buckets(emb, num_planes, dim, id_col)
+    corpus²; widen bands at bigger corpora.
+
+    One scan of ``emb``: the (id, vdbl, norm_sq) base is computed once
+    and persisted — both the bucket/banding stage and the verify stage
+    consume it, so the source is read (and the norms computed) once.
+    Caller owns the cache lifecycle (see operators.dedup module doc)."""
+    base = with_dbl_and_norm(emb, id_col).persist()
+    buckets = lsh_buckets(base, num_planes, dim, id_col, vec_col="vdbl")
     width = num_planes // bands
     banded = buckets.select(
         F.col(id_col),

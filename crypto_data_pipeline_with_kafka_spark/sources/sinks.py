@@ -11,13 +11,24 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def non_empty(df: DataFrame) -> bool:
     """P7: empty-result guard (reference uses ``.rdd.isEmpty()``;
     ``DataFrame.isEmpty`` stays JVM-side and stops at the first row)."""
     return not df.isEmpty()
+
+
+def target_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe for a sink path (any Hadoop-supported
+    scheme). Used instead of catch-all ``except`` around the read: a
+    transient IO/permission/corrupt-footer error must PROPAGATE, not
+    silently disable the idempotence anti-join and append duplicates."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
 
 
 def write_idempotent_append(
@@ -28,12 +39,13 @@ def write_idempotent_append(
     ``INSERT IGNORE`` (``consumer_prices.py:70-80``) / pre-write
     anti-join (``spark_job_1.py:81-93``). Re-running with the same input
     is a no-op. At scale, time-partition the target and read only the
-    affected partitions for the anti-join side."""
+    affected partitions for the anti-join side (the streaming twin in
+    ``streaming.pipeline`` does exactly that)."""
     spark = df.sparkSession
-    try:
+    if target_exists(spark, target_path):
         existing = spark.read.parquet(target_path).select(*keys)
         fresh = df.join(existing, on=list(keys), how="left_anti")
-    except Exception:  # target does not exist yet → first write
+    else:  # first write: nothing to dedup against
         fresh = df
     if non_empty(fresh):
         fresh.write.mode("append").parquet(target_path)
