@@ -36,7 +36,7 @@ HEADLINE = (
     "sim_cosine_topk",
     "sim_ann_lsh",
     "text_quality_score",
-    "text_sentiment",
+    "news_pipeline",  # sentiment hot path (built-in fold) + dim + anti-join
     "stream_tumbling_counts",
 )
 

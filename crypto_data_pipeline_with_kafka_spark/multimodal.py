@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
-    "doc_id long, n_bytes long, format string, width int, height int, channels int"
+    "doc_id long, n_bytes long, content_hash string, "
+    "format string, width int, height int, channels int"
 )
 
 
@@ -90,6 +91,7 @@ def decode_images(df: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["n_bytes"],
+                    "content_hash": pdf["content_hash"],
                     "format": decoded.map(lambda d: d[0]),
                     "width": decoded.map(lambda d: d[1]),
                     "height": decoded.map(lambda d: d[2]),
@@ -97,7 +99,7 @@ def decode_images(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "payload", "n_bytes").mapInPandas(
+    return df.select("doc_id", "payload", "n_bytes", "content_hash").mapInPandas(
         decode_batch, schema=DECODED_SCHEMA
     )
 

@@ -12,9 +12,7 @@ from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
-    minhash_band_pairs,
     minhash_lsh_dedup,
-    minhash_signatures,
     shingle_rows,
     simhash_bits,
     simhash_pairs,
@@ -76,20 +74,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
+# Doc-frequency cap for the registered (scale-path) n-gram query: drop
+# postings for shingles appearing in more than this many documents
+# before pairing. Stop-shingles dominate the candidate count
+# quadratically while contributing ~no Jaccard evidence; union sizes
+# still count them, so jaccard only UNDER-estimates (found pairs are
+# true pairs). The uncapped exact path (max_doc_freq=None) stays
+# available and is asserted equal to the capped one on the fixtures in
+# tests/test_dedup_similarity.py.
+_NGRAM_MAX_DF = 50
+
+_CAPPED_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, len(ws) - 1)])) AS shingle
+  FROM toks WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_MAX_DF}),
+postings AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+
 @register(
     "dedup_ngram_jaccard",
-    f"""
-    WITH {_SH_CTE}
-    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
-    """,
+    _CAPPED_JACCARD_SQL,
     doc="n-gram (3-word shingle) Jaccard near-dup pairs via inverted-"
-    "index self-join — only shingle-sharing pairs materialize, never the "
-    "corpus square",
+    "index self-join with the doc-frequency cap (max_doc_freq="
+    f"{_NGRAM_MAX_DF}) — the 100-TB path: stop-shingle postings are "
+    "dropped before pairing so the join is bounded by rare-shingle "
+    "collisions, never the corpus square. The oracle applies the "
+    "identical cap, so this is value-exact",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(load_table(spark, sf_dir, "documents"))
-    return jaccard_pairs(sh, min_jaccard=0.8)
+    return jaccard_pairs(sh, min_jaccard=0.8, max_doc_freq=_NGRAM_MAX_DF)
 
 
 @register(
@@ -178,21 +213,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(sims, max_hamming=6)
 
 
-@register(
-    "dedup_minhash_signature",
-    f"""
-    WITH {_SH_CTE},
-    sig AS (
-      SELECT doc_id,
-         {_SIG_COLS}
-      FROM sh GROUP BY doc_id
-    )
-    SELECT doc_id, {", ".join(f"h{i}" for i in range(_MINHASH_N))} FROM sig
-    """,
-    doc="MinHash signatures themselves (12 hashes per doc) — checked "
-    "value-exactly; the building block the LSH query bands over",
-    tags=("dedup", "lsh"),
-)
-def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_rows(load_table(spark, sf_dir, "documents"))
-    return minhash_signatures(sh, num_hashes=_MINHASH_N)
+# (dedup_minhash_signature was folded into dedup_minhash_lsh: the LSH
+# query's candidate set is a function of the signatures, and its
+# md5-exact oracle CTE recomputes them — a signature error would flip
+# band keys and break the hash match. tests/test_dedup_similarity.py
+# still value-checks minhash_signatures directly.)

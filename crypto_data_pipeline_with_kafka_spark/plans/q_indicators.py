@@ -12,7 +12,7 @@ bitwise — no tolerance, no rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
@@ -71,150 +71,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-def _wspec():
-    """(ordered window, 14-row trailing frame) — built lazily; pyspark 4
-    needs an active session to construct Window specs."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return w, w.rowsBetween(-13, 0)
-
-
-def _exact_sma(wf):
-    dv = F.col("value").cast("decimal(18,6)")
-    return F.sum(dv).over(wf).cast("double") / F.count(F.lit(1)).over(wf)
-
-
-@register(
-    "ind_sma",
-    f"""
-    SELECT user_id, event_id, ts,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-             / count(*) OVER w AS sma
-    FROM events WINDOW w AS ({_W})
-    """,
-    doc="W1: trailing 14-row simple moving average (spark_job_1.py:28-29)",
-    tags=("window",),
-)
-def ind_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _w, _wf = _wspec()
-    return _events(spark, sf_dir).select(
-        "user_id", "event_id", "ts", _exact_sma(_wf).alias("sma")
-    )
-
-
-@register(
-    "ind_lag_diff",
-    f"""
-    SELECT user_id, event_id, ts,
-           value - lag(value) OVER ({_WO}) AS diff
-    FROM events
-    """,
-    doc="W2: lag-1 price diff, NULL on first row per key (spark_job_1.py:32)",
-    tags=("window",),
-)
-def ind_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _w, _wf = _wspec()
-    return _events(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        "ts",
-        (F.col("value") - F.lag("value").over(_w)).alias("diff"),
-    )
-
-
-@register(
-    "ind_rsi",
-    f"""
-    WITH diffed AS (
-      SELECT user_id, event_id, ts,
-             value - lag(value) OVER ({_WO}) AS diff
-      FROM events
-    ), gained AS (
-      SELECT *,
-             CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
-             CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
-      FROM diffed
-    ), sums AS (
-      SELECT user_id, event_id, ts, count(*) OVER w AS n,
-             CAST(sum(CAST(gain AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sg,
-             CAST(sum(CAST(loss AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sl
-      FROM gained WINDOW w AS ({_W})
-    ), framed AS (
-      SELECT user_id, event_id, ts,
-             100 - (100 / (1 + ((sg / n) / nullif(sl / n, 0.0)))) AS rsi
-      FROM sums
-    )
-    SELECT user_id, event_id, ts, rsi FROM framed WHERE rsi IS NOT NULL
-    """,
-    doc="W3: RSI-14, simple-average variant — NOT Wilder's (spark_job_1.py:32-39); "
-    "zero-loss frames yield NULL and are filtered (spark_job_1.py:54)",
-    tags=("window",),
-)
-def ind_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _w, _wf = _wspec()
-    df = _events(spark, sf_dir)
-    diff = F.col("value") - F.lag("value").over(_w)
-    df = df.withColumn("_diff", diff).withColumns(
-        {
-            "_gain": F.when(F.col("_diff") > 0, F.col("_diff")).otherwise(F.lit(0.0)),
-            "_loss": F.when(F.col("_diff") < 0, -F.col("_diff")).otherwise(F.lit(0.0)),
-        }
-    )
-    n = F.count(F.lit(1)).over(_wf)
-    avg_gain = F.sum(F.col("_gain").cast("decimal(18,6)")).over(_wf).cast("double") / n
-    avg_loss = F.sum(F.col("_loss").cast("decimal(18,6)")).over(_wf).cast("double") / n
-    rs = avg_gain / F.nullif(avg_loss, F.lit(0.0))
-    return (
-        df.select(
-            "user_id",
-            "event_id",
-            "ts",
-            (F.lit(100) - F.lit(100) / (F.lit(1) + rs)).alias("rsi"),
-        )
-        .filter(F.col("rsi").isNotNull())
-    )
-
-
-@register(
-    "ind_bollinger",
-    f"""
-    WITH sums AS (
-      SELECT user_id, event_id, ts, count(*) OVER w AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
-             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
-      FROM events WINDOW w AS ({_W})
-    ), framed AS (
-      SELECT user_id, event_id, ts, sx / n AS m,
-             CASE WHEN n > 1
-                  THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END AS sd
-      FROM sums
-    )
-    SELECT user_id, event_id, ts, m + 2 * sd AS bb_up, m - 2 * sd AS bb_down
-    FROM framed WHERE sd IS NOT NULL
-    """,
-    doc="W4+W5: Bollinger Bands = mean ± 2·sample-stddev over the 14-row "
-    "frame (spark_job_1.py:42-45); 1-row frames have NULL stddev → dropped",
-    tags=("window",),
-)
-def ind_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _w, _wf = _wspec()
-    df = _events(spark, sf_dir)
-    dv = F.col("value").cast("decimal(18,6)")
-    n = F.count(F.lit(1)).over(_wf)
-    sx = F.sum(dv).over(_wf).cast("double")
-    sxx = F.sum(dv * dv).over(_wf).cast("double")
-    m = sx / n
-    sd = F.when(n > 1, F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))))
-    return (
-        df.select("user_id", "event_id", "ts", m.alias("_m"), sd.alias("_sd"))
-        .filter(F.col("_sd").isNotNull())
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            (F.col("_m") + 2 * F.col("_sd")).alias("bb_up"),
-            (F.col("_m") - 2 * F.col("_sd")).alias("bb_down"),
-        )
-    )
+# (ind_sma / ind_lag_diff / ind_rsi / ind_bollinger were folded into the
+# two composite queries below: ind_union_branches and ind_pipeline emit
+# every SMA/RSI/BB value and are hash-checked against the exact-decimal
+# oracle CTE, so W1/W3/W4/W5 stay value-attested; lag/diff (W2) is
+# attested by win_rank_nav's prev_value/diff columns. The per-indicator
+# semantics remain pinned by tests/test_indicators_golden.py.)
 
 
 @register(

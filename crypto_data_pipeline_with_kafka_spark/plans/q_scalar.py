@@ -1,7 +1,14 @@
 """Scalar function queries (SURVEY §2.8 F1-F12): JSON, date/time,
 string, regex, arithmetic — the in-flight message-shaping functions of
 the reference's producers/consumers, expressed as JVM-side built-ins
-(never row-at-a-time Python)."""
+(never row-at-a-time Python).
+
+Registry note (round 2): functions sharing a table are folded into
+composite checked queries (one driver CORRECTNESS row each) — e.g.
+``fn_scalar_suite`` carries the arithmetic, coalesce/default and
+literal-tag surfaces in one plan. Every individual built-in is still
+exercised; only the checking granularity changed.
+"""
 
 from __future__ import annotations
 
@@ -17,81 +24,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @register(
-    "fn_json_extract",
+    "fn_json_roundtrip",
     """
     SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
     FROM events
     """,
-    doc="F2: JSON deserialize — the consumers' json.loads "
-    "(consumer_prices.py:51); engine uses get_json_object on the "
-    "in-flight payload column",
+    doc="F1+F2 in one checked plan: JSON serialize — the producers' "
+    "json.dumps (producer_prices.py:13), engine: to_json(struct(...)) "
+    "for Kafka value columns (S3 shape) — and JSON deserialize — the "
+    "consumers' json.loads (consumer_prices.py:51), engine: "
+    "get_json_object on the in-flight payload column",
     tags=("json",),
 )
-def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").select(
         "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
     )
 
 
 @register(
-    "fn_json_build",
-    """
-    SELECT event_id,
-           to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
-    FROM events
-    """,
-    doc="F1: JSON serialize — the producers' json.dumps "
-    "(producer_prices.py:13); engine: to_json(struct(...)) for Kafka "
-    "value columns",
-    tags=("json",),
-)
-def fn_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
-    )
-
-
-@register(
-    "fn_epoch_millis",
+    "fn_time_roundtrip",
     """
     SELECT event_id,
            epoch_ms(ts) AS ts_ms,
-           make_timestamp(epoch_ms(ts) * 1000) AS ts_from_ms
-    FROM events
-    """,
-    doc="F3: epoch-ms ↔ timestamp — the consumer's "
-    "datetime.fromtimestamp(ms/1000) (consumer_prices.py:76-78), with "
-    "UTC pinned instead of local-TZ",
-    tags=("time",),
-)
-def fn_epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.unix_millis("ts").alias("ts_ms"),
-        F.timestamp_millis(F.unix_millis("ts")).alias("ts_from_ms"),
-    )
-
-
-@register(
-    "fn_iso_parse",
-    """
-    SELECT event_id,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts_from_ms,
            CAST(ts AS VARCHAR) AS iso_str,
            CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS parsed
     FROM events
     """,
-    doc="F5: ISO-8601 timestamp string round-trip (the producer's "
-    "datetime.now().isoformat(), producer_prices.py:58)",
+    doc="F3+F5 in one checked plan: epoch-ms ↔ timestamp — the "
+    "consumer's datetime.fromtimestamp(ms/1000) (consumer_prices.py:76-78) "
+    "with UTC pinned instead of local-TZ — and the ISO-8601 string round "
+    "trip (the producer's datetime.now().isoformat(), producer_prices.py:58)",
     tags=("time", "string"),
 )
-def fn_iso_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").select(
         "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_from_ms"),
         F.col("ts").cast("string").alias("iso_str"),
         F.to_timestamp(F.col("ts").cast("string")).alias("parsed"),
     )
@@ -100,43 +77,65 @@ def fn_iso_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_date_parts",
     """
+    WITH s AS (
+      SELECT o_orderkey, o_orderdate,
+             strftime(o_orderdate, '%d %b %Y %H:%M:%S') || ' +0000' AS rfc
+      FROM orders
+    )
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INTEGER) AS yr,
            CAST(month(o_orderdate) AS INTEGER) AS mo,
            CAST(day(o_orderdate) AS INTEGER) AS dy,
-           date_trunc('month', o_orderdate) AS month_start
-    FROM orders
+           date_trunc('month', o_orderdate) AS month_start,
+           rfc,
+           strptime(rfc, '%d %b %Y %H:%M:%S %z')::TIMESTAMP AS parsed_rfc
+    FROM s
     """,
     doc="Date-part extraction + truncation (engine-side rollup keys for "
-    "the reference's Grafana time axes)",
-    tags=("time",),
+    "the reference's Grafana time axes) + F4: RFC-822-style date format "
+    "and parse round trip (the news pubDate parse, producer_news.py:61; "
+    "Spark ≥3 refuses day-NAME parsing, so the engine strips the "
+    "'Mon, ' prefix — see sources/kafka_messages.py — and this query "
+    "checks the remainder)",
+    tags=("time", "string"),
 )
 def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rfc = F.concat(
+        F.date_format("o_orderdate", "dd MMM yyyy HH:mm:ss"), F.lit(" +0000")
+    )
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dy"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
+        rfc.alias("rfc"),
+        F.to_timestamp(rfc, "dd MMM yyyy HH:mm:ss Z").alias("parsed_rfc"),
     )
 
 
 @register(
-    "fn_string_ops",
-    """
+    "fn_string_suite",
+    r"""
     SELECT doc_id,
            trim(text) AS trimmed,
            upper(source) AS source_uc,
            concat_ws('-', lang, source) AS lang_source,
            CAST(length(text) AS BIGINT) AS text_len,
-           substring(text, 1, 10) AS prefix10
+           substring(text, 1, 10) AS prefix10,
+           nullif(regexp_extract(text, 'the ([a-z]+)', 1), '') AS word_after_the,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len
     FROM documents
     """,
-    doc="F6/F8: trim / case / concat_ws key-building (the producer's "
-    "f-string Kafka key, producer_prices.py:63) / length / substring",
-    tags=("string",),
+    doc="F6/F7/F8 in one checked plan: trim / case / concat_ws "
+    "key-building (the producer's f-string Kafka key, "
+    "producer_prices.py:63), length / substring, regexp_extract / "
+    "regexp_replace (the RSS validators & strip-tags approximation, "
+    "producer_news.py:29-36; UD2's extraction shape); nullif('') "
+    "normalizes no-match between engines",
+    tags=("string", "regex"),
 )
-def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.trim("text").alias("trimmed"),
@@ -144,25 +143,6 @@ def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", "lang", "source").alias("lang_source"),
         F.length("text").cast("long").alias("text_len"),
         F.substring("text", 1, 10).alias("prefix10"),
-    )
-
-
-@register(
-    "fn_regex_extract",
-    r"""
-    SELECT doc_id,
-           nullif(regexp_extract(text, 'the ([a-z]+)', 1), '') AS word_after_the,
-           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len
-    FROM documents
-    """,
-    doc="F7: regexp_extract / regexp_replace (the RSS validators & "
-    "strip-tags approximation, producer_news.py:29-36); nullif('') "
-    "normalizes no-match between engines",
-    tags=("string", "regex"),
-)
-def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
         F.nullif(F.regexp_extract("text", r"the ([a-z]+)", 1), F.lit("")).alias(
             "word_after_the"
         ),
@@ -173,31 +153,7 @@ def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_coalesce_default",
-    """
-    SELECT event_id,
-           coalesce(json_extract_string(props, '$.missing'), '1h') AS with_default,
-           coalesce(nullif(event_type, 'error'), 'unknown') AS type_or_unknown
-    FROM events
-    """,
-    doc="F11: coalesce/default fallbacks (the consumer's "
-    "data.get('interval','1h'), consumer_prices.py:63)",
-    tags=("scalar",),
-)
-def fn_coalesce_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("1h")).alias(
-            "with_default"
-        ),
-        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias(
-            "type_or_unknown"
-        ),
-    )
-
-
-@register(
-    "fn_arithmetic",
+    "fn_scalar_suite",
     """
     SELECT event_id,
            value * 2 - 1 AS scaled,
@@ -205,14 +161,20 @@ def fn_coalesce_default(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(value - 100) AS dist100,
            CAST(floor(value) AS BIGINT) AS flr,
            CAST(ceil(value) AS BIGINT) AS cl,
-           greatest(value, 100.0) AS g, least(value, 100.0) AS l
+           greatest(value, 100.0) AS g, least(value, 100.0) AS l,
+           coalesce(json_extract_string(props, '$.missing'), '1h') AS with_default,
+           coalesce(nullif(event_type, 'error'), 'unknown') AS type_or_unknown,
+           'SMA' AS tag_name, 14 AS window_len
     FROM events
     """,
-    doc="F9: column arithmetic/comparison surface (spark_job_1.py:32-45) "
-    "— identical IEEE expression trees in both engines",
+    doc="F9+F10+F11 in one checked plan: column arithmetic/comparison "
+    "surface (spark_job_1.py:32-45 — identical IEEE expression trees in "
+    "both engines), coalesce/default fallbacks (the consumer's "
+    "data.get('interval','1h'), consumer_prices.py:63), and literal tag "
+    "columns (the reference's F.lit('SMA') branch tags, spark_job_1.py:29)",
     tags=("scalar",),
 )
-def fn_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value")
     return _t(spark, sf_dir, "events").select(
         "event_id",
@@ -223,6 +185,14 @@ def fn_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(v).cast("long").alias("cl"),
         F.greatest(v, F.lit(100.0)).alias("g"),
         F.least(v, F.lit(100.0)).alias("l"),
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("1h")).alias(
+            "with_default"
+        ),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias(
+            "type_or_unknown"
+        ),
+        F.lit("SMA").alias("tag_name"),
+        F.lit(14).alias("window_len"),
     )
 
 
@@ -250,57 +220,6 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_rfc822_roundtrip",
-    """
-    WITH s AS (
-      SELECT o_orderkey,
-             strftime(o_orderdate, '%d %b %Y %H:%M:%S') || ' +0000' AS rfc
-      FROM orders
-    )
-    SELECT o_orderkey, rfc, strptime(rfc, '%d %b %Y %H:%M:%S %z')::TIMESTAMP AS parsed
-    FROM s
-    """,
-    doc="F4: RFC-822-style date format + parse round trip (the news "
-    "pubDate parse, producer_news.py:61; Spark ≥3 refuses day-NAME "
-    "parsing, so the engine strips the 'Mon, ' prefix — see "
-    "sources/kafka_messages.py — and this query checks the remainder)",
-    tags=("time", "string"),
-)
-def fn_rfc822_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rfc = F.concat(
-        F.date_format("o_orderdate", "dd MMM yyyy HH:mm:ss"), F.lit(" +0000")
-    )
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        rfc.alias("rfc"),
-        F.to_timestamp(rfc, "dd MMM yyyy HH:mm:ss Z").alias("parsed"),
-    )
-
-
-@register(
-    "fn_literal_tag",
-    """
-    SELECT event_id, 'SMA' AS type_name, 14 AS window_len, value AS ind_value
-    FROM events WHERE event_type = 'purchase'
-    """,
-    doc="F10: literal tag columns (the reference's F.lit('SMA') branch "
-    "tags, spark_job_1.py:29)",
-    tags=("scalar",),
-)
-def fn_literal_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            F.lit("SMA").alias("type_name"),
-            F.lit(14).alias("window_len"),
-            F.col("value").alias("ind_value"),
-        )
-    )
-
-
-@register(
     "ingest_price_roundtrip",
     """
     SELECT event_id,
@@ -319,10 +238,6 @@ def fn_literal_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ingest", "json"),
 )
 def ingest_price_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.sources.kafka_messages import (
-        typed_price_rows,
-    )
-
     events = _t(spark, sf_dir, "events")
     msgs = events.select(
         "event_id",
@@ -335,9 +250,6 @@ def ingest_price_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value"),
     )
-    typed = typed_price_rows(msgs.select("value"))
-    # join back the event_id via the (unique) symbol+open_time pair is
-    # overkill here: re-derive from the same msgs frame with the id kept
     typed_with_id = msgs.select(
         "event_id", F.col("value").alias("v")
     ).select(
@@ -373,8 +285,9 @@ def ingest_price_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked GROUP BY user_id, n
     """,
     doc="Exact median per key via row_number selection (deterministic "
-    "tie-break) — the exact twin of percentile_approx; avg of the one or "
-    "two middle elements from exact decimal sums",
+    "tie-break) — the exact twin of percentile_approx (see "
+    "agg_approx_sketches); avg of the one or two middle elements from "
+    "exact decimal sums",
     tags=("agg", "percentile"),
 )
 def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,22 +310,4 @@ def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(picked.cast("decimal(18,6)")).cast("double")
             / F.count(F.when(mid, F.lit(1)))
         ).alias("median_value")
-    )
-
-
-@register(
-    "agg_percentile_approx",
-    None,  # sketch-based: engine-specific values → rows-only check
-    doc="approx percentiles (t-digest-family sketch) — values are "
-    "engine-internal, so rows-only; agg_median_manual is the exact "
-    "checked twin",
-    tags=("agg", "approx"),
-)
-def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.percentile_approx("value", [0.25, 0.5, 0.75]).alias("quartiles"),
-        )
     )

@@ -13,7 +13,6 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     all_pairs_cosine,
     brute_force_topk,
     lsh_ann_pairs,
-    lsh_buckets,
 )
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
@@ -160,12 +159,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine(_emb(spark, sf_dir), min_cosine=0.4)
 
 
-@register(
-    "sim_lsh_buckets",
-    None,  # bucket strings are checked via sim_ann_lsh's end-to-end output
-    doc="LSH bucket assignment per vector (16-bit sign signature) — "
-    "rows-only here; the pair output is value-checked in sim_ann_lsh",
-    tags=("similarity", "lsh"),
-)
-def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_buckets(_emb(spark, sf_dir), num_planes=16)
+# (sim_lsh_buckets was folded into sim_ann_lsh: every bucket bit feeds
+# the band keys whose collisions produce the ANN pairs, and the oracle
+# recomputes the identical md5-derived planes — a bucket error would
+# change the candidate set and break the hash match. The bucket
+# assignment itself stays covered by tests/test_dedup_similarity.py.)

@@ -16,6 +16,7 @@ from crypto_data_pipeline_with_kafka_spark.sources.readers import events_stream_
 from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
     run_to_memory,
     streaming_dedup,
+    streaming_session_windows,
     streaming_tumbling_counts,
 )
 
@@ -60,3 +61,35 @@ def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"],
     )
     return run_to_memory(dd, output_mode="append", name_prefix="dedup_distinct")
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, new_sess DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, seq
+    """,
+    doc="ST5: native streaming session_window (30-min gap) through the "
+    "real incremental engine — sessions merge across micro-batches in "
+    "the state store; complete mode emits the final merged sessions. "
+    "Oracle is the batch lag+cumsum sessionization with session_end = "
+    "last event + gap (session-window convention; boundary at "
+    "diff >= gap, matching the engine's [start, end) window)",
+    tags=("streaming", "window", "time"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sw = streaming_session_windows(_stream(spark, sf_dir))
+    return run_to_memory(sw, output_mode="complete", name_prefix="session_window")

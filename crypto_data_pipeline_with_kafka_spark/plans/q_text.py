@@ -44,33 +44,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_token_count",
-    rf"""
-    SELECT doc_id,
-           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens
-    FROM documents
-    """,
-    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
-    "(letter runs / digit runs / single marks)",
-    tags=("text",),
-)
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
-        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias(
-            "n_bpe_tokens"
-        ),
-    )
-
-
-@register(
     "text_quality_score",
-    f"""
-    WITH {_TOKS}
+    rf"""
+    WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents)
     SELECT doc_id,
       CAST(len(ws) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
       CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
       CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_word_len,
@@ -78,8 +57,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       (len(ws) >= 20 AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.2) AS quality_ok
     FROM toks
     """,
-    doc="Quality scoring: length / distinct-token ratio / avg word length "
-    "/ stopword ratio + a pass flag (LLM-data quality gates)",
+    doc="Quality scoring + token counting in one checked plan: "
+    "whitespace-token count, BPE-ish regex token count (letter runs / "
+    "digit runs / single marks), distinct-token ratio, avg word length, "
+    "stopword ratio, and a pass flag (LLM-data quality gates)",
     tags=("text",),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,6 +75,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         n.cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
         n_dis.cast("long").alias("n_distinct"),
         distinct_ratio.alias("distinct_ratio"),
         (sum_len.cast("double") / n).alias("avg_word_len"),
@@ -188,28 +172,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_sentiment",
-    _SENT_SQL,
-    doc="Sentiment scoring, built-in composition (JVM hot path): mean "
-    "lexicon score per token — the engine twin of the reference's VADER "
-    "compound score (producer_news.py:66-74); half-point lexicon keeps "
-    "float sums order-independent",
-    tags=("text", "sentiment"),
-)
-def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", sentiment_builtin("text").alias("sentiment")
-    )
+# (text_sentiment — the built-in JVM composition — was folded out of the
+# registry: news_pipeline's oracle-checked sentiment column runs
+# sentiment_builtin end to end, and tests/test_properties.py asserts the
+# UDF and built-in paths bitwise-equal. The UDF variant keeps its own
+# row because UD1 — the Arrow Pandas-UDF surface — is what it attests.)
 
 
 @register(
     "text_sentiment_udf",
     _SENT_SQL,
-    doc="UD1: the same sentiment via an Arrow-batched scalar Pandas UDF "
+    doc="UD1: lexicon sentiment via an Arrow-batched scalar Pandas UDF "
     "(the reference's only true UDF shape, producer_news.py:16-17) — "
-    "value-identical to the built-in version, so even the UDF is "
-    "oracle-checked",
+    "value-identical to the built-in composition (the JVM hot path, "
+    "exercised by news_pipeline), so even the UDF is oracle-checked. "
+    "NOTE: the lexicon is the engine's deterministic stand-in, NOT the "
+    "VADER lexicon (NLTK data is not in this container)",
     tags=("text", "sentiment", "udf"),
 )
 def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,44 +196,29 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm_binary_meta",
-    """
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS content_hash,
-           substr(md5(text), 1, 8) AS short_hash
-    FROM documents
-    """,
-    doc="Multimodal plumbing: opaque binary payload column (utf-8 bytes "
-    "standing in for image/audio blobs) + typed metadata — byte length "
-    "and content hash survive the binary hop identically in both engines",
-    tags=("multimodal",),
-)
-def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
-        F.md5("text").alias("content_hash"),
-        F.substring(F.md5("text"), 1, 8).alias("short_hash"),
-    )
-
-
-@register(
     "mm_decode_stub",
     """
-    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
+      FROM documents
+    )
     SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           content_hash,
            CASE WHEN n_bytes % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
            CAST(16 + (n_bytes % 64) AS INTEGER) AS width,
            CAST(16 + ((n_bytes // 64) % 64) AS INTEGER) AS height,
            CAST(CASE WHEN n_bytes % 3 <> 0 THEN 3 ELSE 4 END AS INTEGER) AS channels
     FROM b
     """,
-    doc="Multimodal decode stage via Arrow mapInPandas (binary payload → "
-    "typed image metadata). The decoder is the documented deterministic "
-    "STUB (no codecs in this container) — which makes even the Python "
-    "batch path value-checkable against SQL; swap decode_image_stub for "
-    "PIL/ffmpeg and the plumbing (schema, batching, partitioning) holds",
+    doc="Multimodal plumbing in one checked plan: opaque binary payload "
+    "column (utf-8 bytes standing in for image/audio blobs) with typed "
+    "metadata — byte length + content hash survive the binary hop "
+    "identically in both engines — then the decode stage via Arrow "
+    "mapInPandas (binary payload → typed image metadata). The decoder is "
+    "the documented deterministic STUB (no codecs in this container) — "
+    "which makes even the Python batch path value-checkable against SQL; "
+    "swap decode_image_stub for PIL/ffmpeg and the plumbing (schema, "
+    "batching, partitioning) holds",
     tags=("multimodal", "udf"),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:

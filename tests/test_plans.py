@@ -26,13 +26,14 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 
 def test_filters_and_projection_reach_parquet_scan(spark):
-    q = all_queries()["rel_projection_filter"]
+    q = all_queries()["rel_project_conditional"]
     plan = plan_of(q.fn(spark, SF))
     assert "PushedFilters: [" in plan
     assert re.search(r"PushedFilters: \[.*GreaterThan\(l_discount", plan), plan
-    # column pruning: the scan must not read all 11 lineitem columns
+    # column pruning: the scan must read only the 6 referenced columns
+    # (3 projected + discount/tax/shipdate), not all 11 lineitem columns
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m and len(m.group(1).split(",")) <= 5, m.group(0) if m else plan
+    assert m and len(m.group(1).split(",")) <= 6, m.group(0) if m else plan
 
 
 def test_dim_joins_broadcast(spark):
@@ -77,7 +78,8 @@ def test_no_python_udf_in_builtin_paths(spark):
         "agg_q1",
         "dedup_minhash_lsh",
         "sim_cosine_topk",
-        "text_sentiment",
+        "text_quality_score",
+        "news_pipeline",  # sentiment hot path = built-in fold, not the UDF
     ):
         plan = plan_of(all_queries()[name].fn(spark, SF), "simple")
         assert "BatchEvalPython" not in plan, name

@@ -116,3 +116,20 @@ def test_salted_join_equals_plain_join(spark, buckets):
     want = fact.join(dim, "k")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_sentiment_udf_equals_builtin(spark):
+    """The Arrow Pandas-UDF sentiment (UD1, registered) and the built-in
+    JVM composition (the hot path, exercised inside news_pipeline) are
+    bitwise-identical — half-point lexicon scores are binary-exact, so
+    summation order cannot perturb either side."""
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        sentiment_builtin,
+        sentiment_pandas_udf,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    b = {r.doc_id: r.s for r in docs.select("doc_id", sentiment_builtin("text").alias("s")).collect()}
+    u = {r.doc_id: r.s for r in docs.select("doc_id", sentiment_pandas_udf()("text").alias("s")).collect()}
+    assert b == u and len(b) > 0
