@@ -29,11 +29,16 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def events_stream_reader(spark: SparkSession, path: str) -> DataFrame:
+def events_stream_reader(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source streaming reader over the events fixture — the test
     stand-in for the Kafka topic (same rows, same schema, declared not
     inferred). NOTE: parquet ns-timestamps read as long under
-    nanosAsLong; declare ts as LongType then convert."""
+    nanosAsLong; declare ts as LongType then convert.
+    ``max_files_per_trigger`` is the file-source's batch-size cap (O3's
+    file-source analogue of maxOffsetsPerTrigger); tests use 1 to force
+    one micro-batch per file."""
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), False),
@@ -50,6 +55,8 @@ def events_stream_reader(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if not path.endswith("/") and "." in os.path.basename(path):
         # the file stream source wants a DIRECTORY; to stream a single
         # file, stream its parent filtered down to that file name

@@ -7,13 +7,22 @@ Semantics mapping (SURVEY §2.9):
   ST2 delivery         → checkpointed offsets + idempotent foreachBatch
                          (≥ the reference's manual-commit at-least-once)
   ST3 dedup            → dropDuplicates[WithinWatermark]
-  ST4 late data        → withWatermark + incremental tail recompute
+  ST4 late data        → withWatermark + incremental tail recompute;
+                         the indicator stream delete-and-rewrites the
+                         affected date partitions, so late batches
+                         REPLACE stale rows instead of leaving them
+  ST5 windows          → tumbling window() + native session_window
   ST6 state            → engine-checkpointed (vs the reference's
                          in-memory dicts lost on restart)
+
+Store layout: every sink here is date-partitioned (warehouse.py
+layout); per-batch reads are partition-pruned (PartitionFilters), so a
+micro-batch costs O(overlapping partitions), never O(history).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import itertools
 from collections.abc import Sequence
 
@@ -25,8 +34,34 @@ from crypto_data_pipeline_with_kafka_spark.operators.indicators import (
     compute_indicators,
 )
 from crypto_data_pipeline_with_kafka_spark.sources.readers import events_stream_reader
+from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
 
 _name_counter = itertools.count()
+
+_DT_FMT = "yyyy-MM-dd"
+
+
+def _with_dt(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach the date-partition column (warehouse.py layout)."""
+    return df.withColumn("dt", F.date_format(ts_col, _DT_FMT))
+
+
+def pruned_store_read(
+    spark: SparkSession, path: str, lo_dt: str | None, hi_dt: str | None
+) -> DataFrame:
+    """Read a date-partitioned store restricted to the ``[lo_dt, hi_dt]``
+    partition range — the predicate lands in PartitionFilters, so a
+    micro-batch's anti-join/history read touches O(overlapping
+    partitions), never O(history). (Plan-asserted in tests.)"""
+    df = spark.read.parquet(path)
+    if lo_dt is not None:
+        df = df.filter(F.col("dt") >= lo_dt)
+    if hi_dt is not None:
+        df = df.filter(F.col("dt") <= hi_dt)
+    # cast AFTER the filters so pruning sees the raw partition column
+    # (partition-type inference may have read dt as DATE; downstream
+    # unions expect the writer-side string form)
+    return df.withColumn("dt", F.col("dt").cast("string"))
 
 
 def run_to_memory(
@@ -72,21 +107,56 @@ def streaming_tumbling_counts(
     )
 
 
-def foreach_batch_idempotent_append(target_path: str, keys: Sequence[str]):
+def streaming_session_windows(
+    events: DataFrame, gap: str = "30 minutes", key: str = "user_id"
+) -> DataFrame:
+    """ST5: native streaming ``session_window`` aggregation — sessions
+    merge across micro-batches in the state store (the engine feature
+    the batch ``win_sessionize`` twin emulates with lag+cumsum). Session
+    end = last event + gap, the session_window convention."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def foreach_batch_idempotent_append(
+    target_path: str, keys: Sequence[str], ts_col: str | None = None
+):
     """ST2: exactly-once-to-idempotent-sink writer. Each micro-batch is
     anti-joined against the already-written keys before appending —
     the reference's INSERT IGNORE / anti-join dedup (spark_job_1.py:81-85)
     done once per batch instead of once per row. Redelivered batches
-    (crash between write and commit) land as no-ops."""
+    (crash between write and commit) land as no-ops.
+
+    With ``ts_col`` the target is date-partitioned (warehouse.py layout)
+    and the anti-join's existing side reads ONLY the partitions
+    overlapping the batch's time range — O(batch days), not O(history).
+    Target existence is probed explicitly (never a catch-all except that
+    would silently disable dedup on a transient read error)."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(target_path).select(*keys)
-            fresh = batch_df.join(existing, on=list(keys), how="left_anti")
-        except Exception:  # first batch: target doesn't exist yet
-            fresh = batch_df
-        fresh.write.mode("append").parquet(target_path)
+        df = _with_dt(batch_df, ts_col) if ts_col is not None else batch_df
+        if target_exists(spark, target_path):
+            if ts_col is not None:
+                b = df.agg(F.min("dt").alias("lo"), F.max("dt").alias("hi")).first()
+                existing = pruned_store_read(spark, target_path, b["lo"], b["hi"])
+            else:
+                existing = spark.read.parquet(target_path)
+            fresh = df.join(existing.select(*keys), on=list(keys), how="left_anti")
+        else:  # first batch: target doesn't exist yet
+            fresh = df
+        writer = fresh.write.mode("append")
+        if ts_col is not None:
+            writer = writer.partitionBy("dt")
+        writer.parquet(target_path)
 
     return _write
 
@@ -126,43 +196,90 @@ def run_incremental_indicator_stream(
     events_store: str,
     indicator_store: str,
     key_cols: Sequence[str] = ("user_id",),
+    lookback_days: int | None = None,
 ) -> None:
-    """Entry point A as a STREAMING query with incremental recompute:
-    each micro-batch appends its raw events to ``events_store`` and
-    writes exactly the indicator rows whose frames the batch affects
-    (tail recompute per key) to ``indicator_store`` — idempotently, so
-    redelivery is a no-op. After draining, ``indicator_store`` equals a
-    full-history batch recompute (asserted in tests)."""
-    from crypto_data_pipeline_with_kafka_spark.sources.readers import (
-        events_stream_reader,
-    )
+    """Entry point A as a STREAMING query with incremental recompute.
+    Both stores are **date-partitioned** (warehouse.py layout). Per
+    micro-batch:
 
-    stream = events_stream_reader(spark, source_path)
+    1. the batch is deduped against ``events_store`` (anti-join on
+       event_id, pruned to the batch's overlapping partitions) — a
+       redelivered batch reduces to a no-op here;
+    2. indicators are recomputed for the affected keys from each key's
+       first new timestamp onward (``incremental_indicator_batch``);
+    3. the affected ``indicator_store`` date partitions are
+       **delete-and-rewritten** via dynamic partition overwrite: kept
+       rows (other keys / earlier timestamps) ∪ recomputed rows. This —
+       unlike append+anti-join — is correct for LATE/OUT-OF-ORDER
+       batches too: a late batch that changes indicator values at
+       already-written timestamps replaces the stale rows instead of
+       leaving them (asserted by the out-of-order equivalence test);
+    4. the deduped raw events append to ``events_store``.
+
+    ``lookback_days`` bounds the per-batch history read to that many
+    date partitions before the batch's earliest event (PartitionFilters
+    prune the rest). The 14-ROW trailing frame needs the previous 13
+    rows per key, so the bound must cover each key's inter-event
+    spacing × 13; None (default) reads the affected keys' full history
+    (still key-pruned via semi-join, never O(all-keys)).
+
+    After draining, ``indicator_store`` equals a full-history batch
+    recompute regardless of batch arrival order."""
+    stream = events_stream_reader(spark, source_path, max_files_per_trigger=1)
     kc = list(key_cols)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
-        try:
-            history = s.read.parquet(events_store)
-        except Exception:
-            history = batch.limit(0)
-        inc = incremental_indicator_batch(history, batch, key_cols=kc)
-        try:
-            existing = s.read.parquet(indicator_store).select(
-                *kc, "type_name", "ts"
+        batch = _with_dt(batch)
+        bounds = batch.agg(F.min("dt").alias("lo"), F.max("dt").alias("hi")).first()
+        if bounds["lo"] is None:  # empty batch
+            return
+        stores_exist = target_exists(s, events_store)
+        if stores_exist:
+            # dedupe redelivered rows against the store, partition-pruned
+            seen = pruned_store_read(s, events_store, bounds["lo"], bounds["hi"])
+            fresh = batch.join(seen.select("event_id"), "event_id", "left_anti")
+            lo_hist = None
+            if lookback_days is not None:
+                lo = _dt.date.fromisoformat(bounds["lo"])
+                lo_hist = (lo - _dt.timedelta(days=lookback_days)).isoformat()
+            history = pruned_store_read(s, events_store, lo_hist, None).drop("dt")
+        else:
+            fresh = batch
+            history = batch.drop("dt").limit(0)
+        if fresh.isEmpty():  # fully-redelivered batch → no-op
+            return
+        f_lo = fresh.agg(F.min("dt").alias("lo")).first()["lo"]
+        inc = _with_dt(
+            incremental_indicator_batch(history, fresh.drop("dt"), key_cols=kc)
+        )
+        if target_exists(s, indicator_store):
+            first_new = fresh.groupBy(*kc).agg(F.min("ts").alias("_first_new_ts"))
+            # every stale row has ts >= its key's first_new >= min(fresh
+            # ts), so reading partitions from f_lo onward covers all of
+            # them; and because compute_indicators ALWAYS emits the SMA
+            # row for an event ts (only RSI/BB can null out), every
+            # partition holding stale rows reappears in `out` and is
+            # rewritten by the dynamic overwrite below
+            in_parts = pruned_store_read(s, indicator_store, f_lo, None)
+            keep = (
+                in_parts.join(first_new, kc, "left")
+                .filter(
+                    F.col("_first_new_ts").isNull()
+                    | (F.col("ts") < F.col("_first_new_ts"))
+                )
+                .drop("_first_new_ts")
             )
-            fresh = inc.join(existing, on=[*kc, "type_name", "ts"], how="left_anti")
-        except Exception:
-            fresh = inc
-        fresh.write.mode("append").parquet(indicator_store)
-        batch.write.mode("append").parquet(events_store)
+            # localCheckpoint truncates lineage so the overwrite below
+            # does not read from the path it is rewriting
+            out = keep.unionByName(inc).localCheckpoint(eager=True)
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            out.write.mode("overwrite").partitionBy("dt").parquet(indicator_store)
+        else:
+            inc.write.mode("append").partitionBy("dt").parquet(indicator_store)
+        fresh.write.mode("append").partitionBy("dt").parquet(events_store)
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("maxFilesPerTrigger", "1")
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
 
 

@@ -195,3 +195,86 @@ def test_stateful_streaming_ema_carries_state_across_batches(spark, tmp_path):
     w = want.select("user_id", "event_id", "ema")
     assert g.count() == w.count() == events.count()
     assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+
+
+def test_streaming_incremental_indicators_out_of_order_batches(spark, tmp_path):
+    """A LATE micro-batch (earlier timestamps arriving after later ones)
+    changes indicator values at already-written timestamps; the
+    delete-and-rewrite sink must replace those stale rows so the final
+    store still equals the full-history batch recompute. (Append+anti-join
+    — the round-1 sink — fails this: it would keep the stale rows.)"""
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_indicator_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    as_ns = events.withColumn("ts", F.unix_micros("ts") * 1000)
+    ts_back = F.timestamp_micros(F.expr("ts div 1000"))
+    # LATER slice lands first (file ordering = arrival ordering with
+    # maxFilesPerTrigger=1 and the file source's modified-time ordering)
+    as_ns.filter(ts_back >= cutoff).coalesce(1).write.parquet(src)
+    import time
+
+    time.sleep(1.1)  # distinct mtime so the late file is the 2nd batch
+    as_ns.filter(ts_back < cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    ev_store = str(tmp_path / "events_store")
+    ind_store = str(tmp_path / "ind_store")
+    run_incremental_indicator_stream(spark, src + "/*.parquet", ev_store, ind_store)
+
+    got = spark.read.parquet(ind_store).select("user_id", "ts", "type_name", "ind_value")
+    want = compute_indicators(events).select("user_id", "ts", "type_name", "ind_value")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_incremental_indicators_redelivery_noop(spark, tmp_path):
+    """Re-running the whole stream over the same source with a fresh
+    checkpoint (= every batch redelivered) must leave both stores
+    unchanged: the event anti-join reduces redelivered batches to
+    no-ops before any write."""
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_indicator_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.parquet(src)
+    ev_store = str(tmp_path / "events_store")
+    ind_store = str(tmp_path / "ind_store")
+    run_incremental_indicator_stream(spark, src + "/*.parquet", ev_store, ind_store)
+    n_ev = spark.read.parquet(ev_store).count()
+    n_ind = spark.read.parquet(ind_store).count()
+    run_incremental_indicator_stream(spark, src + "/*.parquet", ev_store, ind_store)
+    assert spark.read.parquet(ev_store).count() == n_ev
+    assert spark.read.parquet(ind_store).count() == n_ind
+
+
+def test_pruned_store_read_has_partition_filters(spark, tmp_path):
+    """The per-batch anti-join/history read must prune date partitions
+    at planning time (PartitionFilters), so a micro-batch reads
+    O(overlapping partitions) of the store, never O(history)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        pruned_store_read,
+    )
+    from crypto_data_pipeline_with_kafka_spark.warehouse import (
+        write_events_warehouse,
+    )
+
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "store")
+    write_events_warehouse(events, path)
+    ranged = pruned_store_read(spark, path, "2024-01-10", "2024-01-11")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ranged.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[.*dt", plan), plan
+    assert ranged.count() > 0
