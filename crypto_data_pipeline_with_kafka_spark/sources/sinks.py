@@ -49,3 +49,53 @@ def write_idempotent_append(
         fresh = df
     if non_empty(fresh):
         fresh.write.mode("append").parquet(target_path)
+
+
+def jdbc_append_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    batchsize: int = 10_000,
+):
+    """S6: configured JDBC append writer — the engine-side mirror of the
+    reference's warehouse INSERT (``dags/spark_job_1.py:89-93``: jdbc
+    url + dbtable + credentials + driver class, mode=append). Returned
+    unexecuted so callers (and the plan-level test — no JDBC driver jar
+    ships in this container) control when the connection is attempted.
+    ``batchsize`` is the rows-per-INSERT batch (the set-based answer to
+    the reference's row-at-a-time executemany)."""
+    return (
+        df.write.format("jdbc")
+        .mode("append")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", driver)
+        .option("batchsize", str(batchsize))
+    )
+
+
+def kafka_stream_writer(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    checkpoint_location: str | None = None,
+):
+    """S3: configured Kafka sink writer for a (key, value) frame shaped
+    by ``sources.kafka_messages.to_kafka_shape`` — the engine-side
+    mirror of the reference producer's keyed JSON send
+    (``dags/producer_prices.py:11-14,63``). Returned unexecuted: the
+    spark-sql-kafka package is not in this container, so ``.start()``
+    raises at source resolution (asserted by the plan-level test)."""
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer
