@@ -109,31 +109,55 @@ def brute_force_topk(
     """Exact cosine top-k for query vectors (id < query_ids_max) against
     the whole corpus (self excluded): broadcast the small query side,
     one array fold per (query, corpus) pair, window top-k.
-    Deterministic tie-break on id_b."""
-    base = with_q_and_norm(emb, id_col)
+    Deterministic tie-break on id_b.
+
+    Two-pass exactness: a primitive-double pass ranks all pairs, then
+    the expensive exact-decimal fold runs ONLY on pairs within 1e-6 of
+    each query's k-th approximate cosine. Double error is ≤ ~1e-12 per
+    pair, so any excluded pair is provably below ≥ k kept pairs in
+    EXACT cosine too — the emitted top-k (values and membership) is
+    identical to the all-exact computation, at a fraction of the folds."""
+    base = with_dbl_and_norm(emb, id_col).persist()
     q = base.select(
         F.col(id_col).alias("id_a"),
-        F.col("vq").alias("va"),
+        F.col("vdbl").alias("va"),
         F.col("norm_sq").alias("na"),
     ).filter(F.col("id_a") < query_ids_max)
     c = base.select(
         F.col(id_col).alias("id_b"),
-        F.col("vq").alias("vb"),
+        F.col("vdbl").alias("vb"),
         F.col("norm_sq").alias("nb"),
+    )
+    # norms are at the quantized scale (×1e24); rescale the raw double
+    # dot to match (same convention as cosine_for_pairs)
+    approx = (dot_double(F.col("va"), F.col("vb")) * F.lit(1e24)) / (
+        F.sqrt("na") * F.sqrt("nb")
     )
     pairs = (
         c.join(F.broadcast(q), F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_expr(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias(
-                "cosine"
-            ),
-        )
+        .withColumn("_apx", approx)
+    )
+    w_apx = Window.partitionBy("id_a").orderBy(F.col("_apx").desc(), F.col("id_b"))
+    ranked = pairs.withColumn("_ark", F.row_number().over(w_apx))
+    kth = ranked.filter(F.col("_ark") == k).select(
+        "id_a", F.col("_apx").alias("_kth_apx")
+    )
+    cand = ranked.join(F.broadcast(kth), "id_a", "left").filter(
+        F.col("_kth_apx").isNull() | (F.col("_apx") >= F.col("_kth_apx") - 1e-6)
+    )
+    exact = cand.select(
+        "id_a",
+        "id_b",
+        cosine_expr(
+            quantized_vector(F.col("va")),
+            quantized_vector(F.col("vb")),
+            F.col("na"),
+            F.col("nb"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        exact.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("id_a", "id_b", "cosine", F.col("rnk").cast("int").alias("rnk"))
     )

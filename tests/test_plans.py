@@ -144,3 +144,18 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert "Bucketed: true" in plan, plan
     assert joined.count() == events.count()
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+
+
+def test_simhash_pairs_no_forced_per_doc_broadcast(spark):
+    """The packed-signature relation is O(corpus) — one row per doc —
+    so simhash_pairs must NOT hint it broadcast (driver OOM at scale);
+    AQE may still choose a broadcast at runtime when it actually fits."""
+    import pyspark.sql.functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import simhash_pairs
+
+    sims = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lpad(F.bin("id"), 64, "0").alias("simhash")
+    )
+    logical = simhash_pairs(sims)._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in logical.lower(), logical
