@@ -89,11 +89,26 @@ def with_dbl_and_norm(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, vdbl, norm_sq): double components for cheap pair math +
-    EXACT squared norm (norms are O(corpus), so exactness is cheap;
-    pair dots are O(candidates), so those get the prefilter)."""
+    EXACT squared norm (right when most corpus rows end up in emitted
+    pairs, e.g. all-pairs near-dup — the norm fold amortizes)."""
     d = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
     q = quantized_vector(F.col("vdbl"))
     return d.withColumn("norm_sq", dot_exact(q, q))
+
+
+def with_dbl_and_approx_norm(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, vdbl, norm_sq): double components + PRIMITIVE-double squared
+    norm at the quantized scale (×1e24). For candidate-generation paths
+    where emitted pairs ≪ corpus: the per-row decimal norm fold is
+    skipped corpus-wide and exact norms are recomputed only for
+    surviving pairs (``cosine_for_pairs(exact_norms_in_base=False)``).
+    The ~1e-12 relative norm error is absorbed by the 1e-6 prefilter
+    margin and never reaches an emitted value."""
+    d = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
+    norm = dot_double(F.col("vdbl"), F.col("vdbl")) * F.lit(1e24)
+    return d.withColumn("norm_sq", norm)
 
 
 def cosine_expr(va: Column, vb: Column, na: Column, nb: Column) -> Column:
@@ -164,7 +179,10 @@ def brute_force_topk(
 
 
 def cosine_for_pairs(
-    base_dbl: DataFrame, pairs: DataFrame, min_cosine: float | None = None
+    base_dbl: DataFrame,
+    pairs: DataFrame,
+    min_cosine: float | None = None,
+    exact_norms_in_base: bool = True,
 ) -> DataFrame:
     """Exact cosine for an explicit (id_a, id_b) pair list: two hash
     joins to fetch the vectors, one array fold per pair. Cost |pairs|,
@@ -175,7 +193,12 @@ def cosine_for_pairs(
     ~7 orders of magnitude above double/decimal divergence) drops
     clearly-under-threshold pairs BEFORE the expensive exact-decimal
     fold — the emitted cosine is always the exact one, so results stay
-    bitwise oracle-equal."""
+    bitwise oracle-equal.
+
+    ``exact_norms_in_base=False`` says base_dbl carries approx double
+    norms (``with_dbl_and_approx_norm``); the exact norms are then
+    recomputed HERE, per surviving pair side — O(emitted pairs) decimal
+    folds instead of O(corpus)."""
     a = base_dbl.select(
         F.col("vec_id").alias("id_a"), F.col("vdbl").alias("va"), F.col("norm_sq").alias("na")
     )
@@ -192,10 +215,14 @@ def cosine_for_pairs(
         joined = joined.filter(approx >= min_cosine - 1e-6)
     va_q = quantized_vector(F.col("va"))
     vb_q = quantized_vector(F.col("vb"))
+    if exact_norms_in_base:
+        na, nb = F.col("na"), F.col("nb")
+    else:
+        na, nb = dot_exact(va_q, va_q), dot_exact(vb_q, vb_q)
     out = joined.select(
         "id_a",
         "id_b",
-        cosine_expr(va_q, vb_q, F.col("na"), F.col("nb")).alias("cosine"),
+        cosine_expr(va_q, vb_q, na, nb).alias("cosine"),
     )
     if min_cosine is not None:
         out = out.filter(F.col("cosine") >= min_cosine)
@@ -269,9 +296,12 @@ def lsh_ann_pairs(
 
     One scan of ``emb``: the (id, vdbl, norm_sq) base is computed once
     and persisted — both the bucket/banding stage and the verify stage
-    consume it, so the source is read (and the norms computed) once.
-    Caller owns the cache lifecycle (see operators.dedup module doc)."""
-    base = with_dbl_and_norm(emb, id_col).persist()
+    consume it, so the source is read once. Norms in the base are
+    APPROX doubles (prefilter-only); exact norms are recomputed inside
+    the verify stage for surviving pairs only — O(emitted) decimal
+    folds, not O(corpus). Caller owns the cache lifecycle (see
+    operators.dedup module doc)."""
+    base = with_dbl_and_approx_norm(emb, id_col).persist()
     buckets = lsh_buckets(base, num_planes, dim, id_col, vec_col="vdbl")
     width = num_planes // bands
     banded = buckets.select(
@@ -296,7 +326,9 @@ def lsh_ann_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return cosine_for_pairs(base, cand, min_cosine=min_cosine)
+    return cosine_for_pairs(
+        base, cand, min_cosine=min_cosine, exact_norms_in_base=False
+    )
 
 
 def all_pairs_cosine(
