@@ -278,3 +278,20 @@ def test_pruned_store_read_has_partition_filters(spark, tmp_path):
     plan = buf.getvalue()
     assert re.search(r"PartitionFilters: \[.*dt", plan), plan
     assert ranged.count() > 0
+
+
+def test_idempotent_foreach_batch_partitioned_prunes(spark, tmp_path):
+    """ts_col mode: the sink writes date-partitioned and the redelivery
+    anti-join reads only the batch's overlapping partitions."""
+    target = str(tmp_path / "fact")
+    batch = load_table(spark, SF, "events").limit(400)
+    writer = foreach_batch_idempotent_append(target, keys=["event_id"], ts_col="ts")
+    writer(batch, epoch_id=0)
+    writer(batch, epoch_id=0)  # redelivered → no-op
+    got = spark.read.parquet(target)
+    assert got.count() == 400
+    assert "dt" in got.columns  # date-partitioned layout
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(target, "dt=*")), "expected dt= partition dirs"
