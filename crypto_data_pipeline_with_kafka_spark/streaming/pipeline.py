@@ -247,6 +247,16 @@ def run_incremental_indicator_stream(
         else:
             fresh = batch
             history = batch.drop("dt").limit(0)
+        # `fresh` feeds several actions in this batch (emptiness probe,
+        # bounds, recompute, two writes) — persist so the store anti-join
+        # runs once, and release before the next micro-batch
+        fresh = fresh.persist()
+        try:
+            _handle_fresh(s, fresh, history)
+        finally:
+            fresh.unpersist()
+
+    def _handle_fresh(s: SparkSession, fresh: DataFrame, history: DataFrame) -> None:
         if fresh.isEmpty():  # fully-redelivered batch → no-op
             return
         f_lo = fresh.agg(F.min("dt").alias("lo")).first()["lo"]
