@@ -278,10 +278,24 @@ def simhash_bits(
         p, k = divmod(j, 4)
         ones = F.shiftright(F.col(f"s{p}"), _SIMHASH_LANE_BITS * k) % _SIMHASH_LANE
         bit_cols.append((ones * 2 > F.col("n")).cast("int").cast("string"))
-    per_doc = agg.select(
-        F.col(id_col),
-        F.concat(*bit_cols).alias("simhash"),
+    # Loud failure, never silent corruption: a document at or past the
+    # lane bound would carry into the adjacent bit counter, so refuse it
+    # at execution time (the replaced 64-column formulation had no such
+    # bound; callers hitting this must chunk upstream).
+    guard = F.when(
+        F.col("n") < _SIMHASH_LANE, F.concat(*bit_cols)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"simhash: document token count exceeds {_SIMHASH_LANE - 1} "
+                    "(packed-lane bound); chunk the document upstream — doc id "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
     )
+    per_doc = agg.select(F.col(id_col), guard.alias("simhash"))
     return per_doc
 
 

@@ -138,8 +138,13 @@ def foreach_batch_idempotent_append(
     With ``ts_col`` the target is date-partitioned (warehouse.py layout)
     and the anti-join's existing side reads ONLY the partitions
     overlapping the batch's time range — O(batch days), not O(history).
-    Target existence is probed explicitly (never a catch-all except that
-    would silently disable dedup on a transient read error)."""
+    CONTRACT of the pruned mode: a key's event time must be immutable
+    (true for event-keyed facts like klines, where the timestamp is part
+    of the event identity). A key redelivered with a DIFFERENT date
+    would not be seen by the pruned anti-join; for mutable-time keys use
+    the default (unpruned) mode. Target existence is probed explicitly
+    (never a catch-all except that would silently disable dedup on a
+    transient read error)."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
