@@ -35,7 +35,7 @@ HEADLINE = (
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",
-    "text_quality_score",
+    "text_profile",
     "news_pipeline",  # sentiment hot path (built-in fold) + dim + anti-join
     "stream_tumbling_counts",
 )

@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 # rounds such ties half-up while DuckDB rounds half-even. trunc() of the
 # identical IEEE product x*1e12 can never disagree.
 _QSCALE = 1e12
+# Prefilter-margin domain bound (every 1e-6 margin below relies on it):
+# the emitted value is the exact cosine of the TRUNC-QUANTIZED vectors,
+# while prefilters rank the raw-double cosine. Quantization perturbs
+# each component by < 1/_QSCALE, so
+#   |cos_quantized − cos_raw| ≤ 4·sqrt(dim)/(_QSCALE·n_min)
+# (n_min = smallest vector L2 norm in play) plus ~1e-13 of double
+# summation error. At dim=64 that is ≈ 3.2e-11/n_min — safely inside
+# the 1e-6 margin (≥ 30× headroom) whenever every vector norm ≥ 1e-3.
+# Degenerate near-zero vectors (norm < 1e-3) void the two-pass
+# exactness proof; the test corpus and any real embedding table are
+# orders of magnitude above the bound.
 _QDEC = "decimal(14,0)"  # |q| ≤ ~8e12 → 13 digits
 # Accumulator precision 37 (not 38): Spark types d(37,0) + d(29,0) as
 # d(38,0) without loss; the post-add cast back to d(37,0) is exact
@@ -128,10 +139,17 @@ def brute_force_topk(
 
     Two-pass exactness: a primitive-double pass ranks all pairs, then
     the expensive exact-decimal fold runs ONLY on pairs within 1e-6 of
-    each query's k-th approximate cosine. Double error is ≤ ~1e-12 per
-    pair, so any excluded pair is provably below ≥ k kept pairs in
-    EXACT cosine too — the emitted top-k (values and membership) is
-    identical to the all-exact computation, at a fraction of the folds."""
+    each query's k-th approximate cosine. The approx→exact gap is
+    double-summation error (~1e-13) plus the quantization perturbation
+    bounded at the _QSCALE comment above (≈3.2e-11/n_min at dim=64) —
+    both ≥ 30× inside the margin for any corpus with vector norms
+    ≥ 1e-3 — so any excluded pair is provably below ≥ k kept pairs in
+    EXACT cosine too: the emitted top-k (values and membership) is
+    identical to the all-exact computation, at a fraction of the folds.
+
+    The (id, vdbl, norm_sq) base is persisted so the query and corpus
+    sides share one scan; caller owns the cache lifecycle (unpersist /
+    clearCache when done — see operators.dedup module doc)."""
     base = with_dbl_and_norm(emb, id_col).persist()
     q = base.select(
         F.col(id_col).alias("id_a"),
@@ -331,16 +349,53 @@ def lsh_ann_pairs(
     )
 
 
+# all_pairs_cosine is a theta self-join: pairs grow as n²/2. Past this
+# many corpus rows the plan is a scale-killer by construction, so refuse
+# loudly instead of silently launching ~10^10 folds.
+_ALL_PAIRS_MAX_ROWS = 100_000
+
+
 def all_pairs_cosine(
-    emb: DataFrame, min_cosine: float = 0.4, id_col: str = "vec_id"
+    emb: DataFrame,
+    min_cosine: float = 0.4,
+    id_col: str = "vec_id",
+    max_corpus_rows: int = _ALL_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (brute force, id_a < id_b) —
     ground truth for the ANN variants; O(n²) array folds, only for
     modest corpora or as a per-bucket subroutine. Double prefilter +
-    exact-decimal emit, like cosine_for_pairs."""
+    exact-decimal emit, like cosine_for_pairs.
+
+    Guarded against large corpora (same loud-failure pattern as the
+    simhash lane bound, operators/dedup.py): a one-row count aggregate
+    is broadcast-joined into the pair plan and ``raise_error``s at
+    execution time when the corpus exceeds ``max_corpus_rows`` — the
+    scale path for big corpora is ``lsh_ann_pairs``. The guard is lazy
+    (no extra driver action) and costs one map-side count."""
     base = with_dbl_and_norm(emb, id_col)
+    n = F.count(F.lit(1))
+    guard = base.agg(
+        F.when(n <= max_corpus_rows, F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("all_pairs_cosine: corpus has "),
+                    n.cast("string"),
+                    F.lit(
+                        f" rows (> {max_corpus_rows}); this is the O(n²) "
+                        "ground-truth baseline — use lsh_ann_pairs for "
+                        "large corpora, or raise max_corpus_rows "
+                        "explicitly"
+                    ),
+                )
+            )
+        )
+        .alias("_apc_ok")
+    )
     pairs = (
         base.select(F.col(id_col).alias("id_a"))
         .join(base.select(F.col(id_col).alias("id_b")), F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(guard), F.col("_apc_ok") == 1)
+        .drop("_apc_ok")
     )
     return cosine_for_pairs(base, pairs, min_cosine=min_cosine)

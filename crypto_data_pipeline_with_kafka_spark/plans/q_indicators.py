@@ -150,9 +150,10 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ind_ema",
-    f"""
+# Shared by ind_ema (batch applyInPandas) and stream_stateful_ema (the
+# applyInPandasWithState twin in q_streaming): the recursive CTE runs
+# the identical IEEE recurrence, so both Python paths are value-exact.
+EMA_ORACLE_SQL = f"""
     WITH RECURSIVE ordered AS (
       SELECT user_id, event_id, ts, value,
              CAST(row_number() OVER ({_WO}) AS BIGINT) AS rn
@@ -166,7 +167,12 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
     )
     SELECT user_id, event_id, ts, value, ema FROM r
-    """,
+    """
+
+
+@register(
+    "ind_ema",
+    EMA_ORACLE_SQL,
     doc="EMA (α=0.125, binary-exact): the RECURSIVE indicator a Spark "
     "window cannot express (SURVEY §2.10) — applyInPandas per key with "
     "an Arrow-batched ordered walk; oracle is a recursive CTE running "

@@ -335,7 +335,9 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="§2.4 approx family in one rows-only query: approx_count_distinct "
     "(HLL) + percentile_approx (GK quantile sketch). Sketch values differ "
     "by engine, so no value oracle; the exact twins (agg_count_distinct, "
-    "agg_median_manual) are the value-checked ones",
+    "agg_median_manual) are the value-checked ones. Quartiles are emitted "
+    "as three scalar columns (not array<double>) so the driver's pandas "
+    "canonicalizer can factorize/hash the rows",
     tags=("agg", "approx"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,9 +346,9 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_quantity", [0.25, 0.5, 0.75]).alias(
-                "qty_quartiles"
-            ),
+            F.percentile_approx("l_quantity", 0.25).alias("qty_q25"),
+            F.percentile_approx("l_quantity", 0.5).alias("qty_q50"),
+            F.percentile_approx("l_quantity", 0.75).alias("qty_q75"),
         )
     )
 

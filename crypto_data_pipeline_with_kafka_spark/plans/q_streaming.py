@@ -11,6 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crypto_data_pipeline_with_kafka_spark.plans.q_indicators import EMA_ORACLE_SQL
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 from crypto_data_pipeline_with_kafka_spark.sources.readers import events_stream_reader
 from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
@@ -93,3 +94,55 @@ def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = streaming_session_windows(_stream(spark, sf_dir))
     return run_to_memory(sw, output_mode="complete", name_prefix="session_window")
+
+
+@register(
+    "stream_idempotent_replay",
+    """
+    SELECT event_id, user_id, event_type, value, ts FROM events
+    """,
+    doc="ST2/S7: exactly-once-to-idempotent-sink delivery, value-checked "
+    "— the SAME micro-batch is delivered TWICE through "
+    "foreach_batch_idempotent_append into a fresh date-partitioned store "
+    "(crash-between-write-and-commit redelivery); the second delivery is "
+    "absorbed by the partition-pruned anti-join, so the read-back store "
+    "equals one clean copy of the batch (oracle: plain SELECT — "
+    "event_id is the batch key and is unique). Replaces the reference's "
+    "at-least-once manual commit + per-row INSERT IGNORE "
+    "(consumer_prices.py:70-81)",
+    tags=("streaming", "sink"),
+)
+def stream_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        foreach_batch_idempotent_append,
+    )
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    batch = load_table(spark, sf_dir, "events").select(*cols)
+    target = os.path.join(tempfile.mkdtemp(prefix="replay_store_"), "store")
+    sink = foreach_batch_idempotent_append(target, keys=["event_id"], ts_col="ts")
+    sink(batch, 0)
+    sink(batch, 1)  # redelivered batch → anti-join no-op
+    return spark.read.parquet(target).select(*cols)
+
+
+@register(
+    "stream_stateful_ema",
+    EMA_ORACLE_SQL,  # shared with ind_ema — identical IEEE recurrence
+    doc="ST6: checkpointed per-key state — the recursive EMA as a "
+    "STREAMING query (applyInPandasWithState, engine-managed state "
+    "store) run to completion via AvailableNow + memory sink; the "
+    "oracle is ind_ema's recursive CTE, so the stateful streaming path "
+    "is value-equal to both the batch applyInPandas walk and the SQL "
+    "recurrence. Replaces the reference's in-memory producer dicts "
+    "lost on restart (producer_prices.py:31)",
+    tags=("streaming", "udf", "recursive"),
+)
+def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.streaming.stateful import streaming_ema
+
+    out = streaming_ema(_stream(spark, sf_dir), alpha=0.125)
+    return run_to_memory(out, output_mode="append", name_prefix="stateful_ema")

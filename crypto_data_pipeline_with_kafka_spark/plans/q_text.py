@@ -44,95 +44,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_quality_score",
+    "text_profile",
     rf"""
-    WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents)
-    SELECT doc_id,
-      CAST(len(ws) AS BIGINT) AS n_words,
-      CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
-      CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
-      CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
-      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_word_len,
-      CAST(len(list_filter(ws, w -> w IN {STOPWORDS!r})) AS DOUBLE) / len(ws) AS stopword_ratio,
-      (len(ws) >= 20 AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.2) AS quality_ok
-    FROM toks
-    """,
-    doc="Quality scoring + token counting in one checked plan: "
-    "whitespace-token count, BPE-ish regex token count (letter runs / "
-    "digit runs / single marks), distinct-token ratio, avg word length, "
-    "stopword ratio, and a pass flag (LLM-data quality gates)",
-    tags=("text",),
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ws = tokens("text")
-    n = F.size(ws)
-    n_dis = F.size(F.array_distinct(ws))
-    sum_len = F.aggregate(
-        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
-    )
-    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-    distinct_ratio = n_dis.cast("double") / n
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        n.cast("long").alias("n_words"),
-        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias(
-            "n_bpe_tokens"
-        ),
-        n_dis.cast("long").alias("n_distinct"),
-        distinct_ratio.alias("distinct_ratio"),
-        (sum_len.cast("double") / n).alias("avg_word_len"),
-        (n_stop.cast("double") / n).alias("stopword_ratio"),
-        ((n >= 20) & (distinct_ratio >= 0.2)).alias("quality_ok"),
-    )
-
-
-@register(
-    "text_lang_id",
-    f"""
-    WITH {_TOKS},
-    sc AS (
-      SELECT doc_id, lang,
+    WITH toks AS (SELECT doc_id, lang, text, string_split(trim(text), ' ') AS ws FROM documents),
+    q AS (
+      SELECT doc_id, lang, text,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+        CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+        CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_word_len,
+        CAST(len(list_filter(ws, w -> w IN {STOPWORDS!r})) AS DOUBLE) / len(ws) AS stopword_ratio,
+        (len(ws) >= 20 AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.2) AS quality_ok,
         CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws) AS score_en,
         CAST(len(list_filter(ws, w -> w IN ('query', 'table', 'row'))) AS DOUBLE) / len(ws) AS score_query,
         CAST(len(list_filter(ws, w -> w IN ('scan', 'join', 'hash', 'sort'))) AS DOUBLE) / len(ws) AS score_exec
       FROM toks
-    )
-    SELECT doc_id, lang, score_en, score_query, score_exec,
-           CASE WHEN score_en >= score_query AND score_en >= score_exec THEN 'en'
-                WHEN score_query >= score_exec THEN 'query'
-                ELSE 'exec' END AS predicted
-    FROM sc
-    """,
-    doc="Language-ID heuristic: marker-token hit ratios + argmax with "
-    "deterministic tie-break (n-gram/stopword LID shape; real deployments "
-    "swap in per-language stopword lexicons)",
-    tags=("text",),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scores = lang_scores("text")
-    df = _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        scores["en"].alias("score_en"),
-        scores["query"].alias("score_query"),
-        scores["exec"].alias("score_exec"),
-    )
-    return df.withColumn(
-        "predicted",
-        F.when(
-            (F.col("score_en") >= F.col("score_query"))
-            & (F.col("score_en") >= F.col("score_exec")),
-            F.lit("en"),
-        )
-        .when(F.col("score_query") >= F.col("score_exec"), F.lit("query"))
-        .otherwise(F.lit("exec")),
-    )
-
-
-@register(
-    "text_fingerprint",
-    """
-    WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents),
+    ),
     sh AS (
       SELECT doc_id,
              unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -143,32 +71,72 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, min(md5(shingle)) AS fp_min, max(md5(shingle)) AS fp_max
       FROM sh GROUP BY doc_id
     )
-    SELECT d.doc_id, md5(d.text) AS content_hash,
+    SELECT q.doc_id, q.lang, q.n_words, q.n_bpe_tokens, q.n_distinct,
+           q.distinct_ratio, q.avg_word_len, q.stopword_ratio, q.quality_ok,
+           q.score_en, q.score_query, q.score_exec,
+           CASE WHEN score_en >= score_query AND score_en >= score_exec THEN 'en'
+                WHEN score_query >= score_exec THEN 'query'
+                ELSE 'exec' END AS predicted,
+           md5(q.text) AS content_hash,
            fp.fp_min, fp.fp_max, substr(fp.fp_min, 1, 8) AS short_fp
-    FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+    FROM q LEFT JOIN fp ON fp.doc_id = q.doc_id
     """,
-    doc="Document fingerprinting: content hash + min/max shingle hash "
-    "(rolling-hash family; the min-hash fingerprint doubles as a "
-    "1-permutation MinHash)",
+    doc="Text-analysis profile — quality scoring, language-ID and "
+    "fingerprinting over `documents` in ONE checked plan (merged from "
+    "the round-2 text_quality_score / text_lang_id / text_fingerprint "
+    "rows; every column of all three survives). Per-row leg: "
+    "whitespace-token count, BPE-ish regex token count, distinct-token "
+    "ratio, avg word length, stopword ratio, quality flag (LLM-data "
+    "quality gates), marker-token LID scores + argmax with deterministic "
+    "tie-break, md5 content hash. Aggregate leg: min/max shingle hash "
+    "(rolling-hash family; the min doubles as a 1-permutation MinHash), "
+    "left-joined so <3-token docs keep NULL fingerprints. All JVM "
+    "built-ins — no Python in the hot path",
     tags=("text", "dedup"),
 )
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = shingle_rows(docs)
-    fp = sh.groupBy("doc_id").agg(
+    ws = tokens("text")
+    n = F.size(ws)
+    n_dis = F.size(F.array_distinct(ws))
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    distinct_ratio = n_dis.cast("double") / n
+    scores = lang_scores("text")
+    per_row = docs.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        n_dis.cast("long").alias("n_distinct"),
+        distinct_ratio.alias("distinct_ratio"),
+        (sum_len.cast("double") / n).alias("avg_word_len"),
+        (n_stop.cast("double") / n).alias("stopword_ratio"),
+        ((n >= 20) & (distinct_ratio >= 0.2)).alias("quality_ok"),
+        scores["en"].alias("score_en"),
+        scores["query"].alias("score_query"),
+        scores["exec"].alias("score_exec"),
+        F.md5("text").alias("content_hash"),
+    ).withColumn(
+        "predicted",
+        F.when(
+            (F.col("score_en") >= F.col("score_query"))
+            & (F.col("score_en") >= F.col("score_exec")),
+            F.lit("en"),
+        )
+        .when(F.col("score_query") >= F.col("score_exec"), F.lit("query"))
+        .otherwise(F.lit("exec")),
+    )
+    fp = shingle_rows(docs).groupBy("doc_id").agg(
         F.min(F.md5("shingle")).alias("fp_min"),
         F.max(F.md5("shingle")).alias("fp_max"),
     )
-    return (
-        docs.select("doc_id", F.md5("text").alias("content_hash"))
-        .join(fp, "doc_id")
-        .select(
-            "doc_id",
-            "content_hash",
-            "fp_min",
-            "fp_max",
-            F.substring("fp_min", 1, 8).alias("short_fp"),
-        )
+    return per_row.join(fp, "doc_id", "left").withColumn(
+        "short_fp", F.substring("fp_min", 1, 8)
     )
 
 

@@ -24,11 +24,27 @@ def target_exists(spark: SparkSession, path: str) -> bool:
     """Explicit existence probe for a sink path (any Hadoop-supported
     scheme). Used instead of catch-all ``except`` around the read: a
     transient IO/permission/corrupt-footer error must PROPAGATE, not
-    silently disable the idempotence anti-join and append duplicates."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(hconf).exists(p)
+    silently disable the idempotence anti-join and append duplicates.
+
+    Classic (py4j) sessions use the Hadoop FileSystem directly. Under
+    Spark Connect the py4j internals don't exist, so fall back to a
+    schema probe that catches ONLY the path-not-found AnalysisException
+    (``PATH_NOT_FOUND`` error class) — anything else still propagates."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(hconf).exists(p)
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.format("parquet").load(path).schema
+        return True
+    except AnalysisException as e:
+        klass = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if klass == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return False
+        raise
 
 
 def write_idempotent_append(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import itertools
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -225,11 +226,24 @@ def run_incremental_indicator_stream(
     date partitions before the batch's earliest event (PartitionFilters
     prune the rest). The 14-ROW trailing frame needs the previous 13
     rows per key, so the bound must cover each key's inter-event
-    spacing × 13; None (default) reads the affected keys' full history
-    (still key-pruned via semi-join, never O(all-keys)).
+    spacing × 13 (e.g. hourly klines → 1 day covers it 1.8×; daily
+    bars → pass ≥ 13). None reads the affected keys' full history
+    (still key-pruned via semi-join, never O(all-keys)) and WARNS:
+    an unbounded tail read per micro-batch is the reference's own
+    O(history) rerun shape (spark_job_1.py:18-22) and a foot-gun at
+    100 TB — pass an explicit bound in production.
 
     After draining, ``indicator_store`` equals a full-history batch
     recompute regardless of batch arrival order."""
+    if lookback_days is None:
+        warnings.warn(
+            "run_incremental_indicator_stream: lookback_days is None — each "
+            "micro-batch reads the affected keys' FULL history (key-pruned "
+            "but unbounded in time). Pass lookback_days >= max per-key "
+            f"inter-event spacing in days x {WINDOW_ROWS - 1} to bound the "
+            "per-batch tail read via partition pruning.",
+            stacklevel=2,
+        )
     stream = events_stream_reader(spark, source_path, max_files_per_trigger=1)
     kc = list(key_cols)
 
@@ -288,8 +302,16 @@ def run_incremental_indicator_stream(
             # localCheckpoint truncates lineage so the overwrite below
             # does not read from the path it is rewriting
             out = keep.unionByName(inc).localCheckpoint(eager=True)
-            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            out.write.mode("overwrite").partitionBy("dt").parquet(indicator_store)
+            # dynamic overwrite scoped to THIS writer (per-writer option
+            # takes precedence over the session conf) — a session-global
+            # conf.set would silently flip later overwrite+partitionBy
+            # writes elsewhere in the session to dynamic semantics
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("dt")
+                .parquet(indicator_store)
+            )
         else:
             inc.write.mode("append").partitionBy("dt").parquet(indicator_store)
         fresh.write.mode("append").partitionBy("dt").parquet(events_store)

@@ -98,3 +98,17 @@ def test_jaccard_doc_freq_cap_is_precision_preserving(spark):
     assert set(capped) <= set(full)
     for k, v in capped.items():
         assert v <= full[k] + 1e-12
+
+
+def test_all_pairs_cosine_guard_refuses_large_corpus(spark):
+    """The O(n²) ground-truth baseline must fail LOUDLY past the corpus
+    bound (the scale path is lsh_ann_pairs), and still work under it."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        all_pairs_cosine,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(30)
+    with pytest.raises(Exception, match="lsh_ann_pairs"):
+        all_pairs_cosine(emb, max_corpus_rows=10).count()
+    # under the bound the same plan runs clean
+    assert all_pairs_cosine(emb, max_corpus_rows=30).count() >= 0

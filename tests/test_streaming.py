@@ -295,3 +295,39 @@ def test_idempotent_foreach_batch_partitioned_prunes(spark, tmp_path):
     import os
 
     assert glob.glob(os.path.join(target, "dt=*")), "expected dt= partition dirs"
+
+
+def test_incremental_stream_lookback_warns_and_bounded_equivalence(
+    spark, tmp_path
+):
+    """lookback_days=None must WARN (unbounded per-batch tail read — the
+    reference's own O(history) shape); an explicit bound that covers the
+    frame (13 prior rows per key) must produce the identical store."""
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_indicator_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.parquet(src)
+
+    with pytest.warns(UserWarning, match="lookback_days"):
+        run_incremental_indicator_stream(
+            spark, src + "/*.parquet", str(tmp_path / "ev_a"), str(tmp_path / "ind_a")
+        )
+    # sf0.001 spans ~1 month; 60 days covers any key's 13-row tail
+    run_incremental_indicator_stream(
+        spark,
+        src + "/*.parquet",
+        str(tmp_path / "ev_b"),
+        str(tmp_path / "ind_b"),
+        lookback_days=60,
+    )
+    a = spark.read.parquet(str(tmp_path / "ind_a")).select(
+        "user_id", "ts", "type_name", "ind_value"
+    )
+    b = spark.read.parquet(str(tmp_path / "ind_b")).select(
+        "user_id", "ts", "type_name", "ind_value"
+    )
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
