@@ -53,12 +53,16 @@ def main() -> None:
     qs = queries()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        best, rows = float("inf"), 0
-        for _ in range(2):  # min-of-2: the box carries background load
+        best, rows, runs = float("inf"), 0, 0
+        # min-of-2, and a 3rd run for sub-second queries: host-load noise
+        # swings short queries ±40%, so they get one extra sample while
+        # the expensive queries (where a run costs real time) stay at 2
+        while runs < 2 or (best < 1.0 and runs < 3):
             spark.catalog.clearCache()  # isolate queries: no leftover persists
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            runs += 1
         per_query[name] = round(best, 3)
         print(f"# {name}: {per_query[name]:.3f}s ({rows} rows)", file=sys.stderr)
 

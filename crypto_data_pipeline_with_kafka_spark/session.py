@@ -38,6 +38,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Config-gated Kafka transport: this container ships no
+    # spark-sql-kafka jars, so the Kafka surface is plan-level by
+    # default. An environment that CAN provide them sets e.g.
+    #   SPARK_KAFKA_PACKAGE=org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.0
+    # and the package lands on the session classpath (plus
+    # SPARK_KAFKA_BOOTSTRAP for the live round-trip test).
+    kafka_pkg = os.environ.get("SPARK_KAFKA_PACKAGE")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -50,6 +58,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if kafka_pkg:
+        builder = builder.config("spark.jars.packages", kafka_pkg)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

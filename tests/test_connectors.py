@@ -9,6 +9,8 @@ JDBC out)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
@@ -26,6 +28,10 @@ from crypto_data_pipeline_with_kafka_spark.sources.sinks import (
 SF = "/root/testdata/sf0.01"
 
 
+@pytest.mark.skipif(
+    bool(os.environ.get("SPARK_KAFKA_PACKAGE")),
+    reason="kafka package on classpath — lookup-failure assertion does not apply",
+)
 def test_kafka_reader_writer_plan(spark, tmp_path):
     """Kafka source/sink plans: options assemble, the key/value
     projection matches the Kafka sink contract, and resolution fails
@@ -71,3 +77,43 @@ def test_jdbc_write_options(spark):
     )
     with pytest.raises(Exception, match="com.mysql.cj.jdbc.Driver"):
         writer.save()
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("SPARK_KAFKA_PACKAGE") and os.environ.get("SPARK_KAFKA_BOOTSTRAP")),
+    reason="live Kafka round-trip needs SPARK_KAFKA_PACKAGE (session "
+    "classpath, see session.get_spark) + SPARK_KAFKA_BOOTSTRAP (broker)",
+)
+def test_kafka_live_roundtrip(spark):
+    """The full transport, the moment an environment provides it: the
+    keyed-JSON frame from to_kafka_shape is produced to a real topic and
+    read back byte-identical — upgrading S3/S4 from plan-level to
+    executed with ZERO engine-code changes (only session classpath +
+    broker address)."""
+    import uuid
+
+    bootstrap = os.environ["SPARK_KAFKA_BOOTSTRAP"]
+    topic = f"engine_it_{uuid.uuid4().hex[:8]}"
+    shaped = to_kafka_shape(
+        load_table(spark, SF, "events").limit(100).select(
+            "user_id", "event_type", "value"
+        ),
+        key_cols=["user_id", "event_type"],
+    )
+    (
+        shaped.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    back = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+    )
+    assert back.count() == 100
+    assert shaped.exceptAll(back).count() == 0
+    assert back.exceptAll(shaped).count() == 0
