@@ -251,7 +251,11 @@ def simhash_bits(
     # Hash bits depend only on the WORD: compute the 16 packed lane
     # values once per distinct word (vocab ≪ corpus — it grows
     # sublinearly, so the broadcast is safe where a per-doc broadcast
-    # would not be) and join them back.
+    # would not be) and join them back. (Inlining the 64-op md5/pack
+    # expression tree per (doc, word) row instead was measured ~2×
+    # SLOWER end to end at sf0.1 — the giant per-row expression defeats
+    # codegen — so per-vocab-word evaluation is the right shape at any
+    # scale.)
     vocab = wc.select("w").distinct().withColumn(
         "h", F.substring(F.md5("w"), 1, 16)
     )
