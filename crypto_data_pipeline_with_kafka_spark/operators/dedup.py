@@ -211,6 +211,46 @@ def minhash_lsh_dedup(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 8192,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into ≤ ``max_tokens``-token chunks with
+    ``overlap`` shared tokens between consecutive chunks — the upstream
+    remedy the simhash lane guard (and any bounded-per-doc operator)
+    points at, and the standard pre-tokenization step of an LLM data
+    pipeline. Returns (id, chunk_id, text, n_tokens); docs at or under
+    the bound pass through as chunk 0.
+
+    Deterministic and declarative: one ``sequence`` + ``transform`` +
+    ``posexplode`` over the token array — chunk i covers tokens
+    [i·stride, i·stride + max_tokens) with stride = max_tokens −
+    overlap, so every window of ≤ overlap+1 consecutive tokens lands
+    intact in some chunk (shingles/minhash windows spanning a cut are
+    not lost). Emitted text is whitespace-NORMALIZED (tokens rejoined
+    with single spaces) — identical to what tokens() downstream would
+    see anyway. No shuffle at all: chunking is a per-row flatMap the
+    optimizer pipelines into the scan."""
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_ws"))
+    n = F.size("_ws")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice("_ws", i * stride + 1, max_tokens)),
+    )
+    return toked.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", text_col)
+    ).withColumn("n_tokens", F.size(tokens(text_col)))
+
+
 # --------------------------------------------------------------- SimHash
 
 _HEX = "0123456789abcdef"
@@ -293,7 +333,8 @@ def simhash_bits(
             F.concat(
                 F.lit(
                     f"simhash: document token count exceeds {_SIMHASH_LANE - 1} "
-                    "(packed-lane bound); chunk the document upstream — doc id "
+                    "(packed-lane bound); chunk upstream with "
+                    "chunk_documents() — doc id "
                 ),
                 F.col(id_col).cast("string"),
             )

@@ -154,3 +154,55 @@ def test_ivf_centroid_pick_plans_as_take_ordered(spark):
         ivf_assignments(emb).explain("formatted")
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunk_documents_invariants(spark):
+    """Chunking contract: short docs pass through as one normalized
+    chunk; long docs split into ≤max_tokens chunks whose non-overlap
+    parts reconstruct the original token stream; consecutive chunks
+    share exactly `overlap` tokens."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import chunk_documents
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    one = chunk_documents(docs, max_tokens=10_000, overlap=64)
+    assert one.count() == 20
+    assert one.filter("chunk_id != 0").count() == 0
+
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(1000)))], "doc_id long, text string"
+    )
+    ch = chunk_documents(long_doc, max_tokens=300, overlap=50).orderBy("chunk_id")
+    rows = ch.collect()
+    # stride 250: ceil((1000-50)/250) = 4 chunks
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert all(r.n_tokens <= 300 for r in rows)
+    toks = [r.text.split(" ") for r in rows]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    for a, b in zip(toks, toks[1:]):
+        assert a[-50:] == b[:50]
+    # non-overlap reconstruction = the original stream
+    rebuilt = toks[0] + [t for c in toks[1:] for t in c[50:]]
+    assert rebuilt == [f"w{i}" for i in range(1000)]
+
+
+def test_simhash_long_doc_guard_and_chunk_remedy(spark):
+    """A document past the packed-lane bound must fail LOUDLY (pointing
+    at chunk_documents), and the documented remedy must actually work:
+    chunked, the same corpus simhashes cleanly."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_documents,
+        simhash_bits,
+    )
+
+    n = 17_000  # > 2^14 lane bound
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i % 97}" for i in range(n)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="chunk_documents"):
+        simhash_bits(long_doc).collect()
+    chunked = chunk_documents(long_doc, max_tokens=8192, overlap=64).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"), "text"
+    )
+    sims = simhash_bits(chunked).collect()
+    assert len(sims) == 3  # ceil((17000-64)/8128) = 3 chunks
+    assert all(len(r.simhash) == 64 for r in sims)
