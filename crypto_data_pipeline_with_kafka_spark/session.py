@@ -38,13 +38,22 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
-    # Config-gated Kafka transport: this container ships no
-    # spark-sql-kafka jars, so the Kafka surface is plan-level by
-    # default. An environment that CAN provide them sets e.g.
+    # Config-gated connector transports: this container ships neither
+    # spark-sql-kafka jars nor a JDBC driver jar, so both surfaces are
+    # plan-level by default. An environment that CAN provide them sets
     #   SPARK_KAFKA_PACKAGE=org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.0
-    # and the package lands on the session classpath (plus
-    # SPARK_KAFKA_BOOTSTRAP for the live round-trip test).
-    kafka_pkg = os.environ.get("SPARK_KAFKA_PACKAGE")
+    #   SPARK_JDBC_PACKAGE=com.mysql:mysql-connector-j:9.3.0
+    # and the packages land on the session classpath (plus
+    # SPARK_KAFKA_BOOTSTRAP / SPARK_JDBC_URL for the live round-trip
+    # tests in tests/test_connectors.py).
+    pkgs = ",".join(
+        p
+        for p in (
+            os.environ.get("SPARK_KAFKA_PACKAGE"),
+            os.environ.get("SPARK_JDBC_PACKAGE"),
+        )
+        if p
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -58,8 +67,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    if kafka_pkg:
-        builder = builder.config("spark.jars.packages", kafka_pkg)
+    if pkgs:
+        builder = builder.config("spark.jars.packages", pkgs)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
