@@ -1,0 +1,71 @@
+"""Deterministic sampling/splitting operators: reproducibility,
+growth-stability (the 100-TB property), proportion accuracy, and
+exact-count stratification."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample_exact,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hash_split_partitions_disjoint_and_stable(spark):
+    docs = load_table(spark, SF, "documents")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split = hash_split(docs, weights)
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # total coverage, no drops/dupes
+    # proportions within a loose binomial band (n=500)
+    assert 0.7 * n <= counts["train"] <= 0.9 * n
+    assert counts["val"] > 0 and counts["test"] > 0
+    # determinism: same salt → identical assignment
+    again = {r.doc_id: r["split"] for r in hash_split(docs, weights).collect()}
+    first = {r.doc_id: r["split"] for r in split.collect()}
+    assert first == again
+    # growth stability: splitting HALF the corpus assigns those rows
+    # exactly as splitting the whole corpus does (no randomSplit-style
+    # reshuffle on growth)
+    half = hash_split(docs.filter("doc_id % 2 = 0"), weights)
+    sub = {r.doc_id: r["split"] for r in half.collect()}
+    assert all(first[k] == v for k, v in sub.items())
+    # a different salt draws a genuinely different split
+    other = {r.doc_id: r["split"] for r in hash_split(docs, weights, salt="v2").collect()}
+    assert other != first
+
+
+def test_hash_sample_subset_and_repeatable(spark):
+    docs = load_table(spark, SF, "documents")
+    s10 = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    s30 = {r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    assert s10 <= s30  # nested thresholds → nested samples
+    n = docs.count()
+    assert 0.03 * n <= len(s10) <= 0.2 * n
+    assert 0.2 * n <= len(s30) <= 0.4 * n
+    # growing the corpus cannot eject previously sampled rows
+    grown = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    g10 = {r.doc_id for r in hash_sample(grown, 0.1).select("doc_id").collect()}
+    assert s10 <= g10
+
+
+def test_stratified_sample_exact_counts(spark):
+    docs = load_table(spark, SF, "documents")
+    got = stratified_sample_exact(docs, ["lang"], n_per_stratum=7)
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_str in sizes.items():
+        assert per.get(lang, 0) == min(7, n_str), (lang, per.get(lang), n_str)
+    # deterministic draw
+    a = {(r.lang, r.doc_id) for r in got.select("lang", "doc_id").collect()}
+    b = {
+        (r.lang, r.doc_id)
+        for r in stratified_sample_exact(docs, ["lang"], 7).select("lang", "doc_id").collect()
+    }
+    assert a == b
