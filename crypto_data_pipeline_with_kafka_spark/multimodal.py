@@ -108,3 +108,76 @@ def frame_sample(df: DataFrame, every_nth: int = 10, id_col: str = "doc_id") -> 
     """Frame-sampling shape for video-like payloads: keep every Nth row
     per stream — a pure filter (id % N), no decode needed to subsample."""
     return df.filter((F.col(id_col) % every_nth) == 0)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, content_hash string, payload binary, width int, height int"
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """mapInPandas resize stage: (payload, metadata) → resized payload +
+    new dimensions — the binary-in/binary-out Arrow round-trip a real
+    resizer needs (PIL's ``resize`` slots into ``_stub``). The stub
+    emits a deterministic tagged payload derived from the input hash,
+    so the downstream contract (binary column survives the Python hop,
+    new dims recorded) is value-testable without codecs."""
+
+    def resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: shipped by value (see decode_batch)
+        import hashlib
+
+        def _stub(payload: bytes) -> bytes:
+            tag = hashlib.md5(payload).hexdigest()
+            return f"resized:{target_w}x{target_h}:{tag}".encode()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content_hash": pdf["content_hash"],
+                    "payload": pdf["payload"].map(_stub),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.select("doc_id", "content_hash", "payload").mapInPandas(
+        resize_batch, schema=RESIZED_SCHEMA
+    )
+
+
+def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """mapInPandas feature-extraction stage: payload → ``array<float>``
+    embedding — the bridge from the multimodal surface to the
+    similarity family (its output feeds ``lsh_ann_pairs`` /
+    ``ivf_ann_pairs`` / ``brute_force_topk`` unchanged, tested). A real
+    model (CLIP/ResNet forward pass per Arrow batch) slots into
+    ``_stub``; the stub derives a deterministic unit-scale vector from
+    the md5 stream of the bytes, so schema, batch shape and the
+    downstream ANN contract are all exercised for real."""
+
+    def feature_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: shipped by value (see decode_batch)
+        import hashlib
+
+        def _stub(payload: bytes) -> list[float]:
+            vals: list[float] = []
+            counter = 0
+            while len(vals) < dim:
+                h = hashlib.md5(payload + counter.to_bytes(4, "big")).digest()
+                vals.extend(b / 255.0 for b in h)
+                counter += 1
+            return vals[:dim]
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["doc_id"],
+                    "embedding": pdf["payload"].map(_stub),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        feature_batch, schema="vec_id long, embedding array<float>"
+    )

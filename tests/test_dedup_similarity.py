@@ -206,3 +206,32 @@ def test_simhash_long_doc_guard_and_chunk_remedy(spark):
     sims = simhash_bits(chunked).collect()
     assert len(sims) == 3  # ceil((17000-64)/8128) = 3 chunks
     assert all(len(r.simhash) == 64 for r in sims)
+
+
+def test_multimodal_resize_and_features_feed_ann(spark):
+    """The resize and feature-extraction stages: binary survives the
+    Arrow round-trip with the new dims recorded; extracted embeddings
+    are deterministic and plug into the ANN operators unchanged."""
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        resize_images,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        ivf_ann_pairs,
+    )
+
+    docs = attach_binary_payload(load_table(spark, SF, "documents").limit(200))
+    resized = resize_images(docs, 128, 96)
+    rows = resized.collect()
+    assert len(rows) == 200
+    assert all(r.width == 128 and r.height == 96 for r in rows)
+    assert all(bytes(r.payload).startswith(b"resized:128x96:") for r in rows)
+
+    feats = extract_features(docs, dim=64)
+    a = {r.vec_id: list(r.embedding) for r in feats.collect()}
+    b = {r.vec_id: list(r.embedding) for r in extract_features(docs, dim=64).collect()}
+    assert a == b and all(len(v) == 64 for v in a.values())  # deterministic
+    # the multimodal → similarity bridge: ANN runs on extracted features
+    pairs = ivf_ann_pairs(feats, num_centroids=8, probes=2, min_cosine=0.9)
+    assert pairs.count() >= 0 and pairs.columns == ["id_a", "id_b", "cosine"]
