@@ -331,3 +331,71 @@ def test_incremental_stream_lookback_warns_and_bounded_equivalence(
     )
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_watermark_drops_too_late_rows_in_append_mode(spark, tmp_path):
+    """ST4's OTHER half: complete-mode queries re-emit everything, so
+    drop semantics never show there. In APPEND mode a window's state is
+    EVICTED (and the window emitted) at the end of the first batch
+    whose watermark passed its end; a row for that window arriving in a
+    LATER batch is discarded at the aggregation input
+    (numRowsDroppedByWatermark) — the bounded-state contract that lets
+    a 100-TB state store forget old windows. Note the subtlety this
+    test pins: the watermark is a state-RETENTION bound, not an instant
+    drop line — a late row landing in the SAME batch that finalizes its
+    window still merges; only post-eviction arrivals drop. Three
+    mtime-ordered micro-batches (maxFilesPerTrigger=1): advance the
+    watermark past the 08:00 window, evict it, then deliver an 08:45
+    straggler."""
+    import datetime as dt
+    import time
+
+    from crypto_data_pipeline_with_kafka_spark.sources.readers import (
+        events_stream_reader,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        streaming_tumbling_counts,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ).withColumn("ts", F.unix_micros("ts") * 1000)  # ns, as the reader expects
+
+    def ts(h, m=30):
+        return dt.datetime(2024, 1, 10, h, m)
+
+    src = str(tmp_path / "src")
+    # batch 0: the 08:00 window (n=1) + a 12:30 event → watermark 11:30
+    mk([(1, ts(8), 1, "a", 1.0, None), (2, ts(12), 1, "a", 1.0, None)]).coalesce(
+        1
+    ).write.parquet(src)
+    time.sleep(1.1)  # distinct mtimes order the micro-batches
+    # batch 1: watermark 11:30 operative → evicts+emits [08:00,09:00) at
+    # its end; 13:30 event advances the watermark to 12:30
+    mk([(3, ts(13), 1, "a", 1.0, None)]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # batch 2: 08:45 straggler — its window is gone; must be DROPPED
+    mk([(4, ts(8, 45), 1, "a", 1.0, None)]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = events_stream_reader(spark, src + "/*.parquet", max_files_per_trigger=1)
+    agg = streaming_tumbling_counts(stream, watermark="1 hour", window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1, dropped  # exactly the straggler
+    by_window = {r.bucket_start.hour: r.n for r in spark.table("late_drop_t").collect()}
+    # the finalized 08:00 window kept n=1 — the straggler neither merged
+    # nor re-emitted a duplicate window row
+    assert by_window.get(8) == 1, by_window
