@@ -133,3 +133,55 @@ def test_sentiment_udf_equals_builtin(spark):
     b = {r.doc_id: r.s for r in docs.select("doc_id", sentiment_builtin("text").alias("s")).collect()}
     u = {r.doc_id: r.s for r in docs.select("doc_id", sentiment_pandas_udf()("text").alias("s")).collect()}
     assert b == u and len(b) > 0
+
+
+@given(
+    n_tokens=st.integers(0, 400),
+    max_tokens=st.integers(2, 120),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+@settings(**_SETTINGS)
+def test_chunker_partitions_token_stream(spark, n_tokens, max_tokens, overlap_frac):
+    """For ANY (doc length, chunk size, overlap): chunks cover the
+    token stream exactly (non-overlap concatenation == original), every
+    chunk fits the bound, and consecutive chunks share exactly
+    `overlap` tokens (except possibly the final short chunk)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import chunk_documents
+
+    overlap = min(int(max_tokens * overlap_frac), max_tokens - 1)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(
+        df, max_tokens=max_tokens, overlap=overlap
+    ).orderBy("chunk_id").collect()
+    toks = [r.text.split(" ") if r.text else [] for r in rows]
+    toks = [[t for t in c if t] for c in toks]
+    assert all(len(c) <= max_tokens for c in toks)
+    rebuilt = (toks[0] if toks else []) + [
+        t for c in toks[1:] for t in c[overlap:]
+    ]
+    assert rebuilt == [f"t{i}" for i in range(n_tokens)]
+    for a, b in zip(toks, toks[1:]):
+        shared = min(overlap, len(b))
+        assert a[-shared:] == b[:shared] if shared else True
+
+
+@given(
+    w=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=4),
+    salt=st.sampled_from(["a", "b"]),
+)
+@settings(**_SETTINGS)
+def test_hash_split_total_and_stable(spark, w, salt):
+    """For ANY weights/salt: every row lands in exactly one split, and
+    per-row assignment is independent of which other rows are present."""
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import hash_split
+
+    weights = {f"s{i}": x for i, x in enumerate(w)}
+    df = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    full = {r.doc_id: r.split for r in hash_split(df, weights, salt=salt).collect()}
+    assert len(full) == 60 and all(v in weights for v in full.values())
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(df.filter("doc_id < 17"), weights, salt=salt).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
