@@ -170,3 +170,13 @@ def test_registry_holds_exactly_fifty_queries():
     rows_only = [n for n, q in qs.items() if q.oracle is None]
     # only the engine-internal sketch values lack a value oracle
     assert rows_only == ["agg_approx_sketches"], rows_only
+
+
+def test_ann_suite_has_no_cartesian_product(spark):
+    """Both ANN legs must stay bucket/cell-joined: the only nested-loop
+    allowed is the broadcast against the O(num_centroids) centroid
+    table (BroadcastNestedLoopJoin), never a CartesianProduct over
+    corpus-sized relations."""
+    q = all_queries()["sim_ann_suite"]
+    plan = plan_of(q.fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan, plan
