@@ -247,6 +247,17 @@ def cosine_for_pairs(
     return out
 
 
+def _ensure_ann_base(emb: DataFrame, id_col: str) -> DataFrame:
+    """Accept either a raw embeddings relation or an already-prepared
+    (id, vdbl, norm_sq) base. Raw input is prepared + persisted here
+    (single-variant callers); a prepared base passes through untouched,
+    so multi-variant suites share one scan and one cache — in both
+    cases the CALLER owns the cache lifecycle."""
+    if "vdbl" in emb.columns and "norm_sq" in emb.columns:
+        return emb
+    return with_dbl_and_approx_norm(emb, id_col).persist()
+
+
 def _plane_signs(num_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane components: +1 iff the first md5 hex
     digit of f'{plane}_{pos}' (pos 1-based) is even — EXACTLY the
@@ -331,8 +342,14 @@ def lsh_ann_pairs(
     APPROX doubles (prefilter-only); exact norms are recomputed inside
     the verify stage for surviving pairs only — O(emitted) decimal
     folds, not O(corpus). Caller owns the cache lifecycle (see
-    operators.dedup module doc)."""
-    base = with_dbl_and_approx_norm(emb, id_col).persist()
+    operators.dedup module doc).
+
+    ``emb`` may also be an ALREADY-PREPARED base (columns ``vdbl`` +
+    ``norm_sq``, e.g. from ``with_dbl_and_approx_norm(...).persist()``)
+    — then it is consumed as-is, so several ANN variants over the same
+    corpus (see ``plans/q_similarity.sim_ann_suite``) share a single
+    scan + cache instead of each persisting their own copy."""
+    base = _ensure_ann_base(emb, id_col)
     buckets = lsh_buckets(base, num_planes, dim, id_col, vec_col="vdbl")
     width = num_planes // bands
     banded = buckets.select(
@@ -472,8 +489,10 @@ def ivf_ann_pairs(
     num_centroids-ish, tuned by num_centroids ∝ sqrt(corpus) as in IVF
     indexes. One scan: the (id, vdbl, norm) base is persisted and
     feeds assignment and verify; caller owns the cache lifecycle (see
-    operators.dedup module doc)."""
-    base = with_dbl_and_approx_norm(emb, id_col).persist()
+    operators.dedup module doc). Like ``lsh_ann_pairs``, ``emb`` may be
+    an already-prepared (vdbl, norm_sq) base to share one scan across
+    variants."""
+    base = _ensure_ann_base(emb, id_col)
     assign = ivf_assignments(base, num_centroids, probes, id_col, vec_col="vdbl")
     a = assign.select(F.col(id_col).alias("id_a"), "centroid_id")
     b = assign.select(F.col(id_col).alias("id_b"), "centroid_id")

@@ -14,6 +14,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     brute_force_topk,
     ivf_ann_pairs,
     lsh_ann_pairs,
+    with_dbl_and_approx_norm,
 )
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
@@ -184,11 +185,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh", "ivf"),
 )
 def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    lsh = lsh_ann_pairs(emb, num_planes=16, bands=4, min_cosine=0.4).select(
+    # one (id, vdbl, approx-norm) base — a single scan of embeddings —
+    # shared by BOTH legs (bucketing, assignment, and both verify
+    # stages); each leg would otherwise persist its own copy
+    base = with_dbl_and_approx_norm(_emb(spark, sf_dir)).persist()
+    lsh = lsh_ann_pairs(base, num_planes=16, bands=4, min_cosine=0.4).select(
         F.lit("lsh").alias("method"), "id_a", "id_b", "cosine"
     )
-    ivf = ivf_ann_pairs(emb, num_centroids=32, probes=3, min_cosine=0.4).select(
+    ivf = ivf_ann_pairs(base, num_centroids=32, probes=3, min_cosine=0.4).select(
         F.lit("ivf").alias("method"), "id_a", "id_b", "cosine"
     )
     return lsh.unionByName(ivf)
