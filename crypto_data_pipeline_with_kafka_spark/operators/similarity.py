@@ -402,13 +402,18 @@ def ivf_assignments(
     TakeOrderedAndProject (orderBy + limit — partial top-C per
     partition, never a global sort); the centroid table is
     O(num_centroids) — genuinely broadcastable, unlike a corpus
-    relation — so assignment is num_centroids array folds per row
-    inside one codegen span, no shuffle until the caller groups by
-    cell. Ranking uses dot/|centroid| only (the query vector's norm is
-    constant across centroids, so it cannot change the argmax — one
-    fold per pair, not three). Probing the top-P cells (multi-probe)
-    recovers boundary pairs that split across adjacent cells — the IVF
-    analogue of LSH's multiple bands.
+    relation — and is packed into ONE array-of-structs row, so the
+    whole top-P selection happens INSIDE each corpus row with array
+    higher-order functions: score C centroids, sort, filter to the
+    boundary set, re-score exactly, slice P, explode. ZERO shuffles —
+    the naive formulation (cross join to corpus×C rows, then two
+    ``row_number`` windows partitioned by vector id) shuffles 32× the
+    corpus twice; this one touches the exchange only at the O(C)
+    centroid pick. Ranking uses dot/|centroid| only (the query
+    vector's norm is constant across centroids, so it cannot change
+    the argmax — one fold per pair, not three). Probing the top-P
+    cells (multi-probe) recovers boundary pairs that split across
+    adjacent cells — the IVF analogue of LSH's multiple bands.
 
     Assignment scores are EXACT (quantized-decimal dots with the
     string-hopped double conversion, like every emitted cosine): a
@@ -422,7 +427,11 @@ def ivf_assignments(
     of the P-th approximate score (scores live at the ×1e12 quantized
     scale, where the double+quantization gap is ≤ ~15; the 1e6 margin
     — 1e-6 at raw scale — has ~6e4× headroom), so the selected probes
-    are provably the all-exact ones at a third of the folds."""
+    are provably the all-exact ones at a third of the folds.
+
+    When the corpus has fewer than ``probes`` centroids every cell is
+    probed (the DuckDB oracle's ``row_number ... <= probes`` reading —
+    a degenerate configuration, but the engines agree on it)."""
     base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
     seed_key = F.md5(F.col(id_col).cast("string"))
     picked = base.orderBy(seed_key, F.col(id_col)).limit(num_centroids)
@@ -435,38 +444,69 @@ def ivf_assignments(
         cq.alias("cvq"),
         F.sqrt(dot_exact(cq, cq)).alias("cnorm"),  # = |c|·1e12, exact
     )
-    # pass 1: primitive-double score at the same ×1e12 scale
-    apx = (dot_double(F.col("vdbl"), F.col("cvec")) * F.lit(1e24)) / F.col("cnorm")
-    scored = base.join(F.broadcast(cents), how="cross").select(
-        F.col(id_col), "centroid_id", "vdbl", "cvq", "cnorm", apx.alias("_apx")
+    # one row, C structs; sort_array orders by centroid_id (first
+    # struct field), making the packed order deterministic
+    packed = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct("centroid_id", "cvec", "cvq", "cnorm"))
+        ).alias("_cs")
     )
-    w_apx = Window.partitionBy(id_col).orderBy(
-        F.col("_apx").desc(), F.col("centroid_id")
-    )
-    ranked = scored.withColumn("_ar", F.row_number().over(w_apx))
-    pth = ranked.filter(F.col("_ar") == probes).select(
-        F.col(id_col), F.col("_apx").alias("_pth")
-    )
-    # boundary candidates: everything within the margin of the P-th
-    # approx score (the id-partitioned exchange is shared with the
-    # window above)
-    cand = ranked.join(pth, id_col).filter(F.col("_apx") >= F.col("_pth") - 1e6)
-    # pass 2: exact-decimal score on the boundary set only
-    exact = cand.select(
+    # pass 1: primitive-double score per centroid at the ×1e12 scale,
+    # computed inside the row (C folds, no row multiplication yet)
+    scored = base.crossJoin(F.broadcast(packed)).select(
         F.col(id_col),
-        "centroid_id",
-        (dot_exact(quantized_vector(F.col("vdbl")), F.col("cvq")) / F.col("cnorm")).alias(
-            "_cscore"
+        quantized_vector(F.col("vdbl")).alias("_vq"),
+        F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                c["centroid_id"].alias("cid"),
+                c["cvq"].alias("cvq"),
+                c["cnorm"].alias("cnorm"),
+                (
+                    (dot_double(F.col("vdbl"), c["cvec"]) * F.lit(1e24))
+                    / c["cnorm"]
+                ).alias("apx"),
+            ),
+        ).alias("_sc"),
+    )
+    # P-th best approx VALUE (ties at the value cannot change the
+    # ≥ pth − margin boundary set); null-safe when C < probes
+    pth = F.coalesce(
+        F.get(
+            F.sort_array(
+                F.transform(F.col("_sc"), lambda s: s["apx"]), asc=False
+            ),
+            F.lit(probes - 1),
+        ),
+        F.lit(float("-inf")),
+    )
+    bounded = scored.select(
+        F.col(id_col),
+        "_vq",
+        F.filter(
+            F.col("_sc"), lambda s: s["apx"] >= pth - F.lit(1e6)
+        ).alias("_near"),
+    )
+    # pass 2: exact-decimal score on the boundary set only, then the
+    # in-row top-P: sort by (score desc, centroid asc), slice, explode
+    exact = F.transform(
+        F.col("_near"),
+        lambda s: F.struct(
+            s["cid"].alias("cid"),
+            (dot_exact(F.col("_vq"), s["cvq"]) / s["cnorm"]).alias("score"),
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cscore").desc(), F.col("centroid_id")
+    by_score_desc = lambda l, r: (  # noqa: E731
+        F.when(l["score"] > r["score"], F.lit(-1))
+        .when(l["score"] < r["score"], F.lit(1))
+        .when(l["cid"] < r["cid"], F.lit(-1))
+        .when(l["cid"] > r["cid"], F.lit(1))
+        .otherwise(F.lit(0))
     )
-    return (
-        exact.withColumn("_pr", F.row_number().over(w))
-        .filter(F.col("_pr") <= probes)
-        .select(F.col(id_col), "centroid_id")
-    )
+    top = F.slice(F.array_sort(exact, by_score_desc), 1, probes)
+    return bounded.select(
+        F.col(id_col), F.explode(top).alias("_pr")
+    ).select(F.col(id_col), F.col("_pr.cid").alias("centroid_id"))
 
 
 def ivf_ann_pairs(
