@@ -53,17 +53,23 @@ def main() -> None:
     qs = queries()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        best, rows, runs = float("inf"), 0, 0
-        # min-of-2, and a 3rd run for sub-second queries: host-load noise
-        # swings short queries ±40%, so they get one extra sample while
-        # the expensive queries (where a run costs real time) stay at 2
-        while runs < 2 or (best < 1.0 and runs < 3):
+        samples: list[float] = []
+        rows = 0
+        # adaptive sampling: host-load noise swings queries ±40%, and a
+        # flat min-of-2 can catch two bad samples back-to-back. Sample
+        # until the two best runs agree within 20% (the reading is then
+        # load-free, not a fluke), capped at 4; sub-second queries keep
+        # their guaranteed 3rd sample
+        while (
+            len(samples) < 2
+            or (min(samples) < 1.0 and len(samples) < 3)
+            or (sorted(samples)[1] / min(samples) > 1.2 and len(samples) < 4)
+        ):
             spark.catalog.clearCache()  # isolate queries: no leftover persists
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-            runs += 1
-        per_query[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        per_query[name] = round(min(samples), 3)
         print(f"# {name}: {per_query[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
