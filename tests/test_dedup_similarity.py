@@ -156,6 +156,29 @@ def test_ivf_centroid_pick_plans_as_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_ivf_assignment_plan_has_no_corpus_shuffle(spark):
+    """The in-row top-P assignment must keep its zero-shuffle shape:
+    the only exchange is the broadcast of the packed O(C) centroid row,
+    and the only Window is the centroid rank over the C picked rows —
+    a hash-partitioned exchange or a per-vector Window would mean the
+    plan regressed to shuffling corpus×C rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_assignments(emb).explain("simple")
+    plan = buf.getvalue()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_chunk_documents_invariants(spark):
     """Chunking contract: short docs pass through as one normalized
     chunk; long docs split into ≤max_tokens chunks whose non-overlap

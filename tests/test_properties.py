@@ -167,6 +167,64 @@ def test_chunker_partitions_token_stream(spark, n_tokens, max_tokens, overlap_fr
 
 
 @given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=10,
+    ),
+    num_centroids=st.integers(2, 5),
+    probes=st.integers(1, 4),
+)
+@settings(max_examples=6, deadline=None)
+def test_ivf_assignment_matches_python_reference(spark, vecs, num_centroids, probes):
+    """For ANY small corpus/knobs: the in-row two-pass probe assignment
+    equals a transparent pure-Python reference computed with exact
+    integer dots and the same string-hopped double conversion — pinning
+    the md5 centroid order, the trunc-quantization, the decimal→string
+    →double rounding, and the (score desc, centroid asc) tie-break,
+    independent of the fixture corpus."""
+    import hashlib
+    import math
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    # respect the documented domain bound (vector norms ≥ 1e-3): pin
+    # the first component away from zero
+    vecs = [[0.5 + 0.1 * i] + v[1:] for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_assignments(df, num_centroids, probes).collect()
+    }
+
+    order = sorted(
+        range(len(vecs)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    cents = order[:num_centroids]
+    want = set()
+    for vid, v in enumerate(vecs):
+        vq = [int(x * 1e12) for x in v]  # trunc toward zero, like the cast
+        scores = []
+        for rank, cvid in enumerate(cents, start=1):
+            cq = [int(x * 1e12) for x in vecs[cvid]]
+            dot = sum(a * b for a, b in zip(vq, cq))  # exact (python int)
+            cnorm = math.sqrt(float(str(sum(q * q for q in cq))))
+            scores.append((rank, float(str(dot)) / cnorm))
+        top = sorted(scores, key=lambda t: (-t[1], t[0]))[:probes]
+        want.update((vid, cid) for cid, _ in top)
+    assert got == want
+
+
+@given(
     w=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=4),
     salt=st.sampled_from(["a", "b"]),
 )
