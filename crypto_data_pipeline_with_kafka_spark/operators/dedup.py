@@ -127,6 +127,63 @@ def jaccard_pairs(
     return _jaccard_from_inter(inter, sizes, min_jaccard)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_containment: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose k-gram
+    overlap with any benchmark/eval document is too high to keep in a
+    training set. Returns (doc_id, bench_id, overlap, n_bench,
+    containment) for every flagged (corpus doc, benchmark doc) pair,
+    where ``containment`` = |shingles(doc) ∩ shingles(bench)| /
+    |shingles(bench)| — DIRECTIONAL, normalized by the benchmark side,
+    so embedding a whole eval item inside a long document still scores
+    1.0 (plain Jaccard would dilute it toward 0).
+
+    ``min_containment`` tunes the regime: 1.0 with large k ≈ the
+    "verbatim long n-gram" rule; lower thresholds catch paraphrased
+    splices that still share most of the eval item's k-grams.
+    Documents with fewer than ``k`` tokens produce no shingles and are
+    never flagged.
+
+    100-TB shape: the benchmark relation is eval-set-sized — sublinear
+    to the corpus — so its distinct shingles BROADCAST to the corpus
+    scan; the only shuffle is the groupBy on (doc, bench) HITS, which
+    is sparse (corpus docs sharing zero k-grams with every benchmark
+    never leave the map side). The corpus is read once, no self-join,
+    no corpus-sized state anywhere."""
+    c_sh = shingle_rows(corpus, text_col, id_col, k).select(
+        F.col(id_col).alias("doc_id"), "shingle"
+    )
+    b_sh = shingle_rows(benchmark, text_col, bench_id_col, k).select(
+        F.col(bench_id_col).alias("bench_id"), "shingle"
+    )
+    sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        hits.join(F.broadcast(sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "overlap",
+            "n_bench",
+            (F.col("overlap").cast("double") / F.col("n_bench")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def jaccard_for_candidates(
     sh: DataFrame,
     cand: DataFrame,

@@ -231,6 +231,62 @@ def test_simhash_long_doc_guard_and_chunk_remedy(spark):
     assert all(len(r.simhash) == 64 for r in sims)
 
 
+def test_decontaminate_flags_overlap_with_benchmark(spark):
+    """Decontamination contract: a verbatim copy of an eval item scores
+    containment 1.0 even inside a much longer document (directional
+    normalization); partial splices score the shared fraction; disjoint
+    documents and sub-k documents never appear."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import decontaminate
+
+    eval_text = " ".join(f"e{i}" for i in range(12))  # 9 distinct 4-shingles
+    bench = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, eval_text),  # verbatim copy
+            (2, " ".join(f"pad{i}" for i in range(50)) + " " + eval_text),  # embedded
+            (3, " ".join(f"e{i}" for i in range(6)) + " other words here"),  # partial
+            (4, " ".join(f"u{i}" for i in range(40))),  # disjoint
+            (5, "too short"),  # sub-k: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate(
+            corpus, bench, k=4, min_containment=0.1
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].containment == 1.0 and out[1].n_bench == 9
+    assert out[2].containment == 1.0  # whole eval item inside a long doc
+    # doc 3 shares exactly the 3 shingles of e0..e5
+    assert out[3].overlap == 3 and out[3].containment == 3 / 9
+    # a strict threshold keeps only the full-containment docs
+    strict = decontaminate(corpus, bench, k=4, min_containment=0.99)
+    assert {r.doc_id for r in strict.collect()} == {1, 2}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark relation is eval-set-sized: its shingles must reach
+    the corpus by broadcast — a hash-partitioned exchange of the CORPUS
+    shingles against the benchmark would shuffle the whole corpus to
+    join a sublinear relation."""
+    import io
+    from contextlib import redirect_stdout
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import decontaminate
+
+    corpus = load_table(spark, SF, "documents")
+    bench = load_table(spark, SF, "documents").limit(5).select(
+        "doc_id", F.concat_ws(" ", "text", "text").alias("text")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        decontaminate(corpus, bench).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_multimodal_resize_and_features_feed_ann(spark):
     """The resize and feature-extraction stages: binary survives the
     Arrow round-trip with the new dims recorded; extracted embeddings
