@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+    decontaminate,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_dedup,
@@ -106,25 +107,66 @@ jac AS (
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
+),
+bsh AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
+bsizes AS (SELECT bench_id, count(*) AS n_bench FROM bsh GROUP BY bench_id),
+hits AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS overlap
+  FROM sh c JOIN bsh b USING (shingle)
+  GROUP BY 1, 2
+),
+dec AS (
+  SELECT doc_id, bench_id,
+         CAST(overlap AS DOUBLE) / n_bench AS containment
+  FROM hits JOIN bsizes USING (bench_id)
 )
-SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+SELECT 'pairs' AS method, id_a, id_b, jaccard AS score
+FROM jac WHERE jaccard >= 0.8
+UNION ALL
+SELECT 'decontam' AS method, doc_id AS id_a, bench_id AS id_b,
+       containment AS score
+FROM dec WHERE containment >= 0.5
 """
 
 
 @register(
     "dedup_ngram_jaccard",
     _CAPPED_JACCARD_SQL,
-    doc="n-gram (3-word shingle) Jaccard near-dup pairs via inverted-"
-    "index self-join with the doc-frequency cap (max_doc_freq="
-    f"{_NGRAM_MAX_DF}) — the 100-TB path: stop-shingle postings are "
-    "dropped before pairing so the join is bounded by rare-shingle "
-    "collisions, never the corpus square. The oracle applies the "
-    "identical cap, so this is value-exact",
+    doc="Shingle-overlap suite, tagged union: 'pairs' = n-gram (3-word "
+    "shingle) Jaccard near-dup pairs via inverted-index self-join with "
+    f"the doc-frequency cap (max_doc_freq={_NGRAM_MAX_DF}) — the 100-TB "
+    "path: stop-shingle postings are dropped before pairing so the join "
+    "is bounded by rare-shingle collisions, never the corpus square "
+    "(the oracle applies the identical cap, so this is value-exact); "
+    "'decontam' = benchmark decontamination of the full corpus against "
+    "the deterministic doc_id%97==0 eval slice (the corpus CONTAINS the "
+    "eval items, as a real crawl does — verbatim copies must flag at "
+    "exactly 1.0) — directional k-gram containment (normalized by the "
+    "BENCHMARK side, so a whole eval item embedded in a long document "
+    "scores 1.0), eval shingles broadcast, flagged at containment ≥ 0.5",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_rows(load_table(spark, sf_dir, "documents"))
-    return jaccard_pairs(sh, min_jaccard=0.8, max_doc_freq=_NGRAM_MAX_DF)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    pairs = jaccard_pairs(sh, min_jaccard=0.8, max_doc_freq=_NGRAM_MAX_DF).select(
+        F.lit("pairs").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    dec = decontaminate(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        k=3,
+        min_containment=0.5,
+    ).select(
+        F.lit("decontam").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.col("bench_id").alias("id_b"),
+        F.col("containment").alias("score"),
+    )
+    return pairs.unionByName(dec)
 
 
 @register(
