@@ -172,6 +172,22 @@ def test_registry_holds_exactly_fifty_queries():
     assert rows_only == ["agg_approx_sketches"], rows_only
 
 
+def test_no_query_emits_nested_columns(spark):
+    """Every registered query must emit only atomic columns: the
+    driver's canonicalizer sorts result values in pandas and dies on
+    unhashable array/map cells (round 2's agg_approx_sketches err —
+    its quartiles array made even the rows-only check unrunnable).
+    Schema-only: builds each DataFrame without executing it."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, q in sorted(all_queries().items()):
+        for f in q.fn(spark, "/root/testdata/sf0.001").schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert bad == [], bad
+
+
 def test_ann_suite_has_no_cartesian_product(spark):
     """Both ANN legs must stay bucket/cell-joined: the only nested-loop
     allowed is the broadcast against the O(num_centroids) centroid
