@@ -112,3 +112,38 @@ def lang_scores(text_col: Column | str) -> dict[str, Column]:
         hits = F.size(F.filter(ws, lambda w: w.isin(*markers)))
         out[lang] = hits.cast("double") / F.size(ws)
     return out
+
+
+# PII surface patterns (training-data scrubbing): deliberately simple,
+# high-recall shapes — a production deployment swaps in its compliance
+# team's patterns; the operator shape (JVM regexp_count / chained
+# regexp_replace, no Python) is what carries to 100 TB. Order matters
+# for redaction: URLs first, so an email-looking userinfo inside a URL
+# is consumed by the URL rule rather than split across two.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "ipv4": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
+}
+
+
+def pii_counts(text_col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (email/url/phone/ipv4) — JVM
+    ``regexp_count``, one codegen'd pass per pattern. Feed into quality
+    gates (``n_pii == 0``) or routing (redact vs drop)."""
+    return {
+        kind: F.regexp_count(text_col, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text_col: Column | str, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement`` — chained JVM
+    ``regexp_replace`` in PII_PATTERNS order (URLs before emails, see
+    above). Idempotent as long as ``replacement`` itself matches no
+    pattern (the default doesn't)."""
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out

@@ -287,6 +287,44 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_pii_counts_and_redaction(spark):
+    """PII scrubbing contract: counts find each planted kind exactly
+    once, redaction removes every match (so the redacted text counts
+    zero), redaction is idempotent, and clean text passes through
+    untouched."""
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    dirty = (
+        "contact me at jane.doe+x@example.org or https://ex.com/u?e=a@b.co "
+        "call +1 (555) 123-4567 host 10.0.0.1 done"
+    )
+    clean = "just ordinary words with numbers 42 and dots. end"
+    df = spark.createDataFrame([(1, dirty), (2, clean)], "id long, text string")
+
+    counts = df.select("id", *[c.alias(k) for k, c in pii_counts("text").items()])
+    got = {r.id: r.asDict() for r in counts.collect()}
+    # counts are per-pattern INDEPENDENT (the URL-first ordering applies
+    # to redaction only): the address inside the URL counts as both
+    assert got[1]["email"] == 2
+    assert got[1]["url"] == 1
+    assert got[1]["phone"] == 1
+    assert got[1]["ipv4"] == 1
+    assert all(got[2][k] == 0 for k in ("email", "url", "phone", "ipv4"))
+
+    red = df.select("id", redact_pii("text").alias("text"))
+    r = {x.id: x.text for x in red.collect()}
+    assert r[2] == clean  # untouched
+    assert "example.org" not in r[1] and "555" not in r[1] and "10.0.0.1" not in r[1]
+    # redacted text contains no residual matches, and redaction is idempotent
+    recount = red.select(*[c.alias(k) for k, c in pii_counts("text").items()])
+    assert all(v == 0 for row in recount.collect() for v in row.asDict().values())
+    twice = {x.id: x.text for x in red.select("id", redact_pii("text").alias("text")).collect()}
+    assert twice == r
+
+
 def test_multimodal_resize_and_features_feed_ann(spark):
     """The resize and feature-extraction stages: binary survives the
     Arrow round-trip with the new dims recorded; extracted embeddings
