@@ -225,6 +225,55 @@ def test_ivf_assignment_matches_python_reference(spark, vecs, num_centroids, pro
 
 
 @given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, allow_infinity=False),
+            min_size=6,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    num_planes=st.integers(2, 20),
+)
+@settings(max_examples=6, deadline=None)
+def test_lsh_buckets_match_python_reference(spark, vecs, num_planes):
+    """For ANY vectors/plane count: the one-pass packed-mask bucket
+    computation equals a transparent pure-Python reference (md5 plane
+    signs, trunc-quantization, exact integer projection, sign bit) —
+    pinning the single-fold formulation to the per-plane definition it
+    replaced."""
+    import hashlib
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        lsh_buckets,
+    )
+
+    dim = 6
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.bucket
+        for r in lsh_buckets(df, num_planes, dim, "vec_id").collect()
+    }
+    signs = [
+        [
+            1 if hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0] in "02468ace" else -1
+            for i in range(1, dim + 1)
+        ]
+        for p in range(num_planes)
+    ]
+    for vid, v in enumerate(vecs):
+        vq = [int(x * 1e12) for x in v]  # trunc toward zero, like the cast
+        want = "".join(
+            "1" if sum(q * s for q, s in zip(vq, row)) > 0 else "0"
+            for row in signs
+        )
+        assert got[vid] == want, (vid, got[vid], want)
+
+
+@given(
     w=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=4),
     salt=st.sampled_from(["a", "b"]),
 )
