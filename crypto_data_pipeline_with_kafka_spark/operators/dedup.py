@@ -268,6 +268,94 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over near-dup
+    pairs → (doc_id, canonical_id) with canonical = MIN doc id of the
+    component. This is the step an LLM dedup pipeline runs AFTER pair
+    generation — pairs say "these two are near-dups"; keeping one doc
+    per transitive cluster needs components. Only documents appearing
+    in ≥ 1 pair are returned (singletons are their own canonical).
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (the DataFrame form of hash-to-min, cf. Rastogi et al., "Finding
+    Connected Components in Map-Reduce"): each round every node takes
+    the min of its own label and its neighbors' labels, then labels are
+    shortcut through themselves (label := label(label)), which squares
+    the propagation distance — convergence in O(log diameter) rounds,
+    not O(diameter). Labels are always node ids, and per-node labels
+    only ever DECREASE, so the fixpoint is exactly the component min.
+
+    Scale shape: each round is one shuffle on dst (neighbor min, with
+    map-side partial agg) + one self-join on label (the jump); state is
+    one (id, label) row per node — never edges × labels. The label
+    relation is ``localCheckpoint``-ed each round to truncate the plan
+    lineage (iterative loops otherwise stack O(rounds) of plan; on a
+    real cluster point ``spark.sparkContext.setCheckpointDir`` at
+    durable storage and switch to ``.checkpoint()`` for executor-loss
+    recovery). The per-round convergence probe is a COUNT aggregate —
+    an O(1)-result action, not a collect of data rows. Near-dup graphs
+    have tiny diameters (dup clusters are dense), so rounds ~ 2-4 in
+    practice; ``max_iters`` is a loud backstop (2^25 diameter ≫ any
+    graph), raised rather than silently emitting unconverged labels."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        cand = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                "id", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab")
+            )
+        )
+        jumped = (
+            cand.alias("x")
+            .join(cand.alias("y"), F.col("x.lab") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} rounds — "
+            "pointer jumping converges in O(log diameter), so this "
+            "indicates a bug or an adversarial graph; raise max_iters "
+            "explicitly if the graph is legitimate"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("canonical_id")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int = 8192,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+    connected_components,
     decontaminate,
     exact_dedup_groups,
     jaccard_pairs,
@@ -172,7 +173,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH {_SH_CTE},
+    WITH RECURSIVE {_SH_CTE},
     sig AS (
       SELECT doc_id,
          {_SIG_COLS}
@@ -186,23 +187,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bandl a
       JOIN bandl b ON a.band_id = b.band_id AND a.band_key = b.band_key
                   AND a.doc_id < b.doc_id
+    ),
+    dup_pairs AS (
+      SELECT c.id_a, c.id_b, j.jaccard
+      FROM cand c JOIN jac j USING (id_a, id_b)
+      WHERE j.jaccard >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
     )
-    SELECT c.id_a, c.id_b, j.jaccard
-    FROM cand c JOIN jac j USING (id_a, id_b)
-    WHERE j.jaccard >= 0.8
+    SELECT 'pair' AS part, id_a, id_b, jaccard AS score FROM dup_pairs
+    UNION ALL
+    SELECT 'cluster' AS part, id AS id_a, min(lab) AS id_b,
+           CAST(NULL AS DOUBLE) AS score
+    FROM reach GROUP BY id
     """,
-    doc="MinHash(12)+LSH(4 bands × 3) near-dup dedup: shingle → signature "
-    "(min of md5('i|'||shingle) — lexicographic min of fixed-width hex) → "
-    "band-bucket join for candidates → exact-Jaccard verify on candidates "
-    "only. The 100-TB path: cost bounded by collisions, not corpus²",
+    doc="MinHash(12)+LSH(4 bands × 3) near-dup dedup, tagged union: "
+    "'pair' = shingle → signature (min of md5('i|'||shingle) — "
+    "lexicographic min of fixed-width hex) → band-bucket join for "
+    "candidates → exact-Jaccard verify on candidates only (cost bounded "
+    "by collisions, not corpus²); 'cluster' = duplicate-cluster "
+    "resolution over those pairs — connected components via min-label "
+    "propagation with pointer jumping (O(log diameter) rounds, one "
+    "(id,label) row per node of state), id_b = the component-min "
+    "canonical doc every member should dedup to. The oracle recomputes "
+    "components with a recursive CTE, so the iterative DataFrame loop "
+    "is value-checked end to end",
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_dedup(
+    pairs = minhash_lsh_dedup(
         load_table(spark, sf_dir, "documents"),
         num_hashes=_MINHASH_N,
         bands=_MINHASH_BANDS,
         min_jaccard=0.8,
+    ).persist()
+    clusters = connected_components(pairs)
+    return pairs.select(
+        F.lit("pair").alias("part"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    ).unionByName(
+        clusters.select(
+            F.lit("cluster").alias("part"),
+            F.col("doc_id").alias("id_a"),
+            F.col("canonical_id").alias("id_b"),
+            F.lit(None).cast("double").alias("score"),
+        )
     )
 
 

@@ -274,6 +274,46 @@ def test_lsh_buckets_match_python_reference(spark, vecs, num_planes):
 
 
 @given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """For ANY small graph (self-loops and duplicate edges included):
+    the iterative min-label-propagation operator assigns every node the
+    component-min id that a transparent union-find computes."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.canonical_id for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+    assert got == want
+
+
+@given(
     w=st.lists(st.floats(0.05, 1.0), min_size=1, max_size=4),
     salt=st.sampled_from(["a", "b"]),
 )
