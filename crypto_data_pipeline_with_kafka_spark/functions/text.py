@@ -58,6 +58,21 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(col), " ")
 
 
+def kgrams_from_tokens(ws: Column, k: int = 3) -> Column:
+    """ALL k-word grams from a pre-tokenized array column, duplicates
+    kept — repetition metrics need instance counts, not the distinct
+    set. Empty array below k tokens (``sequence`` would count DOWN for
+    a negative span, so the guard is built in)."""
+    idx = F.sequence(F.lit(0), F.size(ws) - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(k)]),
+    )
+    return F.when(F.size(ws) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles_from_tokens(ws: Column, k: int = 3) -> Column:
     """Distinct k-word shingles from a pre-tokenized array column (for
     MinHash / n-gram Jaccard dedup). Requires ≥ k words (guard upstream:

@@ -12,6 +12,7 @@ from crypto_data_pipeline_with_kafka_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     BPE_TOKEN_PATTERN,
+    kgrams_from_tokens,
     lang_scores,
     sentiment_builtin,
     sentiment_pandas_udf,
@@ -70,6 +71,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (
       SELECT doc_id, min(md5(shingle)) AS fp_min, max(md5(shingle)) AS fp_max
       FROM sh GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, 2 AS glen,
+             unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+      FROM toks WHERE len(ws) >= 2
+      UNION ALL
+      SELECT doc_id, 3,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)])
+      FROM toks WHERE len(ws) >= 3
+    ),
+    gc AS (SELECT doc_id, glen, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+    rep AS (
+      SELECT doc_id,
+             CAST(max(CASE WHEN glen = 2 THEN c END) AS DOUBLE)
+               / CAST(sum(CASE WHEN glen = 2 THEN c END) AS DOUBLE) AS top_bigram_frac,
+             CAST(coalesce(sum(CASE WHEN glen = 3 AND c >= 2 THEN c END), 0) AS DOUBLE)
+               / CAST(sum(CASE WHEN glen = 3 THEN c END) AS DOUBLE) AS dup_trigram_frac
+      FROM gc GROUP BY doc_id
     )
     SELECT q.doc_id, q.lang, q.n_words, q.n_bpe_tokens, q.n_distinct,
            q.distinct_ratio, q.avg_word_len, q.stopword_ratio, q.quality_ok,
@@ -78,8 +98,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN score_query >= score_exec THEN 'query'
                 ELSE 'exec' END AS predicted,
            md5(q.text) AS content_hash,
-           fp.fp_min, fp.fp_max, substr(fp.fp_min, 1, 8) AS short_fp
+           fp.fp_min, fp.fp_max, substr(fp.fp_min, 1, 8) AS short_fp,
+           rep.top_bigram_frac, rep.dup_trigram_frac,
+           (rep.top_bigram_frac <= 0.2 AND rep.dup_trigram_frac <= 0.3) AS rep_ok
     FROM q LEFT JOIN fp ON fp.doc_id = q.doc_id
+    LEFT JOIN rep ON rep.doc_id = q.doc_id
     """,
     doc="Text-analysis profile — quality scoring, language-ID and "
     "fingerprinting over `documents` in ONE checked plan (merged from "
@@ -90,8 +113,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality gates), marker-token LID scores + argmax with deterministic "
     "tie-break, md5 content hash. Aggregate leg: min/max shingle hash "
     "(rolling-hash family; the min doubles as a 1-permutation MinHash), "
-    "left-joined so <3-token docs keep NULL fingerprints. All JVM "
-    "built-ins — no Python in the hot path",
+    "left-joined so <3-token docs keep NULL fingerprints. Repetition "
+    "leg (Gopher-style repetition gates, token-count variant): "
+    "top-bigram fraction + duplicated-trigram instance fraction + the "
+    "rep_ok gate, computed at the scalable explode→(doc,glen,gram) "
+    "groupBy shape (map-side combine; per-row HOF counting would be "
+    "O(distinct×n) per document). All JVM built-ins — no Python in the "
+    "hot path",
     tags=("text", "dedup"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,8 +163,48 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("shingle")).alias("fp_min"),
         F.max(F.md5("shingle")).alias("fp_max"),
     )
-    return per_row.join(fp, "doc_id", "left").withColumn(
-        "short_fp", F.substring("fp_min", 1, 8)
+    # repetition leg: every 2-/3-gram INSTANCE (duplicates kept), tagged
+    # with its length, one explode → one (doc, glen, gram) count — the
+    # shape that survives 100 TB (map-side combine; counting inside each
+    # row with HOFs would be O(distinct × n) per document)
+    tagged = F.concat(
+        F.transform(
+            kgrams_from_tokens(ws, 2),
+            lambda g: F.struct(F.lit(2).alias("glen"), g.alias("gram")),
+        ),
+        F.transform(
+            kgrams_from_tokens(ws, 3),
+            lambda g: F.struct(F.lit(3).alias("glen"), g.alias("gram")),
+        ),
+    )
+    gc = (
+        docs.select("doc_id", F.explode(tagged).alias("g"))
+        .select("doc_id", "g.glen", "g.gram")
+        .groupBy("doc_id", "glen", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c2 = F.when(F.col("glen") == 2, F.col("c"))
+    c3 = F.when(F.col("glen") == 3, F.col("c"))
+    rep = gc.groupBy("doc_id").agg(
+        (F.max(c2).cast("double") / F.sum(c2).cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        (
+            F.coalesce(
+                F.sum(F.when((F.col("glen") == 3) & (F.col("c") >= 2), F.col("c"))),
+                F.lit(0),
+            ).cast("double")
+            / F.sum(c3).cast("double")
+        ).alias("dup_trigram_frac"),
+    )
+    return (
+        per_row.join(fp, "doc_id", "left")
+        .withColumn("short_fp", F.substring("fp_min", 1, 8))
+        .join(rep, "doc_id", "left")
+        .withColumn(
+            "rep_ok",
+            (F.col("top_bigram_frac") <= 0.2) & (F.col("dup_trigram_frac") <= 0.3),
+        )
     )
 
 
