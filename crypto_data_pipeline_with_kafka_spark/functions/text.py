@@ -143,22 +143,34 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
-def pii_counts(text_col: Column | str) -> dict[str, Column]:
+def pii_counts(
+    text_col: Column | str, kinds: tuple[str, ...] | None = None
+) -> dict[str, Column]:
     """Per-kind PII match counts (email/url/phone/ipv4) — JVM
     ``regexp_count``, one codegen'd pass per pattern. Feed into quality
-    gates (``n_pii == 0``) or routing (redact vs drop)."""
+    gates (``n_pii == 0``) or routing (redact vs drop). ``kinds``
+    selects a pattern subset (e.g. the RE2-expressible ones for an
+    oracle-checked leg: ipv4 uses lookarounds DuckDB's RE2 cannot
+    compile, so it stays pytest-attested)."""
     return {
         kind: F.regexp_count(text_col, F.lit(pat)).cast("long")
         for kind, pat in PII_PATTERNS.items()
+        if kinds is None or kind in kinds
     }
 
 
-def redact_pii(text_col: Column | str, replacement: str = "[PII]") -> Column:
+def redact_pii(
+    text_col: Column | str,
+    replacement: str = "[PII]",
+    kinds: tuple[str, ...] | None = None,
+) -> Column:
     """Replace every PII match with ``replacement`` — chained JVM
     ``regexp_replace`` in PII_PATTERNS order (URLs before emails, see
     above). Idempotent as long as ``replacement`` itself matches no
-    pattern (the default doesn't)."""
+    pattern (the default doesn't). ``kinds`` selects a pattern subset
+    (see ``pii_counts``)."""
     out = F.col(text_col) if isinstance(text_col, str) else text_col
-    for pat in PII_PATTERNS.values():
-        out = F.regexp_replace(out, pat, replacement)
+    for kind, pat in PII_PATTERNS.items():
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pat, replacement)
     return out

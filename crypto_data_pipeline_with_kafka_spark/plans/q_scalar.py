@@ -117,6 +117,16 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_string_suite",
     r"""
+    WITH planted AS (
+      SELECT doc_id, text, lang, source,
+             CASE WHEN doc_id % 13 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com via https://ex.example.com/p/'
+                    || CAST(doc_id AS VARCHAR)
+                    || ' tel +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR)
+             ELSE text END AS ptext
+      FROM documents
+    )
     SELECT doc_id,
            trim(text) AS trimmed,
            upper(source) AS source_uc,
@@ -124,18 +134,51 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS text_len,
            substring(text, 1, 10) AS prefix10,
            nullif(regexp_extract(text, 'the ([a-z]+)', 1), '') AS word_after_the,
-           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len
-    FROM documents
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+           CAST(len(regexp_extract_all(ptext, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(ptext, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+                 'https?://[^\s]+', '[PII]', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                 '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PII]', 'g')) AS redacted_hash
+    FROM planted
     """,
     doc="F6/F7/F8 in one checked plan: trim / case / concat_ws "
     "key-building (the producer's f-string Kafka key, "
     "producer_prices.py:63), length / substring, regexp_extract / "
     "regexp_replace (the RSS validators & strip-tags approximation, "
     "producer_news.py:29-36; UD2's extraction shape); nullif('') "
-    "normalizes no-match between engines",
-    tags=("string", "regex"),
+    "normalizes no-match between engines. PII leg (training-data "
+    "scrubbing): the synthetic corpus is PII-free, so every 13th doc "
+    "gets a deterministic planted email + URL + phone built from its "
+    "id IN THE QUERY on both engines; per-kind counts (pii_counts) and "
+    "the md5 of the redacted text (redact_pii — URL rule first, so "
+    "userinfo inside a URL is consumed whole) are then value-checked. "
+    "The ipv4 pattern needs lookarounds DuckDB's RE2 cannot compile — "
+    "it stays pytest-attested (tests/test_dedup_similarity.py)",
+    tags=("string", "regex", "pii"),
 )
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    _RE2_KINDS = ("url", "email", "phone")
+    planted = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com via https://ex.example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +1 (555) 010-"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    counts = pii_counts(planted, kinds=_RE2_KINDS)
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.trim("text").alias("trimmed"),
@@ -149,6 +192,10 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[aeiou]", "")).cast("long").alias(
             "novowel_len"
         ),
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        F.md5(redact_pii(planted, kinds=_RE2_KINDS)).alias("redacted_hash"),
     )
 
 
