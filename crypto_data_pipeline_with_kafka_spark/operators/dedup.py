@@ -293,12 +293,16 @@ def connected_components(
     Scale shape: each round is one shuffle on dst (neighbor min, with
     map-side partial agg) + one self-join on label (the jump); state is
     one (id, label) row per node — never edges × labels. The label
-    relation is ``localCheckpoint``-ed each round to truncate the plan
-    lineage (iterative loops otherwise stack O(rounds) of plan; on a
-    real cluster point ``spark.sparkContext.setCheckpointDir`` at
-    durable storage and switch to ``.checkpoint()`` for executor-loss
-    recovery). The per-round convergence probe is a COUNT aggregate —
-    an O(1)-result action, not a collect of data rows. Near-dup graphs
+    relation is persisted each round (lazily — see the in-loop comment
+    for why not ``localCheckpoint``; on a real cluster point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and
+    switch to ``.checkpoint()`` for executor-loss recovery and lineage
+    truncation). The per-round convergence probe is ONE label-sum
+    aggregate (labels are monotone non-increasing, so an unchanged
+    exact-decimal sum ⇔ the pointwise fixpoint) — an O(1)-result
+    action, not a collect of data rows, and the round's only action:
+    it doubles as the materialization of that round's labels. Near-dup
+    graphs
     have tiny diameters (dup clusters are dense), so rounds ~ 2-4 in
     practice; ``max_iters`` is a loud backstop (2^25 diameter ≫ any
     graph), raised rather than silently emitting unconverged labels."""
@@ -310,13 +314,29 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # round 0 folded into init: every node appears as src in the doubled
+    # edge list, so one groupBy seeds each label with min(own, neighbors)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lab", F.col("id"))
-        .localCheckpoint(eager=True)
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nlab"))
+        .select(
+            F.col("src").alias("id"), F.least("src", "nlab").alias("lab")
+        )
+        .persist()
     )
+    # Convergence probe: per-node labels are MONOTONE non-increasing
+    # across a round, so the label sum (exact decimal — no long
+    # overflow at any id scale) is strictly decreasing until the
+    # fixpoint and equal exactly at it — ONE aggregate action per
+    # round, no join against the previous labels needed.
+    prev_sum = None
     for _ in range(max_iters):
+        s = labels.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
         nbr = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
@@ -328,21 +348,21 @@ def connected_components(
                 "id", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab")
             )
         )
-        jumped = (
+        # persist, NOT localCheckpoint: obtaining the checkpoint RDD
+        # forces full physical planning at call time (~seconds of
+        # driver work per round even when the round never runs), while
+        # persist is purely lazy — the next round's sum action
+        # materializes the cache and later rounds read it. Lineage
+        # grows by two joins per round, bounded by max_iters ~ log
+        # diameter; swap to .checkpoint() on a real cluster if rounds
+        # ever grow enough for plan depth or executor loss to matter.
+        nxt = (
             cand.alias("x")
             .join(cand.alias("y"), F.col("x.lab") == F.col("y.id"))
             .select(F.col("x.id").alias("id"), F.col("y.lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
+        labels = nxt
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iters} rounds — "
