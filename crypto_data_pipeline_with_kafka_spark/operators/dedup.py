@@ -205,17 +205,48 @@ def jaccard_for_candidates(
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    with_size: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: h_i = min(md5('i|' || shingle)).
     Lexicographic min over fixed-width hex == numeric min of the hash —
     and md5 is identical across engines, so signatures are oracle-exact.
-    One aggregation pass computes all hashes (no per-hash explode)."""
+    One aggregation pass computes all hashes (no per-hash explode);
+    ``with_size`` rides the shingle count (``n_sh``, the Jaccard union
+    term) along in the SAME pass — no second aggregation."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_rows(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Long-form LSH band keys: one (id, band_id, band_key) row per
+    document per band, where band_key is the concatenation of the band's
+    ``num_hashes/bands`` signature hashes. This is both the candidate
+    join key AND the persisted index format for incremental dedup;
+    ``carry_cols`` names extra ``sig`` columns to keep on every row."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols, *carry_cols)
+    stack_expr = "stack({n}, {args}) as (band_id, band_key)".format(
+        n=bands, args=", ".join(f"'{b}', band{b}" for b in range(bands))
+    )
+    return banded.select(F.col(id_col), F.expr(stack_expr), *carry_cols)
 
 
 def minhash_band_pairs(
@@ -227,16 +258,7 @@ def minhash_band_pairs(
     """LSH banding: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; documents sharing any band key become
     candidate pairs. Returns distinct (id_a, id_b)."""
-    rows = num_hashes // bands
-    band_cols = [
-        F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stack_expr = "stack({n}, {args}) as (band_id, band_key)".format(
-        n=bands, args=", ".join(f"'{b}', band{b}" for b in range(bands))
-    )
-    long = banded.select(F.col(id_col), F.expr(stack_expr))
+    long = minhash_band_rows(sig, id_col, num_hashes, bands)
     a = long.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     b = long.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     return (
@@ -266,6 +288,188 @@ def minhash_lsh_dedup(
     return jaccard_for_candidates(sh, cand, id_col, min_jaccard).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Dedup an ARRIVING batch against every previously seen document —
+    the operational 100-TB shape: a corpus is never re-deduped from
+    scratch; new data joins a persisted index.
+
+    The index lives under ``store_dir`` as two parquet tables, each
+    partitioned by ``batch_id``: ``bands`` (id, band_id, band_key, n_sh
+    — the shingle count rides on the band rows, so per-doc sizes read
+    back from the ``band_id='0'`` slice with no extra table or shuffle)
+    and ``shingles`` (id, shingle). Each call (one batch) does:
+
+    1. shingle + MinHash-sign the batch;
+    2. candidates = batch bands vs indexed bands (the BATCH side is
+       broadcast — the index is scanned but NEVER shuffled) plus the
+       batch's within-batch band self-join;
+    3. exact-Jaccard verify on candidates only, reading ONLY the
+       candidate ids' shingles from the store (semi-join on a broadcast
+       id list — O(candidate shingles), not O(index));
+    4. flag each new doc's best earlier duplicate (max jaccard, ties to
+       the smallest id), written durably to
+       ``store_dir/flagged/batch_id=<batch_id>``;
+    5. write the batch's bands/shingles into the index under
+       ``batch_id=<batch_id>`` partitions.
+
+    Every write is an OVERWRITE of this batch's own partitions and every
+    index read prunes to ``batch_id < batch_id`` (PartitionFilters — a
+    redelivered or half-written current batch is excluded by directory
+    pruning, not scanned-and-filtered), so the step is idempotent under
+    foreachBatch redelivery and crash-safe at any point: re-running
+    batch N rewrites exactly N's partitions and recomputes N's flags
+    from batches < N only. The returned DataFrame re-reads the written
+    flags — stable under recompute, never re-deriving from a since-
+    mutated index.
+
+    ALL documents are indexed, duplicates included: if A~B and B~C but
+    A≁C, a later C must still be caught via B. This also makes the
+    result batching-invariant — as long as batches arrive in increasing
+    (``batch_id``, ``id_col``) order, the flagged set is EXACTLY
+    ``{id_b : ∃ id_a < id_b with a shared band key and jaccard ≥ t}``,
+    i.e. identical to what the one-shot :func:`minhash_lsh_dedup` run
+    derives (band keys and jaccard are per-pair deterministic, so when a
+    pair's members meet is irrelevant) — the equivalence the oracle and
+    ``tests/test_dedup_similarity.py`` check.
+
+    Returns the flagged rows (id, dup_of, jaccard) read back from the
+    flag store; do not delete ``store_dir`` while holding it."""
+    flagged, to_unpersist = _incremental_flag_plan(
+        new_docs,
+        store_dir,
+        batch_id,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+    )
+    spark = new_docs.sparkSession
+    bands_new, sh_new, _ = to_unpersist
+    flagged_path = f"{store_dir}/flagged/batch_id={batch_id}"
+    flagged.write.mode("overwrite").parquet(flagged_path)
+
+    # index writes: overwrite THIS batch's partition only — idempotent
+    bands_new.write.mode("overwrite").parquet(
+        f"{store_dir}/bands/batch_id={batch_id}"
+    )
+    sh_new.write.mode("overwrite").parquet(f"{store_dir}/shingles/batch_id={batch_id}")
+    for df in to_unpersist:
+        df.unpersist()
+    return spark.read.parquet(flagged_path)
+
+
+def _incremental_flag_plan(
+    new_docs: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_jaccard: float = 0.8,
+) -> tuple[DataFrame, tuple[DataFrame, DataFrame, DataFrame]]:
+    """Lazy flag plan for one incremental batch (split out so plan tests
+    can assert its physical shape without running the writes). Returns
+    (flagged, (bands_new, sh_new, cand)) — the latter are persisted and
+    owned by the caller."""
+    spark = new_docs.sparkSession
+    # local import: sources.sinks ← operators would be circular the other way
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
+
+    bands_path = f"{store_dir}/bands"
+    sh_path = f"{store_dir}/shingles"
+
+    sh_new = shingle_rows(new_docs, text_col, id_col, k).persist()
+    bands_new = minhash_band_rows(
+        minhash_signatures(sh_new, id_col, num_hashes, with_size=True),
+        id_col,
+        num_hashes,
+        bands,
+        carry_cols=("n_sh",),
+    ).persist()
+    sizes_new = bands_new.filter(F.col("band_id") == "0").select(id_col, "n_sh")
+
+    def read_earlier(path: str) -> DataFrame:
+        # batch_id is a partition directory: the filter prunes at
+        # planning time, so current-batch leftovers are never scanned
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+
+    new_b = bands_new.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    new_a = bands_new.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    cand = (
+        new_a.join(F.broadcast(new_b), ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    have_store = target_exists(spark, bands_path)
+    if have_store:
+        old_bands = read_earlier(bands_path).select(
+            F.col(id_col).alias("id_a"), "band_id", "band_key"
+        )
+        cand = cand.unionByName(
+            old_bands.join(F.broadcast(new_b), ["band_id", "band_key"]).select(
+                "id_a", "id_b"
+            )
+        )
+    cand = cand.distinct().persist()
+
+    # Verify stage, key-pruned: only the candidate ids' shingles/sizes
+    # ever leave the store scan (left-semi on a broadcast id list).
+    sh_all = sh_new
+    sizes_all = sizes_new
+    if have_store:
+        ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+        sh_all = sh_new.unionByName(
+            read_earlier(sh_path).join(F.broadcast(ids_a), id_col, "left_semi")
+        )
+        old_sizes = (
+            read_earlier(bands_path)
+            .filter(F.col("band_id") == "0")
+            .select(id_col, "n_sh")
+        )
+        sizes_all = sizes_new.unionByName(
+            old_sizes.join(F.broadcast(ids_a), id_col, "left_semi")
+        )
+    inter = (
+        F.broadcast(cand)
+        .join(sh_all.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh_all.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    dup_pairs = _jaccard_from_inter(inter, sizes_all, min_jaccard)
+    w = Window.partitionBy("id_b").orderBy(F.col("jaccard").desc(), F.col("id_a").asc())
+    flagged = (
+        dup_pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    return flagged, (bands_new, sh_new, cand)
 
 
 def connected_components(

@@ -219,7 +219,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(id,label) row per node of state), id_b = the component-min "
     "canonical doc every member should dedup to. The oracle recomputes "
     "components with a recursive CTE, so the iterative DataFrame loop "
-    "is value-checked end to end",
+    "is value-checked end to end. (The INCREMENTAL twin — arriving "
+    "batches vs a persisted band/shingle index — is driver-attested "
+    "through the real streaming engine in stream_dedup_distinct's "
+    "'incr' leg.)",
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

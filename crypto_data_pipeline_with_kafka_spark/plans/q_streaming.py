@@ -6,15 +6,26 @@ value-checked against a batch DuckDB oracle."""
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.plans.q_dedup import (
+    _BAND_SELECTS,
+    _SH_CTE,
+    _SIG_COLS,
+)
 from crypto_data_pipeline_with_kafka_spark.plans.q_indicators import EMA_ORACLE_SQL
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 from crypto_data_pipeline_with_kafka_spark.sources.readers import events_stream_reader
 from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+    run_incremental_dedup_stream,
     run_to_memory,
     streaming_dedup,
     streaming_session_windows,
@@ -48,20 +59,112 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_distinct",
-    """
-    SELECT DISTINCT user_id, event_type FROM events
+    f"""
+    WITH {_SH_CTE},
+    sig AS (
+      SELECT doc_id,
+         {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bandl AS (
+      {_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandl a
+      JOIN bandl b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    dup_pairs AS (
+      SELECT c.id_a, c.id_b, j.jaccard
+      FROM cand c JOIN jac j USING (id_a, id_b)
+      WHERE j.jaccard >= 0.8
+    ),
+    best AS (
+      SELECT id_a, id_b, jaccard,
+             row_number() OVER (PARTITION BY id_b
+                                ORDER BY jaccard DESC, id_a) AS rn
+      FROM dup_pairs
+    )
+    SELECT 'distinct' AS part, user_id, event_type,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS dup_of,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    UNION ALL
+    SELECT 'incr' AS part, CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS VARCHAR) AS event_type,
+           id_b AS doc_id, id_a AS dup_of, jaccard
+    FROM best WHERE rn = 1
     """,
-    doc="ST3: stateful streaming dropDuplicates over (user_id, event_type) "
-    "— the engine-checkpointed replacement for the producer's in-memory "
-    "dedup sets (producer_news.py:45); append mode emits each key once",
-    tags=("streaming",),
+    doc="ST3 tagged union, both legs through the REAL streaming engine: "
+    "'distinct' = stateful streaming dropDuplicates over "
+    "(user_id, event_type) — the engine-checkpointed replacement for "
+    "the producer's in-memory dedup sets (producer_news.py:45), append "
+    "mode emits each key once; 'incr' = the documents corpus arriving "
+    "as three id-ordered files, MinHash-LSH deduped per micro-batch "
+    "against the persisted band/shingle index of every EARLIER batch "
+    "(run_incremental_dedup_stream → incremental_minhash_dedup: the "
+    "batch side is broadcast, the index is scanned never shuffled, "
+    "writes are per-batch_id overwrites so redelivery is exactly-once) "
+    "— per arriving doc its best earlier duplicate, which "
+    "batching-invariance makes EXACTLY the one-shot run's best "
+    "earlier pair, so the oracle derives it from the same dup_pairs "
+    "CTEs the batch query uses",
+    tags=("streaming", "dedup", "lsh"),
 )
 def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = streaming_dedup(
         _stream(spark, sf_dir).select("user_id", "event_type"),
         ["user_id", "event_type"],
     )
-    return run_to_memory(dd, output_mode="append", name_prefix="dedup_distinct")
+    ev = run_to_memory(dd, output_mode="append", name_prefix="dedup_distinct")
+
+    # incr leg: stage the corpus as 3 contiguous-id files with strictly
+    # increasing mtimes (the file source processes oldest-first, one
+    # file per micro-batch), then drain the real streaming query. The
+    # temp store must outlive this lazy result (flags re-read it), so
+    # it is not cleaned up here; tempfile puts it under /tmp.
+    docs = load_table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="incr_dedup_src_")
+    store = tempfile.mkdtemp(prefix="incr_dedup_store_")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + 2 * (hi - lo + 1) // 3, hi + 1]
+    now = time.time()
+    for b in range(3):
+        stage = f"{src}/_stage"
+        (
+            docs.filter(
+                (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src}/batch{b}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (now + 10 * b, now + 10 * b))
+    run_incremental_dedup_stream(spark, src, store)
+    flags = spark.read.parquet(f"{store}/flagged")
+
+    return ev.select(
+        F.lit("distinct").alias("part"),
+        "user_id",
+        "event_type",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("double").alias("jaccard"),
+    ).unionByName(
+        flags.select(
+            F.lit("incr").alias("part"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            "doc_id",
+            "dup_of",
+            "jaccard",
+        )
+    )
 
 
 @register(

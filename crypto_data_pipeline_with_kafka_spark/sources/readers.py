@@ -66,6 +66,27 @@ def events_stream_reader(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def documents_stream_reader(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source streaming reader over the documents fixture — the
+    arriving-corpus stand-in for the incremental dedup stream (schema
+    declared, matching ``testdata/*/documents.parquet``)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     topic: str,

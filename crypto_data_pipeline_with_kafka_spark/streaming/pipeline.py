@@ -30,11 +30,17 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+    incremental_minhash_dedup,
+)
 from crypto_data_pipeline_with_kafka_spark.operators.indicators import (
     WINDOW_ROWS,
     compute_indicators,
 )
-from crypto_data_pipeline_with_kafka_spark.sources.readers import events_stream_reader
+from crypto_data_pipeline_with_kafka_spark.sources.readers import (
+    documents_stream_reader,
+    events_stream_reader,
+)
 from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
 
 _name_counter = itertools.count()
@@ -315,6 +321,48 @@ def run_incremental_indicator_stream(
         else:
             inc.write.mode("append").partitionBy("dt").parquet(indicator_store)
         fresh.write.mode("append").partitionBy("dt").parquet(events_store)
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    store_dir: str,
+    min_jaccard: float = 0.8,
+) -> None:
+    """Streaming near-dup gate over an arriving corpus: each micro-batch
+    of documents is MinHash-LSH deduped against the persisted band/
+    shingle index of every EARLIER batch
+    (:func:`...operators.dedup.incremental_minhash_dedup`, epoch_id =
+    batch_id) and its duplicate flags land durably in
+    ``store_dir/flagged/batch_id=N``.
+
+    Delivery is exactly-once WITHOUT any anti-join: the batch step only
+    overwrites its own ``batch_id=N`` partitions and only reads
+    ``batch_id < N`` (directory-pruned), so a redelivered epoch rewrites
+    byte-identical data (asserted by the redelivery test). Consequently
+    the index and the checkpoint must be retained TOGETHER: a fresh
+    checkpoint restarts epoch ids at 0 and would overwrite the index
+    from the beginning.
+
+    Flags match the one-shot batch run when files arrive in increasing
+    doc_id order (the file source processes in modification-time order;
+    the equivalence test writes files that way). Out-of-order arrival
+    still finds every cross-batch duplicate pair — just attributed to
+    whichever member arrived later."""
+    stream = documents_stream_reader(spark, source_path, max_files_per_trigger=1)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        incremental_minhash_dedup(
+            batch.select("doc_id", "text"),
+            store_dir,
+            int(epoch_id),
+            min_jaccard=min_jaccard,
+        )
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()

@@ -352,3 +352,81 @@ def test_multimodal_resize_and_features_feed_ann(spark):
     # the multimodal → similarity bridge: ANN runs on extracted features
     pairs = ivf_ann_pairs(feats, num_centroids=8, probes=2, min_cosine=0.9)
     assert pairs.count() >= 0 and pairs.columns == ["id_a", "id_b", "cosine"]
+
+
+def _best_earlier(pairs):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_b").orderBy(F.col("jaccard").desc(), F.col("id_a").asc())
+    return {
+        (r.id_b, r.id_a, round(r.jaccard, 12))
+        for r in pairs.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+
+
+def test_incremental_minhash_matches_one_shot_batch(spark, tmp_path):
+    """Replaying the corpus as 3 id-ordered batches through the
+    persisted band/shingle index flags EXACTLY the one-shot run's
+    best-earlier-duplicate per doc (batching-invariance), and
+    redelivering a batch (foreachBatch at-least-once) rewrites
+    byte-identical flags — the per-batch_id overwrite + batch_id < N
+    partition pruning makes the step idempotent."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    expected = _best_earlier(minhash_lsh_dedup(docs))
+
+    store = str(tmp_path / "idx")
+    got = set()
+    per_batch = {}
+    for b, (lo, hi) in enumerate([(0, 167), (167, 334), (334, 500)]):
+        fl = incremental_minhash_dedup(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), store, b
+        )
+        per_batch[b] = {(r.doc_id, r.dup_of, round(r.jaccard, 12)) for r in fl.collect()}
+        got |= per_batch[b]
+    assert got == expected and expected  # fixtures contain real dups
+
+    # redelivery: rerun batch 1 against the fully-written index
+    fl1 = incremental_minhash_dedup(
+        docs.filter((F.col("doc_id") >= 167) & (F.col("doc_id") < 334)), store, 1
+    )
+    assert {(r.doc_id, r.dup_of, round(r.jaccard, 12)) for r in fl1.collect()} == per_batch[1]
+
+
+def test_incremental_flag_plan_broadcasts_batch_never_index(spark, tmp_path):
+    """The 100-TB contract of the incremental step: the arriving batch
+    side is broadcast (BroadcastHashJoin / BroadcastExchange), the
+    index parquet scans carry the batch_id partition filter, and no
+    plan node hash-Exchanges the index scan — the index is read, never
+    shuffled."""
+    import io
+    from contextlib import redirect_stdout
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        _incremental_flag_plan,
+        incremental_minhash_dedup,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = str(tmp_path / "idx")
+    incremental_minhash_dedup(docs.filter("doc_id < 250"), store, 0)
+
+    flagged, persisted = _incremental_flag_plan(docs.filter("doc_id >= 250"), store, 1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        flagged.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "Scan parquet" in plan
+    # index reads prune on the batch_id partition directory
+    assert "PartitionFilters: [isnotnull(batch_id" in plan, plan
+    # the candidate join gets the batch side via BroadcastExchange; the
+    # index scan feeds join probe sides directly
+    assert "BroadcastExchange" in plan
+    for df in persisted:
+        df.unpersist()
