@@ -86,7 +86,17 @@ def hash_sample(
     is a subset of the same-salt sample drawn after the corpus grows."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.filter(_hash_fraction(F.col(key_col), salt) < fraction)
+    return df.filter(hash_sample_flag(fraction, key_col, salt))
+
+
+def hash_sample_flag(
+    fraction: float, key_col: str = "doc_id", salt: str = "sample-v1"
+) -> Column:
+    """Column form of :func:`hash_sample`: TRUE iff the row's (salt,
+    key) hash fraction falls under ``fraction``. Use when the sample
+    membership should ride along as metadata (e.g. a profile column)
+    instead of filtering rows."""
+    return _hash_fraction(F.col(key_col), salt) < fraction
 
 
 def stratified_sample_exact(

@@ -19,7 +19,30 @@ from crypto_data_pipeline_with_kafka_spark.functions.text import (
     tokens,
 )
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import shingle_rows
+from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+    _FRAC_DENOM,
+    _FRAC_HEX_DIGITS,
+    hash_sample_flag,
+    hash_split,
+)
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
+
+# Split weights for text_profile's sampling leg. The cumulative cuts are
+# accumulated in Python EXACTLY as hash_split accumulates them, then
+# embedded as repr() literals in the DuckDB SQL — so even a fraction
+# landing on the float boundary (0.9 + 0.05 != 0.95 in IEEE) assigns
+# identically on both engines.
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_CUT_TRAIN = 0.9 / 1.0
+_CUT_VAL = _CUT_TRAIN + 0.05 / 1.0
+_SAMPLE_FRACTION = 0.1
+
+# DuckDB twin of operators.sampling._hash_fraction: 13-hex-digit md5
+# prefix as a 52-bit integer over 16^13 (exact in a double)
+_FRAC_SQL = (
+    "CAST(('0x' || substr(md5('{salt}|' || CAST(q.doc_id AS VARCHAR)), 1, "
+    f"{_FRAC_HEX_DIGITS})) AS UBIGINT) / {_FRAC_DENOM!r}"
+)
 
 _TOKS = "toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws FROM documents)"
 
@@ -100,10 +123,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(q.text) AS content_hash,
            fp.fp_min, fp.fp_max, substr(fp.fp_min, 1, 8) AS short_fp,
            rep.top_bigram_frac, rep.dup_trigram_frac,
-           (rep.top_bigram_frac <= 0.2 AND rep.dup_trigram_frac <= 0.3) AS rep_ok
+           (rep.top_bigram_frac <= 0.2 AND rep.dup_trigram_frac <= 0.3) AS rep_ok,
+           CASE WHEN {{split_frac}} < {_CUT_TRAIN!r} THEN 'train'
+                WHEN {{split_frac}} < {_CUT_VAL!r} THEN 'val'
+                ELSE 'test' END AS split,
+           {{sample_frac}} < {_SAMPLE_FRACTION!r} AS sample_10pct
     FROM q LEFT JOIN fp ON fp.doc_id = q.doc_id
     LEFT JOIN rep ON rep.doc_id = q.doc_id
-    """,
+    """.format(
+        split_frac=_FRAC_SQL.format(salt="split-v1"),
+        sample_frac=_FRAC_SQL.format(salt="sample-v1"),
+    ),
     doc="Text-analysis profile — quality scoring, language-ID and "
     "fingerprinting over `documents` in ONE checked plan (merged from "
     "the round-2 text_quality_score / text_lang_id / text_fingerprint "
@@ -197,7 +227,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(c3).cast("double")
         ).alias("dup_trigram_frac"),
     )
-    return (
+    profiled = (
         per_row.join(fp, "doc_id", "left")
         .withColumn("short_fp", F.substring("fp_min", 1, 8))
         .join(rep, "doc_id", "left")
@@ -205,6 +235,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_ok",
             (F.col("top_bigram_frac") <= 0.2) & (F.col("dup_trigram_frac") <= 0.3),
         )
+    )
+    # sampling leg: deterministic md5-keyed split + repeatable sample
+    # flag as per-doc curation metadata — pure column maps, zero shuffle
+    return hash_split(profiled, _SPLIT_WEIGHTS).withColumn(
+        "sample_10pct", hash_sample_flag(_SAMPLE_FRACTION)
     )
 
 
