@@ -99,6 +99,57 @@ def hash_sample_flag(
     return _hash_fraction(F.col(key_col), salt) < fraction
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int,
+    token_col: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Sequence packing for training export: concatenate documents (in
+    ``key_col`` order, within an md5-assigned shard) into fixed-size
+    sequences of ``token_budget`` tokens, split-allowed — the
+    concat-then-cut packing used to build LLM training batches. Adds:
+
+    * ``pack_shard``  — md5(salt|key) % n_shards (deterministic, and
+      DuckDB-recomputable — NOT Spark's murmur ``hash()``);
+    * ``pack_seq``    — index of the sequence where this doc STARTS
+      (prev-token cumsum // budget, exact integer arithmetic);
+    * ``pack_offset`` — the doc's first-token offset inside that
+      sequence (cumsum % budget).
+
+    One window shuffle partitioned on shard: each shard packs
+    independently, so parallelism = n_shards and NO global ordering is
+    ever materialized — at 100 TB raise n_shards until a shard's token
+    count fits an executor's window spill budget (packing quality is
+    unaffected: sequences never cross shards by construction). Docs
+    with 0 tokens get the position of the next doc (width-0 slot)."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    out = df.withColumn("pack_shard", shard)
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
+    return (
+        out.withColumn("_cum_prev", cum_prev)
+        .withColumn("pack_seq", F.expr(f"_cum_prev div {int(token_budget)}"))
+        .withColumn("pack_offset", F.col("_cum_prev") % token_budget)
+        .drop("_cum_prev")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: Sequence[str],

@@ -24,6 +24,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
     _FRAC_HEX_DIGITS,
     hash_sample_flag,
     hash_split,
+    pack_sequences,
 )
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
@@ -36,6 +37,8 @@ _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _CUT_TRAIN = 0.9 / 1.0
 _CUT_VAL = _CUT_TRAIN + 0.05 / 1.0
 _SAMPLE_FRACTION = 0.1
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
 
 # DuckDB twin of operators.sampling._hash_fraction: 13-hex-digit md5
 # prefix as a 52-bit integer over 16^13 (exact in a double)
@@ -127,9 +130,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN {{split_frac}} < {_CUT_TRAIN!r} THEN 'train'
                 WHEN {{split_frac}} < {_CUT_VAL!r} THEN 'val'
                 ELSE 'test' END AS split,
-           {{sample_frac}} < {_SAMPLE_FRACTION!r} AS sample_10pct
+           {{sample_frac}} < {_SAMPLE_FRACTION!r} AS sample_10pct,
+           pk.pack_shard, pk.pack_seq, pk.pack_offset
     FROM q LEFT JOIN fp ON fp.doc_id = q.doc_id
     LEFT JOIN rep ON rep.doc_id = q.doc_id
+    JOIN (
+      SELECT doc_id, pack_shard,
+             CAST(cum_prev // {_PACK_BUDGET} AS BIGINT) AS pack_seq,
+             CAST(cum_prev % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+      FROM (
+        SELECT doc_id, pack_shard,
+               coalesce(sum(n_bpe_tokens) OVER (
+                 PARTITION BY pack_shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        FROM (
+          SELECT doc_id, n_bpe_tokens,
+                 CAST(CAST(('0x' || substr(md5('pack-v1|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS UBIGINT) % {_PACK_SHARDS} AS BIGINT) AS pack_shard
+          FROM q
+        )
+      )
+    ) pk ON pk.doc_id = q.doc_id
     """.format(
         split_frac=_FRAC_SQL.format(salt="split-v1"),
         sample_frac=_FRAC_SQL.format(salt="sample-v1"),
@@ -238,8 +259,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sampling leg: deterministic md5-keyed split + repeatable sample
     # flag as per-doc curation metadata — pure column maps, zero shuffle
-    return hash_split(profiled, _SPLIT_WEIGHTS).withColumn(
+    assembled = hash_split(profiled, _SPLIT_WEIGHTS).withColumn(
         "sample_10pct", hash_sample_flag(_SAMPLE_FRACTION)
+    )
+    # packing leg: (shard, seq, offset) under a fixed token budget —
+    # one window shuffle partitioned on the md5 shard
+    return pack_sequences(
+        assembled, _PACK_BUDGET, "n_bpe_tokens", n_shards=_PACK_SHARDS
     )
 
 

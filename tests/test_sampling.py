@@ -69,3 +69,36 @@ def test_stratified_sample_exact_counts(spark):
         for r in stratified_sample_exact(docs, ["lang"], 7).select("lang", "doc_id").collect()
     }
     assert a == b
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """pack_sequences = concat-and-cut packing per md5 shard: every
+    doc's (shard, seq, offset) must equal a sequential pure-Python pack
+    of the same shard in the same id order — the invariant that a
+    training reader consuming shard-by-shard sees a gapless token
+    stream cut exactly at the budget."""
+    import hashlib
+
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    budget, shards = 512, 4
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tok")
+    )
+    got = {
+        r.doc_id: (r.pack_shard, r.pack_seq, r.pack_offset)
+        for r in pack_sequences(
+            docs, budget, "n_tok", n_shards=shards
+        ).collect()
+    }
+
+    rows = sorted((r.doc_id, r.n_tok) for r in docs.collect())
+    cum = {s: 0 for s in range(shards)}
+    for doc_id, n_tok in rows:
+        s = int(hashlib.md5(f"pack-v1|{doc_id}".encode()).hexdigest()[:4], 16) % shards
+        assert got[doc_id] == (s, cum[s] // budget, cum[s] % budget), doc_id
+        cum[s] += n_tok
+    # gapless: total tokens per shard == final cumsum
+    assert sum(cum.values()) == sum(n for _, n in rows)
