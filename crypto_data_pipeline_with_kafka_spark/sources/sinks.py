@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def non_empty(df: DataFrame) -> bool:
@@ -65,6 +66,48 @@ def write_idempotent_append(
         fresh = df
     if non_empty(fresh):
         fresh.write.mode("append").parquet(target_path)
+
+
+def export_training_shards(
+    df: DataFrame,
+    target_path: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    salt: str = "export-v1",
+    fmt: str = "json",
+) -> None:
+    """Training-data export: write the curated frame as ``n_shards``
+    deterministic shards under ``target_path/shard=K`` (JSONL by
+    default — the interchange format training loaders read — or
+    parquet). Shard = md5(salt|key) % n_shards: stable under reruns AND
+    corpus growth (a doc never migrates shards, so incremental exports
+    only append), and the same assignment every engine can recompute —
+    unlike ``repartition(n)``'s round-robin, which reshuffles everything
+    on every run.
+
+    One hash-partition exchange on the shard key; each shard lands as
+    its own ``shard=K`` directory (partition-discovery readable, and a
+    training loader can consume shards independently). At 100 TB raise
+    ``n_shards`` to bound per-shard size; skew is impossible by
+    construction (md5 is uniform over keys)."""
+    if fmt not in ("json", "parquet"):
+        raise ValueError(f"unsupported export format: {fmt}")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    out = df.withColumn("shard", shard).repartition(n_shards, "shard")
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if fmt == "json":
+        writer.json(target_path)
+    else:
+        writer.parquet(target_path)
 
 
 def jdbc_append_writer(
