@@ -317,8 +317,9 @@ def incremental_minhash_dedup(
        broadcast — the index is scanned but NEVER shuffled) plus the
        batch's within-batch band self-join;
     3. exact-Jaccard verify on candidates only, reading ONLY the
-       candidate ids' shingles from the store (semi-join on a broadcast
-       id list — O(candidate shingles), not O(index));
+       candidate ids' shingles from the store (left-semi on the
+       candidate id list, AQE-broadcast when small — O(candidate
+       shingles), not O(index));
     4. flag each new doc's best earlier duplicate (max jaccard, ties to
        the smallest id), written durably to
        ``store_dir/flagged/batch_id=<batch_id>``;
@@ -435,13 +436,19 @@ def _incremental_flag_plan(
     cand = cand.distinct().persist()
 
     # Verify stage, key-pruned: only the candidate ids' shingles/sizes
-    # ever leave the store scan (left-semi on a broadcast id list).
+    # ever leave the store scan (left-semi on the candidate id list).
+    # NO forced broadcast on cand/ids_a: unlike the batch's own bands
+    # (structurally O(micro-batch)), the candidate set is only
+    # COLLISION-bounded — a hot band could blow a forced broadcast up;
+    # AQE broadcasts it at runtime whenever it actually is small (the
+    # normal case), and degrades to a shuffle instead of an OOM when
+    # it is not.
     sh_all = sh_new
     sizes_all = sizes_new
     if have_store:
         ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
         sh_all = sh_new.unionByName(
-            read_earlier(sh_path).join(F.broadcast(ids_a), id_col, "left_semi")
+            read_earlier(sh_path).join(ids_a, id_col, "left_semi")
         )
         old_sizes = (
             read_earlier(bands_path)
@@ -449,11 +456,10 @@ def _incremental_flag_plan(
             .select(id_col, "n_sh")
         )
         sizes_all = sizes_new.unionByName(
-            old_sizes.join(F.broadcast(ids_a), id_col, "left_semi")
+            old_sizes.join(ids_a, id_col, "left_semi")
         )
     inter = (
-        F.broadcast(cand)
-        .join(sh_all.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        cand.join(sh_all.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
         .join(sh_all.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
