@@ -135,12 +135,14 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = full.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp")).select(
         "user_id", "type_id", "ts"
     )
-    # the existing-keys side is pre-filtered to the relevant time range —
-    # which is what makes it broadcastable at scale; measured ~2× over
-    # the shuffle anti-join at sf0.1
-    out = full.join(
-        F.broadcast(existing), on=["user_id", "type_id", "ts"], how="left_anti"
-    )
+    # NO forced broadcast on the existing-keys side: it is
+    # history-sized, not structurally bounded (at 100 TB this side is a
+    # partition-pruned store read covering only the batch's overlapping
+    # window — see foreach_batch_idempotent_append). AQE broadcasts it
+    # at runtime when it fits (it does at every tested SF, keeping the
+    # measured ~2×-over-shuffle plan) and falls back to a shuffle
+    # instead of a driver OOM when it does not.
+    out = full.join(existing, on=["user_id", "type_id", "ts"], how="left_anti")
     return out.select(
         "user_id",
         F.col("type_id").cast("long").alias("type_id"),
