@@ -401,3 +401,54 @@ def test_watermark_drops_too_late_rows_in_append_mode(spark, tmp_path):
     # the finalized 08:00 window kept n=1 — the straggler neither merged
     # nor re-emitted a duplicate window row
     assert by_window.get(8) == 1, by_window
+
+
+def test_incremental_dedup_stream_out_of_order_arrival(spark, tmp_path):
+    """The streaming near-dup gate with batches arriving in REVERSE id
+    order: every flagged pair must still be a true verified near-dup
+    (soundness), and for every pair the one-shot batch run verifies, at
+    least one member must be flagged (no duplicate escapes — the
+    docstring's 'attributed to whichever member arrived later')."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    one_shot = {
+        frozenset((r.id_a, r.id_b)) for r in minhash_lsh_dedup(docs).collect()
+    }
+    assert one_shot  # fixtures contain real near-dups
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    now = _time.time()
+    # stage high-id docs FIRST (reverse order)
+    for i, (lo, hi) in enumerate([(334, 500), (167, 334), (0, 167)]):
+        stage = f"{src}/_stage"
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch{i}.parquet")
+        shutil.rmtree(stage)
+        os.utime(f"{src}/batch{i}.parquet", (now + 10 * i, now + 10 * i))
+    run_incremental_dedup_stream(spark, src, store)
+
+    flags = spark.read.parquet(f"{store}/flagged").collect()
+    flagged_pairs = {frozenset((r.doc_id, r.dup_of)) for r in flags}
+    assert flagged_pairs  # cross-batch dups found despite reversed arrival
+    assert flagged_pairs <= one_shot  # soundness: only true near-dup pairs
+    flagged_docs = {d for p in flagged_pairs for d in p}
+    for pair in one_shot:  # completeness: no duplicate pair escapes
+        assert pair & flagged_docs, f"pair {set(pair)} escaped the gate"
