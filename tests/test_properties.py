@@ -332,3 +332,39 @@ def test_hash_split_total_and_stable(spark, w, salt):
         for r in hash_split(df.filter("doc_id < 17"), weights, salt=salt).collect()
     }
     assert all(full[k] == v for k, v in sub.items())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(0, 5000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 4096),
+    st.integers(1, 6),
+)
+@settings(max_examples=6, deadline=None)
+def test_pack_sequences_matches_python_pack(spark, rows, budget, n_shards):
+    """On ARBITRARY (id, token-count) corpora — including 0-token docs,
+    huge ids, tiny budgets — pack_sequences must equal a sequential
+    pure-Python concat-and-cut pack of each md5 shard in id order."""
+    import hashlib
+
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.pack_shard, r.pack_seq, r.pack_offset)
+        for r in pack_sequences(df, budget, "n_tok", n_shards=n_shards).collect()
+    }
+    cum = {s: 0 for s in range(n_shards)}
+    for doc_id, n_tok in sorted(rows):
+        s = (
+            int(hashlib.md5(f"pack-v1|{doc_id}".encode()).hexdigest()[:4], 16)
+            % n_shards
+        )
+        assert got[doc_id] == (s, cum[s] // budget, cum[s] % budget)
+        cum[s] += n_tok
