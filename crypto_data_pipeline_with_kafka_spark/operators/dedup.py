@@ -304,7 +304,11 @@ def incremental_minhash_dedup(
 ) -> DataFrame:
     """Dedup an ARRIVING batch against every previously seen document —
     the operational 100-TB shape: a corpus is never re-deduped from
-    scratch; new data joins a persisted index.
+    scratch; new data joins a persisted index. (The near-dup, set-based
+    generalization of the reference's arriving-data-vs-stored exact
+    dedup: URL existence check / INSERT IGNORE in
+    ``dags/consumer_prices.py:70-80`` and the pre-write anti-join in
+    ``dags/spark_job_1.py:81-93``.)
 
     The index lives under ``store_dir`` as two parquet tables, each
     partitioned by ``batch_id``: ``bands`` (id, band_id, band_key, n_sh
