@@ -12,7 +12,7 @@ exercised; only the checking granularity changed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
@@ -247,23 +247,61 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_explode_tokens",
     """
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
-    SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos, unnest(ws) AS token
+    SELECT 'tokens' AS part, doc_id,
+           CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos, unnest(ws) AS token,
+           CAST(NULL AS BIGINT) AS n
     FROM toks WHERE doc_id < 50
+    UNION ALL
+    SELECT 'vocab' AS part, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS pos, token, n
+    FROM (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(ws) AS token FROM toks)
+      GROUP BY token ORDER BY n DESC, token LIMIT 100
+    )
     """,
-    doc="UD3: UDTF-shaped one-row → N-rows explode with ordinality (the "
-    "RSS-feed → <item> rows expansion, producer_news.py:54-63) — "
-    "posexplode over a generated array, no Python",
-    tags=("udtf", "explode"),
+    doc="UD3 tagged union: 'tokens' = UDTF-shaped one-row → N-rows "
+    "explode with ordinality (the RSS-feed → <item> rows expansion, "
+    "producer_news.py:54-63) — posexplode over a generated array, no "
+    "Python; 'vocab' = corpus vocabulary builder (top-100 tokens by "
+    "document-collection frequency — the stop-list / BPE-prep / "
+    "df-cap-tuning stat): token groupBy with map-side combine → "
+    "distributed top-k (TakeOrderedAndProject), then ranks assigned on "
+    "the k-bounded result only — never a global sort of the vocabulary",
+    tags=("udtf", "explode", "text"),
 )
 def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.functions.text import tokens
 
-    return (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 50)
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("doc_id") < 50)
         .select("doc_id", F.posexplode(tokens("text")).alias("pos0", "token"))
-        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+        .select(
+            F.lit("tokens").alias("part"),
+            "doc_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "token",
+            F.lit(None).cast("long").alias("n"),
+        )
     )
+    top = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )
+    # rank over the k-bounded (≤100-row) relation only
+    w = Window.orderBy(F.col("n").desc(), "token")
+    vocab = top.select(
+        F.lit("vocab").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.row_number().over(w).cast("int").alias("pos"),
+        "token",
+        "n",
+    )
+    return toks.unionByName(vocab)
 
 
 @register(
