@@ -15,6 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -36,12 +37,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Parquet TIMESTAMP(NANOS) columns. Spark 4 rejects them outright
-# (PARQUET_TYPE_ILLEGAL); with spark.sql.legacy.parquet.nanosAsLong they
-# read as epoch-ns longs, which we truncate to the µs TimestampType —
-# the exact semantics DuckDB applies when it reads the same file (ns
-# truncated, not rounded, to its µs TIMESTAMP), keeping oracle parity.
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns that have shipped in two parquet layouts across
+# fixture generations: TIMESTAMP(NANOS) (Spark 4 rejects outright;
+# under spark.sql.legacy.parquet.nanosAsLong they read as epoch-ns
+# longs, truncated — not rounded — to µs, matching DuckDB's read of the
+# same file) and plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ).
+# Both are normalized to the session-local TimestampType in UTC so every
+# downstream plan and oracle sees one schema regardless of generation.
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,14 +54,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session (the driver builds its own) didn't — otherwise collected
     # timestamps would shift against the timezone-naive DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    nano_cols = _NANO_TS_COLS.get(name, ())
-    if nano_cols:
+    ts_cols = _TS_COLS.get(name, ())
+    if ts_cols:
         # runtime-settable; done here so the driver's own SparkSession
-        # (which we don't construct) also reads these files.
+        # (which we don't construct) also reads ns-layout files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ts_cols:
+        dtype = df.schema[c].dataType
+        if isinstance(dtype, T.LongType):  # ns layout via nanosAsLong
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dtype, T.TimestampNTZType):  # µs layout
+            # NTZ → session-local; with the session pinned to UTC this
+            # is a pure re-tag (identical epoch micros).
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -34,26 +34,38 @@ def events_stream_reader(
 ) -> DataFrame:
     """File-source streaming reader over the events fixture — the test
     stand-in for the Kafka topic (same rows, same schema, declared not
-    inferred). NOTE: parquet ns-timestamps read as long under
-    nanosAsLong; declare ts as LongType then convert.
+    inferred). The file stream source requires a declared schema, and
+    the events fixture has shipped ``ts`` in two parquet layouts
+    (epoch-ns, which reads as long under nanosAsLong, and plain µs
+    TIMESTAMP): a one-footer batch probe picks the matching declaration,
+    then ``ts`` is normalized to the session TimestampType either way.
     ``max_files_per_trigger`` is the file-source's batch-size cap (O3's
     file-source analogue of maxOffsetsPerTrigger); tests use 1 to force
     one micro-batch per file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Schema probe: footer-only read of whatever files the path matches.
+    # The probe is driver-side metadata, not a data scan.
+    ts_is_long = isinstance(
+        spark.read.parquet(path).schema["ts"].dataType, T.LongType
+    )
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), False),
-            T.StructField("ts", T.LongType(), False),  # epoch ns (nanosAsLong)
+            T.StructField(
+                "ts",
+                T.LongType() if ts_is_long else T.TimestampNTZType(),
+                False,
+            ),
             T.StructField("user_id", T.LongType(), False),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),
             T.StructField("props", T.StringType(), True),
         ]
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import os
-
-    from pyspark.sql import functions as F
-
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -63,7 +75,9 @@ def events_stream_reader(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def documents_stream_reader(
