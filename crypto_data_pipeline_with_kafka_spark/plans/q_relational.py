@@ -193,23 +193,79 @@ def rel_join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'anti' AS op, c_custkey, c_name
     FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'exists' AS op, c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    UNION ALL
+    SELECT 'notexists' AS op, c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    UNION ALL
+    SELECT 'scalar' AS op, c_custkey, c_name
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+            * (SELECT count(*) FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
     """,
-    doc="J2+J4 in one checked plan: left-semi key-presence probe (the "
-    "reference's per-row 'SELECT id WHERE url=%s', consumer_news.py:47-49) "
-    "and left-anti 'not already inserted' dedup (spark_job_1.py:81-85), "
-    "tagged and unioned",
-    tags=("join",),
+    doc="J2+J4 plus the subquery-decorrelation surface in one checked "
+    "plan: left-semi key-presence probe (the reference's per-row "
+    "'SELECT id WHERE url=%s', consumer_news.py:47-49), left-anti 'not "
+    "already inserted' dedup (spark_job_1.py:81-85), correlated EXISTS "
+    "/ NOT EXISTS with an extra predicate (Catalyst decorrelates to "
+    "conditioned semi/anti joins — RewritePredicateSubquery), and a "
+    "correlated scalar-aggregate subquery (above-nation-average "
+    "balance, decorrelated to an aggregate-join). The scalar leg "
+    "compares exact DECIMAL sums (balance × group count > group sum), "
+    "never a float average, so boundary membership is bitwise stable "
+    "across engines. All five legs tagged and unioned",
+    tags=("join", "subquery"),
 )
 def rel_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o_keys = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = _t(spark, sf_dir, "orders")
+    o_keys = o.select(F.col("o_custkey").alias("c_custkey"))
     semi = c.join(o_keys, "c_custkey", "left_semi").select(
         F.lit("semi").alias("op"), "c_custkey", "c_name"
     )
     anti = idempotent_append(c, o_keys, ["c_custkey"]).select(
         F.lit("anti").alias("op"), "c_custkey", "c_name"
     )
-    return semi.unionByName(anti)
+    # The subquery legs deliberately go through the SQL API so the
+    # driver attests Catalyst's decorrelation itself (EXISTS → semi,
+    # NOT EXISTS → anti, correlated scalar agg → aggregate + join),
+    # not a hand-decorrelated DataFrame equivalent.
+    c.createOrReplaceTempView("_sq_customer")
+    o.createOrReplaceTempView("_sq_orders")
+    subq = spark.sql(
+        """
+        SELECT 'exists' AS op, c_custkey, c_name
+        FROM _sq_customer c
+        WHERE EXISTS (SELECT 1 FROM _sq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000.0)
+        UNION ALL
+        SELECT 'notexists' AS op, c_custkey, c_name
+        FROM _sq_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM _sq_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 200000.0)
+        UNION ALL
+        SELECT 'scalar' AS op, c_custkey, c_name
+        FROM _sq_customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                * (SELECT count(*) FROM _sq_customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM _sq_customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+    return semi.unionByName(anti).unionByName(subq)
 
 
 @register(
