@@ -404,12 +404,140 @@ def lsh_ann_pairs(
     )
 
 
+def _seed_centroids(base: DataFrame, num_centroids: int, id_col: str) -> DataFrame:
+    """Deterministic seeded centroid pick: the ``num_centroids`` corpus
+    vectors with the smallest md5(id) — a seeded pseudo-random draw, the
+    standard bootstrap before Lloyd iterations. Returns
+    (centroid_id, cvec<array<double>>). The pick plans as
+    TakeOrderedAndProject (partial top-C per partition, never a global
+    sort); row_number runs over the C picked rows only."""
+    seed_key = F.md5(F.col(id_col).cast("string"))
+    picked = base.orderBy(seed_key, F.col(id_col)).limit(num_centroids)
+    rank_w = Window.orderBy(seed_key, F.col(id_col))
+    return picked.select(
+        F.row_number().over(rank_w).alias("centroid_id"),
+        F.col("vdbl").alias("cvec"),
+    )
+
+
+def lloyd_refined_centroids(
+    emb: DataFrame,
+    num_centroids: int = 32,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """K-means (Lloyd) refinement of the seeded IVF centroids —
+    ``rounds`` assign-and-average iterations. Returns
+    (centroid_id, cvec) for ``ivf_assignments(centroids=...)`` /
+    ``ivf_ann_pairs(lloyd_rounds=...)``. Cell assignment needs cluster
+    COVERAGE, not optimality, so a couple of rounds is the whole
+    point — this bounds the iteration count by construction.
+
+    Deterministic by design (same corpus → bitwise-same centroids, so
+    refined-IVF results stay reproducible and testable like everything
+    else in this module):
+
+    * assignment: in-row argmax of the primitive-double cosine against
+      the broadcast packed centroids, ties to the SMALLER centroid_id
+      (the packed array is sorted by centroid_id and the fold keeps the
+      incumbent on equality). Per-row array folds have a fixed
+      left-to-right order — no shuffle-order dependence.
+    * averaging: per-dimension sums of the trunc(x·1e12) quantized
+      longs as exact DECIMAL(28,0) (map-side combined, overflow-free:
+      |q|·n ≤ 8e12·10¹⁵ < 10²⁸), then one string-hopped cast to double
+      (correctly rounded — a direct wide-decimal→double cast is not)
+      and the (sum / n) / 1e12 division chain. Exact integer sums make
+      the mean independent of partitioning and merge order.
+    * empty cells keep their previous centroid (left join + coalesce),
+      so centroid_id stays a dense 1..C.
+
+    Execution shape per round: one broadcast of the O(C) packed
+    centroids, one groupBy(centroid_id) shuffle EMITTING ≤ C rows
+    (map-side partial aggregation does the heavy lifting), one O(C)
+    left join. The corpus is re-scanned once per round — persist the
+    (id, vdbl) base (or pass an already-persisted ANN base) for
+    multi-round refinement; each round's tiny centroid relation is
+    persisted here so the final plan does not recompute earlier rounds.
+    Caller owns the cache lifecycle (see operators.dedup module doc).
+
+    ``dim`` is the embedding dimensionality; probed from one row when
+    not given (a driver-side metadata action, not a data scan).
+    Reference: the IVF bootstrap in ``ivf_assignments`` (SCALE.md notes
+    a deployment would add exactly these rounds)."""
+    base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
+    if dim is None:
+        dim = len(base.select("vdbl").head()[0])
+    cents = _seed_centroids(base, num_centroids, id_col)
+    for _ in range(rounds):
+        packed = cents.select(
+            "centroid_id",
+            "cvec",
+            dot_double(F.col("cvec"), F.col("cvec")).alias("cn2"),
+        ).agg(
+            F.sort_array(
+                F.collect_list(F.struct("centroid_id", "cvec", "cn2"))
+            ).alias("_cs")
+        )
+        scored = base.crossJoin(F.broadcast(packed))
+        sc = F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                c["centroid_id"].alias("cid"),
+                (dot_double(F.col("vdbl"), c["cvec"]) / F.sqrt(c["cn2"])).alias(
+                    "s"
+                ),
+            ),
+        )
+        # strict > keeps the first (smallest-cid) maximum — deterministic
+        best = F.aggregate(
+            sc,
+            F.struct(
+                F.lit(None).cast("integer").alias("cid"),
+                F.lit(float("-inf")).alias("s"),
+            ),
+            lambda acc, c: F.when(c["s"] > acc["s"], c).otherwise(acc),
+        )
+        assigned = scored.select(
+            best["cid"].alias("centroid_id"),
+            quantized_vector(F.col("vdbl")).alias("_vq"),
+        )
+        sums = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.get(F.col("_vq"), i).cast("decimal(28,0)")).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        mean_vec = F.array(
+            *[
+                (
+                    F.col(f"_s{i}").cast("string").cast("double") / F.col("_n")
+                )
+                / F.lit(_QSCALE)
+                for i in range(dim)
+            ]
+        )
+        means = sums.select("centroid_id", mean_vec.alias("mvec"))
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec"),
+            )
+            .persist()
+        )
+    return cents
+
+
 def ivf_assignments(
     emb: DataFrame,
     num_centroids: int = 32,
     probes: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) cell assignment — the data-adaptive
     alternative to hyperplane LSH bucketing. Returns (id, centroid_id)
@@ -418,10 +546,11 @@ def ivf_assignments(
 
     Centroids are a DETERMINISTIC one-pass sample: the ``num_centroids``
     corpus vectors with the smallest md5(id) — a seeded pseudo-random
-    draw, the standard bootstrap before Lloyd iterations (which a real
-    deployment would add; coverage, not optimality, is what IVF needs).
-    No Date.now()/rand(): same corpus → same cells, so results are
-    reproducible and testable.
+    draw, the standard bootstrap before Lloyd iterations (available via
+    ``lloyd_refined_centroids`` / the ``centroids`` parameter; coverage,
+    not optimality, is what IVF needs, so the bootstrap alone is a valid
+    configuration). No Date.now()/rand(): same corpus → same cells, so
+    results are reproducible and testable.
 
     Execution shape at 100 TB: the centroid pick plans as
     TakeOrderedAndProject (orderBy + limit — partial top-C per
@@ -456,16 +585,23 @@ def ivf_assignments(
 
     When the corpus has fewer than ``probes`` centroids every cell is
     probed (the DuckDB oracle's ``row_number ... <= probes`` reading —
-    a degenerate configuration, but the engines agree on it)."""
+    a degenerate configuration, but the engines agree on it).
+
+    ``centroids`` (optional) supplies an external (centroid_id, cvec)
+    relation — e.g. ``lloyd_refined_centroids`` — in place of the
+    seeded pick; the registered oracle-checked query keeps the seeded
+    default (whose pick is SQL-replicable), a deployment passes
+    refined centroids for better cell balance."""
     base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
-    seed_key = F.md5(F.col(id_col).cast("string"))
-    picked = base.orderBy(seed_key, F.col(id_col)).limit(num_centroids)
-    # row_number over the C picked rows only (tiny relation)
-    rank_w = Window.orderBy(seed_key, F.col(id_col))
-    cq = quantized_vector(F.col("vdbl"))
-    cents = picked.select(
-        F.row_number().over(rank_w).alias("centroid_id"),
-        F.col("vdbl").alias("cvec"),
+    cents0 = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(base, num_centroids, id_col)
+    )
+    cq = quantized_vector(F.col("cvec"))
+    cents = cents0.select(
+        "centroid_id",
+        "cvec",
         cq.alias("cvq"),
         F.sqrt(dot_exact(cq, cq)).alias("cnorm"),  # = |c|·1e12, exact
     )
@@ -540,6 +676,7 @@ def ivf_ann_pairs(
     probes: int = 3,
     min_cosine: float = 0.4,
     id_col: str = "vec_id",
+    lloyd_rounds: int = 0,
 ) -> DataFrame:
     """ANN near-neighbor pairs via IVF cells: vectors probing a common
     centroid become candidates; exact cosine ≥ threshold is verified on
@@ -556,9 +693,22 @@ def ivf_ann_pairs(
     feeds assignment and verify; caller owns the cache lifecycle (see
     operators.dedup module doc). Like ``lsh_ann_pairs``, ``emb`` may be
     an already-prepared (vdbl, norm_sq) base to share one scan across
-    variants."""
+    variants. ``lloyd_rounds`` > 0 refines the seeded centroids with
+    that many k-means rounds (``lloyd_refined_centroids``) before
+    assignment — better cell balance on clustered corpora; the
+    registered oracle query keeps 0 so the centroid pick stays
+    SQL-replicable."""
     base = _ensure_ann_base(emb, id_col)
-    assign = ivf_assignments(base, num_centroids, probes, id_col, vec_col="vdbl")
+    cents = (
+        lloyd_refined_centroids(
+            base, num_centroids, lloyd_rounds, id_col, vec_col="vdbl"
+        )
+        if lloyd_rounds > 0
+        else None
+    )
+    assign = ivf_assignments(
+        base, num_centroids, probes, id_col, vec_col="vdbl", centroids=cents
+    )
     a = assign.select(F.col(id_col).alias("id_a"), "centroid_id")
     b = assign.select(F.col(id_col).alias("id_b"), "centroid_id")
     cand = (

@@ -430,3 +430,92 @@ def test_incremental_flag_plan_broadcasts_batch_never_index(spark, tmp_path):
     assert "BroadcastExchange" in plan
     for df in persisted:
         df.unpersist()
+
+
+def test_lloyd_refined_centroids_match_python_reference(spark):
+    """K-means refinement determinism: the Spark iteration (in-row
+    argmax assignment, exact quantized-long sums, string-hopped mean
+    cast) must reproduce a sequential pure-Python Lloyd run BITWISE —
+    same seeded pick, same fold order, same truncation semantics. That
+    equality is what makes refined-IVF results reproducible and
+    cross-run stable like the rest of the module."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        lloyd_refined_centroids,
+    )
+
+    C, ROUNDS = 8, 2
+    emb = load_table(spark, SF, "embeddings").limit(400)
+    got = {
+        r.centroid_id: list(r.cvec)
+        for r in lloyd_refined_centroids(emb, num_centroids=C, rounds=ROUNDS)
+        .collect()
+    }
+
+    # ---- sequential reference, mirroring each documented operation
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pylist()[:400]
+    rows = [(t["vec_id"], [float(x) for x in t["embedding"]]) for t in tbl]
+    picked = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )[:C]
+    cents = {i + 1: v for i, (_, v) in enumerate(picked)}
+
+    def dotd(a, b):  # left fold, like F.aggregate(zip_with(...))
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    for _ in range(ROUNDS):
+        cn2 = {cid: dotd(c, c) for cid, c in cents.items()}
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for _id, v in rows:
+            best_cid, best_s = None, float("-inf")
+            for cid in sorted(cents):  # packed array is cid-ascending
+                s = dotd(v, cents[cid]) / math.sqrt(cn2[cid])
+                if s > best_s:  # strict > keeps the smaller cid on ties
+                    best_cid, best_s = cid, s
+            q = [int(x * 1e12) for x in v]  # trunc toward zero
+            if best_cid not in sums:
+                sums[best_cid] = [0] * len(q)
+                counts[best_cid] = 0
+            counts[best_cid] += 1
+            for i, qi in enumerate(q):
+                sums[best_cid][i] += qi
+        for cid in cents:
+            if cid in sums:
+                n = counts[cid]
+                cents[cid] = [
+                    (float(str(s)) / n) / 1e12 for s in sums[cid]
+                ]
+
+    assert set(got) == set(cents)
+    for cid, vec in cents.items():
+        assert got[cid] == vec, f"centroid {cid} diverged"
+
+
+def test_ivf_lloyd_rounds_keep_precision(spark):
+    """ivf_ann_pairs(lloyd_rounds=1): every emitted pair must still be
+    a true pair with the exact decimal cosine (the verify stage is
+    unchanged), and the refined run stays deterministic."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        all_pairs_cosine,
+        ivf_ann_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(300)
+    truth = {
+        (r.id_a, r.id_b): r.cosine
+        for r in all_pairs_cosine(emb, min_cosine=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in ivf_ann_pairs(emb, lloyd_rounds=1).collect()
+    }
+    assert got, "refined IVF emitted no pairs"
+    assert all(k in truth and truth[k] == v for k, v in got.items())
