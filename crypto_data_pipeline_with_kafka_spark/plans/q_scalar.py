@@ -51,38 +51,28 @@ def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_time_roundtrip",
     """
-    SELECT event_id,
-           epoch_ms(ts) AS ts_ms,
-           make_timestamp(epoch_ms(ts) * 1000) AS ts_from_ms,
-           CAST(ts AS VARCHAR) AS iso_str,
-           CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS parsed
-    FROM events
-    """,
-    doc="F3+F5 in one checked plan: epoch-ms ↔ timestamp — the "
-    "consumer's datetime.fromtimestamp(ms/1000) (consumer_prices.py:76-78) "
-    "with UTC pinned instead of local-TZ — and the ISO-8601 string round "
-    "trip (the producer's datetime.now().isoformat(), producer_prices.py:58)",
-    tags=("time", "string"),
-)
-def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.unix_millis("ts").alias("ts_ms"),
-        F.timestamp_millis(F.unix_millis("ts")).alias("ts_from_ms"),
-        F.col("ts").cast("string").alias("iso_str"),
-        F.to_timestamp(F.col("ts").cast("string")).alias("parsed"),
-    )
-
-
-@register(
-    "fn_date_parts",
-    """
     WITH s AS (
       SELECT o_orderkey, o_orderdate,
              strftime(o_orderdate, '%d %b %Y %H:%M:%S') || ' +0000' AS rfc
       FROM orders
     )
-    SELECT o_orderkey,
+    SELECT 'ev' AS part, event_id AS id,
+           epoch_ms(ts) AS ts_ms,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts_from_ms,
+           CAST(ts AS VARCHAR) AS iso_str,
+           CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS parsed,
+           CAST(NULL AS INTEGER) AS yr, CAST(NULL AS INTEGER) AS mo,
+           CAST(NULL AS INTEGER) AS dy,
+           CAST(NULL AS TIMESTAMP) AS month_start,
+           CAST(NULL AS VARCHAR) AS rfc,
+           CAST(NULL AS TIMESTAMP) AS parsed_rfc
+    FROM events
+    UNION ALL
+    SELECT 'ord' AS part, o_orderkey AS id,
+           CAST(NULL AS BIGINT) AS ts_ms,
+           CAST(NULL AS TIMESTAMP) AS ts_from_ms,
+           CAST(NULL AS VARCHAR) AS iso_str,
+           CAST(NULL AS TIMESTAMP) AS parsed,
            CAST(year(o_orderdate) AS INTEGER) AS yr,
            CAST(month(o_orderdate) AS INTEGER) AS mo,
            CAST(day(o_orderdate) AS INTEGER) AS dy,
@@ -91,20 +81,46 @@ def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            strptime(rfc, '%d %b %Y %H:%M:%S %z')::TIMESTAMP AS parsed_rfc
     FROM s
     """,
-    doc="Date-part extraction + truncation (engine-side rollup keys for "
-    "the reference's Grafana time axes) + F4: RFC-822-style date format "
-    "and parse round trip (the news pubDate parse, producer_news.py:61; "
-    "Spark ≥3 refuses day-NAME parsing, so the engine strips the "
-    "'Mon, ' prefix — see sources/kafka_messages.py — and this query "
-    "checks the remainder)",
+    doc="F3+F4+F5 plus date-part extraction in one checked plan, tagged "
+    "and unioned (registry fold — frees a slot for the stream-stream "
+    "join). 'ev' leg: epoch-ms ↔ timestamp — the consumer's "
+    "datetime.fromtimestamp(ms/1000) (consumer_prices.py:76-78) with "
+    "UTC pinned instead of local-TZ — and the ISO-8601 string round "
+    "trip (the producer's datetime.now().isoformat(), "
+    "producer_prices.py:58). 'ord' leg: year/month/day extraction + "
+    "month truncation (engine-side rollup keys for the reference's "
+    "Grafana time axes) and the F4 RFC-822-style date format/parse "
+    "round trip (the news pubDate parse, producer_news.py:61; Spark ≥3 "
+    "refuses day-NAME parsing, so the engine strips the 'Mon, ' prefix "
+    "— see sources/kafka_messages.py — and this leg checks the "
+    "remainder)",
     tags=("time", "string"),
 )
-def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("ev").alias("part"),
+        F.col("event_id").alias("id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_from_ms"),
+        F.col("ts").cast("string").alias("iso_str"),
+        F.to_timestamp(F.col("ts").cast("string")).alias("parsed"),
+        F.lit(None).cast("int").alias("yr"),
+        F.lit(None).cast("int").alias("mo"),
+        F.lit(None).cast("int").alias("dy"),
+        F.lit(None).cast("timestamp").alias("month_start"),
+        F.lit(None).cast("string").alias("rfc"),
+        F.lit(None).cast("timestamp").alias("parsed_rfc"),
+    )
     rfc = F.concat(
         F.date_format("o_orderdate", "dd MMM yyyy HH:mm:ss"), F.lit(" +0000")
     )
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
+    ords = _t(spark, sf_dir, "orders").select(
+        F.lit("ord").alias("part"),
+        F.col("o_orderkey").alias("id"),
+        F.lit(None).cast("long").alias("ts_ms"),
+        F.lit(None).cast("timestamp").alias("ts_from_ms"),
+        F.lit(None).cast("string").alias("iso_str"),
+        F.lit(None).cast("timestamp").alias("parsed"),
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dy"),
@@ -112,6 +128,7 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfc.alias("rfc"),
         F.to_timestamp(rfc, "dd MMM yyyy HH:mm:ss Z").alias("parsed_rfc"),
     )
+    return ev.unionByName(ords)
 
 
 @register(

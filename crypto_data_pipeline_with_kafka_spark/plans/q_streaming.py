@@ -233,6 +233,38 @@ def stream_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS v_ts, p.ts AS p_ts, p.value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    doc="Stream-stream INNER join with an event-time interval bound, "
+    "through the real streaming engine: views matched to the same "
+    "user's purchases within 6 h after them — the streaming extension "
+    "of the as-of price↔news correlation (SURVEY §2.3 note), run as "
+    "two watermarked sources over the events topic. The two-sided time "
+    "bound is what lets the engine expire join state (O(watermark+gap) "
+    "per key, never O(stream)); the oracle is the equivalent batch "
+    "interval join",
+    tags=("streaming", "join", "time"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        streaming_interval_join,
+    )
+
+    views = _stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = _stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = streaming_interval_join(views, purchases)
+    return run_to_memory(joined, output_mode="append", name_prefix="interval_join")
+
+
+@register(
     "stream_stateful_ema",
     EMA_ORACLE_SQL,  # shared with ind_ema — identical IEEE recurrence
     doc="ST6: checkpointed per-key state — the recursive EMA as a "

@@ -133,6 +133,44 @@ def streaming_session_windows(
     )
 
 
+def streaming_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval bound: each
+    view row joins the same user's purchase rows landing within ``gap``
+    AFTER it. The streaming extension of the as-of price↔news join
+    (SURVEY §2.3 note): two live topics correlated on key + time range,
+    with no batch recompute.
+
+    Both sides carry a watermark and the join condition bounds p_ts
+    relative to v_ts from BOTH directions — exactly what the engine
+    needs to expire buffered rows from the state store (without the
+    bound, stream-stream join state grows without limit; with it,
+    per-key state is O(rows inside watermark+gap), the 100-TB
+    requirement). Inner-join matches emit as soon as both sides arrive
+    — append mode without waiting out the watermark."""
+    v = views.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    ).withWatermark("p_ts", watermark)
+    cond = F.expr(
+        f"user_id = p_user_id AND p_ts >= v_ts AND p_ts <= v_ts + interval {gap}"
+    )
+    return v.join(p, cond, "inner").select(
+        "user_id", "view_id", "purchase_id", "v_ts", "p_ts", "value"
+    )
+
+
 def foreach_batch_idempotent_append(
     target_path: str, keys: Sequence[str], ts_col: str | None = None
 ):

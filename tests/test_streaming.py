@@ -452,3 +452,60 @@ def test_incremental_dedup_stream_out_of_order_arrival(spark, tmp_path):
     flagged_docs = {d for p in flagged_pairs for d in p}
     for pair in one_shot:  # completeness: no duplicate pair escapes
         assert pair & flagged_docs, f"pair {set(pair)} escaped the gate"
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    """Stream-stream interval join: matches must form ACROSS micro-
+    batches (a view buffered in join state meets a purchase arriving in
+    a later file), and the drained stream must equal the batch interval
+    join over the full history. Two mtime-ordered files split mid-
+    timeline so cross-batch pairs exist; the watermark is generous so
+    nothing is expired before it can match."""
+    import time
+
+    from crypto_data_pipeline_with_kafka_spark.sources.readers import (
+        events_stream_reader,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_to_memory,
+        streaming_interval_join,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+
+    def legs(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    # batch twin first (withWatermark is a no-op on batch frames); pick
+    # the cutoff INSIDE one matched pair so that pair is guaranteed to
+    # span the two files — v buffered in join state meets p a batch later
+    v_b, p_b = legs(events)
+    want = streaming_interval_join(v_b, p_b, gap="6 hours", watermark="30 days")
+    pair = want.filter(F.col("p_ts") > F.col("v_ts")).select("p_ts").head()
+    assert pair is not None, "fixture has no strictly-later purchase pair"
+    cutoff = F.lit(pair[0]).cast("timestamp")
+
+    src = str(tmp_path / "src")
+    as_ns = events.withColumn("ts", F.unix_micros("ts") * 1000)
+    ts_back = F.timestamp_micros(F.expr("ts div 1000"))
+    as_ns.filter(ts_back < cutoff).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    as_ns.filter(ts_back >= cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    stream = events_stream_reader(spark, src + "/*.parquet", max_files_per_trigger=1)
+    v_s, p_s = legs(stream)
+    got = run_to_memory(
+        streaming_interval_join(v_s, p_s, gap="6 hours", watermark="30 days"),
+        output_mode="append",
+        name_prefix="ivj",
+    )
+
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # cross-batch evidence: at least one pair spans the file cutoff
+    spans = got.filter((F.col("v_ts") < cutoff) & (F.col("p_ts") >= cutoff))
+    assert spans.count() > 0
