@@ -38,6 +38,7 @@ HEADLINE = (
     "text_profile",
     "news_pipeline",  # sentiment hot path (built-in fold) + dim + anti-join
     "stream_tumbling_counts",
+    "stream_interval_join",  # stateful stream-stream join (round 3)
 )
 
 
