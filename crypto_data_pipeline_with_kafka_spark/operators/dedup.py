@@ -506,27 +506,44 @@ def connected_components(
 
     Scale shape: each round is one shuffle on dst (neighbor min, with
     map-side partial agg) + one self-join on label (the jump); state is
-    one (id, label) row per node — never edges × labels. The label
-    relation is persisted each round (lazily — see the in-loop comment
-    for why not ``localCheckpoint``; on a real cluster point
-    ``spark.sparkContext.setCheckpointDir`` at durable storage and
-    switch to ``.checkpoint()`` for executor-loss recovery and lineage
-    truncation). The per-round convergence probe is ONE label-sum
-    aggregate (labels are monotone non-increasing, so an unchanged
-    exact-decimal sum ⇔ the pointwise fixpoint) — an O(1)-result
-    action, not a collect of data rows, and the round's only action:
-    it doubles as the materialization of that round's labels. Near-dup
-    graphs
-    have tiny diameters (dup clusters are dense), so rounds ~ 2-4 in
-    practice; ``max_iters`` is a loud backstop (2^25 diameter ≫ any
-    graph), raised rather than silently emitting unconverged labels."""
+    one (id, label) row per node — never edges × labels.
+
+    Lineage is TRUNCATED, not just cached: Catalyst logical plans are
+    trees, so every self-join DUPLICATES its subtree — with a cached-
+    but-untruncated lineage the round-k plan embeds ~2^k copies of the
+    whole upstream pairs pipeline and per-action analysis time explodes
+    (measured: seconds of pure driver planning per action at round 2,
+    dwarfing execution). ``localCheckpoint`` cuts each round to a leaf:
+    ``edges`` eagerly (one sequential job that also materializes the
+    caller's persisted ``pairs`` exactly once), each round's labels
+    lazily (planned small, truncated when the probe materializes them).
+    On a real cluster point ``spark.sparkContext.setCheckpointDir`` at
+    durable storage and swap ``.checkpoint()`` in for executor-loss
+    recovery; the checkpointed RDD blocks are reclaimed by the
+    ContextCleaner when the round DataFrames go out of scope.
+
+    Convergence probe: per-node labels are MONOTONE non-increasing
+    across a round, so the label sum (exact decimal — no long overflow
+    at any id scale) is strictly decreasing until the fixpoint and
+    equal exactly at it — no join against the previous labels needed.
+    Driver-sync shape: near-dup clusters are DENSE (usually complete
+    cliques — every member pairs with every other), so the seed
+    labeling min(own, neighbors) is almost always the fixpoint
+    already. Round 1 is built lazily on the seed and ONE combined
+    action computes both label sums (a crossJoin of two scalar
+    aggregates — O(1) result, and the job materializes the round). The
+    common case is therefore one checkpoint job + one probe job; only
+    a genuinely unconverged graph (label chains) pays one more action
+    per extra round. ``max_iters`` is a loud backstop (2^25 diameter ≫
+    any graph), raised rather than silently emitting unconverged
+    labels."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # round 0 folded into init: every node appears as src in the doubled
     # edge list, so one groupBy seeds each label with min(own, neighbors)
@@ -536,56 +553,60 @@ def connected_components(
         .select(
             F.col("src").alias("id"), F.least("src", "nlab").alias("lab")
         )
-        .persist()
     )
-    # Convergence probe: per-node labels are MONOTONE non-increasing
-    # across a round, so the label sum (exact decimal — no long
-    # overflow at any id scale) is strictly decreasing until the
-    # fixpoint and equal exactly at it — ONE aggregate action per
-    # round, no join against the previous labels needed.
-    prev_sum = None
-    for _ in range(max_iters):
-        s = labels.agg(
-            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        if s == prev_sum:
-            break
-        prev_sum = s
+
+    def _round(lbl: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            edges.join(lbl.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.min("lab").alias("nlab"))
         )
         cand = (
-            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            lbl.join(nbr, lbl["id"] == nbr["dst"], "left")
             .select(
                 "id", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab")
             )
         )
-        # persist, NOT localCheckpoint: obtaining the checkpoint RDD
-        # forces full physical planning at call time (~seconds of
-        # driver work per round even when the round never runs), while
-        # persist is purely lazy — the next round's sum action
-        # materializes the cache and later rounds read it. Lineage
-        # grows by two joins per round, bounded by max_iters ~ log
-        # diameter; swap to .checkpoint() on a real cluster if rounds
-        # ever grow enough for plan depth or executor loss to matter.
-        nxt = (
+        # pointer jump: label := label(label) — squares propagation
+        # distance; every label is a node id, so the self-join is total.
+        # Lazy truncation: planned now (small — edges is a leaf),
+        # computed by the next probe action, a leaf ever after.
+        return (
             cand.alias("x")
             .join(cand.alias("y"), F.col("x.lab") == F.col("y.id"))
             .select(F.col("x.id").alias("id"), F.col("y.lab").alias("lab"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
-        labels = nxt
-    else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint after {max_iters} rounds — "
-            "pointer jumping converges in O(log diameter), so this "
-            "indicates a bug or an adversarial graph; raise max_iters "
-            "explicitly if the graph is legitimate"
-        )
-    edges.unpersist()
-    return labels.select(
+
+    def _sum(lbl: DataFrame) -> DataFrame:
+        return lbl.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s"))
+
+    hist = [labels]
+    hist.append(_round(hist[-1]))
+    # ONE action: seed sum and round-1 sum in a single job. Equal sums
+    # ⇔ the seed was already the fixpoint (monotonicity), so round 1 is
+    # fixpoint-equal too (and is the materialized leaf we return).
+    row = (
+        _sum(hist[-2])
+        .select(F.col("s").alias("s_prev"))
+        .crossJoin(_sum(hist[-1]).select(F.col("s").alias("s_last")))
+        .first()
+    )
+    prev_s, last_s = row["s_prev"], row["s_last"]
+    rounds = 1
+    while last_s != prev_s:
+        if rounds >= max_iters:
+            raise RuntimeError(
+                f"connected_components: no fixpoint after {max_iters} rounds — "
+                "pointer jumping converges in O(log diameter), so this "
+                "indicates a bug or an adversarial graph; raise max_iters "
+                "explicitly if the graph is legitimate"
+            )
+        hist.append(_round(hist[-1]))
+        rounds += 1
+        prev_s = last_s
+        last_s = _sum(hist[-1]).first()["s"]
+    return hist[-1].select(
         F.col("id").alias("doc_id"), F.col("lab").alias("canonical_id")
     )
 
