@@ -29,6 +29,9 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+_TS_PROBE_CACHE: dict[str, T.DataType] = {}
+
+
 def events_stream_reader(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -39,27 +42,46 @@ def events_stream_reader(
     (epoch-ns, which reads as long under nanosAsLong, and plain µs
     TIMESTAMP): a one-footer batch probe picks the matching declaration,
     then ``ts`` is normalized to the session TimestampType either way.
-    ``max_files_per_trigger`` is the file-source's batch-size cap (O3's
-    file-source analogue of maxOffsetsPerTrigger); tests use 1 to force
-    one micro-batch per file."""
+    The probe is cached per path (a stream-stream self-join constructs
+    two readers over the same fixture), and a path with no matching
+    files yet — a normal streaming start condition — falls back to the
+    µs-timestamp declaration instead of failing, so the stream can wait
+    for files. ``max_files_per_trigger`` is the file-source's batch-size
+    cap (O3's file-source analogue of maxOffsetsPerTrigger); tests use 1
+    to force one micro-batch per file."""
     import os
 
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Schema probe: footer-only read of whatever files the path matches.
-    # The probe is driver-side metadata, not a data scan.
-    ts_is_long = isinstance(
-        spark.read.parquet(path).schema["ts"].dataType, T.LongType
-    )
+    if path not in _TS_PROBE_CACHE:
+        # Schema probe: footer-only read of whatever files the path
+        # matches — driver-side metadata, not a data scan.
+        try:
+            _TS_PROBE_CACHE[path] = spark.read.parquet(path).schema["ts"].dataType
+        except Exception:
+            # zero files yet: declare the current fixture layout and let
+            # the stream wait for files (don't cache — the first real
+            # file should re-probe)
+            probed = T.TimestampType()
+        else:
+            probed = _TS_PROBE_CACHE[path]
+    else:
+        probed = _TS_PROBE_CACHE[path]
+    ts_is_long = isinstance(probed, T.LongType)
+    if ts_is_long:
+        ts_decl: T.DataType = T.LongType()
+    elif isinstance(probed, T.TimestampNTZType):
+        ts_decl = T.TimestampNTZType()
+    else:
+        # µs TIMESTAMP with isAdjustedToUTC either way — declare the
+        # session TimestampType and pass through (catalog.load_table's
+        # behavior for the batch side)
+        ts_decl = T.TimestampType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), False),
-            T.StructField(
-                "ts",
-                T.LongType() if ts_is_long else T.TimestampNTZType(),
-                False,
-            ),
+            T.StructField("ts", ts_decl, False),
             T.StructField("user_id", T.LongType(), False),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),
