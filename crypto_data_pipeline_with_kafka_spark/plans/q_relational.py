@@ -385,27 +385,84 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GK-sketch rank tolerance: percentile_approx guarantees the returned
+# element's rank is within eps*n of the target rank, eps = 1/accuracy.
+_SKETCH_ACCURACY = 10_000
+# HLL relative-error bound: 3× the requested rsd (the sketch is
+# deterministic per dataset — this is an assertion, not a probability).
+_HLL_RSD = 0.05
+
+
 @register(
     "agg_approx_sketches",
-    None,  # sketch values are engine-internal → rows-only check
-    doc="§2.4 approx family in one rows-only query: approx_count_distinct "
-    "(HLL) + percentile_approx (GK quantile sketch). Sketch values differ "
-    "by engine, so no value oracle; the exact twins (agg_count_distinct, "
-    "agg_median_manual) are the value-checked ones. Quartiles are emitted "
-    "as three scalar columns (not array<double>) so the driver's pandas "
-    "canonicalizer can factorize/hash the rows",
+    """
+    SELECT l_returnflag,
+           CAST(1 AS BOOLEAN) AS parts_within_3rsd,
+           CAST(1 AS BOOLEAN) AS q25_rank_ok,
+           CAST(1 AS BOOLEAN) AS q50_rank_ok,
+           CAST(1 AS BOOLEAN) AS q75_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="§2.4 approx family, VALUE-checked via error-bound assertions: "
+    "sketch outputs are engine-internal (HLL and GK results differ by "
+    "implementation), so instead of raw values the query emits one "
+    "boolean per sketch asserting it landed within its documented error "
+    "of the exact twin, computed Spark-side — approx_count_distinct "
+    f"(rsd={_HLL_RSD}) within 3×rsd relative error of count_distinct, "
+    "and each percentile_approx quartile's exact rank interval "
+    "[count(<v), count(<=v)] overlapping the guaranteed rank window "
+    f"q·n ± n/accuracy (accuracy={_SKETCH_ACCURACY}). The oracle "
+    "recomputes the per-group constants, so a sketch drifting out of "
+    "bound flips a boolean and breaks the hash match. Shape: two "
+    "aggregation passes + a broadcast join of the group-cardinality "
+    "sketch relation (bounded by |groups|, never the fact)",
     tags=("agg", "approx"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_quantity", 0.25).alias("qty_q25"),
-            F.percentile_approx("l_quantity", 0.5).alias("qty_q50"),
-            F.percentile_approx("l_quantity", 0.75).alias("qty_q75"),
-        )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_quantity"
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", _HLL_RSD).alias("_ap"),
+        F.count_distinct("l_partkey").alias("_xp"),
+        F.percentile_approx("l_quantity", 0.25, _SKETCH_ACCURACY).alias("_a25"),
+        F.percentile_approx("l_quantity", 0.5, _SKETCH_ACCURACY).alias("_a50"),
+        F.percentile_approx("l_quantity", 0.75, _SKETCH_ACCURACY).alias("_a75"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    ranked = li.join(F.broadcast(sk), "l_returnflag").groupBy("l_returnflag").agg(
+        F.first("_ap").alias("_ap"),
+        F.first("_xp").alias("_xp"),
+        F.first("_n").alias("_n"),
+        *[
+            a
+            for q in ("25", "50", "75")
+            for a in (
+                F.sum(
+                    F.when(F.col("l_quantity") < F.col(f"_a{q}"), 1).otherwise(0)
+                ).alias(f"_lo{q}"),
+                F.sum(
+                    F.when(F.col("l_quantity") <= F.col(f"_a{q}"), 1).otherwise(0)
+                ).alias(f"_hi{q}"),
+            )
+        ],
+    )
+
+    def _rank_ok(q: float, tag: str):
+        eps = 1.0 / _SKETCH_ACCURACY
+        n = F.col("_n")
+        return (
+            (F.col(f"_lo{tag}") <= F.ceil((F.lit(q) + eps) * n))
+            & (F.col(f"_hi{tag}") >= F.floor((F.lit(q) - eps) * n))
+        ).alias(f"q{tag}_rank_ok")
+
+    rel_err = F.abs(F.col("_ap") - F.col("_xp")) / F.col("_xp")
+    return ranked.select(
+        "l_returnflag",
+        (rel_err <= 3 * _HLL_RSD).alias("parts_within_3rsd"),
+        _rank_ok(0.25, "25"),
+        _rank_ok(0.5, "50"),
+        _rank_ok(0.75, "75"),
     )
 
 
