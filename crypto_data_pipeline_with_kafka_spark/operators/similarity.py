@@ -444,31 +444,39 @@ def lloyd_refined_centroids(
       (the packed array is sorted by centroid_id and the fold keeps the
       incumbent on equality). Per-row array folds have a fixed
       left-to-right order — no shuffle-order dependence.
-    * averaging: per-dimension sums of the trunc(x·1e12) quantized
-      longs as exact DECIMAL(28,0) (map-side combined, overflow-free:
-      |q|·n ≤ 8e12·10¹⁵ < 10²⁸), then one string-hopped cast to double
-      (correctly rounded — a direct wide-decimal→double cast is not)
-      and the (sum / n) / 1e12 division chain. Exact integer sums make
-      the mean independent of partitioning and merge order.
+    * averaging: per-(centroid, dimension) sums of the trunc(x·1e12)
+      quantized longs as exact DECIMAL(28,0) via posexplode +
+      groupBy(centroid_id, pos) — map-side combined (the shuffle
+      carries ≤ partitions × C × dim pre-aggregated rows, never the
+      corpus × dim explode), overflow-free (|q|·n ≤ 8e12·10¹⁵ < 10²⁸).
+      This shape is dimension-scalable: C × dim ROWS, not dim AGG
+      COLUMNS (a per-dimension column list is a codegen/planner hazard
+      past a few hundred dims). Means reassemble with sort_array over
+      (pos, mean) structs — positional, deterministic. Each sum takes
+      one string-hopped cast to double (correctly rounded — a direct
+      wide-decimal→double cast is not) and the (sum / n) / 1e12
+      division chain; exact integer sums make the mean independent of
+      partitioning and merge order.
     * empty cells keep their previous centroid (left join + coalesce),
       so centroid_id stays a dense 1..C.
 
     Execution shape per round: one broadcast of the O(C) packed
-    centroids, one groupBy(centroid_id) shuffle EMITTING ≤ C rows
-    (map-side partial aggregation does the heavy lifting), one O(C)
+    centroids, one groupBy(centroid_id, pos) shuffle emitting ≤ C·dim
+    rows, one groupBy(centroid_id) reassembly of ≤ C rows, one O(C)
     left join. The corpus is re-scanned once per round — persist the
     (id, vdbl) base (or pass an already-persisted ANN base) for
-    multi-round refinement; each round's tiny centroid relation is
-    persisted here so the final plan does not recompute earlier rounds.
-    Caller owns the cache lifecycle (see operators.dedup module doc).
+    multi-round refinement. Each round's O(C) centroid relation is
+    eagerly ``localCheckpoint``-ed: the round job is tiny, truncating
+    lineage keeps later rounds' plans flat (a persisted-only chain
+    re-analyzes every earlier round per action), and the blocks are
+    reclaimed by the ContextCleaner — no caller-side cache lifecycle.
 
-    ``dim`` is the embedding dimensionality; probed from one row when
-    not given (a driver-side metadata action, not a data scan).
+    ``dim`` is accepted for API stability but no longer needed (the
+    positional aggregation never enumerates dimensions in the plan).
     Reference: the IVF bootstrap in ``ivf_assignments`` (SCALE.md notes
     a deployment would add exactly these rounds)."""
+    del dim  # dimensionality never appears in the plan anymore
     base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
-    if dim is None:
-        dim = len(base.select("vdbl").head()[0])
     cents = _seed_centroids(base, num_centroids, id_col)
     for _ in range(rounds):
         packed = cents.select(
@@ -503,30 +511,34 @@ def lloyd_refined_centroids(
             best["cid"].alias("centroid_id"),
             quantized_vector(F.col("vdbl")).alias("_vq"),
         )
-        sums = assigned.groupBy("centroid_id").agg(
+        dim_sums = assigned.select(
+            "centroid_id", F.posexplode("_vq").alias("pos", "_q")
+        ).groupBy("centroid_id", "pos").agg(
             F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.get(F.col("_vq"), i).cast("decimal(28,0)")).alias(f"_s{i}")
-                for i in range(dim)
-            ],
+            F.sum(F.col("_q").cast("decimal(28,0)")).alias("_s"),
         )
-        mean_vec = F.array(
-            *[
-                (
-                    F.col(f"_s{i}").cast("string").cast("double") / F.col("_n")
-                )
-                / F.lit(_QSCALE)
-                for i in range(dim)
-            ]
+        mean_el = (
+            F.col("_s").cast("string").cast("double") / F.col("_n")
+        ) / F.lit(_QSCALE)
+        means = (
+            dim_sums.select(
+                "centroid_id",
+                F.struct(F.col("pos"), mean_el.alias("m")).alias("_pm"),
+            )
+            .groupBy("centroid_id")
+            .agg(F.sort_array(F.collect_list("_pm")).alias("_pms"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("_pms"), lambda s: s["m"]).alias("mvec"),
+            )
         )
-        means = sums.select("centroid_id", mean_vec.alias("mvec"))
         cents = (
             cents.join(means, "centroid_id", "left")
             .select(
                 "centroid_id",
                 F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
     return cents
 

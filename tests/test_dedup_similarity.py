@@ -449,7 +449,9 @@ def test_lloyd_refined_centroids_match_python_reference(spark):
     )
 
     C, ROUNDS = 8, 2
-    emb = load_table(spark, SF, "embeddings").limit(400)
+    # deterministic subset: the 400 smallest vec_ids on BOTH sides (a
+    # bare limit() has no contractual row order under repartitioning)
+    emb = load_table(spark, SF, "embeddings").orderBy("vec_id").limit(400)
     got = {
         r.centroid_id: list(r.cvec)
         for r in lloyd_refined_centroids(emb, num_centroids=C, rounds=ROUNDS)
@@ -457,7 +459,10 @@ def test_lloyd_refined_centroids_match_python_reference(spark):
     }
 
     # ---- sequential reference, mirroring each documented operation
-    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pylist()[:400]
+    tbl = sorted(
+        pq.read_table(f"{SF}/embeddings.parquet").to_pylist(),
+        key=lambda t: t["vec_id"],
+    )[:400]
     rows = [(t["vec_id"], [float(x) for x in t["embedding"]]) for t in tbl]
     picked = sorted(
         rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
@@ -497,6 +502,69 @@ def test_lloyd_refined_centroids_match_python_reference(spark):
     assert set(got) == set(cents)
     for cid, vec in cents.items():
         assert got[cid] == vec, f"centroid {cid} diverged"
+
+
+def test_lloyd_refinement_scales_to_high_dims(spark):
+    """The positional (posexplode + groupBy(centroid, pos)) averaging
+    must survive production embedding widths: dim AGG COLUMNS would be
+    a codegen hazard at 512+, dim ROWS are not. Synthetic 512-dim
+    vectors, value-checked against the same sequential reference
+    arithmetic (exact quantized sums, string-hopped mean cast)."""
+    import math
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        lloyd_refined_centroids,
+    )
+
+    DIM, N, C = 512, 60, 4
+    # deterministic pseudo-random doubles with exact 2-decimal values
+    data = [
+        (i, [((i * 31 + j * 17) % 200 - 100) / 100.0 for j in range(DIM)])
+        for i in range(N)
+    ]
+    emb = spark.createDataFrame(data, ["vec_id", "embedding"])
+    got = {
+        r.centroid_id: list(r.cvec)
+        for r in lloyd_refined_centroids(emb, num_centroids=C, rounds=1).collect()
+    }
+    assert set(got) == set(range(1, C + 1))
+    assert all(len(v) == DIM for v in got.values())
+
+    import hashlib
+
+    picked = sorted(
+        data, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )[:C]
+    cents = {i + 1: v for i, (_, v) in enumerate(picked)}
+
+    def dotd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cn2 = {cid: dotd(c, c) for cid, c in cents.items()}
+    sums: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for _id, v in data:
+        best_cid, best_s = None, float("-inf")
+        for cid in sorted(cents):
+            s = dotd(v, cents[cid]) / math.sqrt(cn2[cid])
+            if s > best_s:
+                best_cid, best_s = cid, s
+        q = [int(x * 1e12) for x in v]
+        if best_cid not in sums:
+            sums[best_cid] = [0] * DIM
+            counts[best_cid] = 0
+        counts[best_cid] += 1
+        for i, qi in enumerate(q):
+            sums[best_cid][i] += qi
+    for cid in cents:
+        if cid in sums:
+            n = counts[cid]
+            cents[cid] = [(float(str(s)) / n) / 1e12 for s in sums[cid]]
+    for cid, vec in cents.items():
+        assert got[cid] == vec, f"centroid {cid} diverged at dim={DIM}"
 
 
 def test_ivf_lloyd_rounds_keep_precision(spark):
