@@ -53,6 +53,7 @@ def main() -> None:
 
     qs = queries()
     per_query: dict[str, float] = {}
+    per_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples: list[float] = []
         rows = 0
@@ -71,9 +72,18 @@ def main() -> None:
             rows = qs[name](spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         per_query[name] = round(min(samples), 3)
-        print(f"# {name}: {per_query[name]:.3f}s ({rows} rows)", file=sys.stderr)
+        per_samples[name] = [round(s, 3) for s in samples]
+        print(
+            f"# {name}: {per_query[name]:.3f}s ({rows} rows; "
+            f"samples {per_samples[name]})",
+            file=sys.stderr,
+        )
 
     total = round(sum(per_query.values()), 3)
+    # "samples" carries the raw convergence telemetry: n per query plus
+    # every reading, so a high min is distinguishable from host-load
+    # scatter (best two agreeing within 20% = a load-free reading; a
+    # wide spread = a noisy window) without re-running the bench.
     print(
         json.dumps(
             {
@@ -81,6 +91,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "samples": per_samples,
                 "sf": sf,
             }
         )
