@@ -238,33 +238,44 @@ def rel_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The subquery legs deliberately go through the SQL API so the
     # driver attests Catalyst's decorrelation itself (EXISTS → semi,
     # NOT EXISTS → anti, correlated scalar agg → aggregate + join),
-    # not a hand-decorrelated DataFrame equivalent.
-    c.createOrReplaceTempView("_sq_customer")
-    o.createOrReplaceTempView("_sq_orders")
+    # not a hand-decorrelated DataFrame equivalent. View names are
+    # per-call unique: createOrReplaceTempView mutates session-global
+    # state, so fixed names would silently rebind under concurrent plan
+    # construction on a shared SparkSession.
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    cust_v, ord_v = f"_sq_customer_{tag}", f"_sq_orders_{tag}"
+    c.createOrReplaceTempView(cust_v)
+    o.createOrReplaceTempView(ord_v)
     subq = spark.sql(
-        """
+        f"""
         SELECT 'exists' AS op, c_custkey, c_name
-        FROM _sq_customer c
-        WHERE EXISTS (SELECT 1 FROM _sq_orders o
+        FROM {cust_v} c
+        WHERE EXISTS (SELECT 1 FROM {ord_v} o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 200000.0)
         UNION ALL
         SELECT 'notexists' AS op, c_custkey, c_name
-        FROM _sq_customer c
-        WHERE NOT EXISTS (SELECT 1 FROM _sq_orders o
+        FROM {cust_v} c
+        WHERE NOT EXISTS (SELECT 1 FROM {ord_v} o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 200000.0)
         UNION ALL
         SELECT 'scalar' AS op, c_custkey, c_name
-        FROM _sq_customer c
+        FROM {cust_v} c
         WHERE CAST(c_acctbal AS DECIMAL(18,2))
-                * (SELECT count(*) FROM _sq_customer c2
+                * (SELECT count(*) FROM {cust_v} c2
                    WHERE c2.c_nationkey = c.c_nationkey)
               > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                 FROM _sq_customer c2
+                 FROM {cust_v} c2
                  WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+    # spark.sql analyzes eagerly — the views are resolved into subq's
+    # plan, so they can be dropped before the (lazy) result executes
+    spark.catalog.dropTempView(cust_v)
+    spark.catalog.dropTempView(ord_v)
     return semi.unionByName(anti).unionByName(subq)
 
 

@@ -250,7 +250,12 @@ def stream_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two watermarked sources over the events topic. The two-sided time "
     "bound is what lets the engine expire join state (O(watermark+gap) "
     "per key, never O(stream)); the oracle is the equivalent batch "
-    "interval join",
+    "interval join. ORACLE EQUIVALENCE BOUND: with the 1-day watermark, "
+    "stream == batch only while cross-micro-batch event-time disorder "
+    "stays under 1 day (single-file fixtures replay as one batch, so "
+    "this holds trivially; a multi-file fixture with >1-day disorder "
+    "across files would drop late rows the batch oracle keeps — widen "
+    "the watermark if the fixture ever ships that way)",
     tags=("streaming", "join", "time"),
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
