@@ -25,7 +25,8 @@ from pyspark.sql.types import DoubleType
 # Deterministic sentiment lexicon (VADER-shaped: compound-style score per
 # token; half-point values are exactly representable so summation order
 # cannot perturb results). On real news text this would be the VADER
-# lexicon broadcast to executors (reference producer_news.py:16-17).
+# lexicon broadcast to executors (reference producer_news.py:16-17) —
+# see ``load_vader_lexicon`` for the swap-in slot.
 SENTIMENT_LEXICON: dict[str, float] = {
     "fast": 2.0,
     "slow": -2.0,
@@ -36,6 +37,50 @@ SENTIMENT_LEXICON: dict[str, float] = {
     "filter": -0.5,
     "error": -3.0,
 }
+
+
+def load_vader_lexicon(path: str) -> dict[str, float]:
+    """Parse a VADER-format lexicon file (``token<TAB>mean<TAB>stddev
+    <TAB>ratings`` per line, '#' comments allowed) into the engine's
+    token→score map. The NLTK/vaderSentiment distribution's
+    ``vader_lexicon.txt`` is MIT-licensed and parses as-is; it is NOT
+    checked in here because this container ships neither the package
+    nor network access — point ``SPARK_GRAFT_VADER_LEXICON`` at a copy
+    and both sentiment paths (built-in fold and Pandas UDF) pick it up
+    (reference semantics: ``dags/producer_news.py:16-17``). Scores are
+    parsed with ``float()`` so the UDF and fold twins keep consuming
+    the identical doubles."""
+    lex: dict[str, float] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                continue
+            lex[parts[0]] = float(parts[1])
+    if not lex:
+        raise ValueError(f"no lexicon entries parsed from {path}")
+    return lex
+
+
+_ACTIVE_LEXICON: dict[str, float] | None = None
+
+
+def active_sentiment_lexicon() -> dict[str, float]:
+    """The lexicon both sentiment paths score with: the file named by
+    ``SPARK_GRAFT_VADER_LEXICON`` when set (parsed once per process),
+    else the deterministic stand-in. The registered oracle query uses
+    the stand-in (its DuckDB SQL twin embeds those scores); the env
+    swap is the deployment path for real news text."""
+    global _ACTIVE_LEXICON
+    if _ACTIVE_LEXICON is None:
+        import os
+
+        path = os.environ.get("SPARK_GRAFT_VADER_LEXICON")
+        _ACTIVE_LEXICON = load_vader_lexicon(path) if path else dict(SENTIMENT_LEXICON)
+    return _ACTIVE_LEXICON
 
 # Marker-token sets for the n-gram/stopword language-ID heuristic. The
 # fixture "languages" share one synthetic vocabulary, so markers are
@@ -90,10 +135,12 @@ def shingles_from_tokens(ws: Column, k: int = 3) -> Column:
 
 def sentiment_builtin(text_col: Column | str) -> Column:
     """Lexicon sentiment as pure built-ins: mean lexicon score over all
-    tokens (unmatched tokens score 0). JVM-side; the 100-TB hot path."""
+    tokens (unmatched tokens score 0). JVM-side; the 100-TB hot path.
+    Scores with ``active_sentiment_lexicon()`` (env-swappable VADER)."""
     ws = tokens(text_col)
+    lex = active_sentiment_lexicon()
     mapping = F.create_map(
-        *[x for w, s in sorted(SENTIMENT_LEXICON.items()) for x in (F.lit(w), F.lit(s))]
+        *[x for w, s in sorted(lex.items()) for x in (F.lit(w), F.lit(s))]
     )
     scores = F.transform(ws, lambda w: F.coalesce(mapping[w], F.lit(0.0)))
     total = F.aggregate(scores, F.lit(0.0), lambda acc, x: acc + x)
@@ -103,10 +150,12 @@ def sentiment_builtin(text_col: Column | str) -> Column:
 def sentiment_pandas_udf() -> Column:
     """Arrow-batched scalar Pandas UDF twin of ``sentiment_builtin`` —
     the UD1 surface (reference wraps VADER's polarity_scores compound).
-    Bitwise-equal to the built-in version because lexicon scores are
-    binary-exact halves."""
+    Bitwise-equal to the built-in version with ANY lexicon: both twins
+    left-fold the per-token doubles in token order (F.aggregate and the
+    Python sum generator), so the IEEE addition sequences are identical
+    — binary-exact half-point scores are sufficient but not necessary."""
 
-    lex = dict(SENTIMENT_LEXICON)
+    lex = dict(active_sentiment_lexicon())
 
     @F.pandas_udf(DoubleType())
     def _sent(texts: pd.Series) -> pd.Series:

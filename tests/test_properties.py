@@ -135,6 +135,37 @@ def test_sentiment_udf_equals_builtin(spark):
     assert b == u and len(b) > 0
 
 
+def test_vader_lexicon_swap(spark, tmp_path, monkeypatch):
+    """The VADER swap-in slot: a lexicon file in the standard
+    vader_lexicon.txt format (token<TAB>mean<TAB>stddev<TAB>ratings)
+    replaces the stand-in for BOTH sentiment paths via
+    SPARK_GRAFT_VADER_LEXICON, and the two paths stay bitwise-equal
+    with non-half-point scores (identical left-fold order, see
+    sentiment_pandas_udf). The file here is synthetic, VADER-format —
+    the real MIT-licensed lexicon drops in unchanged."""
+    import crypto_data_pipeline_with_kafka_spark.functions.text as tx
+
+    lex_file = tmp_path / "vader_lexicon.txt"
+    lex_file.write_text(
+        "# comment line\n"
+        "great\t3.1\t0.80623\t[3, 3, 4, 2, 3, 3, 3, 4, 3, 3]\n"
+        "terrible\t-2.7\t0.78102\t[-3, -2, -3, -3, -2, -3, -3, -2, -3, -3]\n"
+        "meh\t-0.9\t0.53852\t[-1, 0, -1, -1, -1, -1, -1, -1, -1, -1]\n"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_VADER_LEXICON", str(lex_file))
+    # monkeypatch restores the pre-test cache (and env) at teardown
+    monkeypatch.setattr(tx, "_ACTIVE_LEXICON", None)  # force re-resolve
+    lex = tx.active_sentiment_lexicon()
+    assert lex == {"great": 3.1, "terrible": -2.7, "meh": -0.9}
+    rows = [(1, "great great terrible"), (2, "meh and boring stuff")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    b = {r.doc_id: r.s for r in df.select("doc_id", tx.sentiment_builtin("text").alias("s")).collect()}
+    u = {r.doc_id: r.s for r in df.select("doc_id", tx.sentiment_pandas_udf()("text").alias("s")).collect()}
+    assert b == u
+    assert b[1] == (3.1 + 3.1 + -2.7) / 3
+    assert b[2] == -0.9 / 4
+
+
 @given(
     n_tokens=st.integers(0, 400),
     max_tokens=st.integers(2, 120),
