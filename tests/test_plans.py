@@ -168,8 +168,9 @@ def test_registry_holds_exactly_fifty_queries():
     qs = all_queries()
     assert len(qs) == 50, sorted(qs)
     rows_only = [n for n, q in qs.items() if q.oracle is None]
-    # only the engine-internal sketch values lack a value oracle
-    assert rows_only == ["agg_approx_sketches"], rows_only
+    # every registered query is value-checked: even the sketch query
+    # emits its error bounds as oracle-matchable booleans (round 4)
+    assert rows_only == [], rows_only
 
 
 def test_no_query_emits_nested_columns(spark):
