@@ -92,15 +92,32 @@ def run_to_memory(
     ``SPARK_GRAFT_STREAM_PARTITIONS``); the default 4 fits the bounded
     bench-scale replays, where 32 state partitions were measured as ~4×
     pure overhead on a KB-sized state. The batch conf is restored after
-    the run."""
+    the run.
+
+    State-store BACKEND: the default HDFS-backed provider keeps state
+    on the JVM heap — right whenever state ≪ executor memory. For
+    100-TB-class state (stream-stream joins over wide watermarks,
+    billions of dedup keys) set ``SPARK_GRAFT_STATE_STORE=rocksdb``:
+    Spark's bundled RocksDB provider spills state to local disk with
+    incremental changelog checkpointing, trading fixed per-batch cost
+    (measured ~4× on the KB-scale replays — do not default to it) for
+    state capacity no longer bounded by the heap."""
     import os
 
     spark = stream_df.sparkSession
     if state_partitions is None:
         state_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     name = f"{name_prefix}_{next(_name_counter)}"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_prov = spark.conf.get(prov_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -112,6 +129,10 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
     return spark.table(name)
 
 

@@ -509,3 +509,38 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
     # cross-batch evidence: at least one pair spans the file cutoff
     spans = got.filter((F.col("v_ts") < cutoff) & (F.col("p_ts") >= cutoff))
     assert spans.count() > 0
+
+
+def test_rocksdb_state_store_equals_default(spark, monkeypatch):
+    """SPARK_GRAFT_STATE_STORE=rocksdb swaps Spark's bundled RocksDB
+    provider into run_to_memory (the large-state deployment backend —
+    state on local disk instead of the JVM heap). Results must be
+    identical to the default HDFS-backed provider, and both the
+    provider and shuffle-partition confs must be restored after."""
+    from crypto_data_pipeline_with_kafka_spark.sources.readers import (
+        events_stream_reader,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run():
+        agg = streaming_tumbling_counts(
+            events_stream_reader(spark, f"{sf}/events.parquet")
+        )
+        return {
+            (r.bucket_start, r.event_type): (r.n, r.total)
+            for r in run_to_memory(agg, output_mode="complete").collect()
+        }
+
+    base = run()
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    rocks = run()
+    assert rocks == base and len(base) > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert spark.conf.get(prov_key, None) is None  # restored (unset)
