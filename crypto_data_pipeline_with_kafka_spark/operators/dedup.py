@@ -189,12 +189,19 @@ def jaccard_for_candidates(
     cand: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.8,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard restricted to an explicit candidate pair list —
     cost |cand| × shared-shingles, independent of how many non-candidate
     pairs share shingles. THE verify stage for LSH: never falls back to
-    the full inverted-index join."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    the full inverted-index join.
+
+    ``sizes`` (id, n_sh) skips the per-doc shingle-count aggregation
+    when the caller already has it — the signature pass rides it along
+    for free (``minhash_signatures(with_size=True)``), saving one full
+    aggregation over the corpus-sized shingle relation."""
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
@@ -282,10 +289,16 @@ def minhash_lsh_dedup(
     candidates → exact-Jaccard verification ON CANDIDATES ONLY.
     At 100 TB the candidate set (not the corpus square) bounds the cost;
     the shingle relation is persisted because signature and verify both
-    consume it."""
+    consume it. The signature pass rides the per-doc shingle count
+    along (``with_size=True``), so the verify stage's union sizes cost
+    zero extra aggregation over the shingle relation; the O(docs)
+    signature relation is persisted because bands and sizes both read
+    it."""
     sh = shingle_rows(df, text_col, id_col, k).persist()
-    cand = minhash_band_pairs(minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, bands)
-    return jaccard_for_candidates(sh, cand, id_col, min_jaccard).select(
+    sig = minhash_signatures(sh, id_col, num_hashes, with_size=True).persist()
+    cand = minhash_band_pairs(sig, id_col, num_hashes, bands)
+    sizes = sig.select(id_col, "n_sh")
+    return jaccard_for_candidates(sh, cand, id_col, min_jaccard, sizes=sizes).select(
         "id_a", "id_b", "jaccard"
     )
 
