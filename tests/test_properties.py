@@ -399,3 +399,24 @@ def test_pack_sequences_matches_python_pack(spark, rows, budget, n_shards):
         )
         assert got[doc_id] == (s, cum[s] // budget, cum[s] % budget)
         cum[s] += n_tok
+
+
+def test_connected_components_long_chain_multi_round(spark):
+    """A 64-node path graph forces the pointer-jumping loop through its
+    EXTRA-round path (the seed labeling converges only for dense
+    cliques; a chain needs O(log diameter) rounds, each with its own
+    convergence probe) — the branch the dense-clique fixtures and small
+    random graphs rarely reach. Every node must still resolve to the
+    chain's minimum id."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    # a second, disjoint chain with larger ids keeps two components
+    edges += [(1000 + i, 1000 + i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.canonical_id for r in connected_components(df).collect()}
+    assert got == {**{i: 0 for i in range(n)},
+                   **{1000 + i: 1000 for i in range(n)}}
