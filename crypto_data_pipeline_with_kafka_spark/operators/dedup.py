@@ -135,6 +135,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_id_col: str = "doc_id",
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents whose k-gram
     overlap with any benchmark/eval document is too high to keep in a
@@ -156,10 +157,17 @@ def decontaminate(
     scan; the only shuffle is the groupBy on (doc, bench) HITS, which
     is sparse (corpus docs sharing zero k-grams with every benchmark
     never leave the map side). The corpus is read once, no self-join,
-    no corpus-sized state anywhere."""
-    c_sh = shingle_rows(corpus, text_col, id_col, k).select(
-        F.col(id_col).alias("doc_id"), "shingle"
-    )
+    no corpus-sized state anywhere.
+
+    ``corpus_shingles`` accepts an already-built (id, shingle) relation
+    (``shingle_rows(corpus, k=...)`` — with the SAME k, caller's
+    responsibility) so a pipeline that has already shingled the corpus
+    for pair generation does not tokenize+explode it a second time."""
+    c_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingle_rows(corpus, text_col, id_col, k)
+    ).select(F.col(id_col).alias("doc_id"), "shingle")
     b_sh = shingle_rows(benchmark, text_col, bench_id_col, k).select(
         F.col(bench_id_col).alias("bench_id"), "shingle"
     )

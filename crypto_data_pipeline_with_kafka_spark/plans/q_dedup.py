@@ -156,11 +156,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("jaccard").alias("score"),
     )
+    # the decontam leg reuses the pairs leg's shingle relation
+    # (jaccard_pairs persists it) — the corpus is tokenized ONCE
     dec = decontaminate(
         docs,
         docs.filter(F.col("doc_id") % 97 == 0),
         k=3,
         min_containment=0.5,
+        corpus_shingles=sh,
     ).select(
         F.lit("decontam").alias("method"),
         F.col("doc_id").alias("id_a"),
