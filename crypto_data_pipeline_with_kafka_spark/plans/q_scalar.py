@@ -158,7 +158,9 @@ def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(regexp_replace(regexp_replace(regexp_replace(ptext,
                  'https?://[^\s]+', '[PII]', 'g'),
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
-                 '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PII]', 'g')) AS redacted_hash
+                 '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PII]', 'g')) AS redacted_hash,
+           regexp_replace(regexp_replace(text, '[<>&]', '', 'g'),
+                 '^\s+|\s+$', '', 'g') || ' tail & end' AS html_paragraphs
     FROM planted
     """,
     doc="F6/F7/F8 in one checked plan: trim / case / concat_ws "
@@ -173,11 +175,20 @@ def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the md5 of the redacted text (redact_pii — URL rule first, so "
     "userinfo inside a URL is consumed whole) are then value-checked. "
     "The ipv4 pattern needs lookarounds DuckDB's RE2 cannot compile — "
-    "it stays pytest-attested (tests/test_dedup_similarity.py)",
+    "it stays pytest-attested (tests/test_dedup_similarity.py). "
+    "HTML leg (UD2, producer_news.py:68-70): article HTML is synthesized "
+    "from the sanitized doc text IN THE QUERY (wrapped in <p>, plus a "
+    "script block and an entity-bearing second paragraph), run through "
+    "html_paragraph_text Spark-side, and value-checked against the "
+    "oracle's INDEPENDENT analytic derivation of the expected text — "
+    "a stronger check than re-running the same regex chain (RE2 lacks "
+    "the backreference the script-strip uses; BeautifulSoup semantics "
+    "are pinned per-construct in test_html_paragraph_text_*)",
     tags=("string", "regex", "pii"),
 )
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        html_paragraph_text,
         pii_counts,
         redact_pii,
     )
@@ -213,6 +224,16 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["email"].alias("n_email"),
         counts["phone"].alias("n_phone"),
         F.md5(redact_pii(planted, kinds=_RE2_KINDS)).alias("redacted_hash"),
+        html_paragraph_text(
+            F.concat(
+                F.lit("<div><p> "),
+                F.regexp_replace("text", r"[<>&]", ""),
+                F.lit(
+                    " </p><script>var a='<p>no</p>';</script>"
+                    "<p>tail &amp; end</p></div>"
+                ),
+            )
+        ).alias("html_paragraphs"),
     )
 
 

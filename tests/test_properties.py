@@ -420,3 +420,42 @@ def test_connected_components_long_chain_multi_round(spark):
     got = {r.doc_id: r.canonical_id for r in connected_components(df).collect()}
     assert got == {**{i: 0 for i in range(n)},
                    **{1000 + i: 1000 for i in range(n)}}
+
+
+def test_html_paragraph_text_matches_soup_semantics(spark):
+    """html_paragraph_text mirrors the reference crawl's
+    BeautifulSoup find_all('p') -> .text.strip() -> ' '.join on
+    representative article markup: script/style dropped, inline tags
+    concatenated without injected spaces (like .text), comments
+    removed, entities decoded once (&amp;lt; stays literal '&lt;'),
+    empty paragraphs kept by the join exactly as ' '.join does."""
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        html_paragraph_text,
+    )
+
+    cases = [
+        # (html, expected == ' '.join(p.text.strip() for p in soup('p')))
+        ("<html><body><p>Hello world</p></body></html>", "Hello world"),
+        ("<p>A <b>bold</b>move</p><p>second</p>", "A boldmove second"),
+        ("<p>\n  spaced\n</p>", "spaced"),
+        ("<P CLASS='lead'>upper tag</P>", "upper tag"),
+        ("<p>multi\nline\npara</p>", "multi\nline\npara"),
+        ("<p>a</p><script>var x = '<p>no</p>';</script><p>b</p>", "a b"),
+        ("<style>p{color:red}</style><p>styled</p>", "styled"),
+        ("<p>AT&amp;T &lt;3 &quot;quotes&quot; &#39;q&#39;</p>", "AT&T <3 \"quotes\" 'q'"),
+        ("<p>&amp;lt; stays literal</p>", "&lt; stays literal"),
+        ("<p><!-- hidden -->shown</p>", "shown"),
+        ("<p></p><p>after empty</p>", " after empty"),
+        ("no paragraphs here", ""),
+        ("<p>first</p>between<p>last</p>", "first last"),
+        ("<p>nbsp&nbsp;space</p>", "nbsp space"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_paragraph_text("html").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
