@@ -197,3 +197,18 @@ def test_ann_suite_has_no_cartesian_product(spark):
     q = all_queries()["sim_ann_suite"]
     plan = plan_of(q.fn(spark, SF), "simple")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_flagship_anti_join_broadcasts_via_aqe(spark):
+    """The flagship's idempotence anti-join deliberately carries NO
+    broadcast hint (the existing-keys side is history-sized at 100 TB,
+    so a forced broadcast is a driver-OOM class bug); AQE must still
+    broadcast it at bench scales from runtime statistics. Asserted on
+    the POST-EXECUTION adaptive plan — a pre-execution explain only
+    shows the un-finalized sort-merge candidate."""
+    df = all_queries()["ind_pipeline"].fn(spark, SF)
+    df.count()  # finalize the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in final, final
+    anti_lines = [ln for ln in final.splitlines() if "LeftAnti" in ln]
+    assert any("BroadcastHashJoin" in ln for ln in anti_lines), final
