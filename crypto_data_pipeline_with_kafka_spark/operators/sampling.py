@@ -150,6 +150,61 @@ def pack_sequences(
     )
 
 
+def resample_to_mixture(
+    df: DataFrame,
+    mixture: Mapping[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Down-sample each source/domain so the surviving corpus matches a
+    target mixture — the domain-rebalancing step of a training-data
+    pipeline (e.g. web 60% / code 25% / papers 15%). No replication:
+    the achieved total is the LARGEST T for which every source can
+    supply its share (T = min_s n_s / w_s over positive weights), and
+    each source keeps a deterministic md5 fraction r_s = T·w_s / n_s of
+    its rows — binomial-sized per source (exact in expectation), rows
+    chosen by (salt, key) hash so the draw is reproducible and each
+    source's sample is a subset of any larger-rate draw with the same
+    salt. Sources missing from ``mixture`` (or weighted 0) are dropped.
+
+    Scale shape: ONE count aggregation over the corpus (map-side
+    combined to |sources| rows — the only action, an O(|sources|)
+    bounds probe, same class as the incremental pipeline's time-range
+    probes), then a pure per-row hash filter pipelined into the scan —
+    zero shuffle on the data path. NOT growth-stable, by nature: the
+    mixture is a property of the WHOLE corpus, so keep-rates must be
+    recomputed as data grows (re-runs stay deterministic for a fixed
+    corpus + salt; pin row-level stability across runs by persisting
+    the emitted rates and reusing them instead)."""
+    weights = {s: float(w) for s, w in mixture.items() if w > 0}
+    if not weights:
+        raise ValueError("mixture must contain at least one positive weight")
+    wtot = sum(weights.values())
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] in weights
+    }
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(
+            f"mixture names sources absent from the corpus: {sorted(missing)}"
+        )
+    # largest achievable total, then per-source keep rates
+    t_max = min(counts[s] / (weights[s] / wtot) for s in weights)
+    rates = {s: (t_max * weights[s] / wtot) / counts[s] for s in weights}
+    rate_map = F.create_map(
+        *[x for s in sorted(rates) for x in (F.lit(s), F.lit(rates[s]))]
+    )
+    rate = rate_map[F.col(source_col)]
+    return df.filter(
+        rate.isNotNull() & (_hash_fraction(F.col(key_col), salt) < rate)
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: Sequence[str],

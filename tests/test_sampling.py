@@ -102,3 +102,57 @@ def test_pack_sequences_matches_python_reference(spark):
         cum[s] += n_tok
     # gapless: total tokens per shard == final cumsum
     assert sum(cum.values()) == sum(n for _, n in rows)
+
+
+def test_resample_to_mixture_proportions_and_determinism(spark):
+    """Mixture resampling: achieved per-source counts approximate the
+    target weights at the max feasible total (binomial tolerance), the
+    scarcest source sets the scale (its keep-rate is 1.0 — every row
+    kept), unmentioned sources are dropped, the draw is deterministic,
+    and a Python recomputation of the md5 keep-rule selects the exact
+    same rows."""
+    import hashlib
+
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    n_by_src = {r["source"]: r["n"] for r in
+                docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    srcs = sorted(n_by_src)
+    assert len(srcs) >= 2, srcs
+    # two DISTINCT sources (fixture counts are uniform, so min/max by
+    # count would collide); the heavier weight binds under equal counts
+    lo_w, hi_w = srcs[0], srcs[1]
+    mixture = {lo_w: 0.2, hi_w: 0.8}
+
+    out = resample_to_mixture(docs, mixture, salt="mix-test")
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the source whose n/w is smallest binds: kept whole
+    t_max = min(n_by_src[lo_w] / 0.2, n_by_src[hi_w] / 0.8)
+    rates = {lo_w: t_max * 0.2 / n_by_src[lo_w], hi_w: t_max * 0.8 / n_by_src[hi_w]}
+    bind = max(rates, key=rates.get)
+    assert rates[bind] == 1.0 and got[bind] == n_by_src[bind]
+    # the down-weighted source approximates its share (binomial: 4 sigma)
+    other = lo_w if bind == hi_w else hi_w
+    exp = t_max * mixture[other] / 1.0
+    sigma = (exp * (1 - rates[other])) ** 0.5
+    assert abs(got.get(other, 0) - exp) <= 4 * sigma + 1, (got, exp)
+    # only mixture sources survive
+    assert set(got) <= {lo_w, hi_w}
+
+    # determinism + exact row membership vs a sequential recomputation
+    kept_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    kept_ids2 = {r.doc_id for r in
+                 resample_to_mixture(docs, mixture, salt="mix-test")
+                 .select("doc_id").collect()}
+    assert kept_ids == kept_ids2
+    for r in docs.select("doc_id", "source").collect():
+        if r.source not in mixture:
+            assert r.doc_id not in kept_ids
+            continue
+        frac = int(hashlib.md5(f"mix-test|{r.doc_id}".encode())
+                   .hexdigest()[:13], 16) / float(16**13)
+        assert (frac < rates[r.source]) == (r.doc_id in kept_ids), r
