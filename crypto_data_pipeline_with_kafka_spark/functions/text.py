@@ -280,3 +280,83 @@ def redact_pii(
         if kinds is None or kind in kinds:
             out = F.regexp_replace(out, pat, replacement)
     return out
+
+
+def bigram_lm_quality(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+):
+    """Corpus-trained bigram language-model quality score — the
+    perplexity-filter stage of a training-data pipeline (CCNet-style:
+    score each document by how probable its token sequence is under a
+    model of the corpus itself; gibberish, boilerplate and
+    wrong-language text land in the low-probability tail). Returns
+    (id, n_bigrams, avg_logprob, ppl):
+
+    * model: add-k-smoothed bigram MLE over whitespace tokens,
+      P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), V = unigram vocab
+      size — trained on ``docs`` itself in two aggregations;
+    * score: mean natural-log probability over the doc's bigrams;
+      ``ppl`` = exp(-avg_logprob), standard perplexity. Docs with < 2
+      tokens score NULL (no bigrams).
+
+    Order-free numerics (the engine invariant that keeps plans freely
+    re-partitionable): per-bigram log-probs are computed as doubles,
+    then QUANTIZED to decimal(28,9) before the per-doc sum — exact
+    integer-decimal addition makes the score independent of
+    partitioning and merge order. A sequential Python reference with
+    the same quantization reproduces it to ≤ 1e-9 (pinned in tests;
+    the quantization absorbs JVM-vs-libm log() ulp differences).
+
+    Scale shape: two corpus aggregations with map-side combine (bigram
+    counts, unigram counts — output is vocab²-bounded, far below the
+    token stream), one broadcast of the O(1)-row vocab size, one join
+    of doc bigrams against the count tables on the bigram key (shuffle
+    keyed by high-cardinality n-grams — well spread), one groupBy(id).
+    Nothing is ever collected; the model IS a DataFrame, so 100-TB
+    corpora train the same way. ``add_k`` > 0 keeps unseen bigrams
+    finite (they can appear when scoring NEW text against a stored
+    model; self-scoring always finds its own counts)."""
+    from pyspark.sql import functions as FF
+
+    toks = docs.select(FF.col(id_col), tokens(text_col).alias("_ws"))
+    bg = (
+        toks.filter(FF.size("_ws") >= 2)
+        .select(
+            FF.col(id_col),
+            FF.posexplode(
+                FF.expr("transform(slice(_ws, 1, size(_ws) - 1), (w, i) -> struct(w as w1, _ws[i + 1] as w2))")
+            ).alias("_pos", "_bg"),
+        )
+        .select(FF.col(id_col), FF.col("_bg.w1"), FF.col("_bg.w2"))
+    )
+    uni = docs.select(FF.explode(tokens(text_col)).alias("w1")).groupBy("w1").agg(
+        FF.count(FF.lit(1)).alias("c1")
+    )
+    vocab = uni.agg(FF.count(FF.lit(1)).alias("v"))
+    big = bg.groupBy("w1", "w2").agg(FF.count(FF.lit(1)).alias("c12"))
+
+    logp = FF.log(
+        (FF.col("c12") + FF.lit(add_k))
+        / (FF.col("c1") + FF.lit(add_k) * FF.col("v"))
+    )
+    scored = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(FF.broadcast(vocab))
+        .select(FF.col(id_col), logp.cast("decimal(28,9)").alias("_lq"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        FF.count(FF.lit(1)).alias("n_bigrams"),
+        (FF.sum("_lq").cast("string").cast("double") / FF.count(FF.lit(1))).alias(
+            "avg_logprob"
+        ),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "avg_logprob",
+        FF.exp(-FF.col("avg_logprob")).alias("ppl"),
+    )

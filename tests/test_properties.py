@@ -459,3 +459,62 @@ def test_html_paragraph_text_matches_soup_semantics(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_bigram_lm_quality_matches_python_reference(spark):
+    """The corpus-trained bigram LM scorer (perplexity filter) must
+    reproduce a sequential Python implementation of the same model —
+    add-k-smoothed bigram MLE, decimal(28,9)-quantized log-prob sums —
+    to within the quantization grain, and planted gibberish must score
+    strictly worse (higher perplexity) than text drawn from the
+    corpus's own vocabulary."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        bigram_lm_quality,
+    )
+
+    sentences = [
+        "the cat sat on the mat",
+        "the cat ran on the mat",
+        "the dog sat on the rug",
+        "a dog ran to the rug",
+    ]
+    # 5 copies each: corpus bigrams need real counts for the self-trained
+    # model to separate them from the gibberish doc's singletons
+    rows = [(10 * c + s, txt) for s, txt in enumerate(sentences) for c in range(5)]
+    rows += [
+        (95, "zz qq xx vv kk jj"),  # gibberish: every bigram unseen elsewhere
+        (96, "one"),  # < 2 tokens -> no score row
+    ]
+    normal_ids = [i for i, _ in rows[:-2]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_lm_quality(df).collect()}
+    assert 96 not in got
+
+    # ---- sequential reference
+    K = 0.5
+    toks = {i: t.strip().split(" ") for i, t in rows}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    big = Counter(
+        (ws[j], ws[j + 1]) for ws in toks.values() for j in range(len(ws) - 1)
+    )
+    V = len(uni)
+    want = {}
+    for i, ws in toks.items():
+        bgs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not bgs:
+            continue
+        q = Decimal(0)
+        for b in bgs:
+            lp = math.log((big[b] + K) / (uni[b[0]] + K * V))
+            q += Decimal(lp).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        want[i] = float(str(q)) / len(bgs)
+    assert set(got) == set(want)
+    for i, w in want.items():
+        assert abs(got[i].avg_logprob - w) <= 1e-9, (i, got[i].avg_logprob, w)
+        assert abs(got[i].ppl - math.exp(-got[i].avg_logprob)) < 1e-12
+    # gibberish lands in the low-probability tail
+    assert got[95].ppl > max(got[i].ppl for i in normal_ids)
