@@ -69,11 +69,15 @@ _ACTIVE_LEXICON: dict[str, float] | None = None
 
 
 def active_sentiment_lexicon() -> dict[str, float]:
-    """The lexicon both sentiment paths score with: the file named by
-    ``SPARK_GRAFT_VADER_LEXICON`` when set (parsed once per process),
-    else the deterministic stand-in. The registered oracle query uses
-    the stand-in (its DuckDB SQL twin embeds those scores); the env
-    swap is the deployment path for real news text."""
+    """The DEFAULT lexicon for the sentiment paths: the file named by
+    ``SPARK_GRAFT_VADER_LEXICON`` when set (parsed once per process —
+    set the env before the first sentiment call, or reset
+    ``_ACTIVE_LEXICON`` to None to re-resolve), else the deterministic
+    stand-in. The registered oracle queries do NOT go through this:
+    they pass ``SENTIMENT_LEXICON`` explicitly (their DuckDB twins
+    embed those scores as constants, so an env-swapped lexicon must
+    never reach them); the env swap is the deployment path for scoring
+    real news text outside the oracle gate."""
     global _ACTIVE_LEXICON
     if _ACTIVE_LEXICON is None:
         import os
@@ -133,12 +137,26 @@ def shingles_from_tokens(ws: Column, k: int = 3) -> Column:
     )
 
 
-def sentiment_builtin(text_col: Column | str) -> Column:
+def sentiment_builtin(
+    text_col: Column | str, lexicon: dict[str, float] | None = None
+) -> Column:
     """Lexicon sentiment as pure built-ins: mean lexicon score over all
     tokens (unmatched tokens score 0). JVM-side; the 100-TB hot path.
-    Scores with ``active_sentiment_lexicon()`` (env-swappable VADER)."""
+    ``lexicon=None`` scores with ``active_sentiment_lexicon()``
+    (env-swappable VADER); pass an explicit dict to pin the scores —
+    the REGISTERED queries pin ``SENTIMENT_LEXICON`` so their DuckDB
+    oracles (which embed those scores as SQL constants) hold regardless
+    of the deployment env.
+
+    Plan-size caveat: the lexicon lands in the plan as one
+    ``create_map`` literal — fine at stand-in size, but a full VADER
+    lexicon (~7.5k entries) makes every sentiment expression a ~15k-
+    literal tree (the same planner-scaling hazard as per-dimension agg
+    columns). For large lexicons prefer ``sentiment_pandas_udf`` (the
+    dict ships once per executor in the pickled UDF, plan size is
+    O(1)) or an explode + broadcast-join aggregation."""
     ws = tokens(text_col)
-    lex = active_sentiment_lexicon()
+    lex = lexicon if lexicon is not None else active_sentiment_lexicon()
     mapping = F.create_map(
         *[x for w, s in sorted(lex.items()) for x in (F.lit(w), F.lit(s))]
     )
@@ -147,15 +165,16 @@ def sentiment_builtin(text_col: Column | str) -> Column:
     return total / F.size(ws)
 
 
-def sentiment_pandas_udf() -> Column:
+def sentiment_pandas_udf(lexicon: dict[str, float] | None = None) -> Column:
     """Arrow-batched scalar Pandas UDF twin of ``sentiment_builtin`` —
     the UD1 surface (reference wraps VADER's polarity_scores compound).
     Bitwise-equal to the built-in version with ANY lexicon: both twins
     left-fold the per-token doubles in token order (F.aggregate and the
     Python sum generator), so the IEEE addition sequences are identical
-    — binary-exact half-point scores are sufficient but not necessary."""
+    — binary-exact half-point scores are sufficient but not necessary.
+    ``lexicon`` pins the scores exactly as in ``sentiment_builtin``."""
 
-    lex = dict(active_sentiment_lexicon())
+    lex = dict(lexicon if lexicon is not None else active_sentiment_lexicon())
 
     @F.pandas_udf(DoubleType())
     def _sent(texts: pd.Series) -> pd.Series:

@@ -567,13 +567,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # round 0 folded into init: every node appears as src in the doubled
-    # edge list, so one groupBy seeds each label with min(own, neighbors)
+    # edge list, so one groupBy seeds each label with min(own, neighbors).
+    # Lazy-truncated like the rounds: the probe and round-1 plans each
+    # reference the seed several times (both probe branches + nbr + the
+    # cand self-join legs), and a leaf keeps those references one RDD
+    # scan instead of duplicated aggregation subtrees.
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nlab"))
         .select(
             F.col("src").alias("id"), F.least("src", "nlab").alias("lab")
         )
+        .localCheckpoint(eager=False)
     )
 
     def _round(lbl: DataFrame) -> DataFrame:
@@ -602,15 +607,18 @@ def connected_components(
     def _sum(lbl: DataFrame) -> DataFrame:
         return lbl.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s"))
 
-    hist = [labels]
-    hist.append(_round(hist[-1]))
+    # Only the last two rounds are ever referenced — holding the whole
+    # history would pin every round's checkpointed blocks in executor
+    # storage until return; dropping the refs lets the ContextCleaner
+    # reclaim them as promised above.
+    cur = _round(labels)
     # ONE action: seed sum and round-1 sum in a single job. Equal sums
     # ⇔ the seed was already the fixpoint (monotonicity), so round 1 is
     # fixpoint-equal too (and is the materialized leaf we return).
     row = (
-        _sum(hist[-2])
+        _sum(labels)
         .select(F.col("s").alias("s_prev"))
-        .crossJoin(_sum(hist[-1]).select(F.col("s").alias("s_last")))
+        .crossJoin(_sum(cur).select(F.col("s").alias("s_last")))
         .first()
     )
     prev_s, last_s = row["s_prev"], row["s_last"]
@@ -623,11 +631,11 @@ def connected_components(
                 "indicates a bug or an adversarial graph; raise max_iters "
                 "explicitly if the graph is legitimate"
             )
-        hist.append(_round(hist[-1]))
+        cur = _round(cur)
         rounds += 1
         prev_s = last_s
-        last_s = _sum(hist[-1]).first()["s"]
-    return hist[-1].select(
+        last_s = _sum(cur).first()["s"]
+    return cur.select(
         F.col("id").alias("doc_id"), F.col("lab").alias("canonical_id")
     )
 

@@ -193,9 +193,17 @@ def resample_to_mixture(
         raise ValueError(
             f"mixture names sources absent from the corpus: {sorted(missing)}"
         )
-    # largest achievable total, then per-source keep rates
-    t_max = min(counts[s] / (weights[s] / wtot) for s in weights)
-    rates = {s: (t_max * weights[s] / wtot) / counts[s] for s in weights}
+    # largest achievable total, then per-source keep rates. The binding
+    # source's rate is mathematically 1.0 but the float round trip can
+    # land at 1 - 1ulp (e.g. ·0.7 then /0.7), which would drop its
+    # max-hash row and break the "scarcest source kept whole" contract
+    # — snap it exactly.
+    bind = min(weights, key=lambda s: counts[s] / (weights[s] / wtot))
+    t_max = counts[bind] / (weights[bind] / wtot)
+    rates = {
+        s: min(1.0, (t_max * weights[s] / wtot) / counts[s]) for s in weights
+    }
+    rates[bind] = 1.0
     rate_map = F.create_map(
         *[x for s in sorted(rates) for x in (F.lit(s), F.lit(rates[s]))]
     )

@@ -460,10 +460,14 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _rank_ok(q: float, tag: str):
+        # the returned element occupies 1-based ranks [lo+1, hi], so the
+        # overlap with the guarantee window [floor((q-eps)n), ceil((q+eps)n)]
+        # needs lo+1 <= ceil(...) — lo alone would admit a value whose
+        # whole rank interval sits one rank past the window
         eps = 1.0 / _SKETCH_ACCURACY
         n = F.col("_n")
         return (
-            (F.col(f"_lo{tag}") <= F.ceil((F.lit(q) + eps) * n))
+            (F.col(f"_lo{tag}") + 1 <= F.ceil((F.lit(q) + eps) * n))
             & (F.col(f"_hi{tag}") >= F.floor((F.lit(q) - eps) * n))
         ).alias(f"q{tag}_rank_ok")
 

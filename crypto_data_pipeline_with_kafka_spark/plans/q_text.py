@@ -14,6 +14,7 @@ from crypto_data_pipeline_with_kafka_spark.functions.text import (
     BPE_TOKEN_PATTERN,
     kgrams_from_tokens,
     lang_scores,
+    SENTIMENT_LEXICON,
     sentiment_builtin,
     sentiment_pandas_udf,
     tokens,
@@ -288,7 +289,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "sentiment", "udf"),
 )
 def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    udf = sentiment_pandas_udf()
+    # lexicon pinned explicitly: the oracle embeds these scores as SQL
+    # constants, so the env-swapped deployment lexicon must not leak in
+    udf = sentiment_pandas_udf(lexicon=SENTIMENT_LEXICON)
     return _docs(spark, sf_dir).select("doc_id", udf("text").alias("sentiment"))
 
 
@@ -373,7 +376,9 @@ def news_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     scored = docs.select(
-        "doc_id", "lang", sentiment_builtin("text").alias("sentiment")
+        "doc_id",
+        "lang",
+        sentiment_builtin("text", lexicon=SENTIMENT_LEXICON).alias("sentiment"),
     )
     existing_dim = spark.createDataFrame(
         [("en", 1), ("es", 2)], "tag_name string, tag_id long"

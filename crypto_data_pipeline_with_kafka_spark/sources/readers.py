@@ -56,14 +56,20 @@ def events_stream_reader(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if path not in _TS_PROBE_CACHE:
         # Schema probe: footer-only read of whatever files the path
-        # matches — driver-side metadata, not a data scan.
+        # matches — driver-side metadata, not a data scan. Only the
+        # zero-files-yet AnalysisException falls back (a normal stream
+        # start condition); I/O or footer-corruption errors propagate
+        # — silently mis-declaring the layout would fail every later
+        # micro-batch far from the root cause. The cache is process-
+        # scoped: replacing files at a path with the OTHER ts layout
+        # mid-process needs a `_TS_PROBE_CACHE.clear()`.
+        from pyspark.errors import AnalysisException
+
         try:
             _TS_PROBE_CACHE[path] = spark.read.parquet(path).schema["ts"].dataType
-        except Exception:
-            # zero files yet: declare the current fixture layout and let
-            # the stream wait for files (don't cache — the first real
-            # file should re-probe)
-            probed = T.TimestampType()
+        except AnalysisException:
+            # don't cache — the first real file should re-probe
+            probed: T.DataType = T.TimestampType()
         else:
             probed = _TS_PROBE_CACHE[path]
     else:

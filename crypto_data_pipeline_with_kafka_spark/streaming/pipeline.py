@@ -45,6 +45,16 @@ from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
 
 _name_counter = itertools.count()
 
+# run_to_memory mutates session-global conf around a blocking run; the
+# lock serializes concurrent run_to_memory callers on one session so a
+# second caller can never read the first's temporary value as the
+# "previous" conf to restore. (A concurrent BATCH query on the same
+# session can still plan under the temporary value — callers needing
+# full isolation should drive streams from a dedicated SparkSession.)
+import threading
+
+_stream_conf_lock = threading.Lock()
+
 _DT_FMT = "yyyy-MM-dd"
 
 
@@ -91,8 +101,12 @@ def run_to_memory(
     setting: size it to cluster cores for production topics (env
     ``SPARK_GRAFT_STREAM_PARTITIONS``); the default 4 fits the bounded
     bench-scale replays, where 32 state partitions were measured as ~4×
-    pure overhead on a KB-sized state. The batch conf is restored after
-    the run.
+    pure overhead on a KB-sized state. NOTE the default deliberately
+    OVERRIDES the session's shuffle setting (the driver/bench sessions
+    size that for batch work, which is the wrong number for KB-scale
+    stream state) — a production deployment with real state volume
+    must set ``state_partitions`` or the env var explicitly. The batch
+    conf is restored after the run.
 
     State-store BACKEND: the default HDFS-backed provider keeps state
     on the JVM heap — right whenever state ≪ executor memory. For
@@ -109,30 +123,31 @@ def run_to_memory(
         state_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     name = f"{name_prefix}_{next(_name_counter)}"
     prov_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_prov = spark.conf.get(prov_key, None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
-        spark.conf.set(
-            prov_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_prov is None:
-            spark.conf.unset(prov_key)
-        else:
-            spark.conf.set(prov_key, prev_prov)
+    with _stream_conf_lock:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_prov = spark.conf.get(prov_key, None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+            spark.conf.set(
+                prov_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_prov is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev_prov)
     return spark.table(name)
 
 

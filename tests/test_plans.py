@@ -203,12 +203,18 @@ def test_flagship_anti_join_broadcasts_via_aqe(spark):
     """The flagship's idempotence anti-join deliberately carries NO
     broadcast hint (the existing-keys side is history-sized at 100 TB,
     so a forced broadcast is a driver-OOM class bug); AQE must still
-    broadcast it at bench scales from runtime statistics. Asserted on
-    the POST-EXECUTION adaptive plan — a pre-execution explain only
-    shows the un-finalized sort-merge candidate."""
+    convert the sort-merge candidate to a broadcast at bench scales
+    from runtime statistics. Asserted on the FINALIZED adaptive plan of
+    the Dataset's own QueryExecution: ``collectAsList`` executes that
+    exact QueryExecution (``.count()`` would derive a NEW one and leave
+    this plan isFinalPlan=false), and the assertion is scoped to the
+    '== Final Plan ==' section — the initial-plan section still prints
+    the pre-conversion SortMergeJoin."""
     df = all_queries()["ind_pipeline"].fn(spark, SF)
-    df.count()  # finalize the adaptive plan
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in final, final
+    df._jdf.collectAsList()  # execute THIS QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
     anti_lines = [ln for ln in final.splitlines() if "LeftAnti" in ln]
-    assert any("BroadcastHashJoin" in ln for ln in anti_lines), final
+    assert anti_lines, plan
+    assert all("BroadcastHashJoin" in ln for ln in anti_lines), plan
