@@ -334,42 +334,86 @@ def bigram_lm_quality(
     token stream), one broadcast of the O(1)-row vocab size, one join
     of doc bigrams against the count tables on the bigram key (shuffle
     keyed by high-cardinality n-grams — well spread), one groupBy(id).
-    Nothing is ever collected; the model IS a DataFrame, so 100-TB
-    corpora train the same way. ``add_k`` > 0 keeps unseen bigrams
-    finite (they can appear when scoring NEW text against a stored
-    model; self-scoring always finds its own counts)."""
-    from pyspark.sql import functions as FF
+    Nothing is ever collected; the model IS a pair of DataFrames, so
+    100-TB corpora train the same way.
 
-    toks = docs.select(FF.col(id_col), tokens(text_col).alias("_ws"))
-    bg = (
-        toks.filter(FF.size("_ws") >= 2)
+    Self-scoring convenience for ``train_bigram_lm`` +
+    ``score_with_bigram_lm`` — the production CCNet shape trains on a
+    CLEAN reference corpus (wiki-grade text) and scores the crawl:
+    ``score_with_bigram_lm(crawl, train_bigram_lm(wiki))``. ``add_k``
+    > 0 keeps unseen bigrams finite (cross-corpus scoring hits them
+    constantly; self-scoring always finds its own counts)."""
+    return score_with_bigram_lm(
+        docs, train_bigram_lm(docs, text_col, id_col), text_col, id_col, add_k
+    )
+
+
+def _doc_bigrams(docs, text_col: str, id_col: str):
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_ws"))
+    return (
+        toks.filter(F.size("_ws") >= 2)
         .select(
-            FF.col(id_col),
-            FF.posexplode(
-                FF.expr("transform(slice(_ws, 1, size(_ws) - 1), (w, i) -> struct(w as w1, _ws[i + 1] as w2))")
-            ).alias("_pos", "_bg"),
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_ws, 1, size(_ws) - 1),"
+                    " (w, i) -> struct(w as w1, _ws[i + 1] as w2))"
+                )
+            ).alias("_bg"),
         )
-        .select(FF.col(id_col), FF.col("_bg.w1"), FF.col("_bg.w2"))
+        .select(F.col(id_col), F.col("_bg.w1"), F.col("_bg.w2"))
     )
-    uni = docs.select(FF.explode(tokens(text_col)).alias("w1")).groupBy("w1").agg(
-        FF.count(FF.lit(1)).alias("c1")
-    )
-    vocab = uni.agg(FF.count(FF.lit(1)).alias("v"))
-    big = bg.groupBy("w1", "w2").agg(FF.count(FF.lit(1)).alias("c12"))
 
-    logp = FF.log(
-        (FF.col("c12") + FF.lit(add_k))
-        / (FF.col("c1") + FF.lit(add_k) * FF.col("v"))
+
+def train_bigram_lm(
+    corpus, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple:
+    """Train the bigram LM: returns ``(uni, big)`` count DataFrames —
+    (w1, c1) unigram counts and (w1, w2, c12) bigram counts, both
+    map-side-combined aggregations over the corpus token stream.
+    Persist them (or write to parquet and read back) to score many
+    batches against one model; the vocab size is derived from ``uni``
+    at scoring time, so the pair is the complete model artifact."""
+    uni = (
+        corpus.select(F.explode(tokens(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = _doc_bigrams(corpus, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    return uni, big
+
+
+def score_with_bigram_lm(
+    docs,
+    model: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+):
+    """Score documents against a trained ``(uni, big)`` model (see
+    ``train_bigram_lm`` / ``bigram_lm_quality`` for semantics and the
+    numeric contract). Bigrams and head-words unseen in the model take
+    the smoothed floor — left joins + coalesce(count, 0), so P =
+    (0+k)/(0+k·V) for a fully-novel bigram; out-of-corpus text scores
+    high perplexity instead of erroring."""
+    uni, big = model
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg = _doc_bigrams(docs, text_col, id_col)
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("v"))
     )
     scored = (
-        bg.join(big, ["w1", "w2"])
-        .join(uni, "w1")
-        .crossJoin(FF.broadcast(vocab))
-        .select(FF.col(id_col), logp.cast("decimal(28,9)").alias("_lq"))
+        bg.join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), logp.cast("decimal(28,9)").alias("_lq"))
     )
     per_doc = scored.groupBy(id_col).agg(
-        FF.count(FF.lit(1)).alias("n_bigrams"),
-        (FF.sum("_lq").cast("string").cast("double") / FF.count(FF.lit(1))).alias(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("_lq").cast("string").cast("double") / F.count(F.lit(1))).alias(
             "avg_logprob"
         ),
     )
@@ -377,5 +421,5 @@ def bigram_lm_quality(
         id_col,
         "n_bigrams",
         "avg_logprob",
-        FF.exp(-FF.col("avg_logprob")).alias("ppl"),
+        F.exp(-F.col("avg_logprob")).alias("ppl"),
     )

@@ -518,3 +518,51 @@ def test_bigram_lm_quality_matches_python_reference(spark):
         assert abs(got[i].ppl - math.exp(-got[i].avg_logprob)) < 1e-12
     # gibberish lands in the low-probability tail
     assert got[95].ppl > max(got[i].ppl for i in normal_ids)
+
+
+def test_bigram_lm_cross_corpus_scoring(spark):
+    """The production CCNet shape: train on a clean corpus, score a
+    DIFFERENT corpus. Unseen bigrams/head-words take the smoothed floor
+    (left join + coalesce — P=(0+k)/(0+k·V)); values match a sequential
+    reference, and a fully out-of-vocabulary doc scores the worst
+    perplexity."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    clean = [(i, "the cat sat on the mat") for i in range(3)] + [
+        (3, "the dog sat on the rug")
+    ]
+    crawl = [
+        (100, "the cat sat on the rug"),   # all bigrams in-model
+        (101, "the cat zz on the mat"),    # novel bigrams, known words
+        (102, "qq ww ee rr"),              # fully out-of-vocabulary
+    ]
+    model = train_bigram_lm(spark.createDataFrame(clean, "doc_id long, text string"))
+    got = {
+        r.doc_id: r
+        for r in score_with_bigram_lm(
+            spark.createDataFrame(crawl, "doc_id long, text string"), model
+        ).collect()
+    }
+
+    K = 0.5
+    toks = [t.split(" ") for _, t in clean]
+    uni = Counter(w for ws in toks for w in ws)
+    big = Counter((ws[j], ws[j + 1]) for ws in toks for j in range(len(ws) - 1))
+    V = len(uni)
+    for i, txt in crawl:
+        ws = txt.split(" ")
+        q = Decimal(0)
+        bgs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        for b in bgs:
+            lp = math.log((big.get(b, 0) + K) / (uni.get(b[0], 0) + K * V))
+            q += Decimal(lp).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        want = float(str(q)) / len(bgs)
+        assert abs(got[i].avg_logprob - want) <= 1e-9, (i, got[i].avg_logprob, want)
+    assert got[102].ppl > got[101].ppl > got[100].ppl
