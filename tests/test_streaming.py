@@ -544,3 +544,62 @@ def test_rocksdb_state_store_equals_default(spark, monkeypatch):
     assert rocks == base and len(base) > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     assert spark.conf.get(prov_key, None) is None  # restored (unset)
+
+
+def test_compact_partitions_preserves_data_and_reduces_files(spark, tmp_path):
+    """Warehouse small-file compaction: a partition accreted from many
+    per-batch appends is rewritten to fewer files with identical rows;
+    already-compact and unselected partitions are untouched; the run is
+    idempotent."""
+    import glob as _glob
+
+    from crypto_data_pipeline_with_kafka_spark.warehouse import compact_partitions
+
+    path = str(tmp_path / "store")
+    events = load_table(spark, SF, "events").limit(2000)
+    df = events.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    dts = sorted(r["dt"] for r in df.select("dt").distinct().collect())[:2]
+    frag, keep = dts[0], dts[1]
+    # fragment one partition with 6 tiny appends, one append elsewhere
+    fragged = df.filter(F.col("dt") == frag)
+    for i in range(6):
+        fragged.filter(F.col("event_id") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("dt").parquet(path)
+    df.filter(F.col("dt") == keep).coalesce(1).write.mode("append").partitionBy(
+        "dt"
+    ).parquet(path)
+
+    before = spark.read.parquet(path)
+    rows_before = sorted(tuple(r) for r in before.collect())
+    files_before = len(_glob.glob(f"{path}/dt={frag}/part-*.parquet"))
+    assert files_before == 6
+
+    written = compact_partitions(spark, path, partitions=[frag], sort_cols=("user_id", "ts"))
+    assert written == {frag: 1}
+    assert len(_glob.glob(f"{path}/dt={frag}/part-*.parquet")) == 1
+    assert len(_glob.glob(f"{path}/dt={keep}/part-*.parquet")) == 1  # untouched
+    rows_after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
+    # idempotent: a second run finds everything compact
+    assert compact_partitions(spark, path) == {}
+
+
+def test_incremental_dedup_empty_batch_is_noop(spark, tmp_path):
+    """A redelivered/empty micro-batch through incremental_minhash_dedup
+    must write an empty flag partition and leave the index consistent —
+    the foreachBatch path sees empty DataFrames in practice."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    store = str(tmp_path / "idx")
+    f0 = incremental_minhash_dedup(docs, store, 0)
+    n0 = f0.count()
+    empty = docs.filter("doc_id < 0")
+    f1 = incremental_minhash_dedup(empty, store, 1)
+    assert f1.count() == 0
+    # batch 2 still dedups against batch 0's index across the empty batch
+    f2 = incremental_minhash_dedup(docs.withColumn("doc_id", F.col("doc_id") + 100000), store, 2)
+    assert f2.count() >= n0  # every shifted doc duplicates its original
