@@ -156,3 +156,34 @@ def test_resample_to_mixture_proportions_and_determinism(spark):
         frac = int(hashlib.md5(f"mix-test|{r.doc_id}".encode())
                    .hexdigest()[:13], 16) / float(16**13)
         assert (frac < rates[r.source]) == (r.doc_id in kept_ids), r
+
+
+def test_resample_to_mixture_random_weights_invariants(spark):
+    """For a sweep of weight vectors: the binding source is always kept
+    whole (rate snapped to exactly 1.0), every kept set is a subset of
+    the source's rows, non-mixture sources vanish, and achieved counts
+    stay within binomial bounds of target shares."""
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    n_by_src = {r["source"]: r["n"] for r in
+                docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    srcs = sorted(n_by_src)[:3]
+    for weights in ([0.7, 0.2, 0.1], [1.0, 1.0, 1.0], [0.05, 0.05, 0.9],
+                    [3.0, 1.0, 2.0]):
+        mixture = dict(zip(srcs, weights))
+        wtot = sum(weights)
+        out = resample_to_mixture(docs, mixture, salt=f"sweep-{weights}")
+        got = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(got) <= set(srcs), got
+        bind = min(srcs, key=lambda s: n_by_src[s] / (mixture[s] / wtot))
+        assert got.get(bind, 0) == n_by_src[bind], (weights, got)
+        t_max = n_by_src[bind] / (mixture[bind] / wtot)
+        for s in srcs:
+            exp = t_max * mixture[s] / wtot
+            rate = min(1.0, exp / n_by_src[s])
+            sigma = (exp * (1 - rate)) ** 0.5
+            assert abs(got.get(s, 0) - exp) <= 4 * sigma + 1, (weights, s, got)
