@@ -740,6 +740,64 @@ def ivf_ann_pairs(
 _ALL_PAIRS_MAX_ROWS = 100_000
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids_max: int = 20,
+    k: int = 5,
+    num_centroids: int = 32,
+    probes: int = 3,
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-bucketed ANN top-k — the QUERY-path scale twin of
+    ``brute_force_topk`` (same API: query vectors are the corpus rows
+    with id < ``query_ids_max``, self excluded, deterministic id_b
+    tie-break): the corpus is assigned ONCE to its single nearest cell
+    (this is the reusable index — persist it, or write (id, centroid_id)
+    to the warehouse and share it across query batches), each query
+    multi-probes its top-``probes`` cells, and only the probed cells'
+    members are exactly re-scored. Candidates per query ≈ the probed
+    cells' sizes — sublinear in the corpus, vs brute force's full scan
+    per query. Recall is the IVF trade: a true neighbor living outside
+    every probed cell is missed; raise ``probes`` (or refine centroids
+    via ``lloyd_refined_centroids``/``centroids``) to buy recall with
+    candidate volume. Emitted cosines are the same exact-decimal values
+    as the brute-force path, so hits agree bitwise with
+    ``brute_force_topk`` on the overlap (test-pinned with measured
+    recall)."""
+    base = _ensure_ann_base(emb, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(base, num_centroids, id_col)
+    )
+    corpus_cells = ivf_assignments(
+        base, num_centroids, probes=1, id_col=id_col, vec_col="vdbl", centroids=cents
+    )
+    qbase = base.filter(F.col(id_col) < query_ids_max)
+    query_cells = ivf_assignments(
+        qbase, num_centroids, probes=probes, id_col=id_col, vec_col="vdbl",
+        centroids=cents,
+    )
+    cand = (
+        query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+        .join(
+            corpus_cells.select(F.col(id_col).alias("id_b"), "centroid_id"),
+            "centroid_id",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = cosine_for_pairs(base, cand, exact_norms_in_base=False)
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id_a", "id_b", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def all_pairs_cosine(
     emb: DataFrame,
     min_cosine: float = 0.4,

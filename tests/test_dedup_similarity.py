@@ -587,3 +587,54 @@ def test_ivf_lloyd_rounds_keep_precision(spark):
     }
     assert got, "refined IVF emitted no pairs"
     assert all(k in truth and truth[k] == v for k, v in got.items())
+
+
+def test_ivf_topk_query_path(spark):
+    """Query-path ANN (ivf_topk) vs the exact brute-force truth:
+    returned cosines are bitwise the exact values on every overlapping
+    pair (the re-score stage is the same exact-decimal fold), results
+    are deterministic, recall rises with probe count (more cells = more
+    candidates), clears a floor at the fixture's operating point, and
+    Lloyd-refined centroids buy recall at the SAME probe count (the
+    documented use of refinement)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        brute_force_topk,
+        ivf_topk,
+        lloyd_refined_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    bf = {(r.id_a, r.id_b): r.cosine for r in brute_force_topk(emb, 20, 5).collect()}
+
+    def run(probes, cents=None):
+        return {
+            (r.id_a, r.id_b): r.cosine
+            for r in ivf_topk(
+                emb, 20, 5, num_centroids=8, probes=probes, centroids=cents
+            ).collect()
+        }
+
+    iv3 = run(3)
+    # exactness: every overlapping pair carries the identical cosine
+    for p in set(bf) & set(iv3):
+        assert bf[p] == iv3[p], p
+    # determinism
+    assert iv3 == run(3)
+    # per-query k results with rank 1..k
+    from collections import Counter
+
+    per_q = Counter(a for a, _ in iv3)
+    assert all(v == 5 for v in per_q.values())
+    # recall floor + monotonicity in probes
+    r2 = len(set(bf) & set(run(2))) / len(bf)
+    r3 = len(set(bf) & set(iv3)) / len(bf)
+    r4 = len(set(bf) & set(run(4))) / len(bf)
+    assert r3 >= 0.4, r3
+    assert r2 <= r3 <= r4, (r2, r3, r4)
+    # Lloyd refinement buys recall at equal probe count (small slack
+    # for fixture regeneration)
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = lloyd_refined_centroids(base, num_centroids=8, rounds=2, vec_col="vdbl")
+    rl = len(set(bf) & set(run(3, cents))) / len(bf)
+    assert rl >= r3 - 0.05, (rl, r3)
