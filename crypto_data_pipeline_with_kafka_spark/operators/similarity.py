@@ -550,6 +550,7 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    with_rank: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) cell assignment — the data-adaptive
     alternative to hyperplane LSH bucketing. Returns (id, centroid_id)
@@ -677,6 +678,17 @@ def ivf_assignments(
         .otherwise(F.lit(0))
     )
     top = F.slice(F.array_sort(exact, by_score_desc), 1, probes)
+    if with_rank:
+        # probe_rank 1..P (1 = the nearest cell) — lets one assignment
+        # serve both the pair path (all probes) and the query path's
+        # corpus index (rank 1 only) without a second scoring pass
+        return bounded.select(
+            F.col(id_col), F.posexplode(top).alias("_pos", "_pr")
+        ).select(
+            F.col(id_col),
+            F.col("_pr.cid").alias("centroid_id"),
+            (F.col("_pos") + 1).cast("int").alias("probe_rank"),
+        )
     return bounded.select(
         F.col(id_col), F.explode(top).alias("_pr")
     ).select(F.col(id_col), F.col("_pr.cid").alias("centroid_id"))
@@ -689,6 +701,7 @@ def ivf_ann_pairs(
     min_cosine: float = 0.4,
     id_col: str = "vec_id",
     lloyd_rounds: int = 0,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """ANN near-neighbor pairs via IVF cells: vectors probing a common
     centroid become candidates; exact cosine ≥ threshold is verified on
@@ -709,18 +722,22 @@ def ivf_ann_pairs(
     that many k-means rounds (``lloyd_refined_centroids``) before
     assignment — better cell balance on clustered corpora; the
     registered oracle query keeps 0 so the centroid pick stays
-    SQL-replicable."""
+    SQL-replicable. ``assignments`` supplies a precomputed
+    (id, centroid_id[, probe_rank]) relation (``ivf_assignments`` over
+    the same base) so multi-variant suites score the corpus once."""
     base = _ensure_ann_base(emb, id_col)
-    cents = (
-        lloyd_refined_centroids(
-            base, num_centroids, lloyd_rounds, id_col, vec_col="vdbl"
+    if assignments is None:
+        cents = (
+            lloyd_refined_centroids(
+                base, num_centroids, lloyd_rounds, id_col, vec_col="vdbl"
+            )
+            if lloyd_rounds > 0
+            else None
         )
-        if lloyd_rounds > 0
-        else None
-    )
-    assign = ivf_assignments(
-        base, num_centroids, probes, id_col, vec_col="vdbl", centroids=cents
-    )
+        assignments = ivf_assignments(
+            base, num_centroids, probes, id_col, vec_col="vdbl", centroids=cents
+        )
+    assign = assignments.select(F.col(id_col), "centroid_id")
     a = assign.select(F.col(id_col).alias("id_a"), "centroid_id")
     b = assign.select(F.col(id_col).alias("id_b"), "centroid_id")
     cand = (
@@ -748,6 +765,7 @@ def ivf_topk(
     probes: int = 3,
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN top-k — the QUERY-path scale twin of
     ``brute_force_topk`` (same API: query vectors are the corpus rows
@@ -764,21 +782,37 @@ def ivf_topk(
     candidate volume. Emitted cosines are the same exact-decimal values
     as the brute-force path, so hits agree bitwise with
     ``brute_force_topk`` on the overlap (test-pinned with measured
-    recall)."""
+    recall).
+
+    ``assignments`` supplies one precomputed
+    ``ivf_assignments(..., probes=<this probes>, with_rank=True)``
+    relation over the same base: the corpus index is its
+    ``probe_rank == 1`` slice and the query probes its ``id <
+    query_ids_max`` rows — a suite running both the pair path and the
+    query path then scores the corpus against the centroids ONCE."""
     base = _ensure_ann_base(emb, id_col)
-    cents = (
-        centroids
-        if centroids is not None
-        else _seed_centroids(base, num_centroids, id_col)
-    )
-    corpus_cells = ivf_assignments(
-        base, num_centroids, probes=1, id_col=id_col, vec_col="vdbl", centroids=cents
-    )
-    qbase = base.filter(F.col(id_col) < query_ids_max)
-    query_cells = ivf_assignments(
-        qbase, num_centroids, probes=probes, id_col=id_col, vec_col="vdbl",
-        centroids=cents,
-    )
+    if assignments is not None:
+        corpus_cells = assignments.filter(F.col("probe_rank") == 1).select(
+            F.col(id_col), "centroid_id"
+        )
+        query_cells = assignments.filter(F.col(id_col) < query_ids_max).select(
+            F.col(id_col), "centroid_id"
+        )
+    else:
+        cents = (
+            centroids
+            if centroids is not None
+            else _seed_centroids(base, num_centroids, id_col)
+        )
+        corpus_cells = ivf_assignments(
+            base, num_centroids, probes=1, id_col=id_col, vec_col="vdbl",
+            centroids=cents,
+        )
+        qbase = base.filter(F.col(id_col) < query_ids_max)
+        query_cells = ivf_assignments(
+            qbase, num_centroids, probes=probes, id_col=id_col, vec_col="vdbl",
+            centroids=cents,
+        )
     cand = (
         query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
         .join(

@@ -13,6 +13,8 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     all_pairs_cosine,
     brute_force_topk,
     ivf_ann_pairs,
+    ivf_assignments,
+    ivf_topk,
     lsh_ann_pairs,
     with_dbl_and_approx_norm,
 )
@@ -166,36 +168,88 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nrm na ON na.vec_id = id_a
       JOIN nrm nb ON nb.vec_id = id_b
       WHERE dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) >= 0.4
+    ),
+    cell1 AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, centroid_id) AS pr
+        FROM cscore
+      ) WHERE pr = 1
+    ),
+    qcand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM probes a JOIN cell1 b
+        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    ),
+    qdots AS (
+      SELECT id_a, id_b, CAST(CAST(sum(ca.v * cb.v) AS VARCHAR) AS DOUBLE) AS dot
+      FROM qcand
+      JOIN comp ca ON ca.vec_id = id_a
+      JOIN comp cb ON cb.vec_id = id_b AND cb.pos = ca.pos
+      GROUP BY 1, 2
+    ),
+    qcos AS (
+      SELECT id_a, id_b, dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine
+      FROM qdots
+      JOIN nrm na ON na.vec_id = id_a
+      JOIN nrm nb ON nb.vec_id = id_b
+    ),
+    qtopk AS (
+      SELECT id_a, id_b, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT id_a, id_b, cosine,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY cosine DESC, id_b) AS rnk
+        FROM qcos
+      ) WHERE rnk <= 3
     )
-    SELECT 'lsh' AS method, id_a, id_b, cosine FROM lsh_out
+    SELECT 'lsh' AS method, id_a, id_b, cosine,
+           CAST(NULL AS INTEGER) AS rnk FROM lsh_out
     UNION ALL
-    SELECT 'ivf' AS method, id_a, id_b, cosine FROM ivf_out
+    SELECT 'ivf' AS method, id_a, id_b, cosine,
+           CAST(NULL AS INTEGER) AS rnk FROM ivf_out
+    UNION ALL
+    SELECT 'qtopk' AS method, id_a, id_b, cosine, rnk FROM qtopk
     """,
-    doc="ANN near-neighbor pairs, BOTH scale paths in one checked plan "
-    "(tagged union, the grouping-suite pattern): 'lsh' = 16 "
-    "deterministic random-hyperplane sign bits (md5-derived, "
-    "oracle-identical) banded 4×4 so vectors sharing any band collide; "
-    "'ivf' = inverted-file cells from a seeded (md5-ordered) centroid "
-    "sample, top-3 probes per vector, candidates share a probed cell. "
-    "Exact cosine ≥ 0.4 verify on candidates only in both — even the "
-    "IVF probe ASSIGNMENT is decimal-exact, so the whole suite is "
-    "value-checked. Cost ~ collisions, never corpus²; measured recall "
-    "at sf0.1: lsh 0.53, ivf 0.67, precision 1.0 (see operator "
-    "docstrings for the banding math)",
+    doc="ANN suite, ALL THREE scale paths in one checked plan (tagged "
+    "union, the grouping-suite pattern): 'lsh' = 16 deterministic "
+    "random-hyperplane sign bits (md5-derived, oracle-identical) banded "
+    "4×4 so vectors sharing any band collide; 'ivf' = inverted-file "
+    "cells from a seeded (md5-ordered) centroid sample, top-3 probes "
+    "per vector, candidates share a probed cell; 'qtopk' = the QUERY "
+    "path (ivf_topk): corpus indexed to its single nearest cell, the "
+    "20 query vectors multi-probe their top-3 cells, probed-cell "
+    "members exactly re-scored, top-3 per query — per-query cost ~ "
+    "probed cells, not the corpus. Exact-decimal scoring everywhere "
+    "(even probe ASSIGNMENT), so the whole suite is value-checked. "
+    "Cost ~ collisions, never corpus²; measured recall at sf0.1: lsh "
+    "0.53, ivf 0.67, precision 1.0 (see operator docstrings)",
     tags=("similarity", "lsh", "ivf"),
 )
 def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one (id, vdbl, approx-norm) base — a single scan of embeddings —
-    # shared by BOTH legs (bucketing, assignment, and both verify
-    # stages); each leg would otherwise persist its own copy
+    # shared by ALL legs (bucketing, assignments, and every verify /
+    # re-score stage); each leg would otherwise persist its own copy
     base = with_dbl_and_approx_norm(_emb(spark, sf_dir)).persist()
+    null_rnk = F.lit(None).cast("int").alias("rnk")
     lsh = lsh_ann_pairs(base, num_planes=16, bands=4, min_cosine=0.4).select(
-        F.lit("lsh").alias("method"), "id_a", "id_b", "cosine"
+        F.lit("lsh").alias("method"), "id_a", "id_b", "cosine", null_rnk
     )
-    ivf = ivf_ann_pairs(base, num_centroids=32, probes=3, min_cosine=0.4).select(
-        F.lit("ivf").alias("method"), "id_a", "id_b", "cosine"
-    )
-    return lsh.unionByName(ivf)
+    # ONE ranked corpus-vs-centroids scoring pass serves both IVF legs:
+    # the pair leg uses all 3 probes, the query leg's corpus index is
+    # the probe_rank==1 slice and its query probes the id<20 rows
+    assign = ivf_assignments(
+        base, num_centroids=32, probes=3, vec_col="vdbl", with_rank=True
+    ).persist()
+    ivf = ivf_ann_pairs(
+        base, num_centroids=32, probes=3, min_cosine=0.4, assignments=assign
+    ).select(F.lit("ivf").alias("method"), "id_a", "id_b", "cosine", null_rnk)
+    qt = ivf_topk(
+        base, query_ids_max=20, k=3, num_centroids=32, probes=3,
+        assignments=assign,
+    ).select(F.lit("qtopk").alias("method"), "id_a", "id_b", "cosine", "rnk")
+    return lsh.unionByName(ivf).unionByName(qt)
 
 
 @register(
