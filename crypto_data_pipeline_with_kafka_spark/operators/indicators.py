@@ -29,8 +29,10 @@ Spark-first departures from the reference plan shape (same results):
 * The dim join (``spark_job_1.py:64-67``) is hinted ``broadcast`` — the
   dim has 4 rows; never let it shuffle the fact side.
 * The anti-join dedup (``spark_job_1.py:81-85``) keeps the same
-  ``left_anti`` API; at scale the "existing keys" side should be
-  pre-filtered to the ingest time-range so it broadcasts.
+  ``left_anti`` API; the "existing keys" side is pre-filtered to the
+  ingest time-range (``prefilter_to_ingest_range``) so at scale it is a
+  partition-pruned O(ingest-window) read that broadcasts, never the
+  O(history) relation.
 """
 
 from __future__ import annotations
@@ -145,6 +147,40 @@ def compute_indicators(
     return stacked.filter(F.col("ind_value").isNotNull())
 
 
+def prefilter_to_ingest_range(
+    ingest: DataFrame,
+    existing: DataFrame,
+    ts_col: str = "ts",
+    dt_col: str = "dt",
+) -> DataFrame:
+    """Bound the anti-join's ``existing``-keys side to the ingest batch's
+    ``[min(ts), max(ts)]``. The join keys include ``ts``, so an existing
+    row outside the ingest range can never match — dropping it is a
+    semantic no-op that turns the O(history) side into an
+    O(ingest-window) side that AQE can actually broadcast
+    (``spark_job_1.py:81-85`` anti-joins the FULL persisted fact — the
+    reference's per-run O(history) cost this bound removes).
+
+    One tiny driver probe derives the bounds (column-pruned ``ts`` scan
+    of the ingest batch only — the same probe shape as
+    ``foreach_batch_idempotent_append``). When ``existing`` carries the
+    warehouse date-partition column (``dt``), the derived date predicate
+    is STATIC, so it lands in PartitionFilters and history partitions
+    are pruned at planning time, before any file is opened
+    (plan-asserted in tests/test_plans.py)."""
+    b = ingest.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).first()
+    if b["lo"] is None:  # empty ingest → the anti-join output is empty anyway
+        return existing.limit(0)
+    out = existing
+    if dt_col in existing.columns:
+        lo_dt = b["lo"].strftime("%Y-%m-%d")
+        hi_dt = b["hi"].strftime("%Y-%m-%d")
+        out = out.filter((F.col(dt_col) >= lo_dt) & (F.col(dt_col) <= hi_dt))
+    return out.filter(
+        (F.col(ts_col) >= F.lit(b["lo"])) & (F.col(ts_col) <= F.lit(b["hi"]))
+    )
+
+
 def indicator_pipeline(
     spark: SparkSession,
     events: DataFrame,
@@ -153,6 +189,8 @@ def indicator_pipeline(
     order_cols: Sequence[str] = ("ts", "event_id"),
     value_col: str = "value",
     ts_col: str = "ts",
+    indicators: DataFrame | None = None,
+    prefilter_existing: bool = True,
 ) -> DataFrame:
     """Full flagship pipeline: indicators → broadcast dim join → left-anti
     dedup against already-persisted keys (reference entry point A,
@@ -160,11 +198,26 @@ def indicator_pipeline(
 
     ``existing`` holds the already-written ``(key..., type_id, ts)``
     tuples; rows matching it are dropped so the append is idempotent
-    (``spark_job_1.py:81-85``).
+    (``spark_job_1.py:81-85``). With ``prefilter_existing`` (default) it
+    is first bounded to the ingest time-range
+    (:func:`prefilter_to_ingest_range`) — partition-pruned when it is a
+    warehouse read carrying ``dt`` — so the anti-join's build side stays
+    O(ingest-window) at any history size. Disable only when the caller
+    has already scoped ``existing`` (e.g. a pruned store read).
+
+    ``indicators`` lets a caller pass the pre-joined indicator relation
+    ``(key..., type_id, type_name, ind_value, ts)`` — e.g. a persisted
+    one that also feeds the ``existing`` derivation — skipping the
+    recompute here; semantics are unchanged.
     """
-    ind = compute_indicators(events, key_cols, order_cols, value_col, ts_col)
-    dim = indicator_type_dim(spark)
-    ind = ind.join(F.broadcast(dim), "type_name", "inner")
+    if indicators is None:
+        ind = compute_indicators(events, key_cols, order_cols, value_col, ts_col)
+        dim = indicator_type_dim(spark)
+        ind = ind.join(F.broadcast(dim), "type_name", "inner")
+    else:
+        ind = indicators
     if existing is not None:
+        if prefilter_existing:
+            existing = prefilter_to_ingest_range(events, existing, ts_col=ts_col)
         ind = ind.join(existing, on=[*key_cols, "type_id", "ts"], how="left_anti")
     return ind.select(*key_cols, "type_id", "type_name", "ind_value", "ts")

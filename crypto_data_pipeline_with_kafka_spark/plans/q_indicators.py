@@ -116,8 +116,10 @@ def ind_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     doc="Flagship (reference entry point A, spark_job_1.py:11-97): window "
-    "indicators → stack → broadcast dim join (J1) → left-anti idempotent "
-    "dedup (J2) against already-persisted keys (simulated as ts < 2024-01-15)",
+    "indicators → stack → broadcast dim join (J1) → ingest-range pre-filter "
+    "of the existing-keys side (prefilter_to_ingest_range) → left-anti "
+    "idempotent dedup (J2) against already-persisted keys (simulated as "
+    "ts < 2024-01-15)",
     tags=("window", "join", "flagship"),
 )
 def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,8 +127,9 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'existing' = what a previous run would have persisted: all indicator
     # keys strictly before the cutoff (plays indicator_fact_1's role).
     # The indicator relation feeds BOTH sides of the anti-join, so persist
-    # it — the reference instead re-executes its whole plan twice
-    # (isEmpty + write, spark_job_1.py:88-93) with only a scan-level cache.
+    # it and hand it to indicator_pipeline via the `indicators` hook — the
+    # reference instead re-executes its whole plan twice (isEmpty + write,
+    # spark_job_1.py:88-93) with only a scan-level cache.
     full = (
         compute_indicators(events)
         .join(F.broadcast(indicator_type_dim(spark)), "type_name", "inner")
@@ -135,14 +138,15 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = full.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp")).select(
         "user_id", "type_id", "ts"
     )
-    # NO forced broadcast on the existing-keys side: it is
-    # history-sized, not structurally bounded (at 100 TB this side is a
-    # partition-pruned store read covering only the batch's overlapping
-    # window — see foreach_batch_idempotent_append). AQE broadcasts it
-    # at runtime when it fits (it does at every tested SF, keeping the
-    # measured ~2×-over-shuffle plan) and falls back to a shuffle
-    # instead of a driver OOM when it does not.
-    out = full.join(existing, on=["user_id", "type_id", "ts"], how="left_anti")
+    # The real operator path: indicator_pipeline pre-filters `existing`
+    # to the ingest [min(ts), max(ts)] (a no-op reduction HERE, where
+    # existing is simulated from the same events — but the honest
+    # production shape, probe included) and anti-joins WITHOUT a forced
+    # broadcast: the existing side is history-sized, not structurally
+    # bounded; post-prefilter it is O(ingest-window), so AQE broadcasts
+    # it at runtime when it fits (it does at every tested SF) and falls
+    # back to a shuffle instead of a driver OOM when it does not.
+    out = indicator_pipeline(spark, events, existing=existing, indicators=full)
     return out.select(
         "user_id",
         F.col("type_id").cast("long").alias("type_id"),
