@@ -157,7 +157,9 @@ def test_streaming_incremental_indicators_end_to_end(spark, tmp_path):
 
     ev_store = str(tmp_path / "events_store")
     ind_store = str(tmp_path / "ind_store")
-    run_incremental_indicator_stream(spark, src + "/*.parquet", ev_store, ind_store)
+    run_incremental_indicator_stream(
+        spark, src + "/*.parquet", ev_store, ind_store, lookback_days=60
+    )
 
     got = spark.read.parquet(ind_store).select("user_id", "ts", "type_name", "ind_value")
     want = compute_indicators(events).select("user_id", "ts", "type_name", "ind_value")
@@ -224,7 +226,9 @@ def test_streaming_incremental_indicators_out_of_order_batches(spark, tmp_path):
 
     ev_store = str(tmp_path / "events_store")
     ind_store = str(tmp_path / "ind_store")
-    run_incremental_indicator_stream(spark, src + "/*.parquet", ev_store, ind_store)
+    run_incremental_indicator_stream(
+        spark, src + "/*.parquet", ev_store, ind_store, lookback_days=60
+    )
 
     got = spark.read.parquet(ind_store).select("user_id", "ts", "type_name", "ind_value")
     want = compute_indicators(events).select("user_id", "ts", "type_name", "ind_value")
@@ -247,10 +251,14 @@ def test_streaming_incremental_indicators_redelivery_noop(spark, tmp_path):
     events.withColumn("ts", F.unix_micros("ts") * 1000).coalesce(1).write.parquet(src)
     ev_store = str(tmp_path / "events_store")
     ind_store = str(tmp_path / "ind_store")
-    run_incremental_indicator_stream(spark, src + "/*.parquet", ev_store, ind_store)
+    run_incremental_indicator_stream(
+        spark, src + "/*.parquet", ev_store, ind_store, lookback_days=60
+    )
     n_ev = spark.read.parquet(ev_store).count()
     n_ind = spark.read.parquet(ind_store).count()
-    run_incremental_indicator_stream(spark, src + "/*.parquet", ev_store, ind_store)
+    run_incremental_indicator_stream(
+        spark, src + "/*.parquet", ev_store, ind_store, lookback_days=60
+    )
     assert spark.read.parquet(ev_store).count() == n_ev
     assert spark.read.parquet(ind_store).count() == n_ind
 
@@ -302,12 +310,24 @@ def test_idempotent_foreach_batch_partitioned_prunes(spark, tmp_path):
 def test_incremental_stream_lookback_warns_and_bounded_equivalence(
     spark, tmp_path
 ):
-    """lookback_days=None must WARN (unbounded per-batch tail read — the
-    reference's own O(history) shape); an explicit bound that covers the
-    frame (13 prior rows per key) must produce the identical store."""
+    """lookback_days is a REQUIRED keyword (r5: an unbounded default was
+    the reference's own O(history) pathology); the explicit None opt-in
+    must WARN (unbounded per-batch tail read), and an explicit bound
+    that covers the frame (13 prior rows per key) must produce the
+    identical store."""
+    import inspect
+
     from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
         run_incremental_indicator_stream,
     )
+
+    # no default: omitting lookback_days is a TypeError, not a silent
+    # unbounded read
+    param = inspect.signature(run_incremental_indicator_stream).parameters[
+        "lookback_days"
+    ]
+    assert param.default is inspect.Parameter.empty
+    assert param.kind is inspect.Parameter.KEYWORD_ONLY
 
     events = load_table(spark, "/root/testdata/sf0.001", "events")
     src = str(tmp_path / "src")
@@ -315,7 +335,11 @@ def test_incremental_stream_lookback_warns_and_bounded_equivalence(
 
     with pytest.warns(UserWarning, match="lookback_days"):
         run_incremental_indicator_stream(
-            spark, src + "/*.parquet", str(tmp_path / "ev_a"), str(tmp_path / "ind_a")
+            spark,
+            src + "/*.parquet",
+            str(tmp_path / "ev_a"),
+            str(tmp_path / "ind_a"),
+            lookback_days=None,
         )
     # sf0.001 spans ~1 month; 60 days covers any key's 13-row tail
     run_incremental_indicator_stream(
