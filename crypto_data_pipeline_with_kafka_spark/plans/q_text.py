@@ -63,7 +63,7 @@ sc AS (
          list_sum(list_transform(ws, w -> {_SENT_CASE})) AS s
   FROM toks
 )
-SELECT doc_id, s / n AS sentiment FROM sc
+SELECT doc_id, s / n AS sentiment, s / n AS sentiment_join FROM sc
 """
 
 
@@ -284,15 +284,33 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the reference's only true UDF shape, producer_news.py:16-17) — "
     "value-identical to the built-in composition (the JVM hot path, "
     "exercised by news_pipeline), so even the UDF is oracle-checked. "
-    "NOTE: the lexicon is the engine's deterministic stand-in, NOT the "
-    "VADER lexicon (NLTK data is not in this container)",
+    "The sentiment_join column scores the SAME docs through the "
+    "large-lexicon scale path (explode → broadcast-join the (token, "
+    "score) relation → per-doc decimal mean, r5): no create_map "
+    "literal in the plan, so a full-size VADER lexicon cannot blow up "
+    "planning; bitwise-equal to the fold on the binary-exact stand-in "
+    "lexicon, hence one shared oracle expression. NOTE: the lexicon is "
+    "the engine's deterministic stand-in, NOT the VADER lexicon (NLTK "
+    "data is not in this container)",
     tags=("text", "sentiment", "udf"),
 )
 def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        sentiment_lexicon_df,
+        sentiment_scores_join,
+    )
+
     # lexicon pinned explicitly: the oracle embeds these scores as SQL
     # constants, so the env-swapped deployment lexicon must not leak in
+    docs = _docs(spark, sf_dir)
     udf = sentiment_pandas_udf(lexicon=SENTIMENT_LEXICON)
-    return _docs(spark, sf_dir).select("doc_id", udf("text").alias("sentiment"))
+    scored = docs.select("doc_id", udf("text").alias("sentiment"))
+    via_join = sentiment_scores_join(
+        docs,
+        sentiment_lexicon_df(spark, SENTIMENT_LEXICON),
+        out_col="sentiment_join",
+    )
+    return scored.join(via_join, "doc_id")
 
 
 @register(

@@ -135,6 +135,65 @@ def test_sentiment_udf_equals_builtin(spark):
     assert b == u and len(b) > 0
 
 
+def test_sentiment_join_matches_fold_and_scales_plan(spark):
+    """The large-lexicon sentiment path (r5: explode → broadcast-join →
+    per-doc decimal mean) on the stand-in lexicon is bitwise-equal to
+    the fold twins (half-point scores are binary-exact, and the decimal
+    quantization is exact for them); on a synthetic 6k-entry lexicon it
+    matches a sequential Python reference exactly while the plan stays
+    O(1): NO create_map literal (the documented ~15k-literal planner
+    cliff for real VADER) and the lexicon side joins as a
+    BroadcastHashJoin."""
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        sentiment_builtin,
+        sentiment_lexicon_df,
+        sentiment_scores_join,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    lex_df = sentiment_lexicon_df(spark)  # stand-in lexicon
+    j = {
+        r.doc_id: r.sentiment
+        for r in sentiment_scores_join(docs, lex_df).collect()
+    }
+    b = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", sentiment_builtin("text").alias("s")).collect()
+    }
+    assert j == b and len(j) > 0
+
+    # synthetic >=5k-entry lexicon on a 2^-1 grid (exact doubles): the
+    # deployment-scale shape real VADER needs
+    big_lex = {f"tok{i}": (i % 9 - 4) * 0.5 for i in range(6000)}
+    rows = [
+        (0, "tok0 tok1 tok2 unknown tok5999"),
+        (1, "unknown words only here"),
+        (2, "tok17 tok17 tok4000"),
+        (3, "tok8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    big_df = sentiment_lexicon_df(spark, big_lex)
+    out = sentiment_scores_join(df, big_df)
+    got = {r.doc_id: r.sentiment for r in out.collect()}
+    want = {
+        i: sum(big_lex.get(w, 0.0) for w in t.split(" ")) / len(t.split(" "))
+        for i, t in rows
+    }
+    assert got == want
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "create_map" not in plan, plan
+    assert "map_keys" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_vader_lexicon_swap(spark, tmp_path, monkeypatch):
     """The VADER swap-in slot: a lexicon file in the standard
     vader_lexicon.txt format (token<TAB>mean<TAB>stddev<TAB>ratings)
