@@ -85,6 +85,46 @@ def test_multimodal_decode_plumbing(spark):
         assert r.channels in (3, 4)
 
 
+def test_multimodal_decode_real_ppm_bmp(spark):
+    """decoder="real" (r5): REAL image bytes — binary PPM/PGM and an
+    uncompressed 24-bpp BMP built here byte-by-byte — ride the same
+    mapInPandas pipeline, and the parsed (format, width, height,
+    channels) are the planted ground truth. Corrupt payloads must fail
+    the decode loudly, and compressed formats stay NotImplementedError
+    (no codecs in this container — decode_image_real documents the
+    PIL/libvips swap slot)."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.multimodal import decode_image_real
+
+    ppm = b"P6\n# planted by the test\n6 4\n255\n" + bytes(6 * 4 * 3)
+    pgm = b"P5 3 5 255 " + bytes(3 * 5)
+    row = (7 * 3 + 3) // 4 * 4  # BMP rows pad to 4-byte boundaries
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + row * 2, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 7, 2, 1, 24, 0, row * 2, 0, 0, 0, 0)
+        + bytes(row * 2)
+    )
+    rows = [(1, ppm), (2, pgm), (3, bmp)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").withColumns(
+        {"n_bytes": F.length("payload").cast("long"), "content_hash": F.md5("payload")}
+    )
+    got = {r.doc_id: r for r in decode_images(df, decoder="real").collect()}
+    assert (got[1].format, got[1].width, got[1].height, got[1].channels) == ("ppm", 6, 4, 3)
+    assert (got[2].format, got[2].width, got[2].height, got[2].channels) == ("pgm", 3, 5, 1)
+    assert (got[3].format, got[3].width, got[3].height, got[3].channels) == ("bmp", 7, 2, 3)
+    # byte metadata survives the Arrow hop unchanged
+    assert got[1].n_bytes == len(ppm)
+
+    with pytest.raises(ValueError):
+        decode_image_real(b"P6 9 9 255 " + bytes(3))  # truncated raster
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG\r\n\x1a\n compressed")
+
+
 def test_jaccard_doc_freq_cap_is_precision_preserving(spark):
     """The max_doc_freq scale guard may lose pairs (recall) but must
     never invent them, and jaccard only under-estimates."""
