@@ -47,6 +47,42 @@ def read_events_range(
     )
 
 
+class _HadoopFs:
+    """The one place this package touches Hadoop FileSystem through
+    py4j private handles (``sc._jsc`` / ``sc._jvm``) — standard
+    practice for driver-side FS metadata work, but a private surface
+    that can shift across Spark majors, so it is fenced here (verified
+    against pyspark 4.x; if an upgrade breaks it, only this class
+    changes). Hadoop's FileSystem API signals most failures by
+    RETURNING FALSE rather than raising, so every mutation here checks
+    the boolean and raises — a silently-failed rename is how a
+    partition "loses" its data."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self.fs = self._jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            sc._jsc.hadoopConfiguration()
+        )
+
+    def path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self.path(p))
+
+    def list_status(self, p: str):
+        return self.fs.listStatus(self.path(p))
+
+    def delete(self, p: str) -> None:
+        if not self.fs.delete(self.path(p), True):
+            raise OSError(f"hadoop fs delete returned false for {p}")
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self.fs.rename(self.path(src), self.path(dst)):
+            raise OSError(f"hadoop fs rename returned false: {src} -> {dst}")
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -60,13 +96,23 @@ def compact_partitions(
     accrete many small files per partition, degrading scan throughput
     and file-index size. For each selected partition this rewrites the
     data as ``ceil(bytes / target_file_bytes)`` files (optionally
-    re-sorted so min/max stats tighten again), atomically per
-    partition via an overwrite of only that ``dt=`` directory.
+    re-sorted so min/max stats tighten again).
 
-    Idempotent and safe to re-run; compact ONLY partitions no writer
-    can still append to (e.g. dates older than the watermark + late
-    window) — the same contract real table formats attach to
-    compaction. Returns {dt: files_written}.
+    Swap protocol (NOT atomic — plain filesystems have no atomic
+    directory swap; this ordering makes the exposure a metadata-op
+    window with automatic recovery): stage the rewrite to a hidden
+    sibling dir, then ``pdir → backup``, ``staged → pdir``, delete
+    backup. Every FS mutation's boolean return is checked (Hadoop
+    signals failure by returning false). A crash between the two
+    renames leaves the partition invisible UNTIL THE NEXT RUN, which
+    detects the orphaned backup and restores it before proceeding; a
+    crash after the second rename leaves only a stale backup to sweep.
+    Concurrent READERS of the store during the window can therefore
+    see the partition briefly absent — run compaction when no
+    reader/writer races it (the same contract real table formats
+    attach to maintenance), and compact ONLY partitions no writer can
+    still append to (e.g. dates older than the watermark + late
+    window). Idempotent and safe to re-run. Returns {dt: files_written}.
 
     Scale shape: driver work is one directory listing per selected
     partition (file sizes come from the FS metadata, no data read on
@@ -75,35 +121,44 @@ def compact_partitions(
     scheduled maintenance slot, partition-parallel if needed."""
     import math
 
-    sc = spark.sparkContext
-    hconf = sc._jsc.hadoopConfiguration()
-    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
+    hfs = _HadoopFs(spark, path)
     if partitions is None:
         partitions = sorted(
             st.getPath().getName().split("=", 1)[1]
-            for st in fs.listStatus(jpath)
+            for st in hfs.list_status(path)
             if st.isDirectory() and st.getPath().getName().startswith("dt=")
         )
     written: dict[str, int] = {}
     for dt in partitions:
-        pdir = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/dt={dt}")
-        if not fs.exists(pdir):
+        pdir = f"{path}/dt={dt}"
+        staged = f"{path}/.compact_dt={dt}"
+        backup = f"{path}/.compact_backup_dt={dt}"
+        if hfs.exists(backup):
+            if hfs.exists(pdir):
+                # prior run crashed after the swap, before the sweep:
+                # pdir already holds the compacted data
+                hfs.delete(backup)
+            else:
+                # prior run crashed between the renames: the partition's
+                # only copy is the backup — restore it, then re-compact
+                hfs.rename(backup, pdir)
+        if not hfs.exists(pdir):
             continue
         files = [
-            st for st in fs.listStatus(pdir) if not st.getPath().getName().startswith("_")
+            st
+            for st in hfs.list_status(pdir)
+            if not st.getPath().getName().startswith("_")
         ]
         total = sum(st.getLen() for st in files)
         n_out = max(1, math.ceil(total / target_file_bytes))
         if n_out >= len(files):
             continue  # already compact
-        part = spark.read.parquet(f"{path}/dt={dt}").coalesce(n_out)
+        part = spark.read.parquet(pdir).coalesce(n_out)
         if sort_cols:
             part = part.sortWithinPartitions(*sort_cols)
-        # stage-then-swap: the overwrite targets ONLY this partition dir
-        staged = f"{path}/.compact_dt={dt}"
-        part.write.mode("overwrite").parquet(staged)
-        fs.delete(pdir, True)
-        fs.rename(sc._jvm.org.apache.hadoop.fs.Path(staged), pdir)
+        part.write.mode("overwrite").parquet(staged)  # clobbers stale stages
+        hfs.rename(pdir, backup)
+        hfs.rename(staged, pdir)
+        hfs.delete(backup)
         written[dt] = n_out
     return written

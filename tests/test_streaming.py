@@ -609,6 +609,50 @@ def test_compact_partitions_preserves_data_and_reduces_files(spark, tmp_path):
     assert compact_partitions(spark, path) == {}
 
 
+def test_compact_partitions_recovers_from_crash_between_renames(spark, tmp_path):
+    """r5 hardening: the swap is pdir→backup, staged→pdir, sweep backup —
+    with every Hadoop boolean checked. Simulate the worst crash point
+    (after the first rename: partition dir gone, data only in the
+    backup): the next run must RESTORE the partition before compacting,
+    so no rows are lost; a stale backup left after a completed swap is
+    swept without touching the live data."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from crypto_data_pipeline_with_kafka_spark.warehouse import compact_partitions
+
+    path = str(tmp_path / "store")
+    df = (
+        load_table(spark, SF, "events")
+        .limit(600)
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    frag = df.select("dt").distinct().orderBy("dt").first()["dt"]
+    part = df.filter(F.col("dt") == frag)
+    for i in range(4):
+        part.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("dt").parquet(path)
+    rows_before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    # crash point: pdir renamed to backup, staged rename never happened
+    os.rename(f"{path}/dt={frag}", f"{path}/.compact_backup_dt={frag}")
+    assert not os.path.exists(f"{path}/dt={frag}")
+
+    written = compact_partitions(spark, path, partitions=[frag])
+    assert written == {frag: 1}
+    assert not os.path.exists(f"{path}/.compact_backup_dt={frag}")
+    assert len(_glob.glob(f"{path}/dt={frag}/part-*.parquet")) == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows_before
+
+    # stale backup after a COMPLETED swap (pdir present): swept, data kept
+    shutil.copytree(f"{path}/dt={frag}", f"{path}/.compact_backup_dt={frag}")
+    assert compact_partitions(spark, path, partitions=[frag]) == {}
+    assert not os.path.exists(f"{path}/.compact_backup_dt={frag}")
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows_before
+
+
 def test_incremental_dedup_empty_batch_is_noop(spark, tmp_path):
     """A redelivered/empty micro-batch through incremental_minhash_dedup
     must write an empty flag partition and leave the index consistent —
