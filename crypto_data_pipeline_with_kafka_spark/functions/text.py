@@ -17,6 +17,8 @@ binary, in any order).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -65,26 +67,34 @@ def load_vader_lexicon(path: str) -> dict[str, float]:
     return lex
 
 
-_ACTIVE_LEXICON: dict[str, float] | None = None
+@_functools.lru_cache(maxsize=8)
+def _lexicon_for_path(path: str | None) -> dict[str, float]:
+    return load_vader_lexicon(path) if path else dict(SENTIMENT_LEXICON)
 
 
 def active_sentiment_lexicon() -> dict[str, float]:
     """The DEFAULT lexicon for the sentiment paths: the file named by
-    ``SPARK_GRAFT_VADER_LEXICON`` when set (parsed once per process —
-    set the env before the first sentiment call, or reset
-    ``_ACTIVE_LEXICON`` to None to re-resolve), else the deterministic
-    stand-in. The registered oracle queries do NOT go through this:
-    they pass ``SENTIMENT_LEXICON`` explicitly (their DuckDB twins
-    embed those scores as constants, so an env-swapped lexicon must
-    never reach them); the env swap is the deployment path for scoring
-    real news text outside the oracle gate."""
-    global _ACTIVE_LEXICON
-    if _ACTIVE_LEXICON is None:
-        import os
+    ``SPARK_GRAFT_VADER_LEXICON`` when set, else the deterministic
+    stand-in. The cache is keyed BY PATH (lru), so re-pointing the env
+    var between calls re-resolves on its own — no private global to
+    poke (r4 advice); if the FILE's contents change in place, call
+    :func:`reset_sentiment_lexicon_cache`. The registered oracle
+    queries do NOT go through this: they pass ``SENTIMENT_LEXICON``
+    explicitly (their DuckDB twins embed those scores as constants, so
+    an env-swapped lexicon must never reach them); the env swap is the
+    deployment path for scoring real news text outside the oracle
+    gate."""
+    import os
 
-        path = os.environ.get("SPARK_GRAFT_VADER_LEXICON")
-        _ACTIVE_LEXICON = load_vader_lexicon(path) if path else dict(SENTIMENT_LEXICON)
-    return _ACTIVE_LEXICON
+    return _lexicon_for_path(os.environ.get("SPARK_GRAFT_VADER_LEXICON"))
+
+
+def reset_sentiment_lexicon_cache() -> None:
+    """Drop cached parsed lexicons so the next sentiment call re-reads
+    the file named by ``SPARK_GRAFT_VADER_LEXICON`` — the public reset
+    the deployment path needs when a lexicon file is updated in
+    place."""
+    _lexicon_for_path.cache_clear()
 
 # Marker-token sets for the n-gram/stopword language-ID heuristic. The
 # fixture "languages" share one synthetic vocabulary, so markers are

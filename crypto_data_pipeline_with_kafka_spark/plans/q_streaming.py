@@ -53,8 +53,14 @@ def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = streaming_tumbling_counts(_stream(spark, sf_dir))
-    return run_to_memory(agg, output_mode="complete", name_prefix="tumbling_counts")
+    # builder path: the stream is constructed on a cloned session, so
+    # the state-partition conf never touches the caller's session
+    return run_to_memory(
+        lambda s: streaming_tumbling_counts(_stream(s, sf_dir)),
+        output_mode="complete",
+        name_prefix="tumbling_counts",
+        spark=spark,
+    )
 
 
 @register(
@@ -113,11 +119,15 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup", "lsh"),
 )
 def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dd = streaming_dedup(
-        _stream(spark, sf_dir).select("user_id", "event_type"),
-        ["user_id", "event_type"],
+    ev = run_to_memory(
+        lambda s: streaming_dedup(
+            _stream(s, sf_dir).select("user_id", "event_type"),
+            ["user_id", "event_type"],
+        ),
+        output_mode="append",
+        name_prefix="dedup_distinct",
+        spark=spark,
     )
-    ev = run_to_memory(dd, output_mode="append", name_prefix="dedup_distinct")
 
     # incr leg: stage the corpus as 3 contiguous-id files with strictly
     # increasing mtimes (the file source processes oldest-first, one
@@ -195,8 +205,12 @@ def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "time"),
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sw = streaming_session_windows(_stream(spark, sf_dir))
-    return run_to_memory(sw, output_mode="complete", name_prefix="session_window")
+    return run_to_memory(
+        lambda s: streaming_session_windows(_stream(s, sf_dir)),
+        output_mode="complete",
+        name_prefix="session_window",
+        spark=spark,
+    )
 
 
 @register(
@@ -263,10 +277,14 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_interval_join,
     )
 
-    views = _stream(spark, sf_dir).filter(F.col("event_type") == "view")
-    purchases = _stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    joined = streaming_interval_join(views, purchases)
-    return run_to_memory(joined, output_mode="append", name_prefix="interval_join")
+    def build(s):
+        views = _stream(s, sf_dir).filter(F.col("event_type") == "view")
+        purchases = _stream(s, sf_dir).filter(F.col("event_type") == "purchase")
+        return streaming_interval_join(views, purchases)
+
+    return run_to_memory(
+        build, output_mode="append", name_prefix="interval_join", spark=spark
+    )
 
 
 @register(
@@ -284,5 +302,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.streaming.stateful import streaming_ema
 
-    out = streaming_ema(_stream(spark, sf_dir), alpha=0.125)
-    return run_to_memory(out, output_mode="append", name_prefix="stateful_ema")
+    return run_to_memory(
+        lambda s: streaming_ema(_stream(s, sf_dir), alpha=0.125),
+        output_mode="append",
+        name_prefix="stateful_ema",
+        spark=spark,
+    )

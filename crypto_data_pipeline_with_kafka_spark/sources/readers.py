@@ -68,7 +68,22 @@ def events_stream_reader(
         try:
             _TS_PROBE_CACHE[path] = spark.read.parquet(path).schema["ts"].dataType
         except AnalysisException:
-            # don't cache — the first real file should re-probe
+            # Don't cache — the first real file should re-probe. The
+            # guess is NOT silent (r4 advice): if files later land with
+            # the OTHER layout (epoch-ns long), every micro-batch fails
+            # with a parquet conversion error that doesn't mention this
+            # fallback — the warning is the breadcrumb pointing back.
+            import warnings
+
+            warnings.warn(
+                f"events_stream_reader: no files match {path!r} yet; "
+                "declaring ts as µs TIMESTAMP. If the first files arrive "
+                "with the epoch-ns long layout instead, micro-batches "
+                "will fail with a parquet type-conversion error — "
+                "recreate the reader after the first file lands (the "
+                "probe is not cached for this path).",
+                stacklevel=2,
+            )
             probed: T.DataType = T.TimestampType()
         else:
             probed = _TS_PROBE_CACHE[path]

@@ -82,15 +82,29 @@ def pruned_store_read(
 
 
 def run_to_memory(
-    stream_df: DataFrame,
+    stream_df,
     output_mode: str,
     name_prefix: str = "stream_out",
     state_partitions: int | None = None,
+    spark: SparkSession | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion with the AvailableNow
     trigger into a memory sink; return the materialized result table.
     This runs the REAL incremental engine (state store, watermarks) over
     the bounded input — the hourly-Airflow-batch shape (ST1) done right.
+
+    ``stream_df`` is either a streaming DataFrame (legacy path: the
+    settings below toggle SESSION-GLOBAL conf around the run, restored
+    after — a concurrent batch query on the same session can plan under
+    the temporary values) or a CALLABLE ``(SparkSession) -> streaming
+    DataFrame`` (pass ``spark`` to clone from): the builder constructs
+    the stream on a CLONED session (``spark.newSession()`` — same
+    SparkContext and cache, isolated SQLConf/temp views), so the
+    state-partition and state-store settings bind to the clone alone
+    and the caller's session is never mutated (r4 advice). The
+    registered stream queries use the builder path; the returned
+    DataFrame belongs to the clone, which shares the context, so
+    collects and unions with caller-session frames work unchanged.
 
     ``state_partitions`` sizes the stream's state-store parallelism:
     stateful operators shuffle to ``spark.sql.shuffle.partitions`` AT
@@ -118,11 +132,34 @@ def run_to_memory(
     state capacity no longer bounded by the heap."""
     import os
 
-    spark = stream_df.sparkSession
     if state_partitions is None:
         state_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     name = f"{name_prefix}_{next(_name_counter)}"
     prov_key = "spark.sql.streaming.stateStore.providerClass"
+
+    if callable(stream_df):
+        if spark is None:
+            raise TypeError("builder-path run_to_memory needs spark= to clone from")
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+            sess.conf.set(
+                prov_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        q = (
+            stream_df(sess)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sess.table(name)
+
+    spark = stream_df.sparkSession
     with _stream_conf_lock:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         prev_prov = spark.conf.get(prov_key, None)

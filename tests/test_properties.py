@@ -212,10 +212,20 @@ def test_vader_lexicon_swap(spark, tmp_path, monkeypatch):
         "meh\t-0.9\t0.53852\t[-1, 0, -1, -1, -1, -1, -1, -1, -1, -1]\n"
     )
     monkeypatch.setenv("SPARK_GRAFT_VADER_LEXICON", str(lex_file))
-    # monkeypatch restores the pre-test cache (and env) at teardown
-    monkeypatch.setattr(tx, "_ACTIVE_LEXICON", None)  # force re-resolve
+    # the cache is keyed by path (r5): re-pointing the env re-resolves
+    # without poking any private state; the public reset also exists for
+    # in-place file edits
     lex = tx.active_sentiment_lexicon()
     assert lex == {"great": 3.1, "terrible": -2.7, "meh": -0.9}
+    lex_file.write_text("solo\t1.5\t0.5\t[1, 2]\n")
+    assert tx.active_sentiment_lexicon() == lex  # cached parse
+    tx.reset_sentiment_lexicon_cache()
+    assert tx.active_sentiment_lexicon() == {"solo": 1.5}
+    lex_file.write_text(
+        "great\t3.1\t0.80623\t[3]\nterrible\t-2.7\t0.78102\t[-3]\n"
+        "meh\t-0.9\t0.53852\t[-1]\n"
+    )
+    tx.reset_sentiment_lexicon_cache()
     rows = [(1, "great great terrible"), (2, "meh and boring stuff")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     b = {r.doc_id: r.s for r in df.select("doc_id", tx.sentiment_builtin("text").alias("s")).collect()}
