@@ -176,17 +176,64 @@ EMA_ORACLE_SQL = f"""
     """
 
 
+# ind_ema's own oracle: the EMA recurrence PLUS Wilder-smoothed RSI-14
+# state (seed = simple mean of the first 14 diffs, then
+# avg_t = (avg_{t-1}*13 + x_t)/14) carried through the same recursion.
+# Every float op appears in the exact order the applyInPandas walk
+# performs it, so both output columns are value-exact.
+_EMA_WILDER_ORACLE_SQL = f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(row_number() OVER ({_WO}) AS BIGINT) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, ts, value, rn, value AS ema,
+             CAST(0.0 AS DOUBLE) AS sg, CAST(0.0 AS DOUBLE) AS sl,
+             CAST(NULL AS DOUBLE) AS ag, CAST(NULL AS DOUBLE) AS al
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             CAST(0.125 AS DOUBLE) * o.value + CAST(0.875 AS DOUBLE) * r.ema,
+             CASE WHEN o.rn <= 15 THEN r.sg + greatest(o.value - r.value, 0.0)
+                  ELSE r.sg END,
+             CASE WHEN o.rn <= 15 THEN r.sl + greatest(r.value - o.value, 0.0)
+                  ELSE r.sl END,
+             CASE WHEN o.rn < 15 THEN CAST(NULL AS DOUBLE)
+                  WHEN o.rn = 15
+                    THEN (r.sg + greatest(o.value - r.value, 0.0)) / 14.0
+                  ELSE (r.ag * 13.0 + greatest(o.value - r.value, 0.0)) / 14.0
+             END,
+             CASE WHEN o.rn < 15 THEN CAST(NULL AS DOUBLE)
+                  WHEN o.rn = 15
+                    THEN (r.sl + greatest(r.value - o.value, 0.0)) / 14.0
+                  ELSE (r.al * 13.0 + greatest(r.value - o.value, 0.0)) / 14.0
+             END
+      FROM r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ema,
+           CASE WHEN ag IS NULL THEN CAST(NULL AS DOUBLE)
+                WHEN al = 0.0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi_wilder
+    FROM r
+    """
+
+
 @register(
     "ind_ema",
-    EMA_ORACLE_SQL,
-    doc="EMA (α=0.125, binary-exact): the RECURSIVE indicator a Spark "
-    "window cannot express (SURVEY §2.10) — applyInPandas per key with "
-    "an Arrow-batched ordered walk; oracle is a recursive CTE running "
-    "the identical IEEE recurrence, so even this Python path is "
-    "value-exact",
+    _EMA_WILDER_ORACLE_SQL,
+    doc="The RECURSIVE indicators a Spark window cannot express (SURVEY "
+    "§2.10), ONE applyInPandas ordered walk per key: EMA (α=0.125, "
+    "binary-exact) and — r5 extension — Wilder-smoothed RSI-14, the "
+    "industry-standard variant alongside the reference's simple-average "
+    "RSI (W3, pinned by ind_pipeline): simple-mean seed over the first "
+    "14 diffs, then avg = (prev*13 + x)/14, NULL through the warm-up. "
+    "Oracle is a recursive CTE running the identical IEEE op sequence, "
+    "so even this Python path is value-exact",
     tags=("window", "udf", "recursive"),
 )
 def ind_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.operators.recursive import ema
+    from crypto_data_pipeline_with_kafka_spark.operators.recursive import (
+        recursive_indicators,
+    )
 
-    return ema(_events(spark, sf_dir), alpha=0.125)
+    return recursive_indicators(_events(spark, sf_dir), alpha=0.125, period=14)

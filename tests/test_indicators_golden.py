@@ -94,3 +94,61 @@ def test_pipeline_anti_join_idempotent(spark, series_df):
     existing = full.select("user_id", "type_id", "ts")
     again = indicator_pipeline(spark, series_df, existing=existing)
     assert again.count() == 0  # re-run writes nothing (spark_job_1.py:81-85)
+
+
+def test_wilder_rsi_golden(spark):
+    """Wilder-smoothed RSI-14 (r5, recursive_indicators): NULL through
+    the 14-row warm-up, seed = simple mean of the first 14 diffs at row
+    15, Wilder recurrence after; a strictly-rising series pins the
+    zero-loss branch at exactly 100. Checked bit-for-bit against an
+    independently-written reference loop."""
+    import datetime as _dt
+
+    from crypto_data_pipeline_with_kafka_spark.operators.recursive import (
+        recursive_indicators,
+    )
+
+    vals = [50.0, 50.5, 49.8, 51.2, 52.0, 51.5, 53.1, 52.4, 54.0, 53.2,
+            55.5, 54.8, 56.0, 55.1, 57.3, 56.2, 58.0, 57.1, 59.4, 58.5]
+    t0 = _dt.datetime(2024, 3, 1)
+    rows = [(1, i, t0 + _dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: (r.ema, r.rsi_wilder)
+        for r in recursive_indicators(df).collect()
+    }
+
+    # reference: textbook Wilder, written straight from the formula
+    period = 14
+    diffs = [vals[i] - vals[i - 1] for i in range(1, len(vals))]
+    gains = [d if d > 0 else 0.0 for d in diffs]
+    losses = [-d if d < 0 else 0.0 for d in diffs]
+    want_rsi: list[float | None] = [None] * len(vals)
+    ag = al = None
+    for i in range(period, len(vals)):  # row i consumes diffs[0..i-1]
+        if i == period:
+            sg = 0.0
+            sl = 0.0
+            for k in range(period):
+                sg += gains[k]
+                sl += losses[k]
+            ag, al = sg / 14.0, sl / 14.0
+        else:
+            ag = (ag * 13.0 + gains[i - 1]) / 14.0
+            al = (al * 13.0 + losses[i - 1]) / 14.0
+        want_rsi[i] = 100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
+
+    for i in range(len(vals)):
+        assert got[i][1] == want_rsi[i], (i, got[i][1], want_rsi[i])
+    assert all(got[i][1] is None for i in range(period))
+    assert got[period][1] is not None
+
+    # zero-loss branch: strictly rising prices → RSI exactly 100
+    rising = [(2, i, t0 + _dt.timedelta(hours=i), 10.0 + i) for i in range(16)]
+    df2 = spark.createDataFrame(
+        rising, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r15 = {r.event_id: r.rsi_wilder for r in recursive_indicators(df2).collect()}
+    assert r15[15] == 100.0 and r15[14] == 100.0 and r15[13] is None
