@@ -157,30 +157,11 @@ def ind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared by ind_ema (batch applyInPandas) and stream_stateful_ema (the
-# applyInPandasWithState twin in q_streaming): the recursive CTE runs
-# the identical IEEE recurrence, so both Python paths are value-exact.
-EMA_ORACLE_SQL = f"""
-    WITH RECURSIVE ordered AS (
-      SELECT user_id, event_id, ts, value,
-             CAST(row_number() OVER ({_WO}) AS BIGINT) AS rn
-      FROM events
-    ), r AS (
-      SELECT user_id, event_id, ts, value, rn, value AS ema
-      FROM ordered WHERE rn = 1
-      UNION ALL
-      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
-             CAST(0.125 AS DOUBLE) * o.value + CAST(0.875 AS DOUBLE) * r.ema
-      FROM r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
-    )
-    SELECT user_id, event_id, ts, value, ema FROM r
-    """
-
-
-# ind_ema's own oracle: the EMA recurrence PLUS Wilder-smoothed RSI-14
-# state (seed = simple mean of the first 14 diffs, then
-# avg_t = (avg_{t-1}*13 + x_t)/14) carried through the same recursion.
-# Every float op appears in the exact order the applyInPandas walk
-# performs it, so both output columns are value-exact.
+# applyInPandasWithState twin in q_streaming): the EMA recurrence PLUS
+# Wilder-smoothed RSI-14 state (seed = simple mean of the first 14
+# diffs, then avg_t = (avg_{t-1}*13 + x_t)/14) carried through the same
+# recursion. Every float op appears in the exact order both Python
+# walks perform it, so all output columns are value-exact.
 _EMA_WILDER_ORACLE_SQL = f"""
     WITH RECURSIVE ordered AS (
       SELECT user_id, event_id, ts, value,

@@ -21,7 +21,9 @@ from crypto_data_pipeline_with_kafka_spark.plans.q_dedup import (
     _SH_CTE,
     _SIG_COLS,
 )
-from crypto_data_pipeline_with_kafka_spark.plans.q_indicators import EMA_ORACLE_SQL
+from crypto_data_pipeline_with_kafka_spark.plans.q_indicators import (
+    _EMA_WILDER_ORACLE_SQL,
+)
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 from crypto_data_pipeline_with_kafka_spark.sources.readers import events_stream_reader
 from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
@@ -289,21 +291,25 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_ema",
-    EMA_ORACLE_SQL,  # shared with ind_ema — identical IEEE recurrence
-    doc="ST6: checkpointed per-key state — the recursive EMA as a "
-    "STREAMING query (applyInPandasWithState, engine-managed state "
-    "store) run to completion via AvailableNow + memory sink; the "
-    "oracle is ind_ema's recursive CTE, so the stateful streaming path "
-    "is value-equal to both the batch applyInPandas walk and the SQL "
-    "recurrence. Replaces the reference's in-memory producer dicts "
+    _EMA_WILDER_ORACLE_SQL,  # shared with ind_ema — identical IEEE ops
+    doc="ST6: checkpointed per-key state — the recursive EMA AND Wilder "
+    "RSI-14 (r5) as ONE STREAMING query (applyInPandasWithState, "
+    "engine-managed state store: the full recurrence tuple — ema, "
+    "prev value, warm-up sums, running averages — carries across "
+    "micro-batches) run to completion via AvailableNow + memory sink; "
+    "the oracle is ind_ema's recursive CTE, so the stateful streaming "
+    "path is value-equal to both the batch applyInPandas walk and the "
+    "SQL recurrence. Replaces the reference's in-memory producer dicts "
     "lost on restart (producer_prices.py:31)",
     tags=("streaming", "udf", "recursive"),
 )
 def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.streaming.stateful import streaming_ema
+    from crypto_data_pipeline_with_kafka_spark.streaming.stateful import (
+        streaming_recursive_indicators,
+    )
 
     return run_to_memory(
-        lambda s: streaming_ema(_stream(s, sf_dir), alpha=0.125),
+        lambda s: streaming_recursive_indicators(_stream(s, sf_dir), alpha=0.125),
         output_mode="append",
         name_prefix="stateful_ema",
         spark=spark,

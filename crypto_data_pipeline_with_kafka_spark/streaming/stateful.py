@@ -3,11 +3,16 @@ checkpointed by the engine — the principled replacement for the
 reference's in-memory producer dicts that vanish on restart
 (``producer_prices.py:31``, ``producer_news.py:45``).
 
-``streaming_ema`` carries each key's EMA across micro-batches with
-``applyInPandasWithState``: recursive indicators (inexpressible as
-windows, SURVEY §2.10) become incremental in streaming — each batch
-walks only ITS rows, seeded from state, instead of recomputing history.
-"""
+``streaming_recursive_indicators`` carries each key's recursive
+indicator state across micro-batches with ``applyInPandasWithState``:
+recursive indicators (inexpressible as windows, SURVEY §2.10) become
+incremental in streaming — each batch walks only ITS rows, seeded from
+state, instead of recomputing history. The carried state is the FULL
+recurrence tuple (EMA + Wilder RSI warm-up sums and averages + the
+previous value for cross-batch diffs), so the streamed output is
+bitwise-equal to the batch ``recursive_indicators`` walk over the same
+ordered history (asserted in tests and by the shared recursive-CTE
+oracle)."""
 
 from __future__ import annotations
 
@@ -17,43 +22,91 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EMA_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, value double, ema double"
-EMA_STATE_SCHEMA = "ema double"
+RECURSIVE_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, "
+    "ema double, rsi_wilder double"
+)
+# ema + prev value (cross-batch diff) + row count (warm-up position) +
+# warm-up gain/loss sums + Wilder running averages (NULL until seeded)
+RECURSIVE_STATE_SCHEMA = (
+    "ema double, prev_val double, n long, sg double, sl double, "
+    "ag double, al double"
+)
 
 
-def streaming_ema(events: DataFrame, alpha: float = 0.125) -> DataFrame:
-    """Per-key streaming EMA. Rows within a batch are walked in
-    (ts, event_id) order; the carry-over EMA lives in engine state, so
-    across batches the recurrence equals a batch recompute over the full
-    ordered history (asserted in tests). ``alpha`` should be
-    binary-exact for reproducibility."""
-    a = float(alpha)
+def streaming_recursive_indicators(
+    events: DataFrame, alpha: float = 0.125, period: int = 14
+) -> DataFrame:
+    """Per-key streaming EMA + Wilder-smoothed RSI. Rows within a batch
+    are walked in (ts, event_id) order; the recurrence state lives in
+    engine state, so across batches the walk equals the batch
+    ``operators.recursive.recursive_indicators`` over the full ordered
+    history — every float op is written in the identical IEEE order.
+    ``alpha`` should be binary-exact for reproducibility."""
+    a, p = float(alpha), int(period)
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        prev = state.get[0] if state.exists else None
+        if state.exists:
+            ema, prev_val, n, sg, sl, ag, al = state.get
+        else:
+            ema = prev_val = ag = al = None
+            n, sg, sl = 0, 0.0, 0.0
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
                 drop=True
             )
-            out = []
+            emas = []
+            rsis: list[float | None] = []
             for x in pdf["value"]:
-                prev = x if prev is None else a * x + (1.0 - a) * prev
-                out.append(prev)
+                n += 1
+                if n == 1:
+                    ema = x
+                else:
+                    ema = a * x + (1.0 - a) * ema
+                    d = x - prev_val
+                    g = d if d > 0 else 0.0
+                    ls = -d if d < 0 else 0.0
+                    if n <= p:
+                        sg += g
+                        sl += ls
+                    elif n == p + 1:
+                        sg += g
+                        sl += ls
+                        ag = sg / float(p)
+                        al = sl / float(p)
+                    else:
+                        ag = (ag * float(p - 1) + g) / float(p)
+                        al = (al * float(p - 1) + ls) / float(p)
+                prev_val = x
+                emas.append(ema)
+                rsis.append(
+                    None
+                    if ag is None
+                    else (100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al))
+                )
             pdf = pdf[["user_id", "event_id", "ts", "value"]].copy()
-            pdf["ema"] = out
+            pdf["ema"] = emas
+            pdf["rsi_wilder"] = pd.array(rsis, dtype="Float64")  # NULL, not NaN
             yield pdf
-        state.update((prev,))
+        state.update((ema, prev_val, n, sg, sl, ag, al))
 
     return (
         events.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
-            EMA_OUTPUT_SCHEMA,
-            EMA_STATE_SCHEMA,
+            RECURSIVE_OUTPUT_SCHEMA,
+            RECURSIVE_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ema(events: DataFrame, alpha: float = 0.125) -> DataFrame:
+    """Per-key streaming EMA — the EMA projection of
+    :func:`streaming_recursive_indicators` (one walk carries both
+    indicators; dropping the RSI column costs nothing)."""
+    return streaming_recursive_indicators(events, alpha).drop("rsi_wilder")

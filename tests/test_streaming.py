@@ -170,11 +170,20 @@ def test_streaming_incremental_indicators_end_to_end(spark, tmp_path):
 
 def test_stateful_streaming_ema_carries_state_across_batches(spark, tmp_path):
     """applyInPandasWithState: two time-ordered files = two micro-batches;
-    the per-key EMA state must carry across them so the streamed result
-    equals a batch recompute over the full history."""
-    from crypto_data_pipeline_with_kafka_spark.operators.recursive import ema
+    the per-key recurrence state (EMA + Wilder RSI warm-up sums /
+    averages + previous value, r5) must carry across them so the
+    streamed result equals a batch recompute over the full history —
+    including diffs that SPAN the batch boundary and RSI seeds completing
+    mid-stream."""
+    from crypto_data_pipeline_with_kafka_spark.operators.recursive import (
+        ema,
+        recursive_indicators,
+    )
     from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import run_to_memory
-    from crypto_data_pipeline_with_kafka_spark.streaming.stateful import streaming_ema
+    from crypto_data_pipeline_with_kafka_spark.streaming.stateful import (
+        streaming_ema,
+        streaming_recursive_indicators,
+    )
 
     events = load_table(spark, "/root/testdata/sf0.001", "events")
     src = str(tmp_path / "src")
@@ -199,6 +208,17 @@ def test_stateful_streaming_ema_carries_state_across_batches(spark, tmp_path):
     w = want.select("user_id", "event_id", "ema")
     assert g.count() == w.count() == events.count()
     assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+
+    # full recurrence tuple: streamed EMA + Wilder RSI across the batch
+    # boundary ≡ the batch walk (bitwise — NULL warm-ups included)
+    got2 = run_to_memory(
+        streaming_recursive_indicators(raw), output_mode="append", name_prefix="srec"
+    )
+    want2 = recursive_indicators(events, alpha=0.125, period=14)
+    g2 = got2.select("user_id", "event_id", "ema", "rsi_wilder")
+    w2 = want2.select("user_id", "event_id", "ema", "rsi_wilder")
+    assert g2.count() == w2.count() == events.count()
+    assert g2.exceptAll(w2).count() == 0 and w2.exceptAll(g2).count() == 0
 
 
 def test_streaming_incremental_indicators_out_of_order_batches(spark, tmp_path):
