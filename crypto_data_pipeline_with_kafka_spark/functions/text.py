@@ -168,6 +168,17 @@ def sentiment_builtin(
     pickled UDF)."""
     ws = tokens(text_col)
     lex = lexicon if lexicon is not None else active_sentiment_lexicon()
+    if len(lex) > 1000:
+        import warnings
+
+        warnings.warn(
+            f"sentiment_builtin with a {len(lex)}-entry lexicon embeds "
+            f"{2 * len(lex)} literals in the plan's create_map — planner "
+            "cost grows with every expression that scores text. Use "
+            "sentiment_scores_join (broadcast-join scale path, plan size "
+            "O(1)) or sentiment_pandas_udf for lexicons this size.",
+            stacklevel=2,
+        )
     mapping = F.create_map(
         *[x for w, s in sorted(lex.items()) for x in (F.lit(w), F.lit(s))]
     )
