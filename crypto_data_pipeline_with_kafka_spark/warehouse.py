@@ -89,6 +89,7 @@ def compact_partitions(
     partitions: list[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: tuple[str, ...] = (),
+    max_parallel: int = 1,
 ) -> dict[str, int]:
     """Small-file compaction for a ``dt=``-partitioned store — the
     maintenance job every streaming sink needs at scale: per-batch
@@ -117,8 +118,12 @@ def compact_partitions(
     Scale shape: driver work is one directory listing per selected
     partition (file sizes come from the FS metadata, no data read on
     the driver); each partition rewrite is an independent distributed
-    job touching exactly that partition's files — run it from a
-    scheduled maintenance slot, partition-parallel if needed."""
+    job touching exactly that partition's files. ``max_parallel > 1``
+    runs that many partition rewrites concurrently from driver threads
+    (Spark schedules jobs from multiple threads fine; partitions are
+    disjoint directories, so the swaps cannot race each other) —
+    size it so `max_parallel × files-per-rewrite` tasks keep the
+    cluster busy without starving other jobs."""
     import math
 
     hfs = _HadoopFs(spark, path)
@@ -128,8 +133,8 @@ def compact_partitions(
             for st in hfs.list_status(path)
             if st.isDirectory() and st.getPath().getName().startswith("dt=")
         )
-    written: dict[str, int] = {}
-    for dt in partitions:
+
+    def compact_one(dt: str) -> int | None:
         pdir = f"{path}/dt={dt}"
         staged = f"{path}/.compact_dt={dt}"
         backup = f"{path}/.compact_backup_dt={dt}"
@@ -143,7 +148,7 @@ def compact_partitions(
                 # only copy is the backup — restore it, then re-compact
                 hfs.rename(backup, pdir)
         if not hfs.exists(pdir):
-            continue
+            return None
         files = [
             st
             for st in hfs.list_status(pdir)
@@ -152,7 +157,7 @@ def compact_partitions(
         total = sum(st.getLen() for st in files)
         n_out = max(1, math.ceil(total / target_file_bytes))
         if n_out >= len(files):
-            continue  # already compact
+            return None  # already compact
         part = spark.read.parquet(pdir).coalesce(n_out)
         if sort_cols:
             part = part.sortWithinPartitions(*sort_cols)
@@ -160,5 +165,13 @@ def compact_partitions(
         hfs.rename(pdir, backup)
         hfs.rename(staged, pdir)
         hfs.delete(backup)
-        written[dt] = n_out
-    return written
+        return n_out
+
+    if max_parallel <= 1:
+        results = [(dt, compact_one(dt)) for dt in partitions]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            results = list(zip(partitions, pool.map(compact_one, partitions)))
+    return {dt: n for dt, n in results if n is not None}

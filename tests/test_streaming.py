@@ -673,6 +673,35 @@ def test_compact_partitions_recovers_from_crash_between_renames(spark, tmp_path)
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows_before
 
 
+def test_compact_partitions_parallel_matches_sequential(spark, tmp_path):
+    """max_parallel: concurrent partition rewrites (disjoint dt= dirs,
+    driver threads) must produce the same result as the sequential
+    walk."""
+    import glob as _glob
+
+    from crypto_data_pipeline_with_kafka_spark.warehouse import compact_partitions
+
+    path = str(tmp_path / "store")
+    df = (
+        load_table(spark, SF, "events")
+        .limit(2000)
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    for i in range(3):  # fragment EVERY partition with 3 appends
+        df.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("dt").parquet(path)
+    rows_before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    n_parts = df.select("dt").distinct().count()
+
+    written = compact_partitions(spark, path, max_parallel=4)
+    assert len(written) == n_parts and set(written.values()) == {1}
+    for dt in written:
+        assert len(_glob.glob(f"{path}/dt={dt}/part-*.parquet")) == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows_before
+    assert compact_partitions(spark, path, max_parallel=4) == {}
+
+
 def test_incremental_dedup_empty_batch_is_noop(spark, tmp_path):
     """A redelivered/empty micro-batch through incremental_minhash_dedup
     must write an empty flag partition and leave the index consistent —
