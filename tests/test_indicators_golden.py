@@ -152,3 +152,18 @@ def test_wilder_rsi_golden(spark):
     )
     r15 = {r.event_id: r.rsi_wilder for r in recursive_indicators(df2).collect()}
     assert r15[15] == 100.0 and r15[14] == 100.0 and r15[13] is None
+
+
+def test_prefilter_empty_ingest(spark, series_df):
+    """An empty ingest batch: the bounds probe finds no rows, the
+    pre-filter returns an empty existing side, and the pipeline output
+    is empty — no error, no full-history read."""
+    from crypto_data_pipeline_with_kafka_spark.operators.indicators import (
+        prefilter_to_ingest_range,
+    )
+
+    full = indicator_pipeline(spark, series_df)
+    existing = full.select("user_id", "type_id", "ts")
+    empty = series_df.limit(0)
+    assert prefilter_to_ingest_range(empty, existing).count() == 0
+    assert indicator_pipeline(spark, empty, existing=existing).count() == 0
