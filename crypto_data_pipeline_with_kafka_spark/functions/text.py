@@ -228,8 +228,11 @@ def sentiment_scores_join(
     O(|lexicon|) side, one map-side-combined groupBy(id). No Python, no
     giant literal, no shuffle of the corpus beyond the groupBy."""
     ws = tokens(text_col)
+    # explode_outer: a NULL-text doc keeps one (NULL token) row, so it
+    # groups to a NULL sentiment exactly like the fold twins — a plain
+    # explode would silently DROP the document from the output
     tok = docs.select(
-        F.col(id_col), F.size(ws).alias("_n"), F.explode(ws).alias("_w")
+        F.col(id_col), F.size(ws).alias("_n"), F.explode_outer(ws).alias("_w")
     )
     joined = tok.join(
         F.broadcast(lexicon_df), tok["_w"] == lexicon_df["token"], "left"

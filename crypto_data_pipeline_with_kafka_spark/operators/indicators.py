@@ -168,14 +168,24 @@ def prefilter_to_ingest_range(
     is STATIC, so it lands in PartitionFilters and history partitions
     are pruned at planning time, before any file is opened
     (plan-asserted in tests/test_plans.py)."""
-    b = ingest.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).first()
+    # The dt strings come from date_format IN THE PROBE, so they are
+    # rendered under the SESSION timezone — the same timezone
+    # write_events_warehouse used to derive the dt partition values. A
+    # driver-side strftime would render under the host's local zone and
+    # mis-prune boundary partitions on non-UTC hosts.
+    b = ingest.agg(
+        F.min(ts_col).alias("lo"),
+        F.max(ts_col).alias("hi"),
+        F.date_format(F.min(ts_col), "yyyy-MM-dd").alias("lo_dt"),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd").alias("hi_dt"),
+    ).first()
     if b["lo"] is None:  # empty ingest → the anti-join output is empty anyway
         return existing.limit(0)
     out = existing
     if dt_col in existing.columns:
-        lo_dt = b["lo"].strftime("%Y-%m-%d")
-        hi_dt = b["hi"].strftime("%Y-%m-%d")
-        out = out.filter((F.col(dt_col) >= lo_dt) & (F.col(dt_col) <= hi_dt))
+        out = out.filter(
+            (F.col(dt_col) >= b["lo_dt"]) & (F.col(dt_col) <= b["hi_dt"])
+        )
     return out.filter(
         (F.col(ts_col) >= F.lit(b["lo"])) & (F.col(ts_col) <= F.lit(b["hi"]))
     )

@@ -141,6 +141,15 @@ def run_to_memory(
         if spark is None:
             raise TypeError("builder-path run_to_memory needs spark= to clone from")
         sess = spark.newSession()
+        # newSession() builds its SQLConf from builder/context conf; the
+        # caller's RUNTIME spark.conf.set overrides do NOT carry over.
+        # Copy the one that changes event-time semantics (window/session
+        # boundaries) so stream and batch always agree; callers relying
+        # on other runtime overrides should set them at builder time.
+        sess.conf.set(
+            "spark.sql.session.timeZone",
+            spark.conf.get("spark.sql.session.timeZone"),
+        )
         sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
             sess.conf.set(

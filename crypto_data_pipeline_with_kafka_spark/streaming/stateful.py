@@ -105,8 +105,46 @@ def streaming_recursive_indicators(
     )
 
 
+EMA_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, ema double"
+)
+EMA_STATE_SCHEMA = "ema double"
+
+
 def streaming_ema(events: DataFrame, alpha: float = 0.125) -> DataFrame:
-    """Per-key streaming EMA — the EMA projection of
-    :func:`streaming_recursive_indicators` (one walk carries both
-    indicators; dropping the RSI column costs nothing)."""
-    return streaming_recursive_indicators(events, alpha).drop("rsi_wilder")
+    """Per-key streaming EMA alone — kept as its own single-field walk
+    (1 state field, no gain/loss arithmetic) rather than a projection of
+    :func:`streaming_recursive_indicators`: an EMA-only topic should not
+    pay 7 checkpointed state fields and the Wilder branch per row for a
+    column it drops. Same ordered-walk contract; value-equal to the
+    batch ``ema`` (tested)."""
+    a = float(alpha)
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        prev = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+                drop=True
+            )
+            out = []
+            for x in pdf["value"]:
+                prev = x if prev is None else a * x + (1.0 - a) * prev
+                out.append(prev)
+            pdf = pdf[["user_id", "event_id", "ts", "value"]].copy()
+            pdf["ema"] = out
+            yield pdf
+        state.update((prev,))
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            EMA_OUTPUT_SCHEMA,
+            EMA_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -128,11 +128,18 @@ def compact_partitions(
 
     hfs = _HadoopFs(spark, path)
     if partitions is None:
-        partitions = sorted(
-            st.getPath().getName().split("=", 1)[1]
-            for st in hfs.list_status(path)
-            if st.isDirectory() and st.getPath().getName().startswith("dt=")
-        )
+        # Discovery must ALSO surface partitions whose only copy is an
+        # orphaned backup (crash between the two renames left no dt=
+        # dir) — otherwise the promised automatic recovery never runs
+        # for exactly the partitions that need it most.
+        found: set[str] = set()
+        for st in hfs.list_status(path):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("dt="):
+                found.add(name.split("=", 1)[1])
+            elif st.isDirectory() and name.startswith(".compact_backup_dt="):
+                found.add(name.split("=", 1)[1])
+        partitions = sorted(found)
 
     def compact_one(dt: str) -> int | None:
         pdir = f"{path}/dt={dt}"
@@ -147,6 +154,10 @@ def compact_partitions(
                 # prior run crashed between the renames: the partition's
                 # only copy is the backup — restore it, then re-compact
                 hfs.rename(backup, pdir)
+        if hfs.exists(staged):
+            # stale stage from a crash before the first rename: the live
+            # partition is intact, the orphan is just leaked bytes
+            hfs.delete(staged)
         if not hfs.exists(pdir):
             return None
         files = [

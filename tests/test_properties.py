@@ -182,6 +182,17 @@ def test_sentiment_join_matches_fold_and_scales_plan(spark):
     }
     assert got == want
 
+    # NULL text must surface as a NULL-sentiment ROW (explode_outer),
+    # matching the fold twins — not silently vanish from the output
+    with_null = spark.createDataFrame(
+        [(0, "tok0 tok1"), (1, None)], "doc_id long, text string"
+    )
+    got_n = {
+        r.doc_id: r.sentiment
+        for r in sentiment_scores_join(with_null, big_df).collect()
+    }
+    assert set(got_n) == {0, 1} and got_n[1] is None
+
     import io
     from contextlib import redirect_stdout
 

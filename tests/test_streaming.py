@@ -656,11 +656,13 @@ def test_compact_partitions_recovers_from_crash_between_renames(spark, tmp_path)
         ).partitionBy("dt").parquet(path)
     rows_before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
 
-    # crash point: pdir renamed to backup, staged rename never happened
+    # crash point: pdir renamed to backup, staged rename never happened.
+    # Recovery must fire from DEFAULT discovery (partitions=None): the
+    # lost partition has no dt= dir, only the orphaned backup.
     os.rename(f"{path}/dt={frag}", f"{path}/.compact_backup_dt={frag}")
     assert not os.path.exists(f"{path}/dt={frag}")
 
-    written = compact_partitions(spark, path, partitions=[frag])
+    written = compact_partitions(spark, path)
     assert written == {frag: 1}
     assert not os.path.exists(f"{path}/.compact_backup_dt={frag}")
     assert len(_glob.glob(f"{path}/dt={frag}/part-*.parquet")) == 1
