@@ -39,13 +39,17 @@ def get_spark(
         shuffle_partitions = cpus
 
     # Config-gated connector transports: this container ships neither
-    # spark-sql-kafka jars nor a JDBC driver jar, so both surfaces are
-    # plan-level by default. An environment that CAN provide them sets
+    # spark-sql-kafka jars nor a MySQL JDBC driver jar, so those surfaces
+    # are plan-level by default. An environment that CAN provide them sets
     #   SPARK_KAFKA_PACKAGE=org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.0
     #   SPARK_JDBC_PACKAGE=com.mysql:mysql-connector-j:9.3.0
-    # and the packages land on the session classpath (plus
+    # (maven coordinates, resolved over the network) and/or
+    #   SPARK_JDBC_JARS=/path/to/driver.jar[,...]
+    # (already-downloaded jar files — no network needed; how the test
+    # suite attests the live JDBC transport against a DuckDB database
+    # file when a duckdb_jdbc jar is present on disk), plus
     # SPARK_KAFKA_BOOTSTRAP / SPARK_JDBC_URL for the live round-trip
-    # tests in tests/test_connectors.py).
+    # tests in tests/test_connectors.py.
     pkgs = ",".join(
         p
         for p in (
@@ -54,6 +58,7 @@ def get_spark(
         )
         if p
     )
+    local_jars = os.environ.get("SPARK_JDBC_JARS", "")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -69,6 +74,8 @@ def get_spark(
     )
     if pkgs:
         builder = builder.config("spark.jars.packages", pkgs)
+    if local_jars:
+        builder = builder.config("spark.jars", local_jars)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -124,17 +124,27 @@ def test_kafka_live_roundtrip(spark):
 
 
 @pytest.mark.skipif(
-    not (os.environ.get("SPARK_JDBC_PACKAGE") and os.environ.get("SPARK_JDBC_URL")),
-    reason="live JDBC round-trip needs SPARK_JDBC_PACKAGE (session "
-    "classpath, see session.get_spark) + SPARK_JDBC_URL (warehouse)",
+    not (
+        (os.environ.get("SPARK_JDBC_PACKAGE") or os.environ.get("SPARK_JDBC_JARS"))
+        and os.environ.get("SPARK_JDBC_URL")
+    ),
+    reason="live JDBC round-trip needs a driver on the session classpath "
+    "(SPARK_JDBC_PACKAGE maven coordinate or SPARK_JDBC_JARS local jar; "
+    "conftest auto-wires a cached duckdb_jdbc jar) + SPARK_JDBC_URL",
 )
 def test_jdbc_live_roundtrip(spark):
-    """The reference's warehouse leg, the moment an environment provides
-    it: the configured append writer inserts a batch into a real table
-    and reads it back row-identical — upgrading S6 from plan-level to
-    executed with ZERO engine-code changes. SPARK_JDBC_USER /
-    SPARK_JDBC_PASSWORD / SPARK_JDBC_DRIVER default to the reference's
-    MySQL setup."""
+    """The reference's warehouse leg, executed for real: the configured
+    append writer inserts a multi-partition batch into a real database
+    table over JDBC and reads it back row-identical — upgrading S5/S6
+    from plan-level to executed. Backend comes from env: MySQL when the
+    reference's setup is reachable (SPARK_JDBC_USER / SPARK_JDBC_PASSWORD
+    / SPARK_JDBC_DRIVER default to it), else the conftest-auto-wired
+    DuckDB database file — either way it is Spark's real JDBC source
+    (option surface, INSERT batching, type mapping) under test.
+
+    For DuckDB URLs the table is pre-created with explicit DDL — exactly
+    how the reference provisions its warehouse (datawarehouse/*.sql DDL
+    scripts, not driver-issued CREATE TABLE)."""
     import uuid
 
     url = os.environ["SPARK_JDBC_URL"]
@@ -145,6 +155,19 @@ def test_jdbc_live_roundtrip(spark):
     df = load_table(spark, SF, "events").limit(100).select(
         "event_id", "user_id", "event_type", "value"
     )
+    if url.startswith("jdbc:duckdb:"):
+        import duckdb
+
+        type_map = {"bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE",
+                    "float": "FLOAT", "string": "VARCHAR",
+                    "timestamp": "TIMESTAMP", "boolean": "BOOLEAN"}
+        ddl = ", ".join(
+            f'"{f.name}" {type_map[f.dataType.simpleString()]}'
+            for f in df.schema.fields
+        )
+        con = duckdb.connect(url[len("jdbc:duckdb:"):])
+        con.execute(f'CREATE TABLE "{table}" ({ddl})')
+        con.close()
     jdbc_append_writer(
         df, url=url, table=table, user=user, password=password, driver=driver
     ).save()
