@@ -2,10 +2,13 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
-``decode_image_real`` REALLY decodes the codec-free formats (binary
-PPM/PGM, uncompressed BMP — pure-Python header+raster parse, r5) and
-raises NotImplementedError for compressed formats (image/audio codec
-libraries are not in this container); ``decode_image_stub`` derives
+``decode_image_real`` / ``decode_audio_real`` / ``parse_video_real``
+REALLY decode the codec-free formats of each modality (binary PPM/PGM +
+uncompressed BMP images; RIFF/WAVE PCM audio; YUV4MPEG2 video with
+genuine in-payload frame sampling via ``sample_video_frames``) — all
+pure-Python header+raster parses — and raise NotImplementedError for
+compressed formats (codec libraries are not in this container);
+``decode_image_stub`` derives
 deterministic fake metadata from the bytes so the full pipeline stays
 value-checkable against a SQL oracle. Everything AROUND the decode —
 schema, binary payload handling, Arrow batch iteration,
@@ -194,8 +197,262 @@ def decode_images(df: DataFrame, decoder: str = "stub") -> DataFrame:
 
 def frame_sample(df: DataFrame, every_nth: int = 10, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling shape for video-like payloads: keep every Nth row
-    per stream — a pure filter (id % N), no decode needed to subsample."""
+    per stream — a pure filter (id % N), no decode needed to subsample.
+    For REAL in-payload frame extraction from uncompressed video see
+    :func:`sample_video_frames`."""
     return df.filter((F.col(id_col) % every_nth) == 0)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, content_hash string, format string, "
+    "sample_rate int, channels int, bit_depth int, n_samples long, "
+    "duration_sec double"
+)
+
+
+def _make_audio_decoder():
+    """Factory: returns the real audio decoder as a local closure shipped
+    by value into Arrow workers (same convention as the image decoder)."""
+
+    def decode_audio_real(
+        payload: bytes,
+    ) -> tuple[str, int, int, int, int, float]:
+        """REAL audio decode for the codec-free format: RIFF/WAVE with
+        PCM (format tag 1) or IEEE-float (tag 3) samples — a pure-Python
+        chunk walk (fmt + data, even-byte chunk padding honored).
+        Returns ``(format, sample_rate, channels, bit_depth, n_samples,
+        duration_sec)`` after validating the sample data is actually
+        present. Compressed audio (MP3/OGG/FLAC/AAC, or compressed WAV
+        format tags like ADPCM/µ-law) raises NotImplementedError — no
+        codec libraries in this container, and a header sniff must not
+        claim a decode it cannot do. Swapping in soundfile/ffmpeg
+        extends THIS function; the Arrow plumbing needs no changes."""
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "only RIFF/WAVE PCM decode without codec libraries; "
+                "compressed audio needs soundfile/ffmpeg (not in this container)"
+            )
+        fmt: tuple[int, int, int, int] | None = None
+        data_len: int | None = None
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if cid == b"fmt ":
+                if size < 16 or body + 16 > len(payload):
+                    raise ValueError("WAV fmt chunk truncated")
+                tag, ch, rate, _br, _ba, bits = struct.unpack_from(
+                    "<HHIIHH", payload, body
+                )
+                if tag not in (1, 3):  # PCM / IEEE float
+                    raise NotImplementedError(
+                        f"WAV format tag {tag} is a compressed codec "
+                        "(ADPCM/µ-law/...) — only PCM (1) and IEEE float (3)"
+                    )
+                fmt = (tag, ch, rate, bits)
+            elif cid == b"data":
+                if body + size > len(payload):
+                    raise ValueError(
+                        f"WAV data chunk truncated: need {body + size} bytes, "
+                        f"have {len(payload)}"
+                    )
+                data_len = size
+            pos = body + size + (size & 1)  # chunks pad to even offsets
+        if fmt is None or data_len is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        tag, ch, rate, bits = fmt
+        if ch <= 0 or rate <= 0 or bits <= 0 or bits % 8:
+            raise ValueError(f"WAV fmt invalid: channels={ch} rate={rate} bits={bits}")
+        frame_bytes = ch * (bits // 8)
+        n_samples = data_len // frame_bytes
+        return (
+            "wav_pcm" if tag == 1 else "wav_float",
+            rate,
+            ch,
+            bits,
+            n_samples,
+            n_samples / rate,
+        )
+
+    return decode_audio_real
+
+
+decode_audio_real = _make_audio_decoder()
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: binary audio payload → typed metadata
+    (sample rate, channels, bit depth, sample count, duration). Same
+    Arrow batch shape as :func:`decode_images`; the decoder really
+    parses WAV/PCM bytes and fails the task loudly on anything else."""
+    _decode = _make_audio_decoder()
+
+    def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["payload"].map(_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "content_hash": pdf["content_hash"],
+                    "format": decoded.map(lambda d: d[0]),
+                    "sample_rate": decoded.map(lambda d: d[1]),
+                    "channels": decoded.map(lambda d: d[2]),
+                    "bit_depth": decoded.map(lambda d: d[3]),
+                    "n_samples": decoded.map(lambda d: d[4]),
+                    "duration_sec": decoded.map(lambda d: d[5]),
+                }
+            )
+
+    return df.select("doc_id", "payload", "n_bytes", "content_hash").mapInPandas(
+        decode_batch, schema=AUDIO_SCHEMA
+    )
+
+
+def _make_video_parser():
+    """Factory: returns the real video parser as a local closure shipped
+    by value into Arrow workers (same convention as the other decoders)."""
+
+    def parse_video_real(payload: bytes) -> tuple[int, int, float, list[int], int]:
+        """REAL video parse for the codec-free format: YUV4MPEG2 (y4m) —
+        ASCII stream header (W/H/F/C parameters) followed by FRAME
+        sections of fixed planar-YUV size. Returns ``(width, height,
+        fps, frame_offsets, frame_bytes)`` where ``frame_offsets[i]`` is
+        the byte offset of frame i's raster. A truncated frame or a
+        malformed marker raises ValueError; compressed containers
+        (MP4/MKV/WebM) raise NotImplementedError — parsing them needs
+        ffmpeg, which is not in this container."""
+        if not payload.startswith(b"YUV4MPEG2"):
+            raise NotImplementedError(
+                "only uncompressed YUV4MPEG2 (y4m) parse without codec "
+                "libraries; compressed containers need ffmpeg"
+            )
+        nl = payload.index(b"\n")
+        w = h = 0
+        fps = 30.0
+        colorspace = b"420"
+        for p in payload[9:nl].split(b" "):
+            if p[:1] == b"W":
+                w = int(p[1:])
+            elif p[:1] == b"H":
+                h = int(p[1:])
+            elif p[:1] == b"F":
+                num, den = p[1:].split(b":")
+                fps = int(num) / int(den)
+            elif p[:1] == b"C":
+                colorspace = p[1:]
+        if w <= 0 or h <= 0:
+            raise ValueError("Y4M header missing W/H")
+        if colorspace.startswith(b"420"):
+            frame_bytes = w * h * 3 // 2
+        elif colorspace.startswith(b"422"):
+            frame_bytes = w * h * 2
+        elif colorspace.startswith(b"444"):
+            frame_bytes = w * h * 3
+        elif colorspace.startswith(b"mono"):
+            frame_bytes = w * h
+        else:
+            raise NotImplementedError(f"Y4M colorspace {colorspace!r}")
+        offsets: list[int] = []
+        pos = nl + 1
+        while pos < len(payload):
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"Y4M: expected FRAME marker at offset {pos}")
+            start = payload.index(b"\n", pos) + 1
+            if start + frame_bytes > len(payload):
+                raise ValueError(
+                    f"Y4M frame truncated: need {start + frame_bytes} bytes, "
+                    f"have {len(payload)}"
+                )
+            offsets.append(start)
+            pos = start + frame_bytes
+        return (w, h, fps, offsets, frame_bytes)
+
+    return parse_video_real
+
+
+parse_video_real = _make_video_parser()
+
+VIDEO_SCHEMA = (
+    "doc_id long, n_bytes long, content_hash string, format string, "
+    "width int, height int, fps double, n_frames int"
+)
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, payload binary, width int, height int"
+
+
+def decode_video(df: DataFrame) -> DataFrame:
+    """mapInPandas metadata stage: y4m payload → (width, height, fps,
+    n_frames). Counting frames requires walking the stream (y4m has no
+    frame-count field), which the parser does without copying rasters."""
+    _parse = _make_video_parser()
+
+    def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf["payload"].map(_parse)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "content_hash": pdf["content_hash"],
+                    "format": "y4m",
+                    "width": parsed.map(lambda d: d[0]),
+                    "height": parsed.map(lambda d: d[1]),
+                    "fps": parsed.map(lambda d: d[2]),
+                    "n_frames": parsed.map(lambda d: len(d[3])),
+                }
+            )
+
+    return df.select("doc_id", "payload", "n_bytes", "content_hash").mapInPandas(
+        decode_batch, schema=VIDEO_SCHEMA
+    )
+
+
+def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """REAL in-payload frame sampling: slice every Nth frame out of an
+    uncompressed y4m video and emit each as its own row — the
+    explode-shaped stage a training pipeline runs before image encoding.
+    Each sampled frame's luma (Y) plane is repackaged as a binary PGM
+    payload, so the output rows feed :func:`decode_images`
+    (``decoder="real"``), :func:`resize_images` and
+    :func:`extract_features` unchanged — the video surface composes with
+    the image surface instead of inventing a parallel one. (The Y plane
+    is full-resolution first in every y4m colorspace, so the slice is
+    the same ``w*h`` bytes for 420/422/444/mono.)
+
+    Scale shape: one Arrow pass, output size = n_frames/every_nth per
+    video; a row explosion, not a shuffle. Frame payloads never
+    round-trip through Python row objects — they stay inside the Arrow
+    batch."""
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    _parse = _make_video_parser()
+
+    def sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "payload": [],
+                "width": [], "height": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _fps, offsets, _fb = _parse(payload)
+                header = b"P5 %d %d 255\n" % (w, h)
+                for i in range(0, len(offsets), every_nth):
+                    start = offsets[i]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["payload"].append(header + payload[start : start + w * h])
+                    out["width"].append(w)
+                    out["height"].append(h)
+            if out["doc_id"]:  # empty pandas frames have no dtypes for Arrow
+                yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        sample_batch, schema=FRAMES_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = (

@@ -125,6 +125,103 @@ def test_multimodal_decode_real_ppm_bmp(spark):
         decode_image_real(b"\x89PNG\r\n\x1a\n compressed")
 
 
+def _wav_bytes(tag: int, channels: int, rate: int, bits: int, n_samples: int) -> bytes:
+    import struct
+
+    frame = channels * bits // 8
+    data = bytes(n_samples * frame)
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * frame, frame, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multimodal_decode_real_wav(spark):
+    """decode_audio (r5): REAL RIFF/WAVE bytes built field-by-field ride
+    the Arrow stage and the parsed (rate, channels, bits, samples,
+    duration) are the planted ground truth; truncated data chunks and
+    compressed formats fail loudly."""
+    import pyspark.sql.functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        decode_audio,
+        decode_audio_real,
+    )
+
+    pcm = _wav_bytes(1, 2, 8000, 16, 4000)  # 16-bit stereo, 0.5 s
+    flt = _wav_bytes(3, 1, 44100, 32, 441)  # float mono, 10 ms
+    df = spark.createDataFrame(
+        [(1, pcm), (2, flt)], "doc_id long, payload binary"
+    ).withColumns(
+        {"n_bytes": F.length("payload").cast("long"), "content_hash": F.md5("payload")}
+    )
+    got = {r.doc_id: r for r in decode_audio(df).collect()}
+    assert (got[1].format, got[1].sample_rate, got[1].channels) == ("wav_pcm", 8000, 2)
+    assert (got[1].bit_depth, got[1].n_samples, got[1].duration_sec) == (16, 4000, 0.5)
+    assert (got[2].format, got[2].bit_depth, got[2].n_samples) == ("wav_float", 32, 441)
+
+    truncated = _wav_bytes(1, 1, 8000, 16, 100)[:-50]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio_real(truncated)
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"ID3\x04\x00 an mp3 stream")
+    with pytest.raises(NotImplementedError, match="format tag"):
+        decode_audio_real(_wav_bytes(2, 1, 8000, 4, 10))  # ADPCM tag
+
+
+def _y4m_bytes(w: int, h: int, n_frames: int, colorspace: bytes = b"420jpeg") -> bytes:
+    frame_bytes = {b"4": w * h * 3 // 2, b"m": w * h}[colorspace[:1]]
+    if colorspace.startswith(b"422"):
+        frame_bytes = w * h * 2
+    elif colorspace.startswith(b"444"):
+        frame_bytes = w * h * 3
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, colorspace)
+    for i in range(n_frames):
+        # fill the luma plane with the frame index so sampled frames are
+        # distinguishable; chroma stays zero
+        out += b"FRAME\n" + bytes([i] * (w * h)) + bytes(frame_bytes - w * h)
+    return out
+
+
+def test_multimodal_video_frame_sampling(spark):
+    """sample_video_frames (r5): REAL y4m bytes → every-Nth frame rows
+    whose PGM payloads the image decoder then parses — the video surface
+    composing with the image surface. decode_video counts frames by
+    walking the stream; torn streams fail loudly."""
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        decode_image_real,
+        decode_video,
+        parse_video_real,
+        sample_video_frames,
+    )
+
+    import pyspark.sql.functions as F
+
+    vid = _y4m_bytes(6, 4, 7)
+    mono = _y4m_bytes(3, 2, 2, colorspace=b"mono")
+    df = spark.createDataFrame(
+        [(1, vid), (2, mono)], "doc_id long, payload binary"
+    ).withColumns(
+        {"n_bytes": F.length("payload").cast("long"), "content_hash": F.md5("payload")}
+    )
+    meta = {r.doc_id: r for r in decode_video(df).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].fps, meta[1].n_frames) == (6, 4, 25.0, 7)
+    assert (meta[2].width, meta[2].n_frames) == (3, 2)
+
+    frames = sample_video_frames(df.filter("doc_id = 1"), every_nth=3).collect()
+    assert sorted(r.frame_idx for r in frames) == [0, 3, 6]
+    for r in frames:
+        fmt, w, h, ch = decode_image_real(bytes(r.payload))
+        assert (fmt, w, h, ch) == ("pgm", 6, 4, 1)
+        # luma plane carries the planted frame index
+        assert bytes(r.payload)[-1] == r.frame_idx
+
+    with pytest.raises(ValueError, match="truncated"):
+        parse_video_real(vid[:-5])
+    with pytest.raises(NotImplementedError):
+        parse_video_real(b"\x00\x00\x00 ftypmp42 an mp4")
+
+
 def test_jaccard_doc_freq_cap_is_precision_preserving(spark):
     """The max_doc_freq scale guard may lose pairs (recall) but must
     never invent them, and jaccard only under-estimates."""
