@@ -680,6 +680,73 @@ def chunk_documents(
     ).withColumn("n_tokens", F.size(tokens(text_col)))
 
 
+def chunk_level_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sub-document dedup, CCNet/RefinedWeb line-dedup style: drop the
+    SPANS shared across documents while keeping the documents — the
+    boilerplate remedy (headers, navigation, license blocks) that
+    document-level dedup (exact / MinHash) cannot express. Real
+    pipelines split on newlines; the fixture corpus is single-line, so
+    the unit here is an ALIGNED ``words_per_chunk``-word chunk —
+    cross-doc repeats are only caught when they land on the same chunk
+    boundaries, the documented trade of fixed chunking vs the quadratic
+    alternative of arbitrary-offset span matching.
+
+    Pipeline: per-row chunking (sequence + transform + posexplode, no
+    shuffle — same shape as :func:`chunk_documents`) → corpus-wide
+    chunk frequency ``count_distinct(doc)`` grouped on **md5(chunk)**
+    (map-side combined; hashing first keeps the shuffle rows at 32
+    bytes of key instead of the chunk text, and md5 is engine-identical
+    so the DuckDB oracle stays value-exact) → join instances to
+    frequencies (a hyper-repeated boilerplate chunk is ONE freq row;
+    instance-side skew is AQE skew-join territory) → keep chunks seen
+    in fewer than ``min_docs`` docs → reassemble per doc in chunk
+    order. Three shuffles total (freq agg, freq join, reassembly), each
+    keyed well-spread — no all-pairs stage anywhere.
+
+    Returns (id, clean_text, n_kept, n_total); a doc whose every chunk
+    is boilerplate drops out entirely (exact duplicates therefore
+    vanish — run after exact dedup, whose canonical row survives).
+    NULL-text rows are skipped."""
+    toked = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("_ws"))
+    )
+    n_chunks = F.ceil(F.size("_ws") / F.lit(float(words_per_chunk))).cast("int")
+    chunked = toked.select(
+        F.col(id_col),
+        n_chunks.cast("long").alias("n_total"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_ws", i * words_per_chunk + 1, words_per_chunk)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("_ch", F.md5("chunk"))
+    freq = chunked.groupBy("_ch").agg(
+        F.count_distinct(id_col).alias("_nd")
+    )
+    kept = chunked.join(freq, "_ch").filter(F.col("_nd") < min_docs)
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("n_total").alias("n_total"),
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 _HEX = "0123456789abcdef"

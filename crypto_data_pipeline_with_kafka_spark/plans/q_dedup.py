@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+    chunk_level_dedup,
     connected_components,
     decontaminate,
     exact_dedup_groups,
@@ -305,3 +306,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5-exact oracle CTE recomputes them — a signature error would flip
 # band keys and break the hash match. tests/test_dedup_similarity.py
 # still value-checks minhash_signatures directly.)
+
+
+_CHUNK_WORDS = 8  # aligned chunk length for the sub-document dedup query
+
+
+@register(
+    "dedup_chunk_level",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id, ws,
+             CAST(ceil(len(ws) / {_CHUNK_WORDS}.0) AS BIGINT) AS n_total
+      FROM toks
+    ),
+    idx AS (
+      SELECT doc_id, ws, n_total, unnest(range(0, n_total)) AS chunk_idx
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id, n_total, chunk_idx,
+             array_to_string(
+               ws[(chunk_idx * {_CHUNK_WORDS} + 1):((chunk_idx + 1) * {_CHUNK_WORDS})],
+               ' ') AS chunk
+      FROM idx
+    ),
+    freq AS (
+      SELECT md5(chunk) AS ch, count(DISTINCT doc_id) AS nd
+      FROM chunks GROUP BY md5(chunk)
+    )
+    SELECT doc_id,
+           string_agg(c.chunk, ' ' ORDER BY c.chunk_idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(c.n_total) AS BIGINT) AS n_total
+    FROM chunks c JOIN freq f ON md5(c.chunk) = f.ch
+    WHERE f.nd < 2
+    GROUP BY doc_id
+    """,
+    doc="Sub-document (CCNet/RefinedWeb line-style) dedup: drop the "
+    f"aligned {_CHUNK_WORDS}-word chunks shared across >= 2 documents, "
+    "keep the rest of each document in order — the boilerplate remover "
+    "document-level dedup cannot express. Chunk frequency is grouped on "
+    "md5(chunk) (engine-identical, so the oracle is value-exact) with "
+    "map-side combine; no all-pairs stage anywhere",
+    tags=("dedup", "chunk"),
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_level_dedup(
+        load_table(spark, sf_dir, "documents"), words_per_chunk=_CHUNK_WORDS
+    )

@@ -349,6 +349,63 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_real",
+    """
+    WITH pay AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 + 4 AS INTEGER) AS width,
+             CAST(doc_id % 5 + 3 AS INTEGER) AS height,
+             'P5 ' || (doc_id % 8 + 4) || ' ' || (doc_id % 5 + 3) || ' 255'
+               || chr(10)
+               || rpad(text, CAST((doc_id % 8 + 4) * (doc_id % 5 + 3) AS INTEGER),
+                       'x') AS s
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+           md5(s) AS content_hash,
+           'pgm' AS format, width, height,
+           CAST(1 AS INTEGER) AS channels
+    FROM pay
+    """,
+    doc="The REAL image decoder under the driver's value gate (upgrading "
+    "it from pytest-attested): each document's text is packed into a "
+    "genuine binary PGM payload (P5 header with per-row planted "
+    "dimensions, text bytes as the raster — all-ASCII fixture, so chars "
+    "= bytes) and decode_images(decoder='real') parses it back inside "
+    "the Arrow mapInPandas stage. The oracle derives the expected "
+    "(format, width, height, channels, n_bytes, content_hash) purely "
+    "arithmetically — any header-parse or raster-validation bug in the "
+    "pure-Python Netpbm decoder breaks the hash match",
+    tags=("multimodal", "udf"),
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.multimodal import decode_images
+
+    w = (F.col("doc_id") % 8 + 4).cast("int")
+    h = (F.col("doc_id") % 5 + 3).cast("int")
+    s = F.concat(
+        F.lit("P5 "),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit(" 255\n"),
+        F.expr("rpad(text, CAST((doc_id % 8 + 4) * (doc_id % 5 + 3) AS INT), 'x')"),
+    )
+    planted = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.encode(s, "UTF-8").alias("payload"),
+            F.length(F.encode(s, "UTF-8")).cast("long").alias("n_bytes"),
+            F.md5(s).alias("content_hash"),
+        )
+    )
+    return decode_images(planted, decoder="real")
+
+
+@register(
     "news_pipeline",
     f"""
     WITH {_TOKS},

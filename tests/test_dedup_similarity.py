@@ -222,6 +222,36 @@ def test_multimodal_video_frame_sampling(spark):
         parse_video_real(b"\x00\x00\x00 ftypmp42 an mp4")
 
 
+def test_chunk_level_dedup_semantics(spark):
+    """chunk_level_dedup (r5): aligned chunks shared across >= min_docs
+    docs are dropped while the rest of each doc survives IN ORDER; a doc
+    that is pure boilerplate disappears; a doc sharing text that does
+    NOT align on chunk boundaries keeps it (the documented fixed-chunk
+    trade)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_level_dedup,
+    )
+
+    boiler = "the quick brown fox"  # 4 words = one aligned chunk at K=4
+    docs = [
+        (1, f"{boiler} alpha beta gamma delta"),          # boiler + unique chunk
+        (2, f"{boiler} epsilon zeta eta theta"),          # boiler + unique chunk
+        (3, boiler),                                      # pure boilerplate
+        (4, f"pad {boiler} iota kappa"),                  # misaligned copy survives
+        (5, None),                                        # NULL text skipped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in chunk_level_dedup(df, words_per_chunk=4).collect()}
+    assert set(got) == {1, 2, 4}  # doc 3 vanished, doc 5 skipped
+    assert got[1].clean_text == "alpha beta gamma delta"
+    assert got[2].clean_text == "epsilon zeta eta theta"
+    assert (got[1].n_kept, got[1].n_total) == (1, 2)
+    # misaligned: doc 4's chunks are "pad the quick brown" / "fox iota
+    # kappa" — neither equals the boilerplate chunk, so all text stays
+    assert got[4].clean_text == f"pad {boiler} iota kappa"
+    assert got[4].n_kept == got[4].n_total == 2
+
+
 def test_jaccard_doc_freq_cap_is_precision_preserving(spark):
     """The max_doc_freq scale guard may lose pairs (recall) but must
     never invent them, and jaccard only under-estimates."""
