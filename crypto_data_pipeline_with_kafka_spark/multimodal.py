@@ -346,10 +346,22 @@ def _make_video_parser():
                 colorspace = p[1:]
         if w <= 0 or h <= 0:
             raise ValueError("Y4M header missing W/H")
+        # High-bit-depth variants (C420p10, C422p12, Cmono16, ...) pack 2
+        # bytes per sample — refusing them MUST be NotImplementedError,
+        # not a downstream mid-raster "corrupt data" ValueError from an
+        # 8-bit frame-size guess.
+        depth_digits = bytes(c for c in colorspace[3:] if 0x30 <= c <= 0x39)
+        if depth_digits and int(depth_digits) > 8:
+            raise NotImplementedError(
+                f"Y4M colorspace {colorspace!r}: bit depths > 8 need 2-byte "
+                "samples (unsupported here)"
+            )
         if colorspace.startswith(b"420"):
             frame_bytes = w * h * 3 // 2
         elif colorspace.startswith(b"422"):
             frame_bytes = w * h * 2
+        elif colorspace == b"444alpha":  # 4th (alpha) plane
+            frame_bytes = w * h * 4
         elif colorspace.startswith(b"444"):
             frame_bytes = w * h * 3
         elif colorspace.startswith(b"mono"):
@@ -381,7 +393,10 @@ VIDEO_SCHEMA = (
     "width int, height int, fps double, n_frames int"
 )
 
-FRAMES_SCHEMA = "doc_id long, frame_idx int, payload binary, width int, height int"
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, payload binary, n_bytes long, "
+    "content_hash string, width int, height int"
+)
 
 
 def decode_video(df: DataFrame) -> DataFrame:
@@ -432,19 +447,26 @@ def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
     _parse = _make_video_parser()
 
     def sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in it:
             out: dict[str, list] = {
-                "doc_id": [], "frame_idx": [], "payload": [],
-                "width": [], "height": [],
+                "doc_id": [], "frame_idx": [], "payload": [], "n_bytes": [],
+                "content_hash": [], "width": [], "height": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, _fps, offsets, _fb = _parse(payload)
                 header = b"P5 %d %d 255\n" % (w, h)
                 for i in range(0, len(offsets), every_nth):
                     start = offsets[i]
+                    frame = header + payload[start : start + w * h]
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
-                    out["payload"].append(header + payload[start : start + w * h])
+                    out["payload"].append(frame)
+                    # downstream stage contract (decode_images /
+                    # resize_images select these):
+                    out["n_bytes"].append(len(frame))
+                    out["content_hash"].append(hashlib.md5(frame).hexdigest())
                     out["width"].append(w)
                     out["height"].append(h)
             if out["doc_id"]:  # empty pandas frames have no dtypes for Arrow

@@ -730,6 +730,11 @@ def chunk_level_dedup(
             )
         ).alias("chunk_idx", "chunk"),
     ).withColumn("_ch", F.md5("chunk"))
+    # chunked feeds BOTH the frequency agg and the instance side of the
+    # join; without a persist the tokenize+posexplode+md5 pipeline runs
+    # twice over the corpus (the agg exchange can't be reused). Module
+    # cache-lifecycle contract applies: callers clear when done.
+    chunked = chunked.persist()
     freq = chunked.groupBy("_ch").agg(
         F.count_distinct(id_col).alias("_nd")
     )

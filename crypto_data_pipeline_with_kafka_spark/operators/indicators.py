@@ -152,6 +152,7 @@ def prefilter_to_ingest_range(
     existing: DataFrame,
     ts_col: str = "ts",
     dt_col: str = "dt",
+    existing_ts_col: str | None = None,
 ) -> DataFrame:
     """Bound the anti-join's ``existing``-keys side to the ingest batch's
     ``[min(ts), max(ts)]``. The join keys include ``ts``, so an existing
@@ -167,27 +168,35 @@ def prefilter_to_ingest_range(
     warehouse date-partition column (``dt``), the derived date predicate
     is STATIC, so it lands in PartitionFilters and history partitions
     are pruned at planning time, before any file is opened
-    (plan-asserted in tests/test_plans.py)."""
+    (plan-asserted in tests/test_plans.py). ``existing_ts_col`` names
+    the timestamp column on the ``existing`` side when it differs from
+    the probe side's ``ts_col``."""
     # The dt strings come from date_format IN THE PROBE, so they are
     # rendered under the SESSION timezone — the same timezone
     # write_events_warehouse used to derive the dt partition values. A
     # driver-side strftime would render under the host's local zone and
-    # mis-prune boundary partitions on non-UTC hosts.
+    # mis-prune boundary partitions on non-UTC hosts. The ts bounds ride
+    # as EPOCH MICROS, never as Python datetimes: collect() hands back
+    # naive local-tz datetimes whose F.lit() re-conversion is ambiguous
+    # in a DST fold hour (the instant can shift by an hour and mis-prune
+    # boundary rows on non-UTC drivers); integers round-trip exactly.
     b = ingest.agg(
-        F.min(ts_col).alias("lo"),
-        F.max(ts_col).alias("hi"),
+        F.unix_micros(F.min(ts_col)).alias("lo_us"),
+        F.unix_micros(F.max(ts_col)).alias("hi_us"),
         F.date_format(F.min(ts_col), "yyyy-MM-dd").alias("lo_dt"),
         F.date_format(F.max(ts_col), "yyyy-MM-dd").alias("hi_dt"),
     ).first()
-    if b["lo"] is None:  # empty ingest → the anti-join output is empty anyway
+    if b["lo_us"] is None:  # empty ingest → the anti-join output is empty anyway
         return existing.limit(0)
+    ets = existing_ts_col if existing_ts_col is not None else ts_col
     out = existing
     if dt_col in existing.columns:
         out = out.filter(
             (F.col(dt_col) >= b["lo_dt"]) & (F.col(dt_col) <= b["hi_dt"])
         )
     return out.filter(
-        (F.col(ts_col) >= F.lit(b["lo"])) & (F.col(ts_col) <= F.lit(b["hi"]))
+        (F.col(ets) >= F.timestamp_micros(F.lit(b["lo_us"])))
+        & (F.col(ets) <= F.timestamp_micros(F.lit(b["hi_us"])))
     )
 
 
@@ -228,6 +237,22 @@ def indicator_pipeline(
         ind = indicators
     if existing is not None:
         if prefilter_existing:
-            existing = prefilter_to_ingest_range(events, existing, ts_col=ts_col)
+            # The pre-filter's no-op guarantee requires bounding
+            # ``existing`` by the ANTI-JOIN'S LEFT SIDE's ts range. When
+            # we computed `ind` ourselves its ts values are exactly the
+            # events' ts values, so probing the raw `events` is the
+            # cheap equivalent; a CALLER-supplied `indicators` relation
+            # is independent of `events` (possibly wider, possibly
+            # non-empty against an empty batch), so the probe must run
+            # on it — pass a persisted relation to keep that probe from
+            # recomputing the plan.
+            if indicators is None:
+                existing = prefilter_to_ingest_range(
+                    events, existing, ts_col=ts_col, existing_ts_col="ts"
+                )
+            else:
+                existing = prefilter_to_ingest_range(
+                    ind.select("ts"), existing, ts_col="ts"
+                )
         ind = ind.join(existing, on=[*key_cols, "type_id", "ts"], how="left_anti")
     return ind.select(*key_cols, "type_id", "type_name", "ind_value", "ts")

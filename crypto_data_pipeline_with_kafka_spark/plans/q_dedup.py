@@ -87,6 +87,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_dedup_similarity.py.
 _NGRAM_MAX_DF = 50
 
+# Aligned chunk length for the 'chunk' (sub-document dedup) leg.
+_CHUNK_WORDS = 8
+
 _CAPPED_JACCARD_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
 sh AS (
@@ -121,6 +124,33 @@ dec AS (
   SELECT doc_id, bench_id,
          CAST(overlap AS DOUBLE) / n_bench AS containment
   FROM hits JOIN bsizes USING (bench_id)
+),
+cbase AS (
+  SELECT doc_id, ws, CAST(ceil(len(ws) / {_CHUNK_WORDS}.0) AS BIGINT) AS n_total
+  FROM toks WHERE ws IS NOT NULL
+),
+cidx AS (
+  SELECT doc_id, ws, n_total, unnest(range(0, n_total)) AS chunk_idx FROM cbase
+),
+cchunks AS (
+  SELECT doc_id, n_total, chunk_idx,
+         array_to_string(
+           ws[(chunk_idx * {_CHUNK_WORDS} + 1):((chunk_idx + 1) * {_CHUNK_WORDS})],
+           ' ') AS chunk
+  FROM cidx
+),
+cfreq AS (
+  SELECT md5(chunk) AS ch, count(DISTINCT doc_id) AS nd
+  FROM cchunks GROUP BY md5(chunk)
+),
+creass AS (
+  SELECT doc_id,
+         string_agg(c.chunk, ' ' ORDER BY c.chunk_idx) AS clean_text,
+         count(*) AS n_kept,
+         any_value(c.n_total) AS n_total
+  FROM cchunks c JOIN cfreq f ON md5(c.chunk) = f.ch
+  WHERE f.nd < 2
+  GROUP BY doc_id
 )
 SELECT 'pairs' AS method, id_a, id_b, jaccard AS score
 FROM jac WHERE jaccard >= 0.8
@@ -128,6 +158,11 @@ UNION ALL
 SELECT 'decontam' AS method, doc_id AS id_a, bench_id AS id_b,
        containment AS score
 FROM dec WHERE containment >= 0.5
+UNION ALL
+SELECT 'chunk' AS method, doc_id AS id_a,
+       CAST(('0x' || substr(md5(clean_text), 1, 13)) AS BIGINT) AS id_b,
+       CAST(n_kept AS DOUBLE) / n_total AS score
+FROM creass
 """
 
 
@@ -145,7 +180,16 @@ FROM dec WHERE containment >= 0.5
     "eval items, as a real crawl does — verbatim copies must flag at "
     "exactly 1.0) — directional k-gram containment (normalized by the "
     "BENCHMARK side, so a whole eval item embedded in a long document "
-    "scores 1.0), eval shingles broadcast, flagged at containment ≥ 0.5",
+    "scores 1.0), eval shingles broadcast, flagged at containment ≥ 0.5; "
+    "'chunk' (r5) = SUB-document dedup, CCNet/RefinedWeb line-style "
+    f"(operators.dedup.chunk_level_dedup): aligned {_CHUNK_WORDS}-word "
+    "chunks shared across >= 2 docs are dropped and each doc's surviving "
+    "text reassembled in order — the boilerplate remover document-level "
+    "dedup cannot express. Leg encoding into the shared schema: id_a = "
+    "doc, id_b = 52-bit md5 prefix of the reassembled clean_text (so the "
+    "ORDER of surviving chunks is value-checked), score = kept/total "
+    "chunk ratio; the rich (clean_text, n_kept, n_total) frame is "
+    "pinned directly by the planted-corpus pytest",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +215,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bench_id").alias("id_b"),
         F.col("containment").alias("score"),
     )
-    return pairs.unionByName(dec)
+    chunk = chunk_level_dedup(docs, words_per_chunk=_CHUNK_WORDS).select(
+        F.lit("chunk").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 13), 16, 10)
+        .cast("long")
+        .alias("id_b"),
+        (F.col("n_kept").cast("double") / F.col("n_total")).alias("score"),
+    )
+    return pairs.unionByName(dec).unionByName(chunk)
 
 
 @register(
@@ -306,55 +358,3 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5-exact oracle CTE recomputes them — a signature error would flip
 # band keys and break the hash match. tests/test_dedup_similarity.py
 # still value-checks minhash_signatures directly.)
-
-
-_CHUNK_WORDS = 8  # aligned chunk length for the sub-document dedup query
-
-
-@register(
-    "dedup_chunk_level",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS ws
-      FROM documents WHERE text IS NOT NULL
-    ),
-    base AS (
-      SELECT doc_id, ws,
-             CAST(ceil(len(ws) / {_CHUNK_WORDS}.0) AS BIGINT) AS n_total
-      FROM toks
-    ),
-    idx AS (
-      SELECT doc_id, ws, n_total, unnest(range(0, n_total)) AS chunk_idx
-      FROM base
-    ),
-    chunks AS (
-      SELECT doc_id, n_total, chunk_idx,
-             array_to_string(
-               ws[(chunk_idx * {_CHUNK_WORDS} + 1):((chunk_idx + 1) * {_CHUNK_WORDS})],
-               ' ') AS chunk
-      FROM idx
-    ),
-    freq AS (
-      SELECT md5(chunk) AS ch, count(DISTINCT doc_id) AS nd
-      FROM chunks GROUP BY md5(chunk)
-    )
-    SELECT doc_id,
-           string_agg(c.chunk, ' ' ORDER BY c.chunk_idx) AS clean_text,
-           CAST(count(*) AS BIGINT) AS n_kept,
-           CAST(any_value(c.n_total) AS BIGINT) AS n_total
-    FROM chunks c JOIN freq f ON md5(c.chunk) = f.ch
-    WHERE f.nd < 2
-    GROUP BY doc_id
-    """,
-    doc="Sub-document (CCNet/RefinedWeb line-style) dedup: drop the "
-    f"aligned {_CHUNK_WORDS}-word chunks shared across >= 2 documents, "
-    "keep the rest of each document in order — the boilerplate remover "
-    "document-level dedup cannot express. Chunk frequency is grouped on "
-    "md5(chunk) (engine-identical, so the oracle is value-exact) with "
-    "map-side combine; no all-pairs stage anywhere",
-    tags=("dedup", "chunk"),
-)
-def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_level_dedup(
-        load_table(spark, sf_dir, "documents"), words_per_chunk=_CHUNK_WORDS
-    )

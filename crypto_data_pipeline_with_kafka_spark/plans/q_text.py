@@ -319,39 +319,8 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
       FROM documents
-    )
-    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
-           content_hash,
-           CASE WHEN n_bytes % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-           CAST(16 + (n_bytes % 64) AS INTEGER) AS width,
-           CAST(16 + ((n_bytes // 64) % 64) AS INTEGER) AS height,
-           CAST(CASE WHEN n_bytes % 3 <> 0 THEN 3 ELSE 4 END AS INTEGER) AS channels
-    FROM b
-    """,
-    doc="Multimodal plumbing in one checked plan: opaque binary payload "
-    "column (utf-8 bytes standing in for image/audio blobs) with typed "
-    "metadata — byte length + content hash survive the binary hop "
-    "identically in both engines — then the decode stage via Arrow "
-    "mapInPandas (binary payload → typed image metadata). The decoder is "
-    "the documented deterministic STUB (no codecs in this container) — "
-    "which makes even the Python batch path value-checkable against SQL; "
-    "swap decode_image_stub for PIL/ffmpeg and the plumbing (schema, "
-    "batching, partitioning) holds",
-    tags=("multimodal", "udf"),
-)
-def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.multimodal import (
-        attach_binary_payload,
-        decode_images,
-    )
-
-    return decode_images(attach_binary_payload(_docs(spark, sf_dir)))
-
-
-@register(
-    "mm_decode_real",
-    """
-    WITH pay AS (
+    ),
+    pay AS (
       SELECT doc_id,
              CAST(doc_id % 8 + 4 AS INTEGER) AS width,
              CAST(doc_id % 5 + 3 AS INTEGER) AS height,
@@ -361,27 +330,45 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                        'x') AS s
       FROM documents WHERE text IS NOT NULL
     )
-    SELECT doc_id,
+    SELECT 'stub' AS method, doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           content_hash,
+           CASE WHEN n_bytes % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(16 + (n_bytes % 64) AS INTEGER) AS width,
+           CAST(16 + ((n_bytes // 64) % 64) AS INTEGER) AS height,
+           CAST(CASE WHEN n_bytes % 3 <> 0 THEN 3 ELSE 4 END AS INTEGER) AS channels
+    FROM b
+    UNION ALL
+    SELECT 'real' AS method, doc_id,
            CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
            md5(s) AS content_hash,
            'pgm' AS format, width, height,
            CAST(1 AS INTEGER) AS channels
     FROM pay
     """,
-    doc="The REAL image decoder under the driver's value gate (upgrading "
-    "it from pytest-attested): each document's text is packed into a "
-    "genuine binary PGM payload (P5 header with per-row planted "
-    "dimensions, text bytes as the raster — all-ASCII fixture, so chars "
-    "= bytes) and decode_images(decoder='real') parses it back inside "
-    "the Arrow mapInPandas stage. The oracle derives the expected "
-    "(format, width, height, channels, n_bytes, content_hash) purely "
-    "arithmetically — any header-parse or raster-validation bug in the "
-    "pure-Python Netpbm decoder breaks the hash match",
+    doc="Multimodal decode, tagged union of both decoder paths through "
+    "the SAME Arrow mapInPandas stage: 'stub' = opaque binary payload "
+    "(utf-8 bytes standing in for compressed blobs) through the "
+    "documented deterministic stub decoder — byte length + content hash "
+    "survive the binary hop identically in both engines; 'real' (r5) = "
+    "each document's text packed into a GENUINE binary PGM payload (P5 "
+    "header with per-row planted dimensions, text bytes as the raster — "
+    "all-ASCII fixture, so chars = bytes) and decode_images("
+    "decoder='real') — the pure-Python Netpbm parser — decodes it back. "
+    "The oracle derives both legs' (format, width, height, channels, "
+    "n_bytes, content_hash) purely arithmetically, so a header-parse or "
+    "raster-validation bug breaks the hash match",
     tags=("multimodal", "udf"),
 )
-def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.multimodal import decode_images
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        attach_binary_payload,
+        decode_images,
+    )
 
+    docs = _docs(spark, sf_dir)
+    stub = decode_images(attach_binary_payload(docs)).select(
+        F.lit("stub").alias("method"), "*"
+    )
     w = (F.col("doc_id") % 8 + 4).cast("int")
     h = (F.col("doc_id") % 5 + 3).cast("int")
     s = F.concat(
@@ -392,17 +379,16 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" 255\n"),
         F.expr("rpad(text, CAST((doc_id % 8 + 4) * (doc_id % 5 + 3) AS INT), 'x')"),
     )
-    planted = (
-        _docs(spark, sf_dir)
-        .filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.encode(s, "UTF-8").alias("payload"),
-            F.length(F.encode(s, "UTF-8")).cast("long").alias("n_bytes"),
-            F.md5(s).alias("content_hash"),
-        )
+    planted = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.encode(s, "UTF-8").alias("payload"),
+        F.length(F.encode(s, "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5(s).alias("content_hash"),
     )
-    return decode_images(planted, decoder="real")
+    real = decode_images(planted, decoder="real").select(
+        F.lit("real").alias("method"), "*"
+    )
+    return stub.unionByName(real)
 
 
 @register(

@@ -25,13 +25,21 @@ def _autodetect_jdbc() -> None:
 
     if os.environ.get("SPARK_JDBC_URL") or os.environ.get("SPARK_JDBC_JARS"):
         return
+    import re
+
+    def _ver(path: str) -> tuple:
+        # numeric version sort — a lexicographic sort would pick 1.9.0
+        # over 1.10.0; the NEWEST driver is the one that can open files
+        # written by the (current) Python duckdb module
+        return tuple(int(x) for x in re.findall(r"\d+", os.path.basename(path)))
+
     for cache in ("~/.cache/coursier", "~/.ivy2", "~/.m2"):
         jars = glob.glob(
             os.path.expanduser(f"{cache}/**/duckdb_jdbc*.jar"), recursive=True
         )
         if jars:
             db = os.path.join(tempfile.mkdtemp(prefix="live_jdbc_"), "wh.db")
-            os.environ["SPARK_JDBC_JARS"] = sorted(jars)[-1]
+            os.environ["SPARK_JDBC_JARS"] = max(jars, key=_ver)
             os.environ["SPARK_JDBC_URL"] = f"jdbc:duckdb:{db}"
             os.environ["SPARK_JDBC_DRIVER"] = "org.duckdb.DuckDBDriver"
             return

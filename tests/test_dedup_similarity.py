@@ -208,7 +208,8 @@ def test_multimodal_video_frame_sampling(spark):
     assert (meta[1].width, meta[1].height, meta[1].fps, meta[1].n_frames) == (6, 4, 25.0, 7)
     assert (meta[2].width, meta[2].n_frames) == (3, 2)
 
-    frames = sample_video_frames(df.filter("doc_id = 1"), every_nth=3).collect()
+    frames_df = sample_video_frames(df.filter("doc_id = 1"), every_nth=3)
+    frames = frames_df.collect()
     assert sorted(r.frame_idx for r in frames) == [0, 3, 6]
     for r in frames:
         fmt, w, h, ch = decode_image_real(bytes(r.payload))
@@ -216,10 +217,19 @@ def test_multimodal_video_frame_sampling(spark):
         # luma plane carries the planted frame index
         assert bytes(r.payload)[-1] == r.frame_idx
 
+    # the advertised composition: sampled frames ride the image decode
+    # stage AS A DATAFRAME (schema contract, not just payload bytes)
+    composed = decode_images(frames_df, decoder="real").collect()
+    assert len(composed) == 3
+    assert all((r.format, r.width, r.height, r.channels) == ("pgm", 6, 4, 1)
+               for r in composed)
+
     with pytest.raises(ValueError, match="truncated"):
         parse_video_real(vid[:-5])
     with pytest.raises(NotImplementedError):
         parse_video_real(b"\x00\x00\x00 ftypmp42 an mp4")
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        parse_video_real(b"YUV4MPEG2 W4 H2 F25:1 C420p10\n")
 
 
 def test_chunk_level_dedup_semantics(spark):

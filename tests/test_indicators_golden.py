@@ -167,3 +167,20 @@ def test_prefilter_empty_ingest(spark, series_df):
     empty = series_df.limit(0)
     assert prefilter_to_ingest_range(empty, existing).count() == 0
     assert indicator_pipeline(spark, empty, existing=existing).count() == 0
+
+
+def test_prefilter_bounds_follow_supplied_indicators(spark, series_df):
+    """With a caller-supplied ``indicators`` relation the pre-filter must
+    probe ITS ts range, not the (possibly empty or narrower) events
+    batch — otherwise `existing` rows that would have matched are
+    pruned and already-persisted indicators get re-emitted (r5 review
+    finding). Supplying the full indicator relation with an EMPTY events
+    frame must still anti-join everything away."""
+    ind = indicator_pipeline(spark, series_df).persist()
+    existing = ind.select("user_id", "type_id", "ts")
+    empty_events = series_df.limit(0)
+    out = indicator_pipeline(
+        spark, empty_events, existing=existing, indicators=ind
+    )
+    assert out.count() == 0  # every row already persisted → all dropped
+    ind.unpersist()
