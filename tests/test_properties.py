@@ -646,3 +646,125 @@ def test_bigram_lm_cross_corpus_scoring(spark):
         want = float(str(q)) / len(bgs)
         assert abs(got[i].avg_logprob - want) <= 1e-9, (i, got[i].avg_logprob, want)
     assert got[102].ppl > got[101].ppl > got[100].ppl
+
+
+# ------------------------- multimodal parsers (pure Python, no Spark) --
+
+
+@st.composite
+def _wav_params(draw):
+    return (
+        draw(st.sampled_from([1, 3])),        # PCM / IEEE float
+        draw(st.integers(1, 8)),              # channels
+        draw(st.sampled_from([8000, 16000, 44100, 48000])),
+        draw(st.sampled_from([8, 16, 24, 32])),
+        draw(st.integers(0, 500)),            # n_samples
+        draw(st.booleans()),                  # extra odd-sized chunk first
+    )
+
+
+@given(_wav_params())
+@settings(max_examples=50, deadline=None)
+def test_wav_decode_roundtrip_property(params):
+    """Any well-formed RIFF/WAVE PCM/float file — including one with an
+    odd-sized foreign chunk before fmt/data, exercising the even-byte
+    chunk-padding walk — decodes to exactly the planted parameters."""
+    import struct
+
+    from crypto_data_pipeline_with_kafka_spark.multimodal import decode_audio_real
+
+    tag, ch, rate, bits, n, extra = params
+    frame = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * frame, frame, bits)
+    body = b"WAVE"
+    if extra:  # 3-byte chunk: walker must pad its size to 4 (even)
+        body += b"note" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", n * frame) + bytes(n * frame)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    got = decode_audio_real(payload)
+    want_fmt = "wav_pcm" if tag == 1 else "wav_float"
+    assert got == (want_fmt, rate, ch, bits, n, n / rate)
+
+
+@st.composite
+def _y4m_params(draw):
+    return (
+        draw(st.integers(1, 16)) * 2,         # even width
+        draw(st.integers(1, 12)) * 2,         # even height
+        draw(st.integers(0, 6)),              # n_frames
+        draw(st.sampled_from([b"420jpeg", b"420", b"422", b"444", b"mono"])),
+        draw(st.integers(1, 4)),              # every_nth
+    )
+
+
+@given(_y4m_params())
+@settings(max_examples=50, deadline=None)
+def test_y4m_parse_roundtrip_property(params):
+    """Any well-formed y4m stream parses to the planted geometry and
+    frame count; frame offsets slice back rasters of exactly the
+    colorspace's size; sampling arithmetic matches ceil(n/k)."""
+    import math
+
+    from crypto_data_pipeline_with_kafka_spark.multimodal import parse_video_real
+
+    w, h, n_frames, cs, k = params
+    per = {b"mono": w * h, b"422": w * h * 2, b"444": w * h * 3}.get(
+        cs, w * h * 3 // 2
+    )
+    payload = b"YUV4MPEG2 W%d H%d F30:1 C%s\n" % (w, h, cs)
+    for i in range(n_frames):
+        payload += b"FRAME\n" + bytes([i % 251] * per)
+
+    gw, gh, fps, offsets, fb = parse_video_real(payload)
+    assert (gw, gh, fps, fb) == (w, h, 30.0, per)
+    assert len(offsets) == n_frames
+    for i, off in enumerate(offsets):
+        assert payload[off : off + fb] == bytes([i % 251] * per)
+    assert len(range(0, n_frames, k)) == math.ceil(n_frames / k) if n_frames else True
+
+
+def test_chunk_level_dedup_matches_sequential_reference(spark):
+    """chunk_level_dedup on a seeded random corpus with planted
+    boilerplate equals a sequential pure-Python implementation of the
+    same spec (aligned K-word chunks, drop if >= 2 distinct docs share
+    the chunk, reassemble in order) — one Spark run, exact compare."""
+    import random
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_level_dedup,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = ["copy right header block"] * 1  # 4-word boilerplate chunk
+    docs = []
+    for d in range(120):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        if d % 3 == 0:  # plant the shared chunk at an aligned offset
+            words = boiler[0].split() + words
+        docs.append((d, " ".join(words)))
+
+    K = 4
+    # sequential reference
+    chunks_by_doc = {}
+    freq: dict[str, set] = {}
+    for d, text in docs:
+        ws = text.strip().split(" ")
+        cs = [" ".join(ws[i : i + K]) for i in range(0, len(ws), K)]
+        chunks_by_doc[d] = cs
+        for c in cs:
+            freq.setdefault(c, set()).add(d)
+    want = {}
+    for d, cs in chunks_by_doc.items():
+        kept = [c for c in cs if len(freq[c]) < 2]
+        if kept:
+            want[d] = (" ".join(kept), len(kept), len(cs))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_total)
+        for r in chunk_level_dedup(df, words_per_chunk=K).collect()
+    }
+    assert got == want
