@@ -876,3 +876,41 @@ def all_pairs_cosine(
         .drop("_apc_ok")
     )
     return cosine_for_pairs(base, pairs, min_cosine=min_cosine)
+
+
+# ------------------------------------------------- IVF index persistence
+
+
+def save_ivf_index(centroids: DataFrame, assignments: DataFrame, path: str) -> None:
+    """Persist a trained IVF index for reuse across query batches,
+    sessions, and jobs — the train-once/query-forever deployment shape
+    ``ivf_topk``'s docstring promises. Two-table parquet layout:
+    ``centroids/`` (centroid_id, cvec) and ``assignments/`` (id,
+    probe_rank) PARTITIONED BY centroid_id — a serve-time read of one
+    probed cell's inverted list prunes to that cell's directory
+    (PartitionFilters, plan-tested), which is exactly the IVF access
+    pattern. Overwrite mode, so re-training is idempotent.
+
+    At 100 TB the assignments table is one row per corpus vector per
+    probe; partition count = num_centroids (tuned ∝ sqrt(corpus)),
+    each a sequential columnar read. The centroid table is O(C) and
+    broadcastable on load."""
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        assignments.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assignments")
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read back ``(centroids, assignments)`` written by
+    :func:`save_ivf_index`, ready to pass into ``ivf_topk``/
+    ``ivf_ann_pairs`` via their ``centroids=``/``assignments=`` hooks.
+    The partition-discovered ``centroid_id`` is cast back to the
+    writer-side int so joins/filters line up typed."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigns = spark.read.parquet(f"{path}/assignments").withColumn(
+        "centroid_id", F.col("centroid_id").cast("int")
+    )
+    return cents, assigns

@@ -815,3 +815,54 @@ def test_ivf_topk_query_path(spark):
     cents = lloyd_refined_centroids(base, num_centroids=8, rounds=2, vec_col="vdbl")
     rl = len(set(bf) & set(run(3, cents))) / len(bf)
     assert rl >= r3 - 0.05, (rl, r3)
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """save_ivf_index / load_ivf_index (r5): a trained IVF index
+    (centroids + ranked probe assignments) written to the two-table
+    parquet layout and read back drives ivf_topk to EXACTLY the results
+    of the freshly-computed index, and a serve-time single-cell read of
+    the assignments prunes to that cell's partition directory."""
+    import re
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        ivf_assignments,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = _ensure_ann_base(emb, "vec_id").persist()
+    cents = _seed_centroids(base, 16, "vec_id")
+    assigns = ivf_assignments(
+        base, 16, probes=3, id_col="vec_id", vec_col="vdbl",
+        centroids=cents, with_rank=True,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(cents, assigns, path)
+    l_cents, l_assigns = load_ivf_index(spark, path)
+
+    fresh = ivf_topk(base, k=5, num_centroids=16, probes=3, assignments=assigns)
+    reloaded = ivf_topk(base, k=5, num_centroids=16, probes=3,
+                        assignments=l_assigns)
+    a = sorted(tuple(r) for r in fresh.collect())
+    b = sorted(tuple(r) for r in reloaded.collect())
+    assert a == b and len(a) > 0
+
+    # loaded centroids are usable on the centroids= hook too
+    via_cents = ivf_topk(base, k=5, num_centroids=16, probes=3,
+                         centroids=l_cents)
+    c = sorted(tuple(r) for r in via_cents.collect())
+    assert c == a
+
+    # serve-time inverted-list access: one cell's read is partition-pruned
+    one_cell = spark.read.parquet(f"{path}/assignments").filter(
+        "centroid_id = 3"
+    )
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*centroid_id", plan), plan
+    base.unpersist()
