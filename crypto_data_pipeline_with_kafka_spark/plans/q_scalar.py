@@ -29,22 +29,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT event_id,
            to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload,
            json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_variant,
+           event_type AS vt_type
     FROM events
     """,
     doc="F1+F2 in one checked plan: JSON serialize — the producers' "
     "json.dumps (producer_prices.py:13), engine: to_json(struct(...)) "
-    "for Kafka value columns (S3 shape) — and JSON deserialize — the "
-    "consumers' json.loads (consumer_prices.py:51), engine: "
-    "get_json_object on the in-flight payload column",
+    "for Kafka value columns (S3 shape) — and JSON deserialize twice "
+    "over: the consumers' json.loads (consumer_prices.py:51) as "
+    "get_json_object on the in-flight payload column, AND (r5) the "
+    "Spark-4-native VARIANT path — parse_json once, typed "
+    "try_variant_get extraction — which at scale parses each JSON "
+    "document ONCE into a binary columnar encoding instead of "
+    "re-parsing per get_json_object call. Both extractions are "
+    "value-checked against DuckDB's independent JSON reader "
+    "(k_variant) and against the pre-serialization column itself "
+    "(vt_type: serialize → parse_json → variant_get must be the "
+    "identity)",
     tags=("json",),
 )
 def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payload = F.to_json(F.struct("event_id", "event_type"))
     return _t(spark, sf_dir, "events").select(
         "event_id",
-        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
+        payload.alias("payload"),
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k_variant"),
+        F.try_variant_get(F.parse_json(payload), "$.event_type", "string").alias(
+            "vt_type"
+        ),
     )
 
 
