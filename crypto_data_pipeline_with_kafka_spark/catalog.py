@@ -71,6 +71,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Raise map-side parallelism when a scan is narrower than the
+    cluster. CPU-heavy per-row operators (shingle md5, simhash packing,
+    cosine folds) inherit the scan's partitioning, and a small parquet
+    table arrives as ONE split (``spark.sql.files.maxPartitionBytes``
+    is far above the file size) — serializing megabytes of hash work on
+    a 32-core executor. When the plan's partition count is below the
+    cluster's ``defaultParallelism``, hash-repartition on ``key_cols``
+    up to it; hash (not round-robin) partitioning reproduces the same
+    layout under task retry, so downstream results stay deterministic.
+
+    Scale behavior: at 100 TB every scan already carries thousands of
+    splits, the condition is false, and this is a pure no-op — the
+    extra shuffle exists ONLY in the narrow-scan regime where the data
+    is small (cheap to move) and the CPU work is the bottleneck. The
+    partition probe is plan-side (no job). Streaming frames pass
+    through untouched (their parallelism is the source's to decide)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

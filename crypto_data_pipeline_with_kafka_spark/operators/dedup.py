@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from crypto_data_pipeline_with_kafka_spark.catalog import widen_if_narrow
 from crypto_data_pipeline_with_kafka_spark.functions.text import (
     shingles_from_tokens,
     tokens,
@@ -52,8 +53,14 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     The token array is materialized as a column FIRST: inlining
     ``split(trim(text))`` into the shingle lambda would re-evaluate the
     split for every element_at (k+1 splits per shingle — measured ~7×
-    slower at sf0.1)."""
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_ws"))
+    slower at sf0.1).
+
+    The input is widened first (:func:`widen_if_narrow`): the k·md5
+    work downstream of the explode inherits the scan's partitioning,
+    and a single-split scan would serialize it."""
+    toked = widen_if_narrow(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("_ws")
+    )
     return (
         toked.filter(F.size("_ws") >= k)
         .select(
@@ -714,7 +721,8 @@ def chunk_level_dedup(
     vanish — run after exact dedup, whose canonical row survives).
     NULL-text rows are skipped."""
     toked = (
-        df.filter(F.col(text_col).isNotNull())
+        widen_if_narrow(df, id_col)
+        .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(text_col).alias("_ws"))
     )
     n_chunks = F.ceil(F.size("_ws") / F.lit(float(words_per_chunk))).cast("int")
@@ -785,7 +793,8 @@ def simhash_bits(
     the packing is implementation, not semantics).
     """
     wc = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        widen_if_narrow(df, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

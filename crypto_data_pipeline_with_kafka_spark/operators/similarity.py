@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from crypto_data_pipeline_with_kafka_spark.catalog import widen_if_narrow
+
 # Quantization scale: components become trunc(x * 1e12) integers.
 # Truncation (NOT decimal rounding) because float32 data is dyadic —
 # e.g. 0.1983642578125 is an EXACT half at decimal scale 12, and Spark
@@ -77,7 +79,9 @@ def with_q_and_norm(
 ) -> DataFrame:
     """(id, vq, norm_sq): quantized components + exact squared norm
     (at the quantized scale)."""
-    d = emb.select(F.col(id_col), quantized_vector(vec_col).alias("vq"))
+    d = widen_if_narrow(emb, id_col).select(
+        F.col(id_col), quantized_vector(vec_col).alias("vq")
+    )
     return d.withColumn("norm_sq", dot_exact(F.col("vq"), F.col("vq")))
 
 
@@ -102,7 +106,9 @@ def with_dbl_and_norm(
     """(id, vdbl, norm_sq): double components for cheap pair math +
     EXACT squared norm (right when most corpus rows end up in emitted
     pairs, e.g. all-pairs near-dup — the norm fold amortizes)."""
-    d = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
+    d = widen_if_narrow(emb, id_col).select(
+        F.col(id_col), dbl_vector(vec_col).alias("vdbl")
+    )
     q = quantized_vector(F.col("vdbl"))
     return d.withColumn("norm_sq", dot_exact(q, q))
 
@@ -117,7 +123,9 @@ def with_dbl_and_approx_norm(
     surviving pairs (``cosine_for_pairs(exact_norms_in_base=False)``).
     The ~1e-12 relative norm error is absorbed by the 1e-6 prefilter
     margin and never reaches an emitted value."""
-    d = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
+    d = widen_if_narrow(emb, id_col).select(
+        F.col(id_col), dbl_vector(vec_col).alias("vdbl")
+    )
     norm = dot_double(F.col("vdbl"), F.col("vdbl")) * F.lit(1e24)
     return d.withColumn("norm_sq", norm)
 

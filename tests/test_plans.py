@@ -266,3 +266,32 @@ def test_flagship_prefilter_prunes_existing_partitions(spark, tmp_path):
     on = indicator_pipeline(spark, ingest, existing=existing)
     off = indicator_pipeline(spark, ingest, existing=existing, prefilter_existing=False)
     assert on.exceptAll(off).isEmpty() and off.exceptAll(on).isEmpty()
+
+
+def test_widen_if_narrow_fixes_single_split_scans(spark):
+    """A single-split scan is widened to cluster parallelism (hash
+    partitioning — deterministic under retry); an input already at or
+    above defaultParallelism passes through with NO added shuffle."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.catalog import widen_if_narrow
+
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF, "documents")
+    assert docs.rdd.getNumPartitions() < target  # the premise: narrow scan
+    wide = widen_if_narrow(docs, "doc_id")
+    assert wide.rdd.getNumPartitions() == target
+    # value-preserving: same rows, and hash partitioning keeps layout
+    # deterministic across evaluations
+    assert wide.count() == docs.count()
+    assert "hashpartitioning" in wide._jdf.queryExecution().toString().lower()
+
+    already_wide = docs.repartition(target, "doc_id")
+    passthrough = widen_if_narrow(already_wide, "doc_id")
+    assert passthrough is already_wide  # no extra Exchange on the scale path
+
+    # streaming frames pass through untouched
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    assert widen_if_narrow(stream, "value") is stream
