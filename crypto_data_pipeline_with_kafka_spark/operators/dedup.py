@@ -647,6 +647,52 @@ def connected_components(
     )
 
 
+def select_cluster_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted canonical selection: ONE surviving document per
+    duplicate cluster — the member with the HIGHEST quality (ties →
+    lowest id), not blindly the min-id canonical. After near-dup
+    clustering an LLM pipeline keeps exactly one member per cluster;
+    min-id is arbitrary, while production pipelines keep the best copy
+    (longest / highest-scoring — the RefinedWeb/FineWeb keep-best
+    policy). ``quality_col`` defaults to ``length(trim(text))``: near
+    -dup cluster members usually differ by truncation or boilerplate,
+    so the longest member is the information-maximal one.
+
+    Input ``clusters`` is :func:`connected_components` output
+    (doc_id, canonical_id); returns (cluster_id, survivor_id, quality)
+    with cluster_id = the component's min-id label.
+
+    Scale shape: clusters carry one row per PAIRED doc — O(duplicates),
+    far below the corpus — joined to the corpus on id (an equi-join AQE
+    broadcasts when the paired set is small), then ONE window exchange
+    keyed on cluster_id. ``row_number`` with an explicit (quality DESC,
+    id ASC) order, not ``max_by``, so ties are deterministic under any
+    partitioning."""
+    q = quality_col if quality_col is not None else F.length(F.trim(F.col("text")))
+    if isinstance(q, str):
+        q = F.col(q)
+    member_q = clusters.join(
+        docs.select(F.col(id_col), q.cast("double").alias("quality")), id_col
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        member_q.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("canonical_id").alias("cluster_id"),
+            F.col(id_col).alias("survivor_id"),
+            "quality",
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int = 8192,

@@ -16,6 +16,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_dedup,
+    select_cluster_survivors,
     shingle_rows,
     simhash_bits,
     simhash_pairs,
@@ -258,12 +259,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src, src FROM edges
       UNION
       SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+    surv AS (
+      SELECT c.lab AS id_a, c.id AS id_b,
+             CAST(length(trim(d.text)) AS DOUBLE) AS quality,
+             row_number() OVER (PARTITION BY c.lab
+                                ORDER BY length(trim(d.text)) DESC, c.id) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.id
     )
     SELECT 'pair' AS part, id_a, id_b, jaccard AS score FROM dup_pairs
     UNION ALL
-    SELECT 'cluster' AS part, id AS id_a, min(lab) AS id_b,
+    SELECT 'cluster' AS part, id AS id_a, lab AS id_b,
            CAST(NULL AS DOUBLE) AS score
-    FROM reach GROUP BY id
+    FROM comp
+    UNION ALL
+    SELECT 'survivor' AS part, id_a, id_b, quality AS score
+    FROM surv WHERE rn = 1
     """,
     doc="MinHash(12)+LSH(4 bands × 3) near-dup dedup, tagged union: "
     "'pair' = shingle → signature (min of md5('i|'||shingle) — "
@@ -273,7 +285,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resolution over those pairs — connected components via min-label "
     "propagation with pointer jumping (O(log diameter) rounds, one "
     "(id,label) row per node of state), id_b = the component-min "
-    "canonical doc every member should dedup to. The oracle recomputes "
+    "canonical doc every member should dedup to; 'survivor' = quality-"
+    "weighted keep-best selection per cluster (select_cluster_survivors "
+    "— longest member wins, ties to lowest id; one window exchange on "
+    "cluster id), the RefinedWeb/FineWeb keep-best policy as a "
+    "first-class operator. The oracle recomputes "
     "components with a recursive CTE, so the iterative DataFrame loop "
     "is value-checked end to end. (The INCREMENTAL twin — arriving "
     "batches vs a persisted band/shingle index — is driver-attested "
@@ -282,24 +298,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(
-        load_table(spark, sf_dir, "documents"),
+        docs,
         num_hashes=_MINHASH_N,
         bands=_MINHASH_BANDS,
         min_jaccard=0.8,
     ).persist()
+    # clusters backs BOTH the 'cluster' and 'survivor' legs; its labels
+    # are localCheckpoint leaves, so the reuse re-reads materialized
+    # blocks — the component loop never runs twice.
     clusters = connected_components(pairs)
-    return pairs.select(
-        F.lit("pair").alias("part"),
-        "id_a",
-        "id_b",
-        F.col("jaccard").alias("score"),
-    ).unionByName(
-        clusters.select(
-            F.lit("cluster").alias("part"),
-            F.col("doc_id").alias("id_a"),
-            F.col("canonical_id").alias("id_b"),
-            F.lit(None).cast("double").alias("score"),
+    survivors = select_cluster_survivors(docs, clusters)
+    return (
+        pairs.select(
+            F.lit("pair").alias("part"),
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("score"),
+        )
+        .unionByName(
+            clusters.select(
+                F.lit("cluster").alias("part"),
+                F.col("doc_id").alias("id_a"),
+                F.col("canonical_id").alias("id_b"),
+                F.lit(None).cast("double").alias("score"),
+            )
+        )
+        .unionByName(
+            survivors.select(
+                F.lit("survivor").alias("part"),
+                F.col("cluster_id").alias("id_a"),
+                F.col("survivor_id").alias("id_b"),
+                F.col("quality").alias("score"),
+            )
         )
     )
 

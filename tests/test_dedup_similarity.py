@@ -866,3 +866,41 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     plan = one_cell._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[.*centroid_id", plan), plan
     base.unpersist()
+
+
+def test_cluster_survivors_keep_best_member(spark):
+    """select_cluster_survivors picks the argmax-quality member per
+    cluster (ties -> lowest id), independent of the min-id canonical."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        select_cluster_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the much longer surviving copy of the document"),
+            (3, "mid length copy here"),
+            (10, "tie a"),
+            (11, "tie b"),  # same length as 10 -> lowest id (10) wins
+            (99, "singleton never clustered"),
+        ],
+        ["doc_id", "text"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        ["doc_id", "canonical_id"],
+    )
+    out = {
+        r["cluster_id"]: (r["survivor_id"], r["quality"])
+        for r in select_cluster_survivors(docs, clusters).collect()
+    }
+    assert out == {1: (2, 46.0), 10: (10, 5.0)}
+
+    # custom quality column flips the winner
+    from pyspark.sql import functions as F
+
+    by_neg_len = select_cluster_survivors(
+        docs, clusters, quality_col=-F.length("text")
+    )
+    got = {r["cluster_id"]: r["survivor_id"] for r in by_neg_len.collect()}
+    assert got[1] == 1  # shortest now wins
