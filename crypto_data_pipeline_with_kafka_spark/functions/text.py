@@ -20,7 +20,7 @@ from __future__ import annotations
 import functools as _functools
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -504,4 +504,115 @@ def score_with_bigram_lm(
         "n_bigrams",
         "avg_logprob",
         F.exp(-F.col("avg_logprob")).alias("ppl"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents per query under the
+    Robertson/Sparck-Jones Okapi BM25 weighting —
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
+    ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` — the standard
+    sparse-retrieval baseline an LLM data pipeline runs for
+    corpus search / eval-set mining next to the dense ANN path
+    (operators/similarity.py).
+
+    Scale shape (the whole point):
+
+    * the DISTINCT query-term set broadcasts and semi-joins the
+      exploded corpus BEFORE any aggregation, so every shuffle is
+      O(postings of query terms), never O(corpus tokens);
+    * doc length rides as a pre-explode column (constant per doc — no
+      second corpus pass); N and avgdl are ONE scalar-row aggregate
+      cross-joined broadcast, the repo's standard scalar shape;
+    * per-term document frequencies come off the already-grouped
+      postings (one row per (doc, term)), so ``df`` is a count, and the
+      tiny (query-terms)-sized idf relation broadcasts back;
+    * per-(query, doc) scores sum ORDER-FREE: each term contribution is
+      quantized to micro units (``round(contrib · 1e6)`` as long) and
+      summed exactly, so the emitted integers are independent of
+      partitioning and merge order — the same engineering as the
+      indicator decimal sums. Micro (not nano) is the scale because the
+      one non-rational factor, ``ln``, may differ between engines in
+      the last ulp (~2e-15 absolute at idf ≈ 10): that error is ~2e-6
+      of a nano quantum but ~2e-9 of a micro quantum, so the rounded
+      integers agree engine-to-engine with ~10⁻⁹ per-term boundary
+      risk. Long headroom: contribution ≤ idf·(k1+1) ≲ 20 → ≤ 2·10⁷
+      micro per term; overflow would need ~4·10¹¹ matched terms per
+      (query, doc).
+    * top-k per query is ONE window exchange on query_id with a
+      deterministic (score DESC, doc_id ASC) order.
+
+    Returns (query_id, doc_id, rank, score_micro, score):
+    ``score_micro`` the exact integer (use it for cross-engine
+    comparison), ``score`` its double rendering."""
+    toked = docs.select(
+        F.col(id_col), tokens(text_col).alias("_ws")
+    ).withColumn("_dl", F.size("_ws"))
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode_outer(F.array_distinct(tokens(query_text_col))).alias("term"),
+    )
+    qdistinct = qterms.select("term").distinct()
+    postings = (
+        toked.select(F.col(id_col), "_dl", F.explode("_ws").alias("term"))
+        .join(F.broadcast(qdistinct), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("_dl").alias("dl"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)),
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(idf), "term")
+        .withColumn("_c_micro", F.round(contrib * F.lit(1e6)).cast("long"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "score_micro",
+            (F.col("score_micro") / F.lit(1e6)).alias("score"),
+        )
     )

@@ -299,7 +299,38 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_explode_tokens",
     """
-    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    q AS (SELECT doc_id AS query_id, ws[1:4] AS qws FROM toks WHERE doc_id < 3),
+    qterms AS (SELECT DISTINCT query_id, unnest(list_distinct(qws)) AS term FROM q),
+    stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM toks),
+    ctoks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks),
+    post AS (
+      SELECT c.doc_id, c.term, count(*) AS tf, min(c.dl) AS dl
+      FROM ctoks c WHERE c.term IN (SELECT term FROM qterms)
+      GROUP BY c.doc_id, c.term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    idf AS (
+      SELECT term, ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf, s.avgdl
+      FROM dfreq, stats s
+    ),
+    contrib AS (
+      SELECT qt.query_id, p.doc_id,
+             CAST(round(i.idf * (p.tf * 2.2)
+                        / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / i.avgdl))
+                        * 1e6) AS BIGINT) AS c_micro
+      FROM post p JOIN idf i USING (term) JOIN qterms qt USING (term)
+    ),
+    scoredq AS (
+      SELECT query_id, doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    ),
+    rankedq AS (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scoredq
+    )
     SELECT 'tokens' AS part, doc_id,
            CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos, unnest(ws) AS token,
            CAST(NULL AS BIGINT) AS n
@@ -312,6 +343,10 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(ws) AS token FROM toks)
       GROUP BY token ORDER BY n DESC, token LIMIT 100
     )
+    UNION ALL
+    SELECT 'bm25' AS part, doc_id, CAST(rnk AS INT) AS pos,
+           'q' || CAST(query_id AS VARCHAR) AS token, score_micro AS n
+    FROM rankedq WHERE rnk <= 10
     """,
     doc="UD3 tagged union: 'tokens' = UDTF-shaped one-row → N-rows "
     "explode with ordinality (the RSS-feed → <item> rows expansion, "
@@ -320,11 +355,20 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document-collection frequency — the stop-list / BPE-prep / "
     "df-cap-tuning stat): token groupBy with map-side combine → "
     "distributed top-k (TakeOrderedAndProject), then ranks assigned on "
-    "the k-bounded result only — never a global sort of the vocabulary",
-    tags=("udtf", "explode", "text"),
+    "the k-bounded result only — never a global sort of the vocabulary; "
+    "'bm25' (r5) = Okapi BM25 ranked retrieval (functions/text.py::"
+    "bm25_topk) — query terms broadcast and semi-join the exploded "
+    "corpus BEFORE aggregation (shuffles are O(query-term postings), "
+    "never O(corpus tokens)), per-term contributions quantized to micro "
+    "units and summed order-free, top-10 per query with deterministic "
+    "tie-break; pos = rank, token = query tag, n = exact integer score",
+    tags=("udtf", "explode", "text", "bm25"),
 )
 def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.functions.text import tokens
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        bm25_topk,
+        tokens,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     toks = (
@@ -354,7 +398,20 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "n",
     )
-    return toks.unionByName(vocab)
+    # 'bm25' leg: queries = the first 4 tokens of docs 0-2 (derived from
+    # the corpus itself so the oracle can re-derive them)
+    qsrc = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 4)).alias("query_text"),
+    )
+    bm25 = bm25_topk(docs, qsrc, k=10).select(
+        F.lit("bm25").alias("part"),
+        "doc_id",
+        F.col("rank").alias("pos"),
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("token"),
+        F.col("score_micro").alias("n"),
+    )
+    return toks.unionByName(vocab).unionByName(bm25)
 
 
 @register(

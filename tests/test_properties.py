@@ -768,3 +768,55 @@ def test_chunk_level_dedup_matches_sequential_reference(spark):
         for r in chunk_level_dedup(df, words_per_chunk=K).collect()
     }
     assert got == want
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    """bm25_topk vs an independent sequential BM25 (same k1/b/idf
+    definition): identical ranking and micro-quantized scores."""
+    import math
+
+    from crypto_data_pipeline_with_kafka_spark.functions.text import bm25_topk
+
+    corpus = {
+        1: "spark shuffles the hash join build side",
+        2: "broadcast the small build side of the join",
+        3: "sort merge join shuffles both sides",
+        4: "window functions need one exchange",
+        5: "the the the the the repeated stopword document",
+    }
+    queries = {100: "broadcast join", 200: "the exchange"}
+    k1, b = 1.2, 0.75
+
+    docs_df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    q_df = spark.createDataFrame(list(queries.items()), ["query_id", "query_text"])
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in bm25_topk(docs_df, q_df, k=3, k1=k1, b=b).collect()
+    }
+
+    # sequential reference
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(ws) for ws in toks.values()) / n_docs
+    expected = {}
+    for qid, qtext in queries.items():
+        scores = {}
+        for term in dict.fromkeys(qtext.split(" ")):
+            df_t = sum(1 for ws in toks.values() if term in ws)
+            if df_t == 0:
+                continue
+            idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+            for d, ws in toks.items():
+                tf = ws.count(term)
+                if tf == 0:
+                    continue
+                c = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+                scores[d] = scores.get(d, 0) + round(c * 1e6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (d, s) in enumerate(ranked, 1):
+            expected[(qid, rank)] = (d, s)
+
+    assert got == expected
+    # the repeated-stopword doc must NOT win 'the exchange' despite max tf
+    # (length normalization + low idf of 'the')
+    assert got[(200, 1)][0] == 4
