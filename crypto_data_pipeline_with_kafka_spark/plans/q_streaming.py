@@ -140,25 +140,32 @@ def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="incr_dedup_src_")
     store = tempfile.mkdtemp(prefix="incr_dedup_store_")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    cuts = [lo, lo + (hi - lo + 1) // 3, lo + 2 * (hi - lo + 1) // 3, hi + 1]
-    now = time.time()
-    for b in range(3):
-        stage = f"{src}/_stage"
-        (
-            docs.filter(
-                (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
+    if lo is None:
+        # empty corpus: nothing to stage, the stream would see zero
+        # files and the store is never created — the incr leg is empty
+        flags = spark.createDataFrame(
+            [], "doc_id long, dup_of long, jaccard double"
         )
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        dst = f"{src}/batch{b}.parquet"
-        shutil.move(part, dst)
-        shutil.rmtree(stage)
-        os.utime(dst, (now + 10 * b, now + 10 * b))
-    run_incremental_dedup_stream(spark, src, store)
-    flags = spark.read.parquet(f"{store}/flagged")
+    else:
+        cuts = [lo, lo + (hi - lo + 1) // 3, lo + 2 * (hi - lo + 1) // 3, hi + 1]
+        now = time.time()
+        for b in range(3):
+            stage = f"{src}/_stage"
+            (
+                docs.filter(
+                    (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src}/batch{b}.parquet"
+            shutil.move(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (now + 10 * b, now + 10 * b))
+        run_incremental_dedup_stream(spark, src, store)
+        flags = spark.read.parquet(f"{store}/flagged")
 
     return ev.select(
         F.lit("distinct").alias("part"),
@@ -245,6 +252,11 @@ def stream_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = foreach_batch_idempotent_append(target, keys=["event_id"], ts_col="ts")
     sink(batch, 0)
     sink(batch, 1)  # redelivered batch → anti-join no-op
+    if not os.path.isdir(target):
+        # empty ingest: the sink's non_empty guard correctly wrote
+        # nothing, so the store was never created — one clean copy of
+        # an empty batch is an empty relation of the same schema
+        return batch.limit(0)
     return spark.read.parquet(target).select(*cols)
 
 

@@ -299,6 +299,12 @@ def foreach_batch_idempotent_append(
     transient read error)."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            # P7 guard (sources/sinks.py::non_empty semantics): an empty
+            # delivery is a no-op. Without this, append-writing an empty
+            # partitioned frame materializes a parquet-less store dir
+            # (just _SUCCESS) that poisons every later schema inference.
+            return
         spark = batch_df.sparkSession
         df = _with_dt(batch_df, ts_col) if ts_col is not None else batch_df
         if target_exists(spark, target_path):
