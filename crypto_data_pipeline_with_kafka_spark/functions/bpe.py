@@ -1,0 +1,167 @@
+"""Distributed byte-pair-encoding (BPE) merge learning — the tokenizer
+-training step of an LLM data pipeline (Sennrich et al. 2016,
+word-level variant), expressed Spark-first.
+
+Why it belongs in the engine: the vocabulary and pair statistics are
+CORPUS-WIDE aggregates (the part that doesn't fit one machine at
+100 TB), while each merge application is a per-word array rewrite (the
+part Spark parallelizes for free). One driver sync per learned merge is
+inherent to the algorithm — each round's argmax pair decides the next
+round's rewrite — so the loop shape is: tiny TakeOrdered action per
+round over a VOCAB-sized relation (sublinear in the corpus; the corpus
+is touched exactly once, by the word-frequency aggregation).
+
+Scale shape per round: one explode of adjacent symbol pairs over the
+vocab + one map-side-combined groupBy(pair) + one top-1
+(TakeOrderedAndProject) — no corpus pass, no shuffle of text. The
+symbol rewrite is a pure JVM higher-order ``aggregate`` lambda (greedy
+left-to-right non-overlapping merge, the standard BPE scan). Lineage is
+truncated with ``localCheckpoint`` every ``checkpoint_every`` rounds —
+the same plan-tree discipline as ``operators/dedup.connected_components``
+(a k-round withColumn chain of big lambdas otherwise makes driver
+analysis, not execution, the bottleneck).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.catalog import widen_if_narrow
+from crypto_data_pipeline_with_kafka_spark.functions.text import tokens
+
+END_OF_WORD = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the ONE corpus-wide pass BPE
+    needs; everything after operates on this vocab-sized relation."""
+    return (
+        widen_if_narrow(docs)
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Characters of the word plus the end-of-word marker (word-level
+    BPE's word-boundary symbol)."""
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def _merge_expr(sym: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    into a+b — the standard BPE rewrite — as one JVM ``aggregate``
+    lambda: append each symbol unless the accumulator ends with ``a``
+    and the symbol is ``b``, in which case the tail is replaced by the
+    merged symbol (which then cannot merge again this round: the scan
+    is non-overlapping by construction)."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): corpus-weighted adjacent-symbol pair frequencies
+    from the (word, freq, sym) relation."""
+    idx = F.sequence(F.lit(1), F.size("sym") - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("sym", i).alias("a"),
+            F.element_at("sym", i + 1).alias("b"),
+        ),
+    )
+    return (
+        words.filter(F.size("sym") >= 2)
+        .select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merge rules from the corpus.
+    Returns the ordered rule list [(a, b), ...]; ties broken
+    deterministically by (count DESC, a ASC, b ASC) so the learned
+    tokenizer is reproducible under any partitioning. Stops early when
+    the best remaining pair falls under ``min_pair_freq``.
+
+    The returned list is O(n_merges) — driver-sized by definition (it
+    IS the tokenizer artifact), not a collected data relation."""
+    words = (
+        word_frequencies(docs, text_col)
+        .withColumn("sym", _initial_symbols(F.col("word")))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        best = (
+            _adjacent_pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .first()
+        )
+        if best is None or best["cnt"] < min_pair_freq:
+            break
+        merges.append((best["a"], best["b"]))
+        words = words.withColumn(
+            "sym", _merge_expr(F.col("sym"), best["a"], best["b"])
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # truncate the growing lambda-projection chain so per-round
+            # analysis stays O(checkpoint_every), not O(rounds)
+            words = words.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(id, bpe_tokens array<string>): tokenize the corpus with learned
+    merge rules. The rules are applied on the DISTINCT-WORD vocab (the
+    same sublinear-side trick as ``operators.dedup.simhash_bits`` —
+    per-word work happens once per vocab entry, not once per corpus
+    occurrence) and the (word → pieces) map is broadcast-joined back to
+    the exploded corpus, then re-assembled in word order."""
+    toked = widen_if_narrow(docs, id_col).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
+    )
+    vocab = toked.select("word").distinct().withColumn(
+        "sym", _initial_symbols(F.col("word"))
+    )
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.withColumn("sym", _merge_expr(F.col("sym"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=False)
+    pieces = toked.join(F.broadcast(vocab), "word")
+    return (
+        pieces.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s["sym"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )

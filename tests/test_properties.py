@@ -820,3 +820,71 @@ def test_bm25_topk_matches_python_reference(spark):
     # the repeated-stopword doc must NOT win 'the exchange' despite max tf
     # (length normalization + low idf of 'the')
     assert got[(200, 1)][0] == 4
+
+
+def test_bpe_learning_matches_python_reference(spark):
+    """learn_bpe_merges / bpe_tokenize vs a sequential reference BPE
+    (Sennrich word-level): identical ordered rule list and identical
+    tokenization, including the greedy non-overlapping rewrite on
+    repeated symbols ('aaaa')."""
+    from crypto_data_pipeline_with_kafka_spark.functions.bpe import (
+        END_OF_WORD,
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "widest wide wider new low",
+        "aaaa aa aaaa",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = learn_bpe_merges(docs, n_merges=12, min_pair_freq=2)
+
+    # --- sequential reference ---
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    words = {w: [*w, END_OF_WORD] for w in freqs}
+
+    def merge_seq(sym, a, b):
+        out = []
+        for s in sym:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    expected = []
+    for _ in range(12):
+        counts: dict[tuple[str, str], int] = {}
+        for w, sym in words.items():
+            for x, y in zip(sym, sym[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        expected.append((a, b))
+        words = {w: merge_seq(sym, a, b) for w, sym in words.items()}
+
+    assert got == expected and len(got) > 3
+
+    # tokenization with the learned rules matches sequential application
+    tok = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize(docs, got).collect()
+    }
+    for d, t in enumerate(texts):
+        seq = []
+        for w in t.split(" "):
+            sym = [*w, END_OF_WORD]
+            for a, b in got:
+                sym = merge_seq(sym, a, b)
+            seq.extend(sym)
+        assert tok[d] == seq, (d, tok[d], seq)
