@@ -922,3 +922,142 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         "centroid_id", F.col("centroid_id").cast("int")
     )
     return cents, assigns
+
+
+def incremental_ivf_update(
+    new_vectors: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """Index an ARRIVING embedding batch against a persisted IVF store
+    and flag each new vector's best earlier near-duplicate — the dense
+    twin of ``operators.dedup.incremental_minhash_dedup`` (same
+    operational shape: a 100-TB corpus is never re-indexed from
+    scratch; new data joins a persisted index).
+
+    Store layout under ``store_dir``: ``centroids/`` (the trained cell
+    centers — written from the ``centroids`` argument on the FIRST call
+    or by a prior ``save_ivf_index``; re-passing centroids later
+    re-trains the geometry and invalidates earlier cells, so don't) and
+    ``cells/batch_id=N/centroid_id=C/`` — the inverted lists WITH their
+    vectors (id, vec), the standard IVF payload, partitioned so a
+    cell's list is one directory read.
+
+    Per batch: assign the batch to its primary cells (broadcast O(C)
+    centroids, in-row top-1 — zero shuffles, see ``ivf_assignments``);
+    candidates = same-cell pairs, batch-vs-earlier (index scanned,
+    batch side broadcast — the index is NEVER shuffled) plus
+    within-batch (earlier = smaller id); exact-cosine verify on
+    candidates only; flag each new vector's best earlier match
+    (max cosine ≥ ``min_cosine``, ties to the smallest id). Writes
+    OVERWRITE only this batch's own partitions and every index read
+    prunes to ``batch_id < batch_id`` at planning time, so the step is
+    idempotent under foreachBatch redelivery and crash-safe — the same
+    contract (and the same batching-invariance argument) as the
+    minhash store: cell assignment and pairwise cosine are per-row /
+    per-pair deterministic, so WHEN a pair's members arrive doesn't
+    change whether it is flagged, and the union of incremental flags
+    equals the one-shot ``ivf_ann_pairs`` derivation at probes=1
+    (pytest-pinned).
+
+    Returns the flagged rows (id, match_id, cosine) read back from the
+    flag store."""
+    spark = new_vectors.sparkSession
+    # local import: sources.sinks ← operators would be circular the other way
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
+
+    cpath = f"{store_dir}/centroids"
+    cells_path = f"{store_dir}/cells"
+    if centroids is not None:
+        centroids.write.mode("overwrite").parquet(cpath)
+    elif not target_exists(spark, cpath):
+        raise ValueError(
+            f"no trained centroids at {cpath}: pass centroids= on the "
+            "first call (e.g. from lloyd_refined_centroids / "
+            "_seed_centroids over a bootstrap corpus) or save_ivf_index "
+            "first — incremental updates require a fixed cell geometry"
+        )
+    cents = spark.read.parquet(cpath)
+
+    base_new = with_dbl_and_approx_norm(
+        new_vectors.select(F.col(id_col).alias("vec_id"), vec_col),
+        "vec_id",
+        vec_col,
+    ).persist()
+    assign_new = ivf_assignments(
+        base_new, probes=1, id_col="vec_id", vec_col="vdbl", centroids=cents
+    ).persist()
+
+    def read_earlier() -> DataFrame:
+        # batch_id is a partition dir: pruned at planning time, so a
+        # redelivered/half-written current batch is never scanned
+        return (
+            spark.read.parquet(cells_path)
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+            .withColumn("centroid_id", F.col("centroid_id").cast("int"))
+        )
+
+    new_a = assign_new.select(F.col("vec_id").alias("id_a"), "centroid_id")
+    new_b = assign_new.select(F.col("vec_id").alias("id_b"), "centroid_id")
+    cand = (
+        new_a.join(F.broadcast(new_b), "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    have_store = target_exists(spark, cells_path)
+    if have_store:
+        old_a = read_earlier().select(F.col("vec_id").alias("id_a"), "centroid_id")
+        cand = cand.unionByName(
+            old_a.join(F.broadcast(new_b), "centroid_id").select("id_a", "id_b")
+        )
+    cand = cand.distinct().persist()
+
+    # verify base: the batch plus ONLY the candidate earlier vectors
+    # (left-semi key-pruned store read — O(candidates), not O(index));
+    # no forced broadcast on the collision-bounded candidate list (AQE
+    # decides), mirroring the minhash store's skew reasoning.
+    base_all = base_new
+    if have_store:
+        ids_a = cand.select(F.col("id_a").alias("vec_id")).distinct()
+        old_vecs = (
+            read_earlier()
+            .drop("centroid_id")
+            .join(ids_a, "vec_id", "left_semi")
+        )
+        base_all = base_new.unionByName(
+            with_dbl_and_approx_norm(old_vecs, "vec_id", vec_col)
+        )
+    dup_pairs = cosine_for_pairs(
+        base_all, cand, min_cosine=min_cosine, exact_norms_in_base=False
+    )
+    w = Window.partitionBy("id_b").orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc()
+    )
+    flagged = (
+        dup_pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_b").alias("vec_id"),
+            F.col("id_a").alias("match_id"),
+            "cosine",
+        )
+    )
+    flagged_path = f"{store_dir}/flagged/batch_id={batch_id}"
+    flagged.write.mode("overwrite").parquet(flagged_path)
+    cells_new = new_vectors.select(
+        F.col(id_col).alias("vec_id"), vec_col
+    ).join(assign_new.select("vec_id", "centroid_id"), "vec_id")
+    (
+        cells_new.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{cells_path}/batch_id={batch_id}")
+    )
+    for df in (base_new, assign_new, cand):
+        df.unpersist()
+    return spark.read.parquet(flagged_path)

@@ -904,3 +904,64 @@ def test_cluster_survivors_keep_best_member(spark):
     )
     got = {r["cluster_id"]: r["survivor_id"] for r in by_neg_len.collect()}
     assert got[1] == 1  # shortest now wins
+
+
+def test_incremental_ivf_matches_one_shot_batch(spark, tmp_path):
+    """incremental_ivf_update over 3 arriving batches ≡ the one-shot
+    ivf_ann_pairs derivation at probes=1 with the same fixed centroids:
+    per later-id best earlier match. Redelivering a batch is a no-op."""
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        incremental_ivf_update,
+        ivf_ann_pairs,
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = str(tmp_path / "ivf_store")
+    t = 0.2  # the synthetic vectors are near-orthogonal; 0.2 yields ~1.5k pairs
+
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+
+    # one-shot expected flags: orient pairs (id_a < id_b), best earlier
+    # per id_b
+    assigns = ivf_assignments(base, probes=1, vec_col="vdbl", centroids=cents)
+    pairs = ivf_ann_pairs(base, probes=1, min_cosine=t, assignments=assigns)
+    best = {}
+    for r in pairs.collect():
+        cur = best.get(r["id_b"])
+        cand = (-r["cosine"], r["id_a"])
+        if cur is None or cand < cur:
+            best[r["id_b"]] = cand
+    expected = {k: (v[1], round(-v[0], 9)) for k, v in best.items()}
+
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + 2 * (hi - lo + 1) // 3, hi + 1]
+    got = {}
+    for b in range(3):
+        batch = emb.filter(
+            (F.col("vec_id") >= cuts[b]) & (F.col("vec_id") < cuts[b + 1])
+        )
+        flags = incremental_ivf_update(
+            batch, store, b, centroids=cents if b == 0 else None, min_cosine=t
+        )
+        for r in flags.collect():
+            got[r["vec_id"]] = (r["match_id"], round(r["cosine"], 9))
+
+    assert got == expected and len(got) > 0
+
+    # idempotency: redeliver batch 1 — same flags, index readable
+    batch1 = emb.filter(
+        (F.col("vec_id") >= cuts[1]) & (F.col("vec_id") < cuts[1 + 1])
+    )
+    re_flags = incremental_ivf_update(batch1, store, 1, min_cosine=t)
+    re_got = {
+        r["vec_id"]: (r["match_id"], round(r["cosine"], 9))
+        for r in re_flags.collect()
+    }
+    assert re_got == {
+        k: v for k, v in got.items() if cuts[1] <= k < cuts[2]
+    }
