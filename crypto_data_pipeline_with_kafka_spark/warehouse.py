@@ -186,3 +186,75 @@ def compact_partitions(
         with ThreadPoolExecutor(max_workers=max_parallel) as pool:
             results = list(zip(partitions, pool.map(compact_one, partitions)))
     return {dt: n for dt, n in results if n is not None}
+
+
+def profile_columns(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
+    """Per-column data profile in ONE corpus pass — the table-health
+    check an operator runs before pointing a 100-TB job at a dataset
+    (null explosions, cardinality surprises, out-of-range values).
+
+    Returns one row per column: (column, dtype, n_rows, n_nulls,
+    null_frac, approx_distinct, min_str, max_str, mean — NULL for
+    non-numerics). All statistics come from a single groupless
+    aggregation (every aggregate is algebraic/sketch-mergeable →
+    map-side partial agg; one exchange of ONE row per partition), then
+    unpivot via ``stack`` — the same no-shuffle generate as the
+    indicator pipeline. approx_count_distinct is the HLL sketch (rsd
+    ``approx_rsd``): exact count_distinct per column would be one
+    shuffle of every distinct value PER COLUMN — the profile trades
+    bounded error for a single cheap pass, the right trade at scale
+    (exact twins exist: ``agg_count_distinct``). min/max are rendered
+    to strings so heterogeneous column types share one output schema
+    (complex types — arrays/structs/maps/binary — profile null/distinct
+    only; their min/max and mean are NULL)."""
+    import pyspark.sql.types as T
+
+    n = F.count(F.lit(1))
+    aggs: list = [n.alias("_n")]
+    stack_args: list[str] = []
+    for f in df.schema.fields:
+        c, dt = f.name, f.dataType
+        orderable = not isinstance(
+            dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        )
+        numeric = isinstance(dt, T.NumericType)
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        aggs.append(
+            F.approx_count_distinct(c, rsd=approx_rsd).alias(f"_ad_{c}")
+        )
+        aggs.append(
+            (F.min(c).cast("string") if orderable else F.lit(None).cast("string")).alias(f"_mn_{c}")
+        )
+        aggs.append(
+            (F.max(c).cast("string") if orderable else F.lit(None).cast("string")).alias(f"_mx_{c}")
+        )
+        aggs.append(
+            (F.avg(F.col(c).cast("double")) if numeric else F.lit(None).cast("double")).alias(f"_av_{c}")
+        )
+        stack_args.append(
+            f"'{c}', '{dt.simpleString()}', `_nn_{c}`, `_ad_{c}`, "
+            f"`_mn_{c}`, `_mx_{c}`, `_av_{c}`"
+        )
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            "stack({k}, {args}) as (column, dtype, n_nulls, approx_distinct, "
+            "min_str, max_str, mean)".format(
+                k=len(stack_args), args=", ".join(stack_args)
+            )
+        ),
+    )
+    return stacked.select(
+        "column",
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+            "null_frac"
+        ),
+        "approx_distinct",
+        "min_str",
+        "max_str",
+        "mean",
+    )

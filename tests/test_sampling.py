@@ -187,3 +187,40 @@ def test_resample_to_mixture_random_weights_invariants(spark):
             rate = min(1.0, exp / n_by_src[s])
             sigma = (exp * (1 - rate)) ** 0.5
             assert abs(got.get(s, 0) - exp) <= 4 * sigma + 1, (weights, s, got)
+
+
+def test_profile_columns_one_pass_stats(spark):
+    """profile_columns: exact nulls/min/max/mean per column from one
+    groupless aggregation; complex types profile nulls/distinct only."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.warehouse import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.0, "a", [1, 2]),
+            (2, None, "b", []),
+            (3, 6.0, None, None),
+            (4, 4.0, "a", [3]),
+        ],
+        ["k", "v", "s", "arr"],
+    )
+    prof = {r["column"]: r.asDict() for r in profile_columns(df).collect()}
+    assert set(prof) == {"k", "v", "s", "arr"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert (prof["v"]["n_nulls"], prof["v"]["min_str"], prof["v"]["max_str"]) == (
+        1, "2.0", "6.0",
+    )
+    assert prof["v"]["mean"] == (2.0 + 6.0 + 4.0) / 3
+    assert prof["v"]["null_frac"] == 0.25
+    assert (prof["s"]["min_str"], prof["s"]["max_str"], prof["s"]["mean"]) == (
+        "a", "b", None,
+    )
+    # complex type: null/distinct only
+    assert (prof["arr"]["min_str"], prof["arr"]["mean"]) == (None, None)
+    assert prof["arr"]["n_nulls"] == 1
+    # approx_distinct is within HLL error of truth on tiny inputs
+    assert abs(prof["k"]["approx_distinct"] - 4) <= 1
+    # ONE exchange: the plan has a single-row partial+final agg, no extra
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("exchange") <= 1, plan
