@@ -85,13 +85,30 @@ def widen_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
     Scale behavior: at 100 TB every scan already carries thousands of
     splits, the condition is false, and this is a pure no-op — the
     extra shuffle exists ONLY in the narrow-scan regime where the data
-    is small (cheap to move) and the CPU work is the bottleneck. The
-    partition probe is plan-side (no job). Streaming frames pass
-    through untouched (their parallelism is the source's to decide)."""
+    is small (cheap to move) and the CPU work is the bottleneck.
+
+    CALLER CONTRACT: pass SCAN-ROOTED frames only. The partition probe
+    (``df.rdd.getNumPartitions()``) is job-free for a scan/projection,
+    but under AQE a shuffle-containing plan MATERIALIZES its upstream
+    stages to answer it — the caller would execute its query twice.
+    Operators that widen a derived relation must opt out (see the
+    ``widen=`` parameter on the similarity base builders). Pass
+    ``key_cols`` whenever anything downstream is sensitive to row
+    placement: hash partitioning reproduces the layout under task
+    retry, while the keyless fallback is round-robin (fine only
+    immediately ahead of a shuffle that re-keys anyway, e.g. a
+    groupBy). Streaming frames pass through untouched (their
+    parallelism is the source's to decide), as do Spark Connect frames
+    (no driver-side RDD access there — widening is an optimization,
+    not a semantic)."""
     if df.isStreaming:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        narrow = df.rdd.getNumPartitions() < target
+    except Exception:  # Spark Connect: no sparkContext / .rdd — skip
+        return df
+    if not narrow:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 

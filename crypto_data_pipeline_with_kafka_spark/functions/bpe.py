@@ -37,7 +37,10 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the corpus — the ONE corpus-wide pass BPE
     needs; everything after operates on this vocab-sized relation."""
     return (
-        widen_if_narrow(docs)
+        # keyed on the text itself: hash partitioning keeps the widen's
+        # layout deterministic under retry (the keyless fallback is
+        # round-robin), and the immediate groupBy re-keys anyway
+        widen_if_narrow(docs, text_col)
         .select(F.explode(tokens(text_col)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")

@@ -75,11 +75,15 @@ def dot_exact(a: Column, b: Column) -> Column:
 
 
 def with_q_and_norm(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    widen: bool = True,
 ) -> DataFrame:
     """(id, vq, norm_sq): quantized components + exact squared norm
-    (at the quantized scale)."""
-    d = widen_if_narrow(emb, id_col).select(
+    (at the quantized scale). ``widen=False`` for derived (non-scan)
+    inputs — see the widen_if_narrow caller contract."""
+    d = (widen_if_narrow(emb, id_col) if widen else emb).select(
         F.col(id_col), quantized_vector(vec_col).alias("vq")
     )
     return d.withColumn("norm_sq", dot_exact(F.col("vq"), F.col("vq")))
@@ -101,7 +105,10 @@ def dot_double(a: Column, b: Column) -> Column:
 
 
 def with_dbl_and_norm(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    widen: bool = True,
 ) -> DataFrame:
     """(id, vdbl, norm_sq): double components for cheap pair math +
     EXACT squared norm (right when most corpus rows end up in emitted
@@ -114,7 +121,10 @@ def with_dbl_and_norm(
 
 
 def with_dbl_and_approx_norm(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    widen: bool = True,
 ) -> DataFrame:
     """(id, vdbl, norm_sq): double components + PRIMITIVE-double squared
     norm at the quantized scale (×1e24). For candidate-generation paths
@@ -122,8 +132,9 @@ def with_dbl_and_approx_norm(
     skipped corpus-wide and exact norms are recomputed only for
     surviving pairs (``cosine_for_pairs(exact_norms_in_base=False)``).
     The ~1e-12 relative norm error is absorbed by the 1e-6 prefilter
-    margin and never reaches an emitted value."""
-    d = widen_if_narrow(emb, id_col).select(
+    margin and never reaches an emitted value. ``widen=False`` for
+    derived (non-scan) inputs — see the widen_if_narrow contract."""
+    d = (widen_if_narrow(emb, id_col) if widen else emb).select(
         F.col(id_col), dbl_vector(vec_col).alias("vdbl")
     )
     norm = dot_double(F.col("vdbl"), F.col("vdbl")) * F.lit(1e24)
@@ -984,6 +995,18 @@ def incremental_ivf_update(
         )
     cents = spark.read.parquet(cpath)
 
+    if new_vectors.isEmpty():
+        # P7 guard, same reasoning as foreach_batch_idempotent_append:
+        # a partitionBy write of zero rows creates a parquet-less
+        # cells/batch_id=N dir (just _SUCCESS) that would poison every
+        # later batch's schema inference on the index read.
+        return (
+            new_vectors.select(F.col(id_col).alias("vec_id"))
+            .withColumn("match_id", F.col("vec_id"))
+            .withColumn("cosine", F.lit(None).cast("double"))
+            .limit(0)
+        )
+
     base_new = with_dbl_and_approx_norm(
         new_vectors.select(F.col(id_col).alias("vec_id"), vec_col),
         "vec_id",
@@ -1031,7 +1054,10 @@ def incremental_ivf_update(
             .join(ids_a, "vec_id", "left_semi")
         )
         base_all = base_new.unionByName(
-            with_dbl_and_approx_norm(old_vecs, "vec_id", vec_col)
+            # widen=False: old_vecs is a derived plan (store read +
+            # left-semi join); the widen probe would materialize those
+            # stages under AQE just to count partitions
+            with_dbl_and_approx_norm(old_vecs, "vec_id", vec_col, widen=False)
         )
     dup_pairs = cosine_for_pairs(
         base_all, cand, min_cosine=min_cosine, exact_norms_in_base=False

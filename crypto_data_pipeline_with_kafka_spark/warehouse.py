@@ -212,28 +212,36 @@ def profile_columns(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
     n = F.count(F.lit(1))
     aggs: list = [n.alias("_n")]
     stack_args: list[str] = []
-    for f in df.schema.fields:
+    # agg aliases are INDEX-based and column-name literals are escaped:
+    # names are caller data (think ingested CSV headers with quotes or
+    # backticks), never safe to splice raw into a SQL expression
+    for i, f in enumerate(df.schema.fields):
         c, dt = f.name, f.dataType
         orderable = not isinstance(
             dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
         )
         numeric = isinstance(dt, T.NumericType)
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        # standard identifier quoting: backticks doubled inside backticks
+        # (df[c] / bare F.col both route through the dotted-path parser,
+        # which chokes on stray quotes/backticks in real header names)
+        col = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"_nn_{i}"))
         aggs.append(
-            F.approx_count_distinct(c, rsd=approx_rsd).alias(f"_ad_{c}")
+            F.approx_count_distinct(col, rsd=approx_rsd).alias(f"_ad_{i}")
         )
         aggs.append(
-            (F.min(c).cast("string") if orderable else F.lit(None).cast("string")).alias(f"_mn_{c}")
+            (F.min(col).cast("string") if orderable else F.lit(None).cast("string")).alias(f"_mn_{i}")
         )
         aggs.append(
-            (F.max(c).cast("string") if orderable else F.lit(None).cast("string")).alias(f"_mx_{c}")
+            (F.max(col).cast("string") if orderable else F.lit(None).cast("string")).alias(f"_mx_{i}")
         )
         aggs.append(
-            (F.avg(F.col(c).cast("double")) if numeric else F.lit(None).cast("double")).alias(f"_av_{c}")
+            (F.avg(col.cast("double")) if numeric else F.lit(None).cast("double")).alias(f"_av_{i}")
         )
+        lit_name = c.replace("\\", "\\\\").replace("'", "\\'")
         stack_args.append(
-            f"'{c}', '{dt.simpleString()}', `_nn_{c}`, `_ad_{c}`, "
-            f"`_mn_{c}`, `_mx_{c}`, `_av_{c}`"
+            f"'{lit_name}', '{dt.simpleString()}', _nn_{i}, _ad_{i}, "
+            f"_mn_{i}, _mx_{i}, _av_{i}"
         )
     one = df.agg(*aggs)
     stacked = one.select(

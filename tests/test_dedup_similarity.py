@@ -965,3 +965,14 @@ def test_incremental_ivf_matches_one_shot_batch(spark, tmp_path):
     assert re_got == {
         k: v for k, v in got.items() if cuts[1] <= k < cuts[2]
     }
+
+    # an empty delivery is a no-op (and must NOT poison the cell store
+    # with a parquet-less batch dir): flags empty, next batch still reads
+    empty_flags = incremental_ivf_update(
+        emb.filter(F.lit(False)), store, 3, min_cosine=t
+    )
+    assert empty_flags.count() == 0
+    after = incremental_ivf_update(
+        emb.filter(F.col("vec_id") == lo), store, 4, min_cosine=t
+    )
+    assert after.count() >= 0  # the index read still plans and runs

@@ -221,6 +221,10 @@ def test_profile_columns_one_pass_stats(spark):
     assert prof["arr"]["n_nulls"] == 1
     # approx_distinct is within HLL error of truth on tiny inputs
     assert abs(prof["k"]["approx_distinct"] - 4) <= 1
+    # hostile column names (quotes/backticks — CSV-header reality) profile fine
+    hostile = spark.createDataFrame([(1,)], ["x"]).withColumnRenamed("x", "o'cl`ock")
+    hp = {r["column"]: r for r in profile_columns(hostile).collect()}
+    assert hp["o'cl`ock"]["n_nulls"] == 0 and hp["o'cl`ock"]["min_str"] == "1"
     # ONE exchange: the plan has a single-row partial+final agg, no extra
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("exchange") <= 1, plan
