@@ -144,6 +144,25 @@ def documents_stream_reader(
     return reader.parquet(path)
 
 
+def embeddings_stream_reader(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source streaming reader over the embeddings fixture — the
+    arriving-vectors stand-in for the incremental ANN-index stream
+    (schema declared, matching ``testdata/*/embeddings.parquet``)."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("label", T.IntegerType(), True),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     topic: str,

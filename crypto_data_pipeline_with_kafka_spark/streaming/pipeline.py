@@ -33,12 +33,16 @@ from pyspark.sql import functions as F
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
     incremental_minhash_dedup,
 )
+from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+    incremental_ivf_update,
+)
 from crypto_data_pipeline_with_kafka_spark.operators.indicators import (
     WINDOW_ROWS,
     compute_indicators,
 )
 from crypto_data_pipeline_with_kafka_spark.sources.readers import (
     documents_stream_reader,
+    embeddings_stream_reader,
     events_stream_reader,
 )
 from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
@@ -516,6 +520,50 @@ def run_incremental_dedup_stream(
             store_dir,
             int(epoch_id),
             min_jaccard=min_jaccard,
+        )
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def run_incremental_ivf_stream(
+    spark: SparkSession,
+    source_path: str,
+    store_dir: str,
+    min_cosine: float = 0.8,
+) -> None:
+    """Streaming ANN-index maintenance over arriving embeddings — the
+    dense twin of :func:`run_incremental_dedup_stream`: each micro-batch
+    of vectors is assigned to the persisted IVF cell store and flagged
+    against every EARLIER batch
+    (:func:`...operators.similarity.incremental_ivf_update`, epoch_id =
+    batch_id); flags land durably in ``store_dir/flagged/batch_id=N``.
+
+    Same exactly-once contract: the batch step overwrites only its own
+    ``batch_id=N`` partitions and reads only ``batch_id < N``
+    (directory-pruned), so a redelivered epoch rewrites byte-identical
+    data; index and checkpoint must be retained together. REQUIRES a
+    trained cell geometry at ``store_dir/centroids`` before the stream
+    starts (``save_ivf_index`` or a first-batch ``incremental_ivf_update``
+    call with ``centroids=``) — a stream must not re-derive geometry
+    per batch, or earlier cells would be invalidated mid-stream."""
+    stream = embeddings_stream_reader(spark, source_path, max_files_per_trigger=1)
+    if not target_exists(spark, f"{store_dir}/centroids"):
+        raise ValueError(
+            f"no trained centroids at {store_dir}/centroids — train the "
+            "cell geometry before starting the stream (save_ivf_index, "
+            "or incremental_ivf_update(centroids=...) on a bootstrap "
+            "batch)"
+        )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        incremental_ivf_update(
+            batch.select("vec_id", "embedding"),
+            store_dir,
+            int(epoch_id),
+            min_cosine=min_cosine,
         )
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()

@@ -722,3 +722,63 @@ def test_incremental_dedup_empty_batch_is_noop(spark, tmp_path):
     # batch 2 still dedups against batch 0's index across the empty batch
     f2 = incremental_minhash_dedup(docs.withColumn("doc_id", F.col("doc_id") + 100000), store, 2)
     assert f2.count() >= n0  # every shifted doc duplicates its original
+
+
+def test_incremental_ivf_stream_matches_batch_calls(spark, tmp_path):
+    """run_incremental_ivf_stream through the REAL streaming engine over
+    3 staged files ≡ three direct incremental_ivf_update calls with the
+    same fixed centroids; starting without trained centroids refuses."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        incremental_ivf_update,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_ivf_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+    t = 0.2
+
+    src = str(tmp_path / "src")
+    stream_store = str(tmp_path / "stream_store")
+    batch_store = str(tmp_path / "batch_store")
+    os.makedirs(src)
+
+    with _pytest.raises(ValueError, match="no trained centroids"):
+        run_incremental_ivf_stream(spark, src, stream_store, min_cosine=t)
+
+    now = _time.time()
+    cuts = [(0, 167), (167, 334), (334, 500)]
+    for i, (lo, hi) in enumerate(cuts):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        incremental_ivf_update(
+            batch, batch_store, i, centroids=cents if i == 0 else None,
+            min_cosine=t,
+        )
+        stage = f"{src}/_stage"
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch{i}.parquet")
+        shutil.rmtree(stage)
+        os.utime(f"{src}/batch{i}.parquet", (now + 10 * i, now + 10 * i))
+
+    cents.write.mode("overwrite").parquet(f"{stream_store}/centroids")
+    run_incremental_ivf_stream(spark, src, stream_store, min_cosine=t)
+
+    def read_flags(store):
+        return {
+            r["vec_id"]: (r["match_id"], round(r["cosine"], 9))
+            for r in spark.read.parquet(f"{store}/flagged").collect()
+        }
+
+    sflags, bflags = read_flags(stream_store), read_flags(batch_store)
+    assert sflags == bflags and len(sflags) > 0
