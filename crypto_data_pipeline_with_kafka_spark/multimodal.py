@@ -548,3 +548,145 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         feature_batch, schema="vec_id long, embedding array<float>"
     )
+
+
+AHASH_SCHEMA = "doc_id long, width int, height int, simhash string"
+
+
+def perceptual_hash_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit average-hash (aHash) per image — NEAR-duplicate identity
+    for the image modality, where content-hash exact dedup fails the
+    moment one pixel differs (re-encodes, minor noise, watermarks).
+    Pipeline position: decode → aHash → the SAME chunk-blocked hamming
+    machinery as text SimHash (``operators.dedup.simhash_pairs``
+    consumes this output unchanged — the ``simhash`` column name is the
+    contract).
+
+    aHash: grayscale the raster (integer (r+g+b)//3 — no float, so the
+    hash is bit-reproducible), average-pool onto an 8×8 grid with
+    floor-boundary cells, set bit k iff cell-mean_k > mean of the 64
+    cell means (strict >, ties → 0). Requires ≥ 8×8 pixels (smaller
+    rasters raise — a 64-bit hash of fewer pixels is undefined).
+    Supports the engine's real codec-free decodes: binary P5/P6 Netpbm
+    (maxval ≤ 255) and uncompressed 8/24/32-bpp BMP (hashed in stored
+    row order — consistent within the format, which is what dedup
+    needs). Pure-Python per Arrow batch via mapInPandas, the multimodal
+    hot-path convention."""
+
+    def hash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: shipped by value (see decode_batch)
+        import struct
+
+        def _gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+            if payload[:2] in (b"P6", b"P5"):
+                toks: list[int] = []
+                i = 2
+                while len(toks) < 3:
+                    while i < len(payload) and payload[i : i + 1].isspace():
+                        i += 1
+                    if payload[i : i + 1] == b"#":
+                        while i < len(payload) and payload[i] != 0x0A:
+                            i += 1
+                        continue
+                    j = i
+                    while j < len(payload) and not payload[j : j + 1].isspace():
+                        j += 1
+                    if i == j:
+                        raise ValueError("truncated netpbm header")
+                    toks.append(int(payload[i:j]))
+                    i = j
+                w, h, maxval = toks
+                if maxval > 255:
+                    raise NotImplementedError("16-bit netpbm aHash")
+                i += 1
+                ch = 3 if payload[:2] == b"P6" else 1
+                need = i + w * h * ch
+                if w <= 0 or h <= 0 or len(payload) < need:
+                    raise ValueError("netpbm raster truncated")
+                raster = payload[i:need]
+                if ch == 1:
+                    return w, h, list(raster)
+                return w, h, [
+                    (raster[k] + raster[k + 1] + raster[k + 2]) // 3
+                    for k in range(0, len(raster), 3)
+                ]
+            if payload[:2] == b"BM":
+                if len(payload) < 54:
+                    raise ValueError("BMP header truncated")
+                w = struct.unpack_from("<i", payload, 18)[0]
+                h = abs(struct.unpack_from("<i", payload, 22)[0])
+                bpp = struct.unpack_from("<H", payload, 28)[0]
+                comp = struct.unpack_from("<I", payload, 30)[0]
+                if comp != 0 or bpp not in (8, 24, 32):
+                    raise NotImplementedError("compressed/palette BMP aHash")
+                ch = bpp // 8
+                row_bytes = (w * ch + 3) // 4 * 4
+                off = struct.unpack_from("<I", payload, 10)[0]
+                if w <= 0 or h <= 0 or len(payload) < off + row_bytes * h:
+                    raise ValueError("BMP raster truncated")
+                px: list[int] = []
+                for r in range(h):
+                    base = off + r * row_bytes
+                    for c in range(w):
+                        k = base + c * ch
+                        if ch == 1:
+                            px.append(payload[k])
+                        else:  # BGR(A): integer mean of b,g,r
+                            px.append(
+                                (payload[k] + payload[k + 1] + payload[k + 2]) // 3
+                            )
+                return w, h, px
+            raise NotImplementedError("aHash needs PPM/PGM/BMP payloads")
+
+        def _ahash(payload: bytes) -> tuple[int, int, str]:
+            w, h, px = _gray_pixels(payload)
+            if w < 8 or h < 8:
+                raise ValueError(f"aHash needs >=8x8 pixels, got {w}x{h}")
+            means = []
+            for gy in range(8):
+                y0, y1 = gy * h // 8, (gy + 1) * h // 8
+                for gx in range(8):
+                    x0, x1 = gx * w // 8, (gx + 1) * w // 8
+                    s = n = 0
+                    for y in range(y0, y1):
+                        row = y * w
+                        for x in range(x0, x1):
+                            s += px[row + x]
+                            n += 1
+                    means.append(s / n)
+            mu = sum(means) / 64.0
+            return w, h, "".join("1" if m > mu else "0" for m in means)
+
+        for pdf in it:
+            hashed = pdf[payload_col].map(_ahash)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": hashed.map(lambda t: t[0]),
+                    "height": hashed.map(lambda t: t[1]),
+                    "simhash": hashed.map(lambda t: t[2]),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), payload_col).mapInPandas(
+        hash_batch, schema=AHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-dup pairs: aHash → the text-SimHash chunk-blocked
+    hamming join, unchanged (the cross-modality reuse is the point —
+    one blocking/verify engine serves both modalities). Returns
+    (id_a, id_b, hamming)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        perceptual_hash_images(df, id_col, payload_col), max_hamming=max_hamming
+    )

@@ -976,3 +976,53 @@ def test_incremental_ivf_matches_one_shot_batch(spark, tmp_path):
         emb.filter(F.col("vec_id") == lo), store, 4, min_cosine=t
     )
     assert after.count() >= 0  # the index read still plans and runs
+
+
+def test_image_ahash_near_dup_pairs(spark):
+    """aHash image dedup: a lightly-noised copy pairs with its original
+    at low hamming; a structurally different image does not. The Spark
+    hash matches an independent sequential aHash recomputation."""
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        image_near_dup_pairs,
+        perceptual_hash_images,
+    )
+
+    w = h = 32
+
+    def pgm(pixels):
+        return b"P5\n32 32\n255\n" + bytes(pixels)
+
+    base = [min(255, 4 * (x + y)) for y in range(h) for x in range(w)]
+    noisy = list(base)
+    for k in range(0, len(noisy), 97):  # sparse small perturbations
+        noisy[k] = min(255, noisy[k] + 2)
+    inverted = [255 - p for p in base]
+    rows = [(1, pgm(base)), (2, pgm(noisy)), (3, pgm(inverted))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashes = {r["doc_id"]: r["simhash"] for r in
+              perceptual_hash_images(df).collect()}
+
+    # independent reference aHash on the base image
+    def ref_ahash(px):
+        means = []
+        for gy in range(8):
+            for gx in range(8):
+                cell = [
+                    px[y * w + x]
+                    for y in range(gy * 4, gy * 4 + 4)
+                    for x in range(gx * 4, gx * 4 + 4)
+                ]
+                means.append(sum(cell) / len(cell))
+        mu = sum(means) / 64
+        return "".join("1" if m > mu else "0" for m in means)
+
+    assert hashes[1] == ref_ahash(base)
+    assert hashes[3] == ref_ahash(inverted)
+    ham_12 = sum(a != b for a, b in zip(hashes[1], hashes[2]))
+    ham_13 = sum(a != b for a, b in zip(hashes[1], hashes[3]))
+    assert ham_12 <= 6 < ham_13
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(df, max_hamming=6).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] == ham_12
