@@ -616,3 +616,57 @@ def bm25_topk(
             (F.col("score_micro") / F.lit(1e6)).alias("score"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by pointwise mutual information
+    — phrase mining for tokenizer/vocab preparation (merge "new york"
+    before BPE sees it) and corpus exploration. PMI(w1,w2) =
+    ln(c12·N / (c1·c2)) over bigram instance counts, with a
+    ``min_count`` support floor (unsmoothed PMI is dominated by
+    singleton noise — the standard Church-Hanks guard).
+
+    Scale shape: two map-side-combined aggregations over the exploded
+    corpus (bigrams; unigrams), N as ONE broadcast scalar row, unigram
+    counts joined to the min_count-filtered bigram relation (post-floor
+    it is vocabulary-sized — both joins are AQE-broadcastable), and the
+    final ranking is a top-k TakeOrdered, never a global sort. Ranking
+    ties break deterministically on (pmi DESC, c12 DESC, w1, w2): PMI
+    is a double, but equal-count pairs produce IDENTICAL doubles (same
+    ln input), so the ordering is reproducible.
+
+    Returns (w1, w2, c12, pmi)."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = uni.agg(F.sum("c").alias("n"))
+    scored = (
+        big.filter(F.col("c12") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log(
+                F.col("c12").cast("double")
+                * F.col("n")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("c12").desc(), "w1", "w2"
+    ).limit(top_k)

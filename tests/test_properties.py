@@ -888,3 +888,41 @@ def test_bpe_learning_matches_python_reference(spark):
                 sym = merge_seq(sym, a, b)
             seq.extend(sym)
         assert tok[d] == seq, (d, tok[d], seq)
+
+
+def test_collocations_match_python_reference(spark):
+    """collocations (PMI phrase mining) vs a sequential reference:
+    identical pairs, counts, and PMI values; min_count floor applied."""
+    import math
+
+    from crypto_data_pipeline_with_kafka_spark.functions.text import collocations
+
+    texts = [
+        "new york is big and new york is busy",
+        "san francisco and new york",
+        "the san francisco fog is busy",
+        "is is is and and",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = [
+        (r["w1"], r["w2"], r["c12"], round(r["pmi"], 9))
+        for r in collocations(docs, min_count=2, top_k=5).collect()
+    ]
+
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for t in texts:
+        ws = t.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n = sum(uni.values())
+    exp = [
+        (w1, w2, c12, round(math.log(c12 * n / (uni[w1] * uni[w2])), 9))
+        for (w1, w2), c12 in big.items()
+        if c12 >= 2
+    ]
+    exp.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    assert got == exp[:5]
+    assert got[0][:2] == ("san", "francisco")  # tightest collocation wins
