@@ -660,10 +660,12 @@ def collocations(
             "w1",
             "w2",
             "c12",
+            # c1/c2 cast to double BEFORE multiplying: two ~4e9-count
+            # tokens would overflow the 64-bit product on a web corpus
             F.log(
                 F.col("c12").cast("double")
                 * F.col("n")
-                / (F.col("c1") * F.col("c2"))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
             ).alias("pmi"),
         )
     )

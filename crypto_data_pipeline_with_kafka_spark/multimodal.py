@@ -49,32 +49,25 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _make_real_decoder():
-    """Factory for the real decoder: the returned function is a LOCAL
-    (non-importable) closure, so cloudpickle ships it BY VALUE into
-    Arrow workers — same convention as the inline stub closures below
-    (executors must not need this package importable), without
-    duplicating the 50-line parser in two places."""
+def _make_raster_parser():
+    """Factory for the SHARED header/raster parser both the metadata
+    decoder and the perceptual hasher embed (by value, like every
+    multimodal closure — executors must not need this package
+    importable). One parse, two consumers: format fixes land once.
 
-    def decode_image_real(payload: bytes) -> tuple[str, int, int, int]:
-        """REAL decode for the uncompressed formats a pure-Python parser
-        can handle without codec libraries: binary Netpbm (``P6`` PPM →
-        3 channels, ``P5`` PGM → 1) and uncompressed BI_RGB BMP. Returns
-        ``(format, width, height, channels)`` after validating the pixel
-        payload is actually present (a truncated raster raises
-        ValueError — corrupt data must fail loudly, not decode
-        plausibly).
+    Returns ``parse_raster(payload) -> (fmt, w, h, channels,
+    data_offset, row_stride, top_down, bytes_per_sample)`` — enough to
+    address any pixel without re-sniffing — validating the pixel
+    payload is actually present (truncated rasters raise ValueError;
+    unsupported encodings raise NotImplementedError, never a plausible
+    misparse)."""
 
-        Compressed formats (PNG/JPEG/...) still raise
-        NotImplementedError: this container ships no codecs, and a
-        header-only sniff of a compressed stream would claim a decode it
-        cannot do. Swapping in PIL/libvips extends THIS function;
-        ``decode_images`` and the Arrow plumbing need no changes."""
+    def parse_raster(payload: bytes):
         if payload[:2] in (b"P6", b"P5"):
-            # Netpbm header: magic, then 3 ASCII ints (width height maxval)
-            # separated by whitespace, '#'-to-EOL comments allowed anywhere
-            # between tokens; exactly ONE whitespace byte after maxval, then
-            # the raster.
+            # Netpbm header: magic, then 3 ASCII ints (width height
+            # maxval) separated by whitespace, '#'-to-EOL comments
+            # allowed anywhere between tokens; exactly ONE whitespace
+            # byte after maxval, then the raster.
             toks: list[int] = []
             i = 2
             while len(toks) < 3:
@@ -95,22 +88,26 @@ def _make_real_decoder():
             i += 1  # the single whitespace byte before the raster
             channels = 3 if payload[:2] == b"P6" else 1
             bytes_per_sample = 2 if maxval > 255 else 1
-            need = i + width * height * channels * bytes_per_sample
-            if width <= 0 or height <= 0 or len(payload) < need:
+            stride = width * channels * bytes_per_sample
+            if width <= 0 or height <= 0 or len(payload) < i + stride * height:
                 raise ValueError(
-                    f"netpbm raster truncated: need {need} bytes, have {len(payload)}"
+                    f"netpbm raster truncated: need {i + stride * height} "
+                    f"bytes, have {len(payload)}"
                 )
-            return ("ppm" if channels == 3 else "pgm", width, height, channels)
+            # netpbm stores rows top-down
+            fmt = "ppm" if channels == 3 else "pgm"
+            return (fmt, width, height, channels, i, stride, True, bytes_per_sample)
         if payload[:2] == b"BM":
             import struct
 
-            if len(payload) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
+            if len(payload) < 54:  # 14-byte file header + BITMAPINFOHEADER
                 raise ValueError("BMP header truncated")
             dib_size = struct.unpack_from("<I", payload, 14)[0]
             if dib_size < 40:
                 raise NotImplementedError(f"BMP DIB header size {dib_size} (core/OS2)")
             width = struct.unpack_from("<i", payload, 18)[0]
-            height = abs(struct.unpack_from("<i", payload, 22)[0])  # <0 = top-down
+            raw_h = struct.unpack_from("<i", payload, 22)[0]
+            height = abs(raw_h)  # raw_h < 0 = top-down row order
             bpp = struct.unpack_from("<H", payload, 28)[0]
             compression = struct.unpack_from("<I", payload, 30)[0]
             if compression != 0:
@@ -122,11 +119,42 @@ def _make_real_decoder():
             offset = struct.unpack_from("<I", payload, 10)[0]
             if width <= 0 or height <= 0 or len(payload) < offset + row_bytes * height:
                 raise ValueError("BMP raster truncated")
-            return ("bmp", width, height, channels)
+            return ("bmp", width, height, channels, offset, row_bytes, raw_h < 0, 1)
         raise NotImplementedError(
             "only uncompressed PPM/PGM/BMP decode without codec libraries; "
             "compressed formats need PIL/libvips (not in this container)"
         )
+
+    return parse_raster
+
+
+def _make_real_decoder():
+    """Factory for the real decoder: the returned function is a LOCAL
+    (non-importable) closure, so cloudpickle ships it BY VALUE into
+    Arrow workers — same convention as the inline stub closures below
+    (executors must not need this package importable), without
+    duplicating the 50-line parser in two places."""
+
+    parse_raster = _make_raster_parser()
+
+    def decode_image_real(payload: bytes) -> tuple[str, int, int, int]:
+        """REAL decode for the uncompressed formats a pure-Python parser
+        can handle without codec libraries: binary Netpbm (``P6`` PPM →
+        3 channels, ``P5`` PGM → 1) and uncompressed BI_RGB BMP. Returns
+        ``(format, width, height, channels)`` after validating the pixel
+        payload is actually present (a truncated raster raises
+        ValueError — corrupt data must fail loudly, not decode
+        plausibly). Header/raster parsing is the SHARED
+        ``_make_raster_parser`` closure (one parse, two consumers — the
+        perceptual hasher reads the same fields).
+
+        Compressed formats (PNG/JPEG/...) still raise
+        NotImplementedError: this container ships no codecs, and a
+        header-only sniff of a compressed stream would claim a decode it
+        cannot do. Swapping in PIL/libvips extends the shared parser;
+        ``decode_images`` and the Arrow plumbing need no changes."""
+        fmt, width, height, channels = parse_raster(payload)[:4]
+        return (fmt, width, height, channels)
 
     return decode_image_real
 
@@ -570,75 +598,37 @@ def perceptual_hash_images(
     cell means (strict >, ties → 0). Requires ≥ 8×8 pixels (smaller
     rasters raise — a 64-bit hash of fewer pixels is undefined).
     Supports the engine's real codec-free decodes: binary P5/P6 Netpbm
-    (maxval ≤ 255) and uncompressed 8/24/32-bpp BMP (hashed in stored
-    row order — consistent within the format, which is what dedup
-    needs). Pure-Python per Arrow batch via mapInPandas, the multimodal
-    hot-path convention."""
+    (maxval ≤ 255) and uncompressed 8/24/32-bpp BMP. Rows are hashed
+    in IMAGE order — bottom-up BMPs are flipped via the shared parser's
+    orientation flag — so the same raster hashes identically whether
+    stored top-down, bottom-up, or as a PGM (cross-format pairing is
+    pytest-pinned). Pure-Python per Arrow batch via mapInPandas, the
+    multimodal hot-path convention."""
+
+    parse_raster = _make_raster_parser()
 
     def hash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # self-contained closure: shipped by value (see decode_batch)
-        import struct
+        # self-contained closure: parse_raster is closed over and ships
+        # by value with it (see decode_batch)
 
         def _gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
-            if payload[:2] in (b"P6", b"P5"):
-                toks: list[int] = []
-                i = 2
-                while len(toks) < 3:
-                    while i < len(payload) and payload[i : i + 1].isspace():
-                        i += 1
-                    if payload[i : i + 1] == b"#":
-                        while i < len(payload) and payload[i] != 0x0A:
-                            i += 1
-                        continue
-                    j = i
-                    while j < len(payload) and not payload[j : j + 1].isspace():
-                        j += 1
-                    if i == j:
-                        raise ValueError("truncated netpbm header")
-                    toks.append(int(payload[i:j]))
-                    i = j
-                w, h, maxval = toks
-                if maxval > 255:
-                    raise NotImplementedError("16-bit netpbm aHash")
-                i += 1
-                ch = 3 if payload[:2] == b"P6" else 1
-                need = i + w * h * ch
-                if w <= 0 or h <= 0 or len(payload) < need:
-                    raise ValueError("netpbm raster truncated")
-                raster = payload[i:need]
-                if ch == 1:
-                    return w, h, list(raster)
-                return w, h, [
-                    (raster[k] + raster[k + 1] + raster[k + 2]) // 3
-                    for k in range(0, len(raster), 3)
-                ]
-            if payload[:2] == b"BM":
-                if len(payload) < 54:
-                    raise ValueError("BMP header truncated")
-                w = struct.unpack_from("<i", payload, 18)[0]
-                h = abs(struct.unpack_from("<i", payload, 22)[0])
-                bpp = struct.unpack_from("<H", payload, 28)[0]
-                comp = struct.unpack_from("<I", payload, 30)[0]
-                if comp != 0 or bpp not in (8, 24, 32):
-                    raise NotImplementedError("compressed/palette BMP aHash")
-                ch = bpp // 8
-                row_bytes = (w * ch + 3) // 4 * 4
-                off = struct.unpack_from("<I", payload, 10)[0]
-                if w <= 0 or h <= 0 or len(payload) < off + row_bytes * h:
-                    raise ValueError("BMP raster truncated")
-                px: list[int] = []
-                for r in range(h):
-                    base = off + r * row_bytes
-                    for c in range(w):
-                        k = base + c * ch
-                        if ch == 1:
-                            px.append(payload[k])
-                        else:  # BGR(A): integer mean of b,g,r
-                            px.append(
-                                (payload[k] + payload[k + 1] + payload[k + 2]) // 3
-                            )
-                return w, h, px
-            raise NotImplementedError("aHash needs PPM/PGM/BMP payloads")
+            fmt, w, h, ch, off, stride, top_down, bps = parse_raster(payload)
+            if bps != 1:
+                raise NotImplementedError("16-bit netpbm aHash")
+            px: list[int] = []
+            for y in range(h):  # iterate in IMAGE row order
+                base = off + (y if top_down else h - 1 - y) * stride
+                for x in range(w):
+                    k = base + x * ch
+                    if ch == 1:
+                        px.append(payload[k])
+                    else:
+                        # integer mean of the 3 color samples — same
+                        # value for RGB (netpbm) and BGR(A) (BMP) order
+                        px.append(
+                            (payload[k] + payload[k + 1] + payload[k + 2]) // 3
+                        )
+            return w, h, px
 
         def _ahash(payload: bytes) -> tuple[int, int, str]:
             w, h, px = _gray_pixels(payload)
@@ -663,7 +653,7 @@ def perceptual_hash_images(
             hashed = pdf[payload_col].map(_ahash)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    "doc_id": pdf["doc_id"],  # aliased in the select below
                     "width": hashed.map(lambda t: t[0]),
                     "height": hashed.map(lambda t: t[1]),
                     "simhash": hashed.map(lambda t: t[2]),

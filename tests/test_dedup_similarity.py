@@ -1026,3 +1026,31 @@ def test_image_ahash_near_dup_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in image_near_dup_pairs(df, max_hamming=6).collect()}
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] == ham_12
+
+    # orientation + format invariance: the SAME raster as a bottom-up
+    # BMP, a top-down BMP, and the PGM hash identically (BMP rows are
+    # flipped to image order via the parser's orientation flag)
+    import struct as _struct
+
+    def bmp8(pixels, top_down):
+        row = (w + 3) // 4 * 4
+        hh = -h if top_down else h
+        rows_img = [pixels[y * w:(y + 1) * w] for y in range(h)]
+        stored = rows_img if top_down else rows_img[::-1]
+        raster = b"".join(bytes(r) + bytes(row - w) for r in stored)
+        return (b"BM" + _struct.pack("<IHHI", 54 + row * h, 0, 0, 54)
+                + _struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 8, 0, row * h,
+                               0, 0, 0, 0) + raster)
+
+    tri = spark.createDataFrame(
+        [(10, pgm(base)), (11, bmp8(base, False)), (12, bmp8(base, True))],
+        "doc_id long, payload binary",
+    )
+    tri_hashes = {r["doc_id"]: r["simhash"]
+                  for r in perceptual_hash_images(tri).collect()}
+    assert tri_hashes[10] == tri_hashes[11] == tri_hashes[12]
+
+    # non-default id column works (the closure reads the aliased name)
+    renamed = df.withColumnRenamed("doc_id", "img_id")
+    got = perceptual_hash_images(renamed, id_col="img_id").count()
+    assert got == 3
