@@ -926,3 +926,107 @@ def test_collocations_match_python_reference(spark):
     exp.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
     assert got == exp[:5]
     assert got[0][:2] == ("san", "francisco")  # tightest collocation wins
+
+
+@given(
+    st.lists(  # corpus: 3-7 docs over a tiny vocabulary
+        st.lists(st.sampled_from("alpha beta gamma delta eps".split()),
+                 min_size=1, max_size=10).map(" ".join),
+        min_size=3, max_size=7,
+    ),
+    st.lists(  # 1-2 queries, 1-3 words, may repeat / miss the corpus
+        st.lists(st.sampled_from("alpha beta gamma zeta".split()),
+                 min_size=1, max_size=3).map(" ".join),
+        min_size=1, max_size=2,
+    ),
+)
+@settings(max_examples=6, deadline=None)
+def test_bm25_random_corpora_property(spark, corpus, qtexts):
+    """Randomized BM25 ≡ sequential reference: rankings, tie-breaks,
+    zero-df query terms, repeated words, out-of-vocab queries."""
+    import math
+
+    from crypto_data_pipeline_with_kafka_spark.functions.text import bm25_topk
+
+    k1, b, k = 1.2, 0.75, 3
+    docs_df = spark.createDataFrame(
+        list(enumerate(corpus)), ["doc_id", "text"]
+    )
+    q_df = spark.createDataFrame(list(enumerate(qtexts)), ["query_id", "query_text"])
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+        for r in bm25_topk(docs_df, q_df, k=k, k1=k1, b=b).collect()
+    }
+
+    toks = {d: t.split(" ") for d, t in enumerate(corpus)}
+    n_docs = len(toks)
+    avgdl = sum(len(ws) for ws in toks.values()) / n_docs
+    expected = {}
+    for qid, qtext in enumerate(qtexts):
+        scores = {}
+        for term in dict.fromkeys(qtext.split(" ")):
+            df_t = sum(1 for ws in toks.values() if term in ws)
+            if df_t == 0:
+                continue
+            idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+            for d, ws in toks.items():
+                tf = ws.count(term)
+                if tf == 0:
+                    continue
+                c = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+                scores[d] = scores.get(d, 0) + round(c * 1e6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rank, (d, sc) in enumerate(ranked, 1):
+            expected[(qid, rank)] = (d, sc)
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["ab", "abab", "ba", "aab", "b", "abc"]),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=2, max_size=5,
+    )
+)
+@settings(max_examples=4, deadline=None)
+def test_bpe_random_corpora_property(spark, corpus):
+    """Randomized BPE learning ≡ sequential reference on adversarial
+    repeated-symbol words (greedy non-overlap, tie-breaks, early stop)."""
+    from crypto_data_pipeline_with_kafka_spark.functions.bpe import (
+        END_OF_WORD,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    got = learn_bpe_merges(docs, n_merges=6, min_pair_freq=2)
+
+    freqs: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    words = {w: [*w, END_OF_WORD] for w in freqs}
+
+    def merge_seq(sym, a, b):
+        out = []
+        for sch in sym:
+            if out and out[-1] == a and sch == b:
+                out[-1] = a + b
+            else:
+                out.append(sch)
+        return out
+
+    expected = []
+    for _ in range(6):
+        counts: dict[tuple[str, str], int] = {}
+        for w, sym in words.items():
+            for x, y in zip(sym, sym[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        expected.append((a, b))
+        words = {w: merge_seq(sym, a, b) for w, sym in words.items()}
+    assert got == expected
