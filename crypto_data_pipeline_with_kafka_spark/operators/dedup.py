@@ -900,6 +900,28 @@ def simhash_bits(
     return per_doc
 
 
+def _simhash_chunk_rows(sims: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, c, key): the 4 × 16-bit chunk-blocking rows of a 64-char
+    '0'/'1' ``simhash`` column — shared by the one-shot pair join and
+    the incremental hamming index (same blocking ⇒ same candidates)."""
+    return sims.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("c"), F.substring("simhash", 1 + 16 * c, 16).alias("key")) for c in range(4)])
+        ).alias("ck"),
+    ).select(F.col(id_col), F.col("ck.c").alias("c"), F.col("ck.key").alias("key"))
+
+
+def _packed_simhash_words(sims: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2): the simhash packed into two longs for XOR+bit_count
+    hamming."""
+    return sims.select(
+        F.col(id_col),
+        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("w1"),
+        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("w2"),
+    )
+
+
 def simhash_pairs(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
 ) -> DataFrame:
@@ -909,12 +931,7 @@ def simhash_pairs(
     candidate-set size as real simhash dedup does). Returns
     (id_a, id_b, hamming)."""
     sims = sims.persist()
-    chunks = sims.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(c).alias("c"), F.substring("simhash", 1 + 16 * c, 16).alias("key")) for c in range(4)])
-        ).alias("ck"),
-    ).select(F.col(id_col), F.col("ck.c").alias("c"), F.col("ck.key").alias("key"))
+    chunks = _simhash_chunk_rows(sims, id_col)
     a = chunks.select(F.col(id_col).alias("id_a"), "c", "key")
     b = chunks.select(F.col(id_col).alias("id_b"), "c", "key")
     # distinct over bare id pairs (cheap), then re-attach the 64-char
@@ -929,11 +946,7 @@ def simhash_pairs(
     # pack the 64-bit string into two longs once per doc; hamming per
     # candidate pair is then two XOR+bit_count ops instead of 64
     # substring compares
-    packed = sims.select(
-        F.col(id_col),
-        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("w1"),
-        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("w2"),
-    )
+    packed = _packed_simhash_words(sims, id_col)
     sa = packed.select(
         F.col(id_col).alias("id_a"), F.col("w1").alias("a1"), F.col("w2").alias("a2")
     )
@@ -950,3 +963,104 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_hamming_dedup(
+    new_hashed: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Modality-agnostic incremental near-dup gate over 64-bit hashes:
+    an arriving batch of ``(id, simhash)`` rows — text SimHash
+    (:func:`simhash_bits`) or image aHash
+    (``multimodal.perceptual_hash_images``), the column contract is the
+    same — is flagged against the persisted hash index of every EARLIER
+    batch and then appended to it. ONE index engine serves both
+    modalities, the same way ``simhash_pairs`` verifies both one-shot.
+
+    Same store contract as :func:`incremental_minhash_dedup` /
+    ``similarity.incremental_ivf_update``: the index lives under
+    ``store_dir/hashes/batch_id=N`` (one 64-char hash row per item —
+    tiny: the index for a billion images is ~70 GB of strings, scanned
+    but NEVER shuffled); candidates come from the 4 × 16-bit chunk
+    blocks (batch side broadcast) batch-vs-earlier plus within-batch
+    (earlier = smaller id); hamming is verified with packed XOR +
+    bit_count on candidates only; each new item's best earlier match
+    (min hamming, ties to the smallest id) lands in
+    ``store_dir/flagged/batch_id=N``. Writes overwrite only this
+    batch's partitions, reads prune to ``batch_id < N`` at planning
+    time — idempotent under redelivery, batching-invariant (chunk keys
+    and hamming are per-pair deterministic; union of flags ≡ the
+    one-shot :func:`simhash_pairs` derivation, pytest-pinned).
+
+    Returns the flagged rows (id, dup_of, hamming) read back from the
+    flag store."""
+    spark = new_hashed.sparkSession
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
+
+    hashes_path = f"{store_dir}/hashes"
+    hashes_new = new_hashed.select(F.col(id_col), "simhash").persist()
+
+    def read_earlier() -> DataFrame:
+        return (
+            spark.read.parquet(hashes_path)
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+
+    chunks_new = _simhash_chunk_rows(hashes_new, id_col)
+    new_a = chunks_new.select(F.col(id_col).alias("id_a"), "c", "key")
+    new_b = chunks_new.select(F.col(id_col).alias("id_b"), "c", "key")
+    cand = (
+        new_a.join(F.broadcast(new_b), ["c", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    have_store = target_exists(spark, hashes_path)
+    if have_store:
+        old_a = _simhash_chunk_rows(read_earlier(), id_col).select(
+            F.col(id_col).alias("id_a"), "c", "key"
+        )
+        cand = cand.unionByName(
+            old_a.join(F.broadcast(new_b), ["c", "key"]).select("id_a", "id_b")
+        )
+    cand = cand.distinct()
+
+    packed_all = _packed_simhash_words(hashes_new, id_col)
+    if have_store:
+        # verify reads ONLY candidate ids' hashes from the index
+        # (left-semi key-pruned; no forced broadcast on the
+        # collision-bounded candidate list — AQE decides)
+        ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+        packed_all = packed_all.unionByName(
+            _packed_simhash_words(
+                read_earlier().join(ids_a, id_col, "left_semi"), id_col
+            )
+        )
+    sa = packed_all.select(
+        F.col(id_col).alias("id_a"), F.col("w1").alias("a1"), F.col("w2").alias("a2")
+    )
+    sb = packed_all.select(
+        F.col(id_col).alias("id_b"), F.col("w1").alias("b1"), F.col("w2").alias("b2")
+    )
+    ham = F.expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)").cast("int")
+    dup_pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    w = Window.partitionBy("id_b").orderBy(F.col("hamming").asc(), F.col("id_a").asc())
+    flagged = (
+        dup_pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id_b").alias(id_col), F.col("id_a").alias("dup_of"), "hamming")
+    )
+    flagged_path = f"{store_dir}/flagged/batch_id={batch_id}"
+    flagged.write.mode("overwrite").parquet(flagged_path)
+    hashes_new.write.mode("overwrite").parquet(f"{hashes_path}/batch_id={batch_id}")
+    hashes_new.unpersist()
+    return spark.read.parquet(flagged_path)

@@ -1054,3 +1054,67 @@ def test_image_ahash_near_dup_pairs(spark):
     renamed = df.withColumnRenamed("doc_id", "img_id")
     got = perceptual_hash_images(renamed, id_col="img_id").count()
     assert got == 3
+
+
+def test_incremental_hamming_dedup_text_and_images(spark, tmp_path):
+    """One hash-index engine, two modalities: (1) text SimHash over 2
+    batches ≡ the one-shot simhash_pairs derivation; (2) image aHash
+    rows flow through the SAME store; (3) empty batch is a no-op."""
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        perceptual_hash_images,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+        simhash_bits,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sims = simhash_bits(docs).persist()
+    one_shot = simhash_pairs(sims, max_hamming=6).collect()
+    assert one_shot
+    expected = {}
+    for r in one_shot:  # best earlier (min hamming, tie min id) per later id
+        cur = expected.get(r.id_b)
+        cand = (r.hamming, r.id_a)
+        if cur is None or cand < cur:
+            expected[r.id_b] = cand
+
+    store = str(tmp_path / "text_store")
+    got = {}
+    for b, (lo, hi) in enumerate([(0, 250), (250, 500)]):
+        batch = sims.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for r in incremental_hamming_dedup(batch, store, b).collect():
+            got[r.doc_id] = (r.hamming, r.dup_of)
+    assert got == expected
+
+    # empty batch: no flags, store still readable afterwards
+    empty = incremental_hamming_dedup(sims.filter(F.lit(False)), store, 2)
+    assert empty.count() == 0
+    again = incremental_hamming_dedup(
+        sims.filter(F.col("doc_id") < 5), store, 3
+    )
+    assert again.count() >= 0
+
+    # image leg: aHash rows through the same engine
+    w = h = 32
+
+    def pgm(pixels):
+        return b"P5\n32 32\n255\n" + bytes(pixels)
+
+    base = [min(255, 4 * (x + y)) for y in range(h) for x in range(w)]
+    noisy = list(base)
+    for k in range(0, len(noisy), 97):
+        noisy[k] = min(255, noisy[k] + 2)
+    inverted = [255 - p for p in base]
+    img_store = str(tmp_path / "img_store")
+    b0 = spark.createDataFrame([(1, pgm(base)), (3, pgm(inverted))],
+                               "doc_id long, payload binary")
+    b1 = spark.createDataFrame([(2, pgm(noisy))], "doc_id long, payload binary")
+    f0 = incremental_hamming_dedup(perceptual_hash_images(b0), img_store, 0)
+    assert f0.count() == 0  # base vs inverted: structurally different
+    f1 = {r.doc_id: r.dup_of
+          for r in incremental_hamming_dedup(
+              perceptual_hash_images(b1), img_store, 1).collect()}
+    assert f1 == {2: 1}  # the noisy copy flags its earlier original
+    sims.unpersist()
