@@ -423,6 +423,23 @@ def lsh_ann_pairs(
     )
 
 
+def resolve_num_centroids(base: DataFrame, num_centroids) -> int:
+    """IVF cell-count tuning: pass an int to use it verbatim, or
+    ``"auto"`` to apply the C ∝ sqrt(corpus) rule — C = ceil(sqrt(n))
+    clamped to [32, 65536]. The rule is what keeps per-cell candidate
+    volume flat as the corpus grows (SCALE.md's 10× measurement: a
+    FIXED C at 10× data cost 2.7× more wall than the sqrt-scaled C).
+    ``"auto"`` spends ONE count job over the corpus — at deploy scale,
+    prefer passing the known corpus cardinality's sqrt explicitly so
+    index builds stay probe-free."""
+    if num_centroids == "auto":
+        import math
+
+        n = base.count()
+        return max(32, min(65536, math.isqrt(max(n - 1, 0)) + 1))
+    return int(num_centroids)
+
+
 def _seed_centroids(base: DataFrame, num_centroids: int, id_col: str) -> DataFrame:
     """Deterministic seeded centroid pick: the ``num_centroids`` corpus
     vectors with the smallest md5(id) — a seeded pseudo-random draw, the
@@ -496,6 +513,7 @@ def lloyd_refined_centroids(
     a deployment would add exactly these rounds)."""
     del dim  # dimensionality never appears in the plan anymore
     base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
+    num_centroids = resolve_num_centroids(base, num_centroids)
     cents = _seed_centroids(base, num_centroids, id_col)
     for _ in range(rounds):
         packed = cents.select(
@@ -628,7 +646,9 @@ def ivf_assignments(
     cents0 = (
         centroids
         if centroids is not None
-        else _seed_centroids(base, num_centroids, id_col)
+        else _seed_centroids(
+            base, resolve_num_centroids(base, num_centroids), id_col
+        )
     )
     cq = quantized_vector(F.col("cvec"))
     cents = cents0.select(
@@ -746,6 +766,7 @@ def ivf_ann_pairs(
     the same base) so multi-variant suites score the corpus once."""
     base = _ensure_ann_base(emb, id_col)
     if assignments is None:
+        num_centroids = resolve_num_centroids(base, num_centroids)
         cents = (
             lloyd_refined_centroids(
                 base, num_centroids, lloyd_rounds, id_col, vec_col="vdbl"
@@ -818,6 +839,7 @@ def ivf_topk(
             F.col(id_col), "centroid_id"
         )
     else:
+        num_centroids = resolve_num_centroids(base, num_centroids)
         cents = (
             centroids
             if centroids is not None

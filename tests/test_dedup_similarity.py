@@ -1118,3 +1118,35 @@ def test_incremental_hamming_dedup_text_and_images(spark, tmp_path):
               perceptual_hash_images(b1), img_store, 1).collect()}
     assert f1 == {2: 1}  # the noisy copy flags its earlier original
     sims.unpersist()
+
+
+def test_ivf_auto_centroids_applies_sqrt_rule(spark):
+    """num_centroids='auto' resolves to ceil(sqrt(n)) clamped at 32 and
+    produces exactly the explicit-C results."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        ivf_ann_pairs,
+        resolve_num_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = _ensure_ann_base(emb, "vec_id")
+    n = base.count()  # 500 → ceil(sqrt) = 23 → clamped to 32
+    assert resolve_num_centroids(base, "auto") == 32
+    assert resolve_num_centroids(base, 17) == 17
+    big = base.limit(0)  # 0 rows → floor clamp
+    assert resolve_num_centroids(big, "auto") == 32
+    assert n == 500
+
+    auto_pairs = sorted(
+        tuple(r) for r in ivf_ann_pairs(
+            base, num_centroids="auto", probes=2, min_cosine=0.2
+        ).collect()
+    )
+    explicit = sorted(
+        tuple(r) for r in ivf_ann_pairs(
+            base, num_centroids=32, probes=2, min_cosine=0.2
+        ).collect()
+    )
+    assert auto_pairs == explicit and len(auto_pairs) > 0
+    base.unpersist()
