@@ -158,3 +158,81 @@ def kafka_stream_writer(
     if checkpoint_location is not None:
         writer = writer.option("checkpointLocation", checkpoint_location)
     return writer
+
+
+def write_export_manifest(
+    spark,
+    export_path: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Manifest for an :func:`export_training_shards` output — the
+    artifact a training run pins so the dataset it consumed is
+    verifiable later: one row per shard with (shard, n_rows,
+    content_hash), where content_hash = md5 of the shard's sorted key
+    list (order-free: xor/sum tricks are forgeable by row pairs, a
+    sorted-key digest is not). Written to ``export_path/_manifest`` as
+    parquet and returned.
+
+    Scale shape: one pass over the export — groupBy(shard) with the
+    keys sort happening INSIDE each shard group via sort_array over
+    collect_list (shards are bounded by construction — raise n_shards
+    to keep them so), never a global sort."""
+    exp = spark.read.option("basePath", export_path).parquet(
+        export_path
+    ) if _export_is_parquet(spark, export_path) else spark.read.json(export_path)
+    manifest = (
+        exp.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(
+                F.to_json(
+                    F.sort_array(F.collect_list(F.col(key_col).cast("string")))
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{export_path}/_manifest")
+    return spark.read.parquet(f"{export_path}/_manifest")
+
+
+def _export_is_parquet(spark, export_path: str) -> bool:
+    """Sniff the export format from the first shard's files (the two
+    formats export_training_shards writes)."""
+    import glob
+    import os
+
+    return bool(glob.glob(os.path.join(export_path, "shard=*", "*.parquet")))
+
+
+def verify_export(spark, export_path: str, key_col: str = "doc_id") -> bool:
+    """Recompute the manifest from the export's current bytes and
+    compare to the stored one. False ⇒ the export changed since the
+    manifest was written (partial rewrite, lost shard, added rows) —
+    the check a training job runs before trusting a dataset path."""
+    stored = spark.read.parquet(f"{export_path}/_manifest")
+    exp = spark.read.option("basePath", export_path).parquet(
+        export_path
+    ) if _export_is_parquet(spark, export_path) else spark.read.json(export_path)
+    fresh = exp.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(
+            F.to_json(
+                F.sort_array(F.collect_list(F.col(key_col).cast("string")))
+            )
+        ).alias("content_hash"),
+    )
+    # full-outer on the full row with side markers: a row missing from
+    # either side (count drift, hash drift, shard gone) leaves that
+    # side's marker NULL (join keys themselves coalesce, so they can
+    # never witness a mismatch)
+    return (
+        stored.withColumn("_s", F.lit(1))
+        .join(
+            fresh.withColumn("_f", F.lit(1)),
+            ["shard", "n_rows", "content_hash"],
+            "full_outer",
+        )
+        .filter(F.col("_s").isNull() | F.col("_f").isNull())
+        .isEmpty()
+    )

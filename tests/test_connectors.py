@@ -223,3 +223,39 @@ def test_export_training_shards_jsonl_roundtrip(spark, tmp_path):
     export_training_shards(half, out2, n_shards=4)
     half_back = {r.doc_id: r.shard for r in spark.read.json(out2).collect()}
     assert all(got[d] == s for d, s in half_back.items())
+
+
+def test_export_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    """write_export_manifest pins per-shard row counts + sorted-key
+    digests; verify_export passes on the untouched export (json AND
+    parquet) and fails after a shard is tampered with."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import (
+        export_training_shards,
+        verify_export,
+        write_export_manifest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for fmt in ("json", "parquet"):
+        path = str(tmp_path / f"export_{fmt}")
+        export_training_shards(docs, path, n_shards=4, fmt=fmt)
+        man = write_export_manifest(spark, path)
+        rows = {r["shard"]: r["n_rows"] for r in man.collect()}
+        assert sum(rows.values()) == docs.count() and len(rows) == 4
+        assert verify_export(spark, path)
+
+    # tamper: drop one shard directory from the json export
+    path = str(tmp_path / "export_json")
+    _shutil.rmtree(f"{path}/shard=0")
+    assert not verify_export(spark, path)
+
+    # tamper the parquet export by appending rows to one shard
+    ppath = str(tmp_path / "export_parquet")
+    extra = docs.limit(1).withColumn("shard", F.lit(1))
+    extra.write.mode("append").partitionBy("shard").parquet(ppath)
+    assert not verify_export(spark, ppath)
