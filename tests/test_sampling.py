@@ -228,3 +228,52 @@ def test_profile_columns_one_pass_stats(spark):
     # ONE exchange: the plan has a single-row partial+final agg, no extra
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("exchange") <= 1, plan
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """Full curation pipeline on the fixture corpus + a planted exact
+    duplicate: stage invariants (no exact dup survives, each near-dup
+    cluster keeps exactly its quality-argmax survivor, stats add up),
+    split column present, export verifies."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import verify_export
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    planted = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(100000).cast("long")
+    )
+    corpus = docs.unionByName(planted)
+
+    export = str(tmp_path / "curated_export")
+    curated, stats = curate_corpus(spark, corpus, export_path=export)
+    curated = curated.persist()
+
+    assert stats["input_rows"] == corpus.count()
+    assert stats["exact_dups_dropped"] >= 1  # the planted copy
+    assert stats["curated_rows"] == curated.count()
+    assert stats["input_rows"] == stats["curated_rows"] + sum(
+        stats[k] for k in (
+            "exact_dups_dropped", "quality_dropped",
+            "repetition_dropped", "neardup_dropped",
+        )
+    )
+
+    # invariant: no two surviving rows share text
+    assert (
+        curated.groupBy(F.md5("text")).count().filter("count > 1").isEmpty()
+    )
+    # invariant: re-clustering the curated rows finds no pair >= 0.8
+    assert minhash_lsh_dedup(curated).isEmpty()
+    # split column assigned
+    splits = {r["split"] for r in curated.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # export written and manifest-verified
+    assert verify_export(spark, export)
+    curated.unpersist()
