@@ -85,30 +85,40 @@ def curate_corpus(
             lambda g: F.struct(F.lit(3).alias("glen"), g.alias("gram")),
         ),
     )
+    # gram counting only over rows the earlier (cheaper) stages kept —
+    # _rep_ok is never consulted except conjoined with them, and on a
+    # heavily-duplicated corpus this cuts the dominant stage-2 shuffle
+    # by the duplicate/low-quality fraction
     gc = (
-        flagged.select(did, F.explode(tagged).alias("g"))
+        flagged.filter(F.col("_exact_keep") & F.col("_quality_ok"))
+        .select(did, F.explode(tagged).alias("g"))
         .select(id_col, "g.glen", "g.gram")
         .groupBy(id_col, "glen", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     c2 = F.when(F.col("glen") == 2, F.col("c"))
+    c3 = F.when(F.col("glen") == 3, F.col("c"))
     rep = gc.groupBy(id_col).agg(
         (F.max(c2).cast("double") / F.sum(c2).cast("double")).alias("_top2"),
+        F.coalesce(F.sum(c2), F.lit(0)).alias("_n2"),
         (
             F.coalesce(
                 F.sum(F.when((F.col("glen") == 3) & (F.col("c") >= 2), F.col("c"))),
                 F.lit(0),
             ).cast("double")
-            / F.sum(F.when(F.col("glen") == 3, F.col("c"))).cast("double")
+            / F.sum(c3).cast("double")
         ).alias("_dup3"),
+        F.coalesce(F.sum(c3), F.lit(0)).alias("_n3"),
     )
+    # each repetition leg condemns INDEPENDENTLY, and only with enough
+    # gram evidence (≥ 4 instances): a 2-word doc's single bigram has
+    # top-fraction 1.0 by construction — that is absence of evidence,
+    # not repetition. NULL legs (no grams at all) can never condemn.
+    bad2 = (F.col("_n2") >= 4) & (F.col("_top2") > max_top_bigram_frac)
+    bad3 = (F.col("_n3") >= 4) & (F.col("_dup3") > max_dup_trigram_frac)
     flagged = flagged.join(rep, id_col, "left").withColumn(
         "_rep_ok",
-        F.coalesce(
-            (F.col("_top2") <= max_top_bigram_frac)
-            & (F.col("_dup3") <= max_dup_trigram_frac),
-            F.lit(True),  # too short for grams → repetition can't condemn it
-        ),
+        ~F.coalesce(bad2, F.lit(False)) & ~F.coalesce(bad3, F.lit(False)),
     )
 
     # stage 3: near-dup clustering on what survived the cheap stages —
@@ -121,9 +131,17 @@ def curate_corpus(
     pairs = minhash_lsh_dedup(
         gated, text_col=text_col, id_col=id_col, min_jaccard=minhash_jaccard
     ).persist()
-    clusters = connected_components(pairs)
-    survivors = select_cluster_survivors(gated, clusters, id_col=id_col)
-    clustered_ids = clusters.select(F.col("doc_id").alias(id_col))
+    # connected_components emits (doc_id, canonical_id) regardless of
+    # the caller's id column; realign before the survivor join, and
+    # score quality on the caller's text column
+    clusters = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    survivors = select_cluster_survivors(
+        gated,
+        clusters,
+        quality_col=F.length(F.trim(txt)),
+        id_col=id_col,
+    )
+    clustered_ids = clusters.select(id_col)
     survivor_ids = survivors.select(F.col("survivor_id").alias(id_col))
     flagged = flagged.join(
         clustered_ids.withColumn("_in_cluster", F.lit(True)), id_col, "left"
@@ -144,37 +162,39 @@ def curate_corpus(
     flagged = flagged.withColumn("_keep", keep).persist()
 
     # ONE aggregation pass for every stage statistic
+    def _n(c):  # zero-row agg returns NULL sums — an empty batch is 0s
+        return F.coalesce(F.sum(c.cast("long")), F.lit(0))
+
     srow = flagged.agg(
         F.count(F.lit(1)).alias("input_rows"),
-        F.sum((~F.col("_exact_keep")).cast("long")).alias("exact_dups_dropped"),
-        F.sum(
-            (F.col("_exact_keep") & ~F.col("_quality_ok")).cast("long")
-        ).alias("quality_dropped"),
-        F.sum(
-            (F.col("_exact_keep") & F.col("_quality_ok") & ~F.col("_rep_ok")).cast(
-                "long"
-            )
+        _n(~F.col("_exact_keep")).alias("exact_dups_dropped"),
+        _n(F.col("_exact_keep") & ~F.col("_quality_ok")).alias("quality_dropped"),
+        _n(
+            F.col("_exact_keep") & F.col("_quality_ok") & ~F.col("_rep_ok")
         ).alias("repetition_dropped"),
-        F.sum(
-            (
-                F.col("_exact_keep")
-                & F.col("_quality_ok")
-                & F.col("_rep_ok")
-                & ~F.col("_neardup_keep")
-            ).cast("long")
+        _n(
+            F.col("_exact_keep")
+            & F.col("_quality_ok")
+            & F.col("_rep_ok")
+            & ~F.col("_neardup_keep")
         ).alias("neardup_dropped"),
-        F.sum(F.col("_keep").cast("long")).alias("curated_rows"),
+        _n(F.col("_keep")).alias("curated_rows"),
     ).first()
     stats = {k: int(srow[k]) for k in srow.asDict()}
 
     curated = flagged.filter("_keep").drop(
         "_exact_keep", "_quality_ok", "_rep_ok", "_neardup_keep", "_keep",
-        "_top2", "_dup3", "_in_cluster", "_is_survivor",
+        "_top2", "_n2", "_dup3", "_n3", "_in_cluster", "_is_survivor",
     )
     curated = hash_split(
         curated, split_weights or {"train": 0.9, "val": 0.05, "test": 0.05},
         key_col=id_col,
     )
+    # cut the returned frame loose from every stage cache (one eager
+    # materialization of the curated rows only), then RELEASE the
+    # caches — returning a frame that silently depends on
+    # function-local persists would leak them for the session
+    curated = curated.localCheckpoint(eager=True)
     if export_path is not None:
         from crypto_data_pipeline_with_kafka_spark.sources.sinks import (
             export_training_shards,
@@ -184,7 +204,7 @@ def curate_corpus(
         export_training_shards(
             curated, export_path, n_shards=n_shards, key_col=id_col
         )
-        write_export_manifest(spark, export_path, key_col=id_col)
-    for df in (gated, pairs):
+        write_export_manifest(spark, export_path)
+    for df in (gated, pairs, flagged):
         df.unpersist()
     return curated, stats

@@ -1025,7 +1025,11 @@ def incremental_hamming_dedup(
             F.col(id_col).alias("id_a"), "c", "key"
         )
         cand = cand.unionByName(
-            old_a.join(F.broadcast(new_b), ["c", "key"]).select("id_a", "id_b")
+            old_a.join(F.broadcast(new_b), ["c", "key"])
+            # an id re-ingested in a later batch meets its indexed self
+            # here (hamming 0) — never flag a row as its own duplicate
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
         )
     cand = cand.distinct()
 

@@ -839,12 +839,14 @@ def ivf_topk(
             F.col(id_col), "centroid_id"
         )
     else:
-        num_centroids = resolve_num_centroids(base, num_centroids)
-        cents = (
-            centroids
-            if centroids is not None
-            else _seed_centroids(base, num_centroids, id_col)
-        )
+        if centroids is None:
+            # resolve only when actually seeding — 'auto' with supplied
+            # centroids (the load_ivf_index serve path) must not spend
+            # a corpus count whose result is discarded
+            num_centroids = resolve_num_centroids(base, num_centroids)
+            cents = _seed_centroids(base, num_centroids, id_col)
+        else:
+            cents = centroids
         corpus_cells = ivf_assignments(
             base, num_centroids, probes=1, id_col=id_col, vec_col="vdbl",
             centroids=cents,

@@ -160,68 +160,73 @@ def kafka_stream_writer(
     return writer
 
 
-def write_export_manifest(
-    spark,
-    export_path: str,
-    key_col: str = "doc_id",
-) -> DataFrame:
+def _shard_digests(exp: DataFrame) -> DataFrame:
+    """(shard, n_rows, content_hash) over an export read: content_hash
+    = md5 of the shard's SORTED per-row digests, each row digested as
+    md5 of its full JSON rendering (name-sorted columns). Full-content
+    coverage — an edit to any field changes the digest, not just key
+    membership — and order-free without being forgeable the way
+    xor/sum row digests are. The sort happens INSIDE each shard group
+    (shards are bounded by construction — raise n_shards to keep them
+    so); never a global sort."""
+    row_cols = sorted(c for c in exp.columns if c != "shard")
+    row_digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in row_cols])))
+    return exp.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(
+            F.to_json(F.sort_array(F.collect_list(row_digest)))
+        ).alias("content_hash"),
+    )
+
+
+def _read_export(spark, export_path: str) -> DataFrame:
+    return (
+        spark.read.option("basePath", export_path).parquet(export_path)
+        if _export_is_parquet(spark, export_path)
+        else spark.read.json(export_path)
+    )
+
+
+def write_export_manifest(spark, export_path: str) -> DataFrame:
     """Manifest for an :func:`export_training_shards` output — the
     artifact a training run pins so the dataset it consumed is
     verifiable later: one row per shard with (shard, n_rows,
-    content_hash), where content_hash = md5 of the shard's sorted key
-    list (order-free: xor/sum tricks are forgeable by row pairs, a
-    sorted-key digest is not). Written to ``export_path/_manifest`` as
-    parquet and returned.
-
-    Scale shape: one pass over the export — groupBy(shard) with the
-    keys sort happening INSIDE each shard group via sort_array over
-    collect_list (shards are bounded by construction — raise n_shards
-    to keep them so), never a global sort."""
-    exp = spark.read.option("basePath", export_path).parquet(
-        export_path
-    ) if _export_is_parquet(spark, export_path) else spark.read.json(export_path)
-    manifest = (
-        exp.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.md5(
-                F.to_json(
-                    F.sort_array(F.collect_list(F.col(key_col).cast("string")))
-                )
-            ).alias("content_hash"),
-        )
-        .orderBy("shard")
-    )
+    content_hash) — see :func:`_shard_digests` for the digest
+    construction (full row content, order-free). Written to
+    ``export_path/_manifest`` as parquet (underscore-prefixed, so the
+    shard readers skip it) and returned."""
+    manifest = _shard_digests(_read_export(spark, export_path)).orderBy("shard")
     manifest.write.mode("overwrite").parquet(f"{export_path}/_manifest")
     return spark.read.parquet(f"{export_path}/_manifest")
 
 
 def _export_is_parquet(spark, export_path: str) -> bool:
-    """Sniff the export format from the first shard's files (the two
-    formats export_training_shards writes)."""
-    import glob
-    import os
+    """Sniff the export format from the shard dirs' files — via the
+    Hadoop FileSystem (any scheme: s3a/hdfs/file), NOT a driver-local
+    glob, mirroring :func:`target_exists`. Connect sessions (no py4j)
+    fall back to try-reading one row as parquet."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        hconf = spark._jsc.hadoopConfiguration()
+        pat = jvm.org.apache.hadoop.fs.Path(f"{export_path}/shard=*/*.parquet")
+        fs = pat.getFileSystem(hconf)
+        hits = fs.globStatus(pat)
+        return hits is not None and len(hits) > 0
+    try:
+        spark.read.option("basePath", export_path).parquet(export_path).schema
+        return True
+    except Exception:
+        return False
 
-    return bool(glob.glob(os.path.join(export_path, "shard=*", "*.parquet")))
 
-
-def verify_export(spark, export_path: str, key_col: str = "doc_id") -> bool:
+def verify_export(spark, export_path: str) -> bool:
     """Recompute the manifest from the export's current bytes and
     compare to the stored one. False ⇒ the export changed since the
-    manifest was written (partial rewrite, lost shard, added rows) —
-    the check a training job runs before trusting a dataset path."""
+    manifest was written (lost/added shards, added/removed rows, OR any
+    edited field value — the per-row digests cover full content) — the
+    check a training job runs before trusting a dataset path."""
     stored = spark.read.parquet(f"{export_path}/_manifest")
-    exp = spark.read.option("basePath", export_path).parquet(
-        export_path
-    ) if _export_is_parquet(spark, export_path) else spark.read.json(export_path)
-    fresh = exp.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.md5(
-            F.to_json(
-                F.sort_array(F.collect_list(F.col(key_col).cast("string")))
-            )
-        ).alias("content_hash"),
-    )
+    fresh = _shard_digests(_read_export(spark, export_path))
     # full-outer on the full row with side markers: a row missing from
     # either side (count drift, hash drift, shard gone) leaves that
     # side's marker NULL (join keys themselves coalesce, so they can

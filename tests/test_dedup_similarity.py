@@ -1091,10 +1091,12 @@ def test_incremental_hamming_dedup_text_and_images(spark, tmp_path):
     # empty batch: no flags, store still readable afterwards
     empty = incremental_hamming_dedup(sims.filter(F.lit(False)), store, 2)
     assert empty.count() == 0
+    # re-ingesting ids already in the index must never self-flag
     again = incremental_hamming_dedup(
         sims.filter(F.col("doc_id") < 5), store, 3
     )
-    assert again.count() >= 0
+    self_flags = again.filter("doc_id = dup_of")
+    assert self_flags.isEmpty()
 
     # image leg: aHash rows through the same engine
     w = h = 32

@@ -276,4 +276,39 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert splits <= {"train", "val", "test"} and "train" in splits
     # export written and manifest-verified
     assert verify_export(spark, export)
+
+    # content tamper WITHOUT touching keys or counts is still caught
+    # (per-row digests cover full content)
+    import glob as _glob
+    import json as _json
+
+    part = _glob.glob(f"{export}/shard=1/part-*.json")[0]
+    lines = [_json.loads(ln) for ln in open(part)]
+    # same-LENGTH swap: keys, counts, and file size all unchanged —
+    # only the digests can catch it (and no stale-file-length reads)
+    lines[0]["text"] = "x" * len(lines[0]["text"])
+    with open(part, "w") as fh:
+        for ln in lines:
+            fh.write(_json.dumps(ln) + "\n")
+    # drop Hadoop's local-FS .crc sidecar: a real tamperer rewrites it,
+    # and the point here is that the MANIFEST layer catches the edit
+    import os as _os
+
+    crc = f"{_os.path.dirname(part)}/.{_os.path.basename(part)}.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    spark.catalog.refreshByPath(export)
+    assert not verify_export(spark, export)
+
+    # empty corpus: zero stats, no crash
+    _, empty_stats = curate_corpus(spark, corpus.limit(0))
+    assert empty_stats["input_rows"] == 0 == empty_stats["curated_rows"]
+
+    # non-default column names work end to end
+    renamed = corpus.withColumnRenamed("doc_id", "item_id").withColumnRenamed(
+        "text", "body"
+    )
+    cur2, st2 = curate_corpus(spark, renamed, text_col="body", id_col="item_id")
+    assert st2["curated_rows"] == cur2.count() > 0
+    assert st2["curated_rows"] == stats["curated_rows"]
     curated.unpersist()
