@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+    incremental_hamming_dedup,
     incremental_minhash_dedup,
+    simhash_bits,
 )
 from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     incremental_ivf_update,
@@ -564,6 +566,37 @@ def run_incremental_ivf_stream(
             store_dir,
             int(epoch_id),
             min_cosine=min_cosine,
+        )
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def run_incremental_hamming_stream(
+    spark: SparkSession,
+    source_path: str,
+    store_dir: str,
+    max_hamming: int = 6,
+) -> None:
+    """Streaming SimHash near-dup gate over an arriving corpus — the
+    hamming-index sibling of :func:`run_incremental_dedup_stream`
+    (same file source, same epoch_id-as-batch_id exactly-once
+    contract): each micro-batch of documents is SimHash-hashed and
+    flagged against the persisted hash index of every earlier batch
+    (:func:`...operators.dedup.incremental_hamming_dedup`). The same
+    store also accepts image-aHash batches
+    (``multimodal.perceptual_hash_images`` output) — hash the batch in
+    the handler of a parallel stream to gate a mixed-modality feed."""
+    stream = documents_stream_reader(spark, source_path, max_files_per_trigger=1)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        incremental_hamming_dedup(
+            simhash_bits(batch.select("doc_id", "text")),
+            store_dir,
+            int(epoch_id),
+            max_hamming=max_hamming,
         )
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()

@@ -782,3 +782,45 @@ def test_incremental_ivf_stream_matches_batch_calls(spark, tmp_path):
 
     sflags, bflags = read_flags(stream_store), read_flags(batch_store)
     assert sflags == bflags and len(sflags) > 0
+
+
+def test_incremental_hamming_stream_matches_batch_calls(spark, tmp_path):
+    """run_incremental_hamming_stream through the real streaming engine
+    over 2 staged files ≡ two direct incremental_hamming_dedup calls."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+        simhash_bits,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_hamming_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "src")
+    stream_store = str(tmp_path / "stream_store")
+    batch_store = str(tmp_path / "batch_store")
+    os.makedirs(src)
+    now = _time.time()
+    for b, (lo, hi) in enumerate([(0, 250), (250, 500)]):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        incremental_hamming_dedup(simhash_bits(batch), batch_store, b)
+        stage = f"{src}/_stage"
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch{b}.parquet")
+        shutil.rmtree(stage)
+        os.utime(f"{src}/batch{b}.parquet", (now + 10 * b, now + 10 * b))
+    run_incremental_hamming_stream(spark, src, stream_store)
+
+    def flags(store):
+        return {
+            (r.doc_id, r.dup_of, r.hamming)
+            for r in spark.read.parquet(f"{store}/flagged").collect()
+        }
+
+    sflags, bflags = flags(stream_store), flags(batch_store)
+    assert sflags == bflags and len(sflags) > 0
