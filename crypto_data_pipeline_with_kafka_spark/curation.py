@@ -129,7 +129,14 @@ def curate_corpus(
         F.col("_exact_keep") & F.col("_quality_ok") & F.col("_rep_ok")
     ).persist()
     pairs = minhash_lsh_dedup(
-        gated, text_col=text_col, id_col=id_col, min_jaccard=minhash_jaccard
+        gated,
+        text_col=text_col,
+        id_col=id_col,
+        min_jaccard=minhash_jaccard,
+        # widen=False: gated is a join/window-derived (and persisted)
+        # plan, not a scan — the widen probe would materialize the
+        # earlier curation stages an extra time under AQE
+        widen=False,
     ).persist()
     # connected_components emits (doc_id, canonical_id) regardless of
     # the caller's id column; realign before the survivor join, and

@@ -144,8 +144,9 @@ def bpe_tokenize(
     merge rules. The rules are applied on the DISTINCT-WORD vocab (the
     same sublinear-side trick as ``operators.dedup.simhash_bits`` —
     per-word work happens once per vocab entry, not once per corpus
-    occurrence) and the (word → pieces) map is broadcast-joined back to
-    the exploded corpus, then re-assembled in word order."""
+    occurrence) and the (word → pieces) map is joined back to the
+    exploded corpus (AQE picks broadcast when the vocab is actually
+    small), then re-assembled in word order."""
     toked = widen_if_narrow(docs, id_col).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
     )
@@ -156,7 +157,14 @@ def bpe_tokenize(
         vocab = vocab.withColumn("sym", _merge_expr(F.col("sym"), a, b))
         if (i + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=False)
-    pieces = toked.join(F.broadcast(vocab), "word")
+    # NO forced broadcast on the vocab: distinct-word counts are
+    # unbounded on web-scale corpora (heavy-tailed typos/URLs/numbers
+    # push them past broadcast limits, each row carrying a symbol
+    # array). AQE broadcasts it at runtime whenever it actually is
+    # small (the test-scale case) and degrades to a skew-tolerant
+    # shuffle join on `word` instead of an OOM when it is not — the
+    # repo-wide rule against forced broadcasts of O(corpus) relations.
+    pieces = toked.join(vocab, "word")
     return (
         pieces.groupBy(id_col)
         .agg(

@@ -47,7 +47,13 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    widen: bool = True,
+) -> DataFrame:
     """(id, shingle) rows — distinct k-shingles per document.
 
     The token array is materialized as a column FIRST: inlining
@@ -57,8 +63,11 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
 
     The input is widened first (:func:`widen_if_narrow`): the k·md5
     work downstream of the explode inherits the scan's partitioning,
-    and a single-split scan would serialize it."""
-    toked = widen_if_narrow(df, id_col).select(
+    and a single-split scan would serialize it. Pass ``widen=False``
+    for derived (non-scan-rooted) inputs — the widen probe would
+    materialize their upstream stages under AQE just to count
+    partitions (the widen_if_narrow caller contract)."""
+    toked = (widen_if_narrow(df, id_col) if widen else df).select(
         F.col(id_col), tokens(text_col).alias("_ws")
     )
     return (
@@ -299,6 +308,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 12,
     bands: int = 4,
     min_jaccard: float = 0.8,
+    widen: bool = True,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: shingle → signature → band
     candidates → exact-Jaccard verification ON CANDIDATES ONLY.
@@ -308,8 +318,9 @@ def minhash_lsh_dedup(
     along (``with_size=True``), so the verify stage's union sizes cost
     zero extra aggregation over the shingle relation; the O(docs)
     signature relation is persisted because bands and sizes both read
-    it."""
-    sh = shingle_rows(df, text_col, id_col, k).persist()
+    it. ``widen=False`` for derived (non-scan) inputs — see the
+    widen_if_narrow caller contract."""
+    sh = shingle_rows(df, text_col, id_col, k, widen=widen).persist()
     sig = minhash_signatures(sh, id_col, num_hashes, with_size=True).persist()
     cand = minhash_band_pairs(sig, id_col, num_hashes, bands)
     sizes = sig.select(id_col, "n_sh")
@@ -369,7 +380,11 @@ def incremental_minhash_dedup(
     mutated index.
 
     ALL documents are indexed, duplicates included: if A~B and B~C but
-    A≁C, a later C must still be caught via B. This also makes the
+    A≁C, a later C must still be caught via B. An id RE-INGESTED in a
+    later batch (content updated) never self-flags, and its latest
+    content wins every verify — the stored earlier rows are excluded
+    from the Jaccard computation (same latest-wins contract as the
+    hamming and IVF stores; pytest-pinned). This also makes the
     result batching-invariant — as long as batches arrive in increasing
     (``batch_id``, ``id_col``) order, the flagged set is EXACTLY
     ``{id_b : ∃ id_a < id_b with a shared band key and jaccard ≥ t}``,
@@ -439,14 +454,11 @@ def _incremental_flag_plan(
     ).persist()
     sizes_new = bands_new.filter(F.col("band_id") == "0").select(id_col, "n_sh")
 
-    def read_earlier(path: str) -> DataFrame:
+    def read_earlier(path: str, keep_batch: bool = False) -> DataFrame:
         # batch_id is a partition directory: the filter prunes at
         # planning time, so current-batch leftovers are never scanned
-        return (
-            spark.read.parquet(path)
-            .filter(F.col("batch_id") < batch_id)
-            .drop("batch_id")
-        )
+        df = spark.read.parquet(path).filter(F.col("batch_id") < batch_id)
+        return df if keep_batch else df.drop("batch_id")
 
     new_b = bands_new.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     new_a = bands_new.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
@@ -461,9 +473,11 @@ def _incremental_flag_plan(
             F.col(id_col).alias("id_a"), "band_id", "band_key"
         )
         cand = cand.unionByName(
-            old_bands.join(F.broadcast(new_b), ["band_id", "band_key"]).select(
-                "id_a", "id_b"
-            )
+            old_bands.join(F.broadcast(new_b), ["band_id", "band_key"])
+            # an id re-ingested in a later batch meets its indexed self
+            # here — never flag a row as its own duplicate
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
         )
     cand = cand.distinct().persist()
 
@@ -478,18 +492,35 @@ def _incremental_flag_plan(
     sh_all = sh_new
     sizes_all = sizes_new
     if have_store:
+        # A re-ingested id's CURRENT shingles/size are authoritative:
+        # rows already in this batch are anti-joined out of the earlier
+        # side (otherwise intersections double-count), and an id
+        # re-ingested across EARLIER batches keeps only its latest
+        # batch's rows (max batch_id per id — all of this over the
+        # candidate-pruned subset, never the unpruned index).
+        new_ids = sh_new.select(id_col).distinct()
         ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
-        sh_all = sh_new.unionByName(
-            read_earlier(sh_path).join(ids_a, id_col, "left_semi")
-        )
-        old_sizes = (
-            read_earlier(bands_path)
+        latest = (
+            read_earlier(bands_path, keep_batch=True)
             .filter(F.col("band_id") == "0")
-            .select(id_col, "n_sh")
+            .join(ids_a, id_col, "left_semi")
+            .join(new_ids, id_col, "left_anti")
+            .groupBy(id_col)
+            .agg(
+                F.max("batch_id").alias("batch_id"),
+                F.max_by("n_sh", "batch_id").alias("n_sh"),
+            )
         )
-        sizes_all = sizes_new.unionByName(
-            old_sizes.join(ids_a, id_col, "left_semi")
+        sh_all = sh_new.unionByName(
+            read_earlier(sh_path, keep_batch=True)
+            .join(
+                latest.select(id_col, "batch_id"),
+                [id_col, "batch_id"],
+                "left_semi",
+            )
+            .drop("batch_id")
         )
+        sizes_all = sizes_new.unionByName(latest.select(id_col, "n_sh"))
     inter = (
         cand.join(sh_all.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
         .join(sh_all.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
@@ -1004,12 +1035,9 @@ def incremental_hamming_dedup(
     hashes_path = f"{store_dir}/hashes"
     hashes_new = new_hashed.select(F.col(id_col), "simhash").persist()
 
-    def read_earlier() -> DataFrame:
-        return (
-            spark.read.parquet(hashes_path)
-            .filter(F.col("batch_id") < batch_id)
-            .drop("batch_id")
-        )
+    def read_earlier(keep_batch: bool = False) -> DataFrame:
+        df = spark.read.parquet(hashes_path).filter(F.col("batch_id") < batch_id)
+        return df if keep_batch else df.drop("batch_id")
 
     chunks_new = _simhash_chunk_rows(hashes_new, id_col)
     new_a = chunks_new.select(F.col(id_col).alias("id_a"), "c", "key")
@@ -1037,12 +1065,24 @@ def incremental_hamming_dedup(
     if have_store:
         # verify reads ONLY candidate ids' hashes from the index
         # (left-semi key-pruned; no forced broadcast on the
-        # collision-bounded candidate list — AQE decides)
+        # collision-bounded candidate list — AQE decides). A
+        # re-ingested id is anti-joined out of the earlier side: its
+        # CURRENT hash (this batch) is authoritative, and keeping the
+        # stored one too would let the min-hamming flag verify a pair
+        # against the stale hash.
         ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+        earlier_latest = (
+            read_earlier(keep_batch=True)
+            .join(ids_a, id_col, "left_semi")
+            .join(hashes_new.select(id_col), id_col, "left_anti")
+            # an id re-ingested across EARLIER batches has one stored
+            # row per ingest; latest batch wins (candidate-bounded agg
+            # — this never touches the unpruned index)
+            .groupBy(id_col)
+            .agg(F.max_by("simhash", "batch_id").alias("simhash"))
+        )
         packed_all = packed_all.unionByName(
-            _packed_simhash_words(
-                read_earlier().join(ids_a, id_col, "left_semi"), id_col
-            )
+            _packed_simhash_words(earlier_latest, id_col)
         )
     sa = packed_all.select(
         F.col(id_col).alias("id_a"), F.col("w1").alias("a1"), F.col("w2").alias("a2")

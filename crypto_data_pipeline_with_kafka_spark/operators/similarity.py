@@ -112,8 +112,10 @@ def with_dbl_and_norm(
 ) -> DataFrame:
     """(id, vdbl, norm_sq): double components for cheap pair math +
     EXACT squared norm (right when most corpus rows end up in emitted
-    pairs, e.g. all-pairs near-dup — the norm fold amortizes)."""
-    d = widen_if_narrow(emb, id_col).select(
+    pairs, e.g. all-pairs near-dup — the norm fold amortizes).
+    ``widen=False`` for derived (non-scan) inputs — see the
+    widen_if_narrow caller contract."""
+    d = (widen_if_narrow(emb, id_col) if widen else emb).select(
         F.col(id_col), dbl_vector(vec_col).alias("vdbl")
     )
     q = quantized_vector(F.col("vdbl"))
@@ -1040,15 +1042,15 @@ def incremental_ivf_update(
         base_new, probes=1, id_col="vec_id", vec_col="vdbl", centroids=cents
     ).persist()
 
-    def read_earlier() -> DataFrame:
+    def read_earlier(keep_batch: bool = False) -> DataFrame:
         # batch_id is a partition dir: pruned at planning time, so a
         # redelivered/half-written current batch is never scanned
-        return (
+        df = (
             spark.read.parquet(cells_path)
             .filter(F.col("batch_id") < batch_id)
-            .drop("batch_id")
             .withColumn("centroid_id", F.col("centroid_id").cast("int"))
         )
+        return df if keep_batch else df.drop("batch_id")
 
     new_a = assign_new.select(F.col("vec_id").alias("id_a"), "centroid_id")
     new_b = assign_new.select(F.col("vec_id").alias("id_b"), "centroid_id")
@@ -1061,7 +1063,11 @@ def incremental_ivf_update(
     if have_store:
         old_a = read_earlier().select(F.col("vec_id").alias("id_a"), "centroid_id")
         cand = cand.unionByName(
-            old_a.join(F.broadcast(new_b), "centroid_id").select("id_a", "id_b")
+            old_a.join(F.broadcast(new_b), "centroid_id")
+            # an id re-ingested in a later batch meets its indexed self
+            # here — never flag a row as its own duplicate
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
         )
     cand = cand.distinct().persist()
 
@@ -1071,11 +1077,19 @@ def incremental_ivf_update(
     # decides), mirroring the minhash store's skew reasoning.
     base_all = base_new
     if have_store:
+        # a re-ingested id's CURRENT vector (this batch) is
+        # authoritative — anti-join its stored earlier vector out so
+        # the cosine verify never runs against the stale one
         ids_a = cand.select(F.col("id_a").alias("vec_id")).distinct()
         old_vecs = (
-            read_earlier()
+            read_earlier(keep_batch=True)
             .drop("centroid_id")
             .join(ids_a, "vec_id", "left_semi")
+            .join(base_new.select("vec_id"), "vec_id", "left_anti")
+            # an id re-ingested across EARLIER batches has one stored
+            # row per ingest; latest batch wins (candidate-bounded agg)
+            .groupBy("vec_id")
+            .agg(F.max_by(vec_col, "batch_id").alias(vec_col))
         )
         base_all = base_new.unionByName(
             # widen=False: old_vecs is a derived plan (store read +

@@ -162,19 +162,22 @@ def kafka_stream_writer(
 
 def _shard_digests(exp: DataFrame) -> DataFrame:
     """(shard, n_rows, content_hash) over an export read: content_hash
-    = md5 of the shard's SORTED per-row digests, each row digested as
-    md5 of its full JSON rendering (name-sorted columns). Full-content
-    coverage — an edit to any field changes the digest, not just key
-    membership — and order-free without being forgeable the way
-    xor/sum row digests are. The sort happens INSIDE each shard group
-    (shards are bounded by construction — raise n_shards to keep them
-    so); never a global sort."""
+    = sha2-256 of the shard's SORTED per-row digests, each row digested
+    as sha2-256 of its full JSON rendering (name-sorted columns).
+    Full-content coverage — an edit to any field changes the digest,
+    not just key membership — and order-free without being forgeable
+    the way xor/sum row digests are. sha2-256 (not md5) because the
+    manifest's tamper-detection claim must hold against an adversary
+    who can CHOOSE row content: md5 collisions are constructible, and
+    the hash cost is negligible next to the export scan. The sort
+    happens INSIDE each shard group (shards are bounded by construction
+    — raise n_shards to keep them so); never a global sort."""
     row_cols = sorted(c for c in exp.columns if c != "shard")
-    row_digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in row_cols])))
+    row_digest = F.sha2(F.to_json(F.struct(*[F.col(c) for c in row_cols])), 256)
     return exp.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.md5(
-            F.to_json(F.sort_array(F.collect_list(row_digest)))
+        F.sha2(
+            F.to_json(F.sort_array(F.collect_list(row_digest))), 256
         ).alias("content_hash"),
     )
 

@@ -1152,3 +1152,132 @@ def test_ivf_auto_centroids_applies_sqrt_rule(spark):
     )
     assert auto_pairs == explicit and len(auto_pairs) > 0
     base.unpersist()
+
+
+def _hash64(one_bits):
+    """64-char '0'/'1' string with the given bit positions set."""
+    return "".join("1" if i in one_bits else "0" for i in range(64))
+
+
+def test_incremental_hamming_reingest_uses_current_hash(spark, tmp_path):
+    """A re-ingested id's CURRENT hash is authoritative in the verify
+    stage — both when the stale row is in an earlier batch vs the same
+    arriving batch, and across multiple earlier batches (latest batch
+    wins). Regression for the stale-hash pairing where packed_all held
+    two hashes for one id."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+
+    def sims(rows):
+        return spark.createDataFrame(rows, "doc_id long, simhash string")
+
+    # same-batch staleness: id 1 re-ingested alongside new id 2.
+    # stored hash of 1 (2 bits) is hamming-2 from id 2's all-zeros —
+    # would flag; its CURRENT hash (10 bits) is hamming-10 — must not.
+    store_a = str(tmp_path / "ham_a")
+    incremental_hamming_dedup(sims([(1, _hash64({0, 1}))]), store_a, 0)
+    fl = incremental_hamming_dedup(
+        sims([(1, _hash64(set(range(10)))), (2, _hash64(set()))]), store_a, 1
+    )
+    assert fl.count() == 0
+
+    # multi-batch staleness: id 10 ingested (all-zeros), re-ingested
+    # with 10 bits set; a later id 11 at hamming-1 from the STALE hash
+    # must not flag (current hash is hamming-9 away). Latest batch wins.
+    store_b = str(tmp_path / "ham_b")
+    incremental_hamming_dedup(sims([(10, _hash64(set()))]), store_b, 0)
+    assert (
+        incremental_hamming_dedup(
+            sims([(10, _hash64(set(range(10))))]), store_b, 1
+        ).count()
+        == 0  # lone re-ingest: the only candidate is its own indexed self
+    )
+    fl_b = incremental_hamming_dedup(sims([(11, _hash64({0}))]), store_b, 2)
+    assert fl_b.count() == 0
+
+    # and the current hash still matches when it should: id 12 at
+    # hamming-1 from id 10's CURRENT hash flags against it
+    fl_c = incremental_hamming_dedup(
+        sims([(12, _hash64(set(range(9))))]), store_b, 3
+    )
+    got = {(r.doc_id, r.dup_of, r.hamming) for r in fl_c.collect()}
+    assert got == {(12, 10, 1)}
+
+
+def test_incremental_minhash_reingest_uses_current_text(spark, tmp_path):
+    """An id re-ingested with NEW content never self-flags, its stale
+    shingles are excluded from every verify, and its latest content is
+    what later batches match against."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "one two three four five six seven eight nine ten"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = str(tmp_path / "mh")
+    incremental_minhash_dedup(docs([(1, ta)]), store, 0)
+    # id 1 re-ingested with text TB; id 2 arrives with id 1's OLD text.
+    # The band index still holds TA's bands for id 1 (candidate pair),
+    # but the verify must use id 1's CURRENT shingles (TB): jaccard 0.
+    fl = incremental_minhash_dedup(docs([(1, tb), (2, ta)]), store, 1)
+    assert fl.count() == 0
+
+    # a later doc with text TB matches id 1's LATEST content at 1.0
+    fl2 = incremental_minhash_dedup(docs([(3, tb)]), store, 2)
+    got = {(r.doc_id, r.dup_of, round(r.jaccard, 9)) for r in fl2.collect()}
+    assert got == {(3, 1, 1.0)}
+
+
+def test_incremental_ivf_reingest_uses_current_vector(spark, tmp_path):
+    """The dense-store twin of the hamming/minhash re-ingestion
+    contract: a re-ingested id's current vector is what the cosine
+    verify runs against, same-batch and across batches."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        incremental_ivf_update,
+    )
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "centroid_id int, cvec array<double>"
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # same-batch: stored v(1)=[1,0] is cosine-0.98 to the arriving id 2
+    # (would flag); id 1's CURRENT vector [0,1] is cosine-0.199 (must not)
+    store_a = str(tmp_path / "ivf_a")
+    incremental_ivf_update(
+        vecs([(1, [1.0, 0.0])]), store_a, 0, centroids=cents, min_cosine=0.8
+    )
+    fl = incremental_ivf_update(
+        vecs([(1, [0.0, 1.0]), (2, [0.98, 0.199])]), store_a, 1, min_cosine=0.8
+    )
+    assert fl.count() == 0
+
+    # multi-batch: id 10 re-ingested in batch 1; a later id 11 close to
+    # the STALE vector only must not flag (latest batch wins)
+    store_b = str(tmp_path / "ivf_b")
+    incremental_ivf_update(
+        vecs([(10, [1.0, 0.0])]), store_b, 0, centroids=cents, min_cosine=0.8
+    )
+    assert (
+        incremental_ivf_update(
+            vecs([(10, [0.0, 1.0])]), store_b, 1, min_cosine=0.8
+        ).count()
+        == 0  # lone re-ingest never flags itself
+    )
+    fl_b = incremental_ivf_update(
+        vecs([(11, [0.995, 0.1])]), store_b, 2, min_cosine=0.8
+    )
+    assert fl_b.count() == 0
+    # and a vector close to the CURRENT one still flags
+    fl_c = incremental_ivf_update(
+        vecs([(12, [0.1, 0.995])]), store_b, 3, min_cosine=0.8
+    )
+    got = {(r.vec_id, r.match_id) for r in fl_c.collect()}
+    assert got == {(12, 10)}
