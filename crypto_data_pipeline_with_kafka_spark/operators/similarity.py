@@ -590,11 +590,15 @@ def ivf_assignments(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     with_rank: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF (inverted-file) cell assignment — the data-adaptive
     alternative to hyperplane LSH bucketing. Returns (id, centroid_id)
     with ``probes`` rows per vector (its top-``probes`` nearest
-    centroids by double cosine).
+    centroids by double cosine). ``carry_cols`` names extra ``emb``
+    columns to ride along on every output row (assignment is per-row,
+    so carrying them costs nothing and saves the caller a self-join —
+    the retrain re-assignment pass keeps ``batch_id`` this way).
 
     Centroids are a DETERMINISTIC one-pass sample: the ``num_centroids``
     corpus vectors with the smallest md5(id) — a seeded pseudo-random
@@ -644,7 +648,8 @@ def ivf_assignments(
     seeded pick; the registered oracle-checked query keeps the seeded
     default (whose pick is SQL-replicable), a deployment passes
     refined centroids for better cell balance."""
-    base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("vdbl"))
+    carry = [F.col(c) for c in carry_cols]
+    base = emb.select(F.col(id_col), *carry, dbl_vector(vec_col).alias("vdbl"))
     cents0 = (
         centroids
         if centroids is not None
@@ -670,6 +675,7 @@ def ivf_assignments(
     # computed inside the row (C folds, no row multiplication yet)
     scored = base.crossJoin(F.broadcast(packed)).select(
         F.col(id_col),
+        *carry,
         quantized_vector(F.col("vdbl")).alias("_vq"),
         F.transform(
             F.col("_cs"),
@@ -697,6 +703,7 @@ def ivf_assignments(
     )
     bounded = scored.select(
         F.col(id_col),
+        *carry,
         "_vq",
         F.filter(
             F.col("_sc"), lambda s: s["apx"] >= pth - F.lit(1e6)
@@ -724,15 +731,16 @@ def ivf_assignments(
         # serve both the pair path (all probes) and the query path's
         # corpus index (rank 1 only) without a second scoring pass
         return bounded.select(
-            F.col(id_col), F.posexplode(top).alias("_pos", "_pr")
+            F.col(id_col), *carry, F.posexplode(top).alias("_pos", "_pr")
         ).select(
             F.col(id_col),
+            *carry,
             F.col("_pr.cid").alias("centroid_id"),
             (F.col("_pos") + 1).cast("int").alias("probe_rank"),
         )
     return bounded.select(
-        F.col(id_col), F.explode(top).alias("_pr")
-    ).select(F.col(id_col), F.col("_pr.cid").alias("centroid_id"))
+        F.col(id_col), *carry, F.explode(top).alias("_pr")
+    ).select(F.col(id_col), *carry, F.col("_pr.cid").alias("centroid_id"))
 
 
 def ivf_ann_pairs(
@@ -1125,3 +1133,164 @@ def incremental_ivf_update(
     for df in (base_new, assign_new, cand):
         df.unpersist()
     return spark.read.parquet(flagged_path)
+
+
+def _cells_vec_col(stored: DataFrame) -> str:
+    """The vector column of a cells-store read is whatever the writer's
+    ``vec_col`` was — the one column besides the fixed trio."""
+    others = [
+        c for c in stored.columns if c not in ("vec_id", "centroid_id", "batch_id")
+    ]
+    if len(others) != 1:
+        raise ValueError(
+            f"cells store has ambiguous vector column: {stored.columns}"
+        )
+    return others[0]
+
+
+def ivf_store_needs_retrain(spark, store_dir: str, factor: float = 2.0) -> bool:
+    """True when the sqrt-corpus rule's C for the store's CURRENT size
+    is ≥ ``factor`` × the trained centroid count — the C-doubling
+    threshold at which a grown incremental store has re-created the
+    fixed-C anti-pattern (SCALE.md's 10× measurement: fixed C cost 22×
+    wall at 10× data). Spends one O(C) centroid count and one
+    stats-only parquet row count over the cells store."""
+    cents_c = spark.read.parquet(f"{store_dir}/centroids").count()
+    auto_c = resolve_num_centroids(spark.read.parquet(f"{store_dir}/cells"), "auto")
+    return auto_c >= factor * cents_c
+
+
+def retrain_ivf_store(
+    spark,
+    store_dir: str,
+    num_centroids="auto",
+    *,
+    lloyd_rounds: int = 0,
+    only_if_needed: bool = False,
+    factor: float = 2.0,
+) -> int | None:
+    """Re-train an :func:`incremental_ivf_update` store's cell geometry
+    to match its CURRENT size and re-assign every persisted vector to
+    the new cells — the migration path a growing store needs: geometry
+    is trained once at bootstrap, and a corpus that grows 100× under
+    that fixed C degrades exactly the way ``num_centroids='auto'``
+    exists to prevent (SCALE.md's fixed-C 10× measurement). Returns the
+    new C, or None when ``only_if_needed`` and the store is still
+    within ``factor`` of its trained geometry.
+
+    What happens: C is re-derived from the store's current size
+    (``'auto'`` = the sqrt-corpus rule, or pass an int), new centroids
+    are trained over the STORED vectors (the deterministic seeded pick,
+    optionally ``lloyd_rounds`` k-means refinements — same trainers as
+    the one-shot path, so a fresh store trained on the same corpus gets
+    bitwise-identical geometry, which is what the equivalence test
+    pins), and ONE distributed pass re-assigns all cells
+    (``ivf_assignments(probes=1, carry_cols=('batch_id',))`` — per-row
+    scoring against the broadcast O(C) centroids, zero shuffles before
+    the layout repartition). The ``batch_id`` layout is preserved, so
+    incremental idempotence/pruning semantics continue unchanged and
+    the next ``incremental_ivf_update`` sees exactly the store a
+    fresh-trained sibling would have. ``flagged/`` is untouched:
+    flags are cosine-VERIFIED verdicts, valid under any geometry —
+    re-training changes future candidate recall, never past truths.
+
+    Swap protocol — the same backup-rename discipline (and the same
+    non-atomicity caveat) as ``warehouse.compact_partitions``: both new
+    tables are staged by distributed writes first, then four renames +
+    two deletes form a metadata-op window. A crash mid-swap leaves a
+    backup whose live sibling is missing; the next retrain call (or
+    :func:`recover_ivf_store`) restores it before proceeding. Run
+    retraining when no updater races it — the streaming runner's
+    contract is stop stream → retrain → restart
+    (``streaming.pipeline.run_incremental_ivf_stream``)."""
+    # local import: warehouse is a peer package module; it imports
+    # nothing from operators, so this cannot cycle
+    from crypto_data_pipeline_with_kafka_spark.warehouse import _HadoopFs
+
+    cells_path = f"{store_dir}/cells"
+    cents_path = f"{store_dir}/centroids"
+    recover_ivf_store(spark, store_dir)
+    if only_if_needed and not ivf_store_needs_retrain(spark, store_dir, factor):
+        return None
+
+    hfs = _HadoopFs(spark, store_dir)
+    staged_cells = f"{store_dir}/.retrain_cells"
+    staged_cents = f"{store_dir}/.retrain_centroids"
+    backup_cells = f"{store_dir}/.retrain_backup_cells"
+    backup_cents = f"{store_dir}/.retrain_backup_centroids"
+
+    stored = spark.read.parquet(cells_path)
+    vec_col = _cells_vec_col(stored)
+    vecs = stored.select("vec_id", vec_col, "batch_id")
+
+    c = resolve_num_centroids(vecs, num_centroids)
+    if lloyd_rounds > 0:
+        cents = lloyd_refined_centroids(
+            vecs.select("vec_id", vec_col),
+            num_centroids=c,
+            rounds=lloyd_rounds,
+            id_col="vec_id",
+            vec_col=vec_col,
+        )
+    else:
+        base = vecs.select("vec_id", dbl_vector(vec_col).alias("vdbl"))
+        cents = _seed_centroids(base, c, "vec_id")
+    # pin the geometry before it feeds both the staged write and the
+    # re-assignment (a lazy plan would otherwise re-derive it twice)
+    cents = cents.localCheckpoint()
+
+    re_cells = ivf_assignments(
+        vecs,
+        probes=1,
+        id_col="vec_id",
+        vec_col=vec_col,
+        centroids=cents,
+        carry_cols=("batch_id", vec_col),
+    )
+    (
+        # one exchange on the layout keys so each (batch, cell) dir
+        # lands as one file — this IS the maintenance pass, small-file
+        # consolidation included
+        re_cells.select("vec_id", vec_col, "batch_id", "centroid_id")
+        .repartition("batch_id", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "centroid_id")
+        .parquet(staged_cells)
+    )
+    cents.write.mode("overwrite").parquet(staged_cents)
+
+    hfs.rename(cells_path, backup_cells)
+    hfs.rename(staged_cells, cells_path)
+    hfs.rename(cents_path, backup_cents)
+    hfs.rename(staged_cents, cents_path)
+    hfs.delete(backup_cells)
+    hfs.delete(backup_cents)
+    return c
+
+
+def recover_ivf_store(spark, store_dir: str) -> None:
+    """Crash recovery for an interrupted :func:`retrain_ivf_store`
+    (same rules as ``compact_partitions``): a backup dir whose live
+    sibling is missing is the authoritative copy — restore it; a
+    backup with a live sibling means the swap completed — sweep it;
+    stale stage dirs are leaked bytes — delete them. Called
+    automatically at the start of every retrain; exposed for an
+    operator who wants to repair the store without retraining."""
+    from crypto_data_pipeline_with_kafka_spark.warehouse import _HadoopFs
+
+    hfs = _HadoopFs(spark, store_dir)
+    for live, backup in (
+        (f"{store_dir}/cells", f"{store_dir}/.retrain_backup_cells"),
+        (f"{store_dir}/centroids", f"{store_dir}/.retrain_backup_centroids"),
+    ):
+        if hfs.exists(backup):
+            if hfs.exists(live):
+                hfs.delete(backup)
+            else:
+                hfs.rename(backup, live)
+    for staged in (
+        f"{store_dir}/.retrain_cells",
+        f"{store_dir}/.retrain_centroids",
+    ):
+        if hfs.exists(staged):
+            hfs.delete(staged)

@@ -548,7 +548,17 @@ def run_incremental_ivf_stream(
     trained cell geometry at ``store_dir/centroids`` before the stream
     starts (``save_ivf_index`` or a first-batch ``incremental_ivf_update``
     call with ``centroids=``) — a stream must not re-derive geometry
-    per batch, or earlier cells would be invalidated mid-stream."""
+    per batch, or earlier cells would be invalidated mid-stream.
+
+    The geometry is fixed only WHILE the stream runs, not forever: when
+    the store grows past the sqrt-corpus rule's C-doubling threshold
+    (``similarity.ivf_store_needs_retrain``), stop the stream, run
+    ``similarity.retrain_ivf_store(spark, store_dir)`` (re-derives C
+    from the current size, re-assigns the persisted cells in one
+    distributed pass, swaps with backup-rename discipline), and
+    restart — the checkpoint keeps advancing epoch ids, and the
+    re-trained store is pytest-equal to one bootstrapped at the new
+    geometry from the start."""
     stream = embeddings_stream_reader(spark, source_path, max_files_per_trigger=1)
     if not target_exists(spark, f"{store_dir}/centroids"):
         raise ValueError(

@@ -1281,3 +1281,127 @@ def test_incremental_ivf_reingest_uses_current_vector(spark, tmp_path):
     )
     got = {(r.vec_id, r.match_id) for r in fl_c.collect()}
     assert got == {(12, 10)}
+
+
+def test_retrain_ivf_store_equals_fresh_geometry(spark, tmp_path):
+    """The grown-store migration path: a store bootstrapped with a
+    deliberately tiny cell geometry trips the C-doubling threshold,
+    retrain_ivf_store re-derives C and re-assigns the persisted cells,
+    and afterwards the store is indistinguishable from one freshly
+    trained at the new geometry — same centroids, same cells, same
+    subsequent incremental flags and ivf_topk results. batch_id layout
+    survives, and an interrupted swap recovers."""
+    import os
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _seed_centroids,
+        dbl_vector,
+        incremental_ivf_update,
+        ivf_assignments,
+        ivf_store_needs_retrain,
+        ivf_topk,
+        recover_ivf_store,
+        retrain_ivf_store,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    t = 0.2
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + 2 * (hi - lo + 1) // 3, hi + 1]
+    batches = [
+        emb.filter((F.col("vec_id") >= cuts[b]) & (F.col("vec_id") < cuts[b + 1]))
+        for b in range(3)
+    ]
+    stored_corpus = batches[0].unionByName(batches[1])
+
+    def vdbl_base(df):
+        return df.select("vec_id", dbl_vector("embedding").alias("vdbl"))
+
+    # bootstrap with a geometry far too small for the grown store
+    tiny = _seed_centroids(vdbl_base(batches[0]), 2, "vec_id").localCheckpoint()
+    store_a = str(tmp_path / "grown")
+    incremental_ivf_update(batches[0], store_a, 0, centroids=tiny, min_cosine=t)
+    incremental_ivf_update(batches[1], store_a, 1, min_cosine=t)
+    assert ivf_store_needs_retrain(spark, store_a)  # auto-C ≥ 2×2
+
+    c_new = retrain_ivf_store(spark, store_a, num_centroids=8)
+    assert c_new == 8
+
+    # the retrained geometry IS the fresh-trained one (deterministic
+    # seeded pick over the stored corpus at the same C)
+    fresh_cents = _seed_centroids(
+        vdbl_base(stored_corpus), 8, "vec_id"
+    ).localCheckpoint()
+    got_cents = sorted(
+        (r.centroid_id, tuple(r.cvec))
+        for r in spark.read.parquet(f"{store_a}/centroids").collect()
+    )
+    exp_cents = sorted(
+        (r.centroid_id, tuple(r.cvec)) for r in fresh_cents.collect()
+    )
+    assert got_cents == exp_cents
+
+    # cells re-assigned to the new geometry, batch_id layout preserved
+    cells = spark.read.parquet(f"{store_a}/cells")
+    got_cells = {
+        (r.vec_id, int(r.centroid_id), int(r.batch_id)) for r in cells.collect()
+    }
+    exp_assign = {
+        (r.vec_id, int(r.centroid_id), int(r.batch_id))
+        for r in ivf_assignments(
+            stored_corpus.withColumn(
+                "batch_id",
+                F.when(F.col("vec_id") < cuts[1], F.lit(0)).otherwise(F.lit(1)),
+            ),
+            probes=1,
+            id_col="vec_id",
+            vec_col="embedding",
+            centroids=fresh_cents,
+            carry_cols=("batch_id",),
+        ).collect()
+    }
+    assert got_cells == exp_assign
+
+    # a FRESH store bootstrapped at the new geometry sees identical
+    # subsequent incremental flags
+    store_b = str(tmp_path / "fresh")
+    incremental_ivf_update(
+        batches[0], store_b, 0, centroids=fresh_cents, min_cosine=t
+    )
+    incremental_ivf_update(batches[1], store_b, 1, min_cosine=t)
+    fa = {
+        (r.vec_id, r.match_id, round(r.cosine, 9))
+        for r in incremental_ivf_update(
+            batches[2], store_a, 2, min_cosine=t
+        ).collect()
+    }
+    fb = {
+        (r.vec_id, r.match_id, round(r.cosine, 9))
+        for r in incremental_ivf_update(
+            batches[2], store_b, 2, min_cosine=t
+        ).collect()
+    }
+    assert fa == fb and len(fa) > 0
+
+    # query path: topk under the retrained centroids ≡ fresh centroids
+    cents_a = spark.read.parquet(f"{store_a}/centroids")
+    ta = sorted(tuple(r) for r in ivf_topk(
+        stored_corpus, query_ids_max=cuts[0] + 5, k=3, centroids=cents_a
+    ).collect())
+    tb = sorted(tuple(r) for r in ivf_topk(
+        stored_corpus, query_ids_max=cuts[0] + 5, k=3, centroids=fresh_cents
+    ).collect())
+    assert ta == tb
+
+    # 'auto' derivation: the sqrt rule's floor clamp at this size
+    assert retrain_ivf_store(spark, store_a) == 32
+    assert not ivf_store_needs_retrain(spark, store_a)
+
+    # crash between the two renames: the only copy of cells is the
+    # backup — recovery restores it and a re-run retrain succeeds
+    os.rename(f"{store_a}/cells", f"{store_a}/.retrain_backup_cells")
+    recover_ivf_store(spark, store_a)
+    assert os.path.isdir(f"{store_a}/cells")
+    assert retrain_ivf_store(spark, store_a) == 32
+    # only_if_needed: geometry already current → no-op
+    assert retrain_ivf_store(spark, store_a, only_if_needed=True) is None
