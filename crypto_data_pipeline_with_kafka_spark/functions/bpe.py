@@ -98,12 +98,33 @@ def learn_bpe_merges(
     text_col: str = "text",
     min_pair_freq: int = 2,
     checkpoint_every: int = 8,
+    merges_per_sync: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
     Returns the ordered rule list [(a, b), ...]; ties broken
     deterministically by (count DESC, a ASC, b ASC) so the learned
     tokenizer is reproducible under any partitioning. Stops early when
     the best remaining pair falls under ``min_pair_freq``.
+
+    ``merges_per_sync`` (default 1 = exact sequential BPE) is the scale
+    knob for real tokenizer training, where 30k-50k merges at one
+    driver sync each would mean ~10⁵ round-trips over the vocab-sized
+    relation: each sync takes the top-``merges_per_sync`` ranked pairs
+    and applies the longest PREFIX that is pairwise non-interacting —
+    no selected pair shares a symbol (incl. the merged symbol) with an
+    earlier selection. Within such a prefix each merge's count and
+    applicability are unaffected by the others, and stopping at the
+    first interaction (rather than skipping past it) preserves the
+    sequential rule ORDER. This is the standard batched-BPE
+    approximation: it deviates from exact sequential BPE only when a
+    merge-CREATED pair would have outranked a later selected pair —
+    rare on natural corpora (new pairs ramp up over rounds), and
+    impossible within a sync's prefix itself. The fixture-corpus test
+    pins batched ≡ sequential with the measured sync count.
+
+    ``stats`` (optional dict) receives ``sync_rounds`` — the number of
+    driver round-trips actually spent.
 
     The returned list is O(n_merges) — driver-sized by definition (it
     IS the tokenizer artifact), not a collected data relation."""
@@ -113,23 +134,38 @@ def learn_bpe_merges(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
-        best = (
+    rounds = 0
+    applied = 0
+    while len(merges) < n_merges:
+        want = min(max(1, merges_per_sync), n_merges - len(merges))
+        top = (
             _adjacent_pair_counts(words)
+            .filter(F.col("cnt") >= min_pair_freq)
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .first()
+            .limit(want)
+            .collect()
         )
-        if best is None or best["cnt"] < min_pair_freq:
+        rounds += 1
+        if not top:
             break
-        merges.append((best["a"], best["b"]))
-        words = words.withColumn(
-            "sym", _merge_expr(F.col("sym"), best["a"], best["b"])
-        )
-        if (i + 1) % checkpoint_every == 0:
-            # truncate the growing lambda-projection chain so per-round
-            # analysis stays O(checkpoint_every), not O(rounds)
-            words = words.localCheckpoint(eager=False)
+        chosen: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for r in top:
+            syms = {r["a"], r["b"], r["a"] + r["b"]}
+            if chosen and (syms & used):
+                break  # prefix-stop keeps the sequential rule order
+            chosen.append((r["a"], r["b"]))
+            used |= syms
+        for a, b in chosen:
+            merges.append((a, b))
+            words = words.withColumn("sym", _merge_expr(F.col("sym"), a, b))
+            applied += 1
+            if applied % checkpoint_every == 0:
+                # truncate the growing lambda-projection chain so
+                # per-round analysis stays O(checkpoint_every)
+                words = words.localCheckpoint(eager=False)
+    if stats is not None:
+        stats["sync_rounds"] = rounds
     return merges
 
 

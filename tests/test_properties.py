@@ -1030,3 +1030,34 @@ def test_bpe_random_corpora_property(spark, corpus):
         expected.append((a, b))
         words = {w: merge_seq(sym, a, b) for w, sym in words.items()}
     assert got == expected
+
+
+def test_bpe_batched_merges_match_sequential(spark):
+    """merges_per_sync > 1 learns the SAME ordered rule list as exact
+    sequential BPE on the fixture corpus, in measurably fewer driver
+    syncs — the scale shape for 30k+-merge tokenizer training. The
+    prefix-stop on interacting pairs keeps rule order sequential."""
+    from crypto_data_pipeline_with_kafka_spark.functions.bpe import (
+        learn_bpe_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "widest wide wider new low",
+        "aaaa aa aaaa",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+    seq_stats: dict = {}
+    seq = learn_bpe_merges(
+        docs, n_merges=12, min_pair_freq=2, stats=seq_stats
+    )
+    batched_stats: dict = {}
+    batched = learn_bpe_merges(
+        docs, n_merges=12, min_pair_freq=2, merges_per_sync=4,
+        stats=batched_stats,
+    )
+    assert batched == seq and len(seq) > 3
+    # the batching actually saved driver round-trips
+    assert batched_stats["sync_rounds"] < seq_stats["sync_rounds"]
