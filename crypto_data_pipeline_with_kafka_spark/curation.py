@@ -30,11 +30,18 @@ from crypto_data_pipeline_with_kafka_spark.functions.text import (
     tokens,
 )
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+    chunk_level_dedup,
     connected_components,
+    decontaminate,
     minhash_lsh_dedup,
     select_cluster_survivors,
+    shingle_rows,
 )
 from crypto_data_pipeline_with_kafka_spark.operators.sampling import hash_split
+from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+    ivf_ann_pairs,
+    with_dbl_and_approx_norm,
+)
 
 
 def curate_corpus(
@@ -48,6 +55,20 @@ def curate_corpus(
     max_top_bigram_frac: float = 0.2,
     max_dup_trigram_frac: float = 0.3,
     minhash_jaccard: float = 0.8,
+    benchmark: DataFrame | None = None,
+    decontam_k: int = 8,
+    decontam_min_containment: float = 0.5,
+    embeddings: DataFrame | None = None,
+    emb_col: str = "embedding",
+    embedding_min_cosine: float = 0.95,
+    images: DataFrame | None = None,
+    payload_col: str = "payload",
+    image_max_hamming: int = 6,
+    image_store_dir: str | None = None,
+    image_batch_id: int = 0,
+    chunk_dedup: bool = False,
+    words_per_chunk: int = 8,
+    chunk_min_docs: int = 2,
     split_weights: dict[str, float] | None = None,
     export_path: str | None = None,
     n_shards: int = 8,
@@ -58,7 +79,44 @@ def curate_corpus(
     ``stats`` reports input size and per-stage drop counts (one
     aggregation pass). With ``export_path``, the curated frame is also
     shard-exported (JSONL) and manifest-pinned
-    (:func:`...sources.sinks.write_export_manifest`)."""
+    (:func:`...sources.sinks.write_export_manifest`).
+
+    Optional stages (each off unless its input is supplied), slotted
+    by cost so every expensive stage sees only cheaper stages'
+    survivors:
+
+    * ``benchmark`` — eval-set decontamination
+      (:func:`...operators.dedup.decontaminate`): docs whose k-gram
+      containment of any benchmark item reaches
+      ``decontam_min_containment`` are dropped after the quality gates
+      and before near-dup clustering (stats key ``decontam_dropped``).
+      The benchmark side broadcasts; the corpus is shingled once.
+    * ``embeddings`` — a dense near-dup gate over an (id, vector)
+      relation keyed by the SAME ``id_col``: IVF-ANN pairs at cosine ≥
+      ``embedding_min_cosine`` over the MinHash survivors' vectors,
+      clustered and resolved to quality-weighted survivors exactly like
+      the lexical stage (stats key ``dense_neardup_dropped``). Docs
+      without an embedding row pass through — the gate covers what the
+      caller embedded.
+    * ``images`` — a mixed-modality near-dup gate over an (id, binary
+      payload) relation keyed by the SAME ``id_col``: payloads are
+      aHash-hashed (``multimodal.perceptual_hash_images``) and paired
+      through the chunk-blocked hamming machinery at distance ≤
+      ``image_max_hamming``; each cluster keeps its min-id member
+      (stats key ``image_neardup_dropped``). With ``image_store_dir``
+      the hashes run through the INCREMENTAL hamming store instead
+      (``operators.dedup.incremental_hamming_dedup`` at
+      ``image_batch_id``) — this run's images are flagged against every
+      image any earlier run indexed, the cross-run operational shape.
+      Docs without an image row pass through.
+    * ``chunk_dedup`` — sub-document boilerplate removal
+      (:func:`...operators.dedup.chunk_level_dedup`) as the FINAL
+      stage: surviving docs' text is rewritten with cross-doc repeated
+      chunks removed; docs reduced to nothing drop (stats keys
+      ``chunkdedup_docs_dropped`` and the
+      ``chunkdedup_chunks_kept``/``chunkdedup_chunks_total`` ratio over
+      the surviving docs). Runs last because it REWRITES text — every
+      upstream verdict keeps reading the original bytes."""
     txt, did = F.col(text_col), F.col(id_col)
 
     # stage 1: exact dedup — canonical (min id) per content hash
@@ -120,14 +178,44 @@ def curate_corpus(
         "_rep_ok",
         ~F.coalesce(bad2, F.lit(False)) & ~F.coalesce(bad3, F.lit(False)),
     )
+    cheap_keep = F.col("_exact_keep") & F.col("_quality_ok") & F.col("_rep_ok")
+
+    # stage 2b (optional): eval-set decontamination — the benchmark
+    # side is eval-set-sized (broadcast), the corpus is shingled once
+    # over the cheap-stage survivors only
+    if benchmark is not None:
+        corpus_sh = shingle_rows(
+            flagged.filter(cheap_keep).select(did, txt),
+            text_col,
+            id_col,
+            decontam_k,
+            widen=False,
+        )
+        contaminated = (
+            decontaminate(
+                flagged,
+                benchmark,
+                k=decontam_k,
+                min_containment=decontam_min_containment,
+                text_col=text_col,
+                id_col=id_col,
+                corpus_shingles=corpus_sh,
+            )
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+            .withColumn("_contaminated", F.lit(True))
+        )
+        flagged = flagged.join(contaminated, id_col, "left").withColumn(
+            "_decontam_ok", ~F.coalesce(F.col("_contaminated"), F.lit(False))
+        ).drop("_contaminated")
+    else:
+        flagged = flagged.withColumn("_decontam_ok", F.lit(True))
 
     # stage 3: near-dup clustering on what survived the cheap stages —
     # keep singletons and each cluster's quality-weighted survivor.
     # The survivor side needs stable reuse (the dedup machinery runs
     # eager convergence actions), so persist the gated frame.
-    gated = flagged.filter(
-        F.col("_exact_keep") & F.col("_quality_ok") & F.col("_rep_ok")
-    ).persist()
+    gated = flagged.filter(cheap_keep & F.col("_decontam_ok")).persist()
     pairs = minhash_lsh_dedup(
         gated,
         text_col=text_col,
@@ -160,12 +248,108 @@ def curate_corpus(
         ~F.coalesce(F.col("_in_cluster"), F.lit(False))
         | F.coalesce(F.col("_is_survivor"), F.lit(False)),
     )
-    keep = (
-        F.col("_exact_keep")
-        & F.col("_quality_ok")
-        & F.col("_rep_ok")
-        & F.col("_neardup_keep")
-    )
+    keep_mh = cheap_keep & F.col("_decontam_ok") & F.col("_neardup_keep")
+
+    # stage 3b (optional): dense near-dup gate over the MinHash
+    # survivors' embeddings — same cluster/keep-best shape as stage 3,
+    # candidate generation via IVF cells (never all-pairs). The base is
+    # prepared with widen=False (semi-join-derived) and persisted: the
+    # component resolution runs eager convergence actions over it.
+    dense_caches: tuple = ()
+    if embeddings is not None:
+        mh_surv = flagged.filter(keep_mh).persist()
+        # the similarity verify stage's column contract is vec_id —
+        # alias in, rename back out at the cluster step
+        emb_base = with_dbl_and_approx_norm(
+            embeddings.join(mh_surv.select(did), id_col, "left_semi").select(
+                did.alias("vec_id"), F.col(emb_col)
+            ),
+            "vec_id",
+            emb_col,
+            widen=False,
+        ).persist()
+        dpairs = ivf_ann_pairs(
+            emb_base,
+            num_centroids="auto",
+            probes=3,
+            min_cosine=embedding_min_cosine,
+            id_col="vec_id",
+        ).persist()
+        dclusters = connected_components(dpairs).withColumnRenamed(
+            "doc_id", id_col
+        )
+        dsurv = select_cluster_survivors(
+            mh_surv,
+            dclusters,
+            quality_col=F.length(F.trim(txt)),
+            id_col=id_col,
+        )
+        flagged = flagged.join(
+            dclusters.select(did).withColumn("_in_dcluster", F.lit(True)),
+            id_col,
+            "left",
+        ).join(
+            dsurv.select(F.col("survivor_id").alias(id_col)).withColumn(
+                "_is_dsurvivor", F.lit(True)
+            ),
+            id_col,
+            "left",
+        )
+        flagged = flagged.withColumn(
+            "_dense_keep",
+            ~F.coalesce(F.col("_in_dcluster"), F.lit(False))
+            | F.coalesce(F.col("_is_dsurvivor"), F.lit(False)),
+        )
+        dense_caches = (mh_surv, emb_base, dpairs)
+    else:
+        flagged = flagged.withColumn("_dense_keep", F.lit(True))
+    keep_dense = keep_mh & F.col("_dense_keep")
+
+    # stage 3c (optional): image near-dup gate — aHash the payloads of
+    # still-alive docs, pair via hamming (one-shot in-batch, or against
+    # the persisted cross-run store), keep each cluster's min id
+    image_caches: tuple = ()
+    if images is not None:
+        from crypto_data_pipeline_with_kafka_spark.multimodal import (
+            perceptual_hash_images,
+        )
+        from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+            incremental_hamming_dedup,
+            simhash_pairs,
+        )
+
+        alive = flagged.filter(keep_dense).select(did)
+        hashed = perceptual_hash_images(
+            images.join(alive, id_col, "left_semi"),
+            id_col=id_col,
+            payload_col=payload_col,
+        ).persist()
+        if image_store_dir is not None:
+            img_dups = incremental_hamming_dedup(
+                hashed,
+                image_store_dir,
+                image_batch_id,
+                id_col=id_col,
+                max_hamming=image_max_hamming,
+            ).select(did)
+        else:
+            ipairs = simhash_pairs(
+                hashed, id_col=id_col, max_hamming=image_max_hamming
+            )
+            comp = connected_components(ipairs)
+            img_dups = comp.filter("doc_id != canonical_id").select(
+                F.col("doc_id").alias(id_col)
+            )
+        flagged = flagged.join(
+            img_dups.withColumn("_img_dup", F.lit(True)), id_col, "left"
+        ).withColumn(
+            "_image_keep", ~F.coalesce(F.col("_img_dup"), F.lit(False))
+        ).drop("_img_dup")
+        image_caches = (hashed,)
+    else:
+        flagged = flagged.withColumn("_image_keep", F.lit(True))
+
+    keep = keep_dense & F.col("_image_keep")
     flagged = flagged.withColumn("_keep", keep).persist()
 
     # ONE aggregation pass for every stage statistic
@@ -179,20 +363,53 @@ def curate_corpus(
         _n(
             F.col("_exact_keep") & F.col("_quality_ok") & ~F.col("_rep_ok")
         ).alias("repetition_dropped"),
+        _n(cheap_keep & ~F.col("_decontam_ok")).alias("decontam_dropped"),
         _n(
-            F.col("_exact_keep")
-            & F.col("_quality_ok")
-            & F.col("_rep_ok")
-            & ~F.col("_neardup_keep")
+            cheap_keep & F.col("_decontam_ok") & ~F.col("_neardup_keep")
         ).alias("neardup_dropped"),
+        _n(keep_mh & ~F.col("_dense_keep")).alias("dense_neardup_dropped"),
+        _n(keep_dense & ~F.col("_image_keep")).alias("image_neardup_dropped"),
         _n(F.col("_keep")).alias("curated_rows"),
     ).first()
     stats = {k: int(srow[k]) for k in srow.asDict()}
 
     curated = flagged.filter("_keep").drop(
-        "_exact_keep", "_quality_ok", "_rep_ok", "_neardup_keep", "_keep",
+        "_exact_keep", "_quality_ok", "_rep_ok", "_decontam_ok",
+        "_neardup_keep", "_dense_keep", "_image_keep", "_keep",
         "_top2", "_n2", "_dup3", "_n3", "_in_cluster", "_is_survivor",
+        "_in_dcluster", "_is_dsurvivor",
     )
+
+    # stage 4 (optional): sub-document boilerplate removal — rewrites
+    # the surviving docs' text, so it runs after every content-reading
+    # verdict. Chunk accounting is over the surviving docs (a doc whose
+    # every chunk was boilerplate drops out of cleaned entirely and is
+    # counted in chunkdedup_docs_dropped).
+    chunk_caches: list = []
+    if chunk_dedup:
+        cleaned = chunk_level_dedup(
+            curated,
+            text_col=text_col,
+            id_col=id_col,
+            words_per_chunk=words_per_chunk,
+            min_docs=chunk_min_docs,
+            widen=False,
+            caches=chunk_caches,
+        ).persist()
+        chunk_caches.append(cleaned)
+        crow = cleaned.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.coalesce(F.sum("n_kept"), F.lit(0)).alias("kept"),
+            F.coalesce(F.sum("n_total"), F.lit(0)).alias("total"),
+        ).first()
+        stats["chunkdedup_docs_dropped"] = stats["curated_rows"] - int(crow["docs"])
+        stats["chunkdedup_chunks_kept"] = int(crow["kept"])
+        stats["chunkdedup_chunks_total"] = int(crow["total"])
+        stats["curated_rows"] = int(crow["docs"])
+        curated = curated.drop(text_col).join(
+            cleaned.select(did, F.col("clean_text").alias(text_col)), id_col
+        )
+
     curated = hash_split(
         curated, split_weights or {"train": 0.9, "val": 0.05, "test": 0.05},
         key_col=id_col,
@@ -212,6 +429,6 @@ def curate_corpus(
             curated, export_path, n_shards=n_shards, key_col=id_col
         )
         write_export_manifest(spark, export_path)
-    for df in (gated, pairs, flagged):
+    for df in (gated, pairs, flagged, *dense_caches, *image_caches, *chunk_caches):
         df.unpersist()
     return curated, stats

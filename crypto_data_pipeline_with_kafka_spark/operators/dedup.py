@@ -770,6 +770,8 @@ def chunk_level_dedup(
     id_col: str = "doc_id",
     words_per_chunk: int = 8,
     min_docs: int = 2,
+    widen: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """Sub-document dedup, CCNet/RefinedWeb line-dedup style: drop the
     SPANS shared across documents while keeping the documents — the
@@ -796,9 +798,12 @@ def chunk_level_dedup(
     Returns (id, clean_text, n_kept, n_total); a doc whose every chunk
     is boilerplate drops out entirely (exact duplicates therefore
     vanish — run after exact dedup, whose canonical row survives).
-    NULL-text rows are skipped."""
+    NULL-text rows are skipped. ``widen=False`` for derived (non-scan)
+    inputs (the widen_if_narrow caller contract); pass ``caches`` (a
+    list) to receive the internally persisted chunk relation so the
+    caller can release it after materializing the result."""
     toked = (
-        widen_if_narrow(df, id_col)
+        (widen_if_narrow(df, id_col) if widen else df)
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(text_col).alias("_ws"))
     )
@@ -818,8 +823,11 @@ def chunk_level_dedup(
     # chunked feeds BOTH the frequency agg and the instance side of the
     # join; without a persist the tokenize+posexplode+md5 pipeline runs
     # twice over the corpus (the agg exchange can't be reused). Module
-    # cache-lifecycle contract applies: callers clear when done.
+    # cache-lifecycle contract applies: callers clear when done (the
+    # caches out-param hands them the handle).
     chunked = chunked.persist()
+    if caches is not None:
+        caches.append(chunked)
     freq = chunked.groupBy("_ch").agg(
         F.count_distinct(id_col).alias("_nd")
     )

@@ -312,3 +312,173 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert st2["curated_rows"] == cur2.count() > 0
     assert st2["curated_rows"] == stats["curated_rows"]
     curated.unpersist()
+
+
+def test_curate_corpus_optional_stages(spark):
+    """The optional curation stages compose with the core pipeline:
+    eval decontamination drops the contaminated doc (and the curated
+    output contains no benchmark grams), the dense embedding gate keeps
+    one quality-weighted survivor per cosine cluster, chunk-level dedup
+    strips the cross-doc boilerplate span, and the stats identity holds
+    across all stages."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    # three planted docs sharing one chunk-aligned 8-word boilerplate
+    boiler = "qqb1 qqb2 qqb3 qqb4 qqb5 qqb6 qqb7 qqb8"
+    planted = [
+        (
+            200001 + i,
+            " ".join(f"zq{i}w{j}" for j in range(24)) + " " + boiler,
+        )
+        for i in range(3)
+    ]
+    extra = spark.createDataFrame(planted, "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+
+    # learn three baseline survivors to target the optional stages at
+    base_curated, _ = curate_corpus(spark, docs.select("doc_id", "text"))
+    s1, s2, s3 = [
+        r.doc_id
+        for r in base_curated.filter("doc_id < 200000")
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    ]
+    s1_text = docs.filter(F.col("doc_id") == s1).first().text
+
+    benchmark = spark.createDataFrame([(0, s1_text)], "doc_id long, text string")
+    vec = [float(i) for i in range(1, 9)]
+    embeddings = spark.createDataFrame(
+        [(s2, vec), (s3, vec)], "doc_id long, embedding array<float>"
+    )
+
+    curated, stats = curate_corpus(
+        spark,
+        corpus,
+        benchmark=benchmark,
+        embeddings=embeddings,
+        chunk_dedup=True,
+    )
+    curated = curated.persist()
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+
+    # decontamination: the benchmark-contaminated doc is gone, and the
+    # curated corpus shares no flagged k-gram overlap with the eval set
+    assert stats["decontam_dropped"] >= 1 and s1 not in ids
+    assert decontaminate(curated, benchmark).isEmpty()
+
+    # dense gate: the identical-vector pair keeps exactly its
+    # quality-weighted survivor (longer trimmed text, ties to lower id)
+    assert stats["dense_neardup_dropped"] == 1
+    assert len({s2, s3} & ids) == 1
+    q2 = len(docs.filter(F.col("doc_id") == s2).first().text.strip())
+    q3 = len(docs.filter(F.col("doc_id") == s3).first().text.strip())
+    if q2 != q3:  # keep-best policy: longer trimmed text survives
+        assert (s2 if q2 > q3 else s3) in ids
+
+    # chunk dedup: the shared boilerplate chunk is stripped from every
+    # planted doc (once per doc), the unique cores survive
+    for pid, _ in planted:
+        assert pid in ids
+    kept_texts = {
+        r.doc_id: r.text
+        for r in curated.filter("doc_id >= 200000").collect()
+    }
+    for pid, _ in planted:
+        assert "qqb1" not in kept_texts[pid]
+        assert kept_texts[pid].split(" ")[0].startswith("zq")
+    dropped_chunks = (
+        stats["chunkdedup_chunks_total"] - stats["chunkdedup_chunks_kept"]
+    )
+    assert dropped_chunks >= 3  # one boilerplate chunk per planted doc
+
+    # stats identity across ALL stages
+    assert stats["input_rows"] == stats["curated_rows"] + sum(
+        stats[k]
+        for k in (
+            "exact_dups_dropped",
+            "quality_dropped",
+            "repetition_dropped",
+            "decontam_dropped",
+            "neardup_dropped",
+            "dense_neardup_dropped",
+            "chunkdedup_docs_dropped",
+        )
+    )
+    curated.unpersist()
+
+
+def test_curate_corpus_image_gate(spark, tmp_path):
+    """Mixed-modality curation: a planted near-dup image pair keeps only
+    its min-id member (in-batch aHash pairing), a structurally different
+    image passes, and the store-backed variant flags this run's image
+    against what an EARLIER curation run indexed."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    w = h = 32
+
+    def pgm(pixels):
+        return b"P5\n32 32\n255\n" + bytes(pixels)
+
+    base = [min(255, 4 * (x + y)) for y in range(h) for x in range(w)]
+    noisy = list(base)
+    for k in range(0, len(noisy), 97):
+        noisy[k] = min(255, noisy[k] + 2)
+    inverted = [255 - p for p in base]
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    survivors, _ = curate_corpus(spark, docs)
+    s1, s2, s3 = [
+        r.doc_id for r in survivors.orderBy("doc_id").limit(3).collect()
+    ]
+
+    # in-batch: s1/s2 share a near-identical image, s3's is different
+    images = spark.createDataFrame(
+        [(s1, pgm(base)), (s2, pgm(noisy)), (s3, pgm(inverted))],
+        "doc_id long, payload binary",
+    )
+    curated, stats = curate_corpus(spark, docs, images=images)
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert stats["image_neardup_dropped"] == 1
+    assert s1 in ids and s2 not in ids and s3 in ids  # min id survives
+
+    # cross-run store: run 1 indexes s1's image; run 2's single doc
+    # carries a near-dup of it and is flagged against the store
+    store = str(tmp_path / "img_store")
+    curate_corpus(
+        spark,
+        docs,
+        images=spark.createDataFrame(
+            [(s1, pgm(base))], "doc_id long, payload binary"
+        ),
+        image_store_dir=store,
+        image_batch_id=0,
+    )
+    new_doc = spark.createDataFrame(
+        [(300000, " ".join(f"imgw{j}" for j in range(25)))],
+        "doc_id long, text string",
+    )
+    cur2, st2 = curate_corpus(
+        spark,
+        new_doc,
+        images=spark.createDataFrame(
+            [(300000, pgm(noisy))], "doc_id long, payload binary"
+        ),
+        image_store_dir=store,
+        image_batch_id=1,
+    )
+    assert st2["image_neardup_dropped"] == 1 and st2["curated_rows"] == 0
+    assert cur2.isEmpty()
