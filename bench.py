@@ -42,6 +42,146 @@ HEADLINE = (
 )
 
 
+def _synthesize_scale10(spark, sf_dir: str, out_dir: str) -> None:
+    """Deterministically synthesize the 10× corpus the scale gate runs
+    on: 10 copies of documents (text vowel-rotated per copy, so copies
+    are near-dup-distinct) and embeddings (leading k of every 10 dims
+    sign-flipped per copy k, decorrelating copies) with offset ids. No
+    Date.now()/rand() anywhere — same input ⇒ byte-identical corpus."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    doc_copies = []
+    for k in range(10):
+        t = F.col("text")
+        for _ in range(k):
+            t = F.translate(t, "aeiou", "eioua")
+        doc_copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n))
+            .withColumn("text", t)
+        )
+    reduce(lambda a, b: a.unionByName(b), doc_copies).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    m = emb.agg(F.max("vec_id")).first()[0] + 1
+    def flip(k: int):
+        return F.transform(
+            "embedding",
+            lambda x, i: x
+            * F.when((i % 10) < F.lit(k), F.lit(-1.0)).otherwise(F.lit(1.0)),
+        ).cast("array<float>")
+
+    emb_copies = []
+    for k in range(10):
+        emb_copies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * m))
+            .withColumn("embedding", flip(k))
+        )
+    reduce(lambda a, b: a.unionByName(b), emb_copies).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+# Wall-clock at 10× data must stay under this multiple for the
+# sub-linear dedup family — the regression gate that keeps a future leg
+# from going accidentally quadratic (SCALE.md 'Measured 10× scale-up').
+SCALE10_DEDUP_GATE = 4.0
+
+
+def run_scale10() -> int:
+    """`bench.py --scale10`: the repeatable form of SCALE.md's 10×
+    measurement. Synthesizes the 10× corpus deterministically, runs the
+    heavy dedup operators and both IVF tunings cold at 1× and 10×, and
+    GATES: every dedup ratio ≤ SCALE10_DEDUP_GATE, and the ∝√corpus IVF
+    tuning must beat the fixed-C anti-pattern. Prints ONE JSON line;
+    exit 1 on gate failure."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="crypto_data_pipeline_with_kafka_spark-scale10")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        ivf_ann_pairs,
+        with_dbl_and_approx_norm,
+    )
+
+    qs = queries()
+
+    def load_emb(d):
+        return spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+
+    def ivf_at(d, num_centroids):
+        base = with_dbl_and_approx_norm(load_emb(d))
+        return ivf_ann_pairs(
+            base, num_centroids=num_centroids, probes=1, min_cosine=0.8
+        )
+
+    OPS = {
+        "dedup_minhash_lsh": lambda d: qs["dedup_minhash_lsh"](spark, d),
+        "dedup_ngram_jaccard": lambda d: qs["dedup_ngram_jaccard"](spark, d),
+        "dedup_simhash": lambda d: qs["dedup_simhash"](spark, d),
+        "ivf_fixed_c32": lambda d: ivf_at(d, 32),
+        "ivf_sqrt_auto": lambda d: ivf_at(d, "auto"),
+    }
+
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR") or tempfile.mkdtemp(
+        prefix="spark_graft_scale10_"
+    )
+    ephemeral = "SPARK_GRAFT_SCALE10_DIR" not in os.environ
+    try:
+        _synthesize_scale10(spark, sf_dir, out_dir)
+        report, failures = {}, []
+        for name, fn in OPS.items():
+            walls = {}
+            for label, d in (("wall_1x", sf_dir), ("wall_10x", out_dir)):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(d).count()
+                walls[label] = round(time.perf_counter() - t0, 3)
+            ratio = round(walls["wall_10x"] / max(walls["wall_1x"], 1e-9), 2)
+            report[name] = {**walls, "ratio": ratio}
+            print(f"# {name}: {walls} ratio {ratio}x", file=sys.stderr)
+            if name.startswith("dedup_") and ratio > SCALE10_DEDUP_GATE:
+                failures.append(f"{name} ratio {ratio} > {SCALE10_DEDUP_GATE}")
+        if report["ivf_sqrt_auto"]["wall_10x"] > report["ivf_fixed_c32"]["wall_10x"]:
+            failures.append(
+                "sqrt-C IVF tuning no longer beats fixed C at 10x "
+                f"({report['ivf_sqrt_auto']['wall_10x']} vs "
+                f"{report['ivf_fixed_c32']['wall_10x']})"
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "scale10_wall_ratios",
+                    "value": max(
+                        v["ratio"] for k, v in report.items()
+                        if k.startswith("dedup_")
+                    ),
+                    "unit": "x",
+                    "ops": report,
+                    "gate": {
+                        "dedup_max_ratio": SCALE10_DEDUP_GATE,
+                        "failures": failures,
+                    },
+                    "sf_dir": sf_dir,
+                }
+            )
+        )
+        return 1 if failures else 0
+    finally:
+        if ephemeral:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -113,4 +253,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--scale10" in sys.argv[1:]:
+        raise SystemExit(run_scale10())
     main()
