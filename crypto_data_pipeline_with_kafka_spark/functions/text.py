@@ -636,12 +636,20 @@ def collocations(
     corpus (bigrams; unigrams), N as ONE broadcast scalar row, unigram
     counts joined to the min_count-filtered bigram relation (post-floor
     it is vocabulary-sized — both joins are AQE-broadcastable), and the
-    final ranking is a top-k TakeOrdered, never a global sort. Ranking
-    ties break deterministically on (pmi DESC, c12 DESC, w1, w2): PMI
-    is a double, but equal-count pairs produce IDENTICAL doubles (same
-    ln input), so the ordering is reproducible.
+    final ranking is a top-k TakeOrdered, never a global sort.
 
-    Returns (w1, w2, c12, pmi)."""
+    Cross-engine determinism (the oracle-checkable construction): the
+    ranking orders on the RAW probability ratio c12·N/(c1·c2) — exact
+    integers below 2^53 rendered to doubles, one correctly-rounded
+    division, so the ordering double is bitwise identical in any
+    engine, and ln is monotone so the order equals the PMI order
+    without ever ranking on a transcendental. Ties break on (c12 DESC,
+    w1, w2). The emitted ``pmi_micro`` is ``round(ln(r)·1e6)`` as a
+    long — the same micro-quantization as ``bm25_topk``, absorbing the
+    last-ulp ln differences between engines; ``pmi`` is the double
+    rendering for human use.
+
+    Returns (w1, w2, c12, pmi, pmi_micro)."""
     bg = _doc_bigrams(docs, text_col, id_col)
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
@@ -662,13 +670,17 @@ def collocations(
             "c12",
             # c1/c2 cast to double BEFORE multiplying: two ~4e9-count
             # tokens would overflow the 64-bit product on a web corpus
-            F.log(
+            (
                 F.col("c12").cast("double")
                 * F.col("n")
                 / (F.col("c1").cast("double") * F.col("c2").cast("double"))
-            ).alias("pmi"),
+            ).alias("_r"),
         )
+        .withColumn("pmi", F.log("_r"))
+        .withColumn("pmi_micro", F.round(F.col("pmi") * 1e6).cast("long"))
     )
-    return scored.orderBy(
-        F.col("pmi").desc(), F.col("c12").desc(), "w1", "w2"
-    ).limit(top_k)
+    return (
+        scored.orderBy(F.col("_r").desc(), F.col("c12").desc(), "w1", "w2")
+        .limit(top_k)
+        .drop("_r")
+    )

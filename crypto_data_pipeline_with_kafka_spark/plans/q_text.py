@@ -452,3 +452,104 @@ def news_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "tag_id", "sentiment")
     already = docs.filter(F.col("doc_id") < 100).select("doc_id")
     return idempotent_append(joined, already, ["doc_id"])
+
+
+@register(
+    "text_collocations",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM toks),
+    uc AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+    nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+    bg AS (
+      SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+      FROM toks WHERE len(ws) >= 2
+    ),
+    bc AS (
+      SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+             count(*) AS c12
+      FROM bg GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT w1, w2, c12,
+             CAST(c12 AS DOUBLE) * n
+               / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS r
+      FROM bc
+      JOIN uc u1 ON u1.w = bc.w1
+      JOIN uc u2 ON u2.w = bc.w2
+      CROSS JOIN nt
+      WHERE c12 >= 5
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           CAST(round(ln(r) * 1000000) AS BIGINT) AS pmi_micro
+    FROM scored
+    ORDER BY r DESC, c12 DESC, w1, w2
+    LIMIT 50
+    """,
+    doc="PMI collocation mining (functions/text.py::collocations): "
+    "phrase discovery for tokenizer/vocab prep — top-50 bigrams by "
+    "pointwise mutual information with the Church-Hanks min-count "
+    "floor. Ranking orders on the exact probability RATIO (integer "
+    "counts → one correctly-rounded division, bitwise cross-engine; "
+    "ln is monotone so the order equals the PMI order without ranking "
+    "on a transcendental); the checked value is the micro-quantized "
+    "pmi, the bm25_topk construction.",
+    tags=("text", "pmi", "collocations"),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.functions.text import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, top_k=50).select(
+        "w1", "w2", "c12", "pmi_micro"
+    )
+
+
+@register(
+    "text_bigram_lm",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w1 FROM toks),
+    uc AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+    v AS (SELECT count(*) AS v FROM uc),
+    bg AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+      FROM toks WHERE len(ws) >= 2
+    ),
+    bq AS (
+      SELECT doc_id, string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+      FROM bg
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bq GROUP BY 1, 2),
+    lp AS (
+      SELECT q.doc_id,
+             CAST(ln((coalesce(bc.c12, 0) + 0.5)
+                     / (coalesce(uc.c1, 0) + 0.5 * v.v)) AS DECIMAL(28,9)) AS lq
+      FROM bq q
+      LEFT JOIN bc ON bc.w1 = q.w1 AND bc.w2 = q.w2
+      LEFT JOIN uc ON uc.w1 = q.w1
+      CROSS JOIN v
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(CAST(sum(lq) AS VARCHAR) AS DOUBLE) / count(*) AS avg_logprob
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logprob FROM per
+    """,
+    doc="Corpus-trained bigram-LM perplexity scoring "
+    "(functions/text.py::bigram_lm_quality) — the CCNet-style quality "
+    "filter, self-scored over documents. Per-bigram log-probs quantize "
+    "to decimal(28,9) before the per-doc sum (order-free, absorbs "
+    "ln-ulp engine differences); the sum hops through a string to "
+    "double exactly like the indicator decimal sums, so the oracle is "
+    "value-exact.",
+    tags=("text", "quality", "lm"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        bigram_lm_quality,
+    )
+
+    return bigram_lm_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bigrams", "avg_logprob"
+    )
