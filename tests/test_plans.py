@@ -295,3 +295,43 @@ def test_widen_if_narrow_fixes_single_split_scans(spark):
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()
     )
     assert widen_if_narrow(stream, "value") is stream
+
+
+def test_retrain_reassignment_plan_no_hash_exchange(spark, tmp_path):
+    """retrain_ivf_store's re-assignment is ONE distributed map over
+    the cells store: in-row scoring against the broadcast O(C)
+    centroids with batch_id carried per row (carry_cols) — the
+    assignment plan must contain NO hash Exchange (the single layout
+    exchange is added only by the final repartition before the staged
+    write), and the centroids must arrive via BroadcastExchange."""
+    import pyspark.sql.functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _seed_centroids,
+        dbl_vector,
+        incremental_ivf_update,
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = str(tmp_path / "store")
+    cents = _seed_centroids(
+        emb.select("vec_id", dbl_vector("embedding").alias("vdbl")), 4, "vec_id"
+    ).localCheckpoint()
+    incremental_ivf_update(emb, store, 0, centroids=cents, min_cosine=0.9)
+
+    stored = spark.read.parquet(f"{store}/cells")
+    vecs = stored.select("vec_id", "embedding", "batch_id")
+    re_cells = ivf_assignments(
+        vecs,
+        probes=1,
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=cents,
+        carry_cols=("batch_id", "embedding"),
+    )
+    plan = plan_of(re_cells, "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the carried columns actually ride through
+    assert set(re_cells.columns) == {"vec_id", "batch_id", "embedding", "centroid_id"}
