@@ -257,7 +257,15 @@ def curate_corpus(
     # component resolution runs eager convergence actions over it.
     dense_caches: tuple = ()
     if embeddings is not None:
-        mh_surv = flagged.filter(keep_mh).persist()
+        # persist only what the stage consumes — (id, quality) — not
+        # the full-width survivor frame with its text and flag columns
+        # (the eager convergence actions would pin the whole surviving
+        # corpus in cache otherwise)
+        mh_surv = (
+            flagged.filter(keep_mh)
+            .select(did, F.length(F.trim(txt)).alias("_dq"))
+            .persist()
+        )
         # the similarity verify stage's column contract is vec_id —
         # alias in, rename back out at the cluster step
         emb_base = with_dbl_and_approx_norm(
@@ -281,7 +289,7 @@ def curate_corpus(
         dsurv = select_cluster_survivors(
             mh_surv,
             dclusters,
-            quality_col=F.length(F.trim(txt)),
+            quality_col="_dq",
             id_col=id_col,
         )
         flagged = flagged.join(

@@ -1153,10 +1153,15 @@ def ivf_store_needs_retrain(spark, store_dir: str, factor: float = 2.0) -> bool:
     is ≥ ``factor`` × the trained centroid count — the C-doubling
     threshold at which a grown incremental store has re-created the
     fixed-C anti-pattern (SCALE.md's 10× measurement: fixed C cost 22×
-    wall at 10× data). Spends one O(C) centroid count and one
-    stats-only parquet row count over the cells store."""
+    wall at 10× data). Spends one O(C) centroid count and one distinct
+    id count over the cells store (distinct, not raw rows: a
+    re-ingested id has one stored row per ingest and must not inflate
+    the derived C)."""
     cents_c = spark.read.parquet(f"{store_dir}/centroids").count()
-    auto_c = resolve_num_centroids(spark.read.parquet(f"{store_dir}/cells"), "auto")
+    auto_c = resolve_num_centroids(
+        spark.read.parquet(f"{store_dir}/cells").select("vec_id").distinct(),
+        "auto",
+    )
     return auto_c >= factor * cents_c
 
 
@@ -1194,15 +1199,20 @@ def retrain_ivf_store(
     flags are cosine-VERIFIED verdicts, valid under any geometry —
     re-training changes future candidate recall, never past truths.
 
-    Swap protocol — the same backup-rename discipline (and the same
-    non-atomicity caveat) as ``warehouse.compact_partitions``: both new
-    tables are staged by distributed writes first, then four renames +
-    two deletes form a metadata-op window. A crash mid-swap leaves a
-    backup whose live sibling is missing; the next retrain call (or
-    :func:`recover_ivf_store`) restores it before proceeding. Run
-    retraining when no updater races it — the streaming runner's
-    contract is stop stream → retrain → restart
-    (``streaming.pipeline.run_incremental_ivf_stream``)."""
+    Swap protocol — the ``compact_partitions`` backup-rename discipline
+    extended with a COMMIT MARKER, because this swap covers TWO
+    directories whose geometries must stay consistent: both new tables
+    are staged by distributed writes first, then ``.retrain_commit`` is
+    created (the point of no return — it asserts both staged tables are
+    complete), then four renames + two deletes, then the marker is
+    removed. Recovery (:func:`recover_ivf_store`, run automatically at
+    the start of every retrain) rolls FORWARD to the new geometry when
+    the marker exists — a crash between the cells swap and the
+    centroids swap can therefore never be 'repaired' into a
+    mixed-geometry store — and treats marker-less staged dirs as
+    incomplete writes to sweep. Run retraining when no updater races
+    it — the streaming runner's contract is stop stream → retrain →
+    restart (``streaming.pipeline.run_incremental_ivf_stream``)."""
     # local import: warehouse is a peer package module; it imports
     # nothing from operators, so this cannot cycle
     from crypto_data_pipeline_with_kafka_spark.warehouse import _HadoopFs
@@ -1222,18 +1232,29 @@ def retrain_ivf_store(
     stored = spark.read.parquet(cells_path)
     vec_col = _cells_vec_col(stored)
     vecs = stored.select("vec_id", vec_col, "batch_id")
+    # Training/C-derivation sees ONE row per id (latest batch wins): a
+    # re-ingested id has one stored row per ingest, and training on the
+    # raw store would inflate auto-C and make the seeded pick
+    # partition-order-dependent (stale and current rows carry IDENTICAL
+    # md5 sort keys, so limit(C) could pick either — breaking the
+    # retrained-equals-fresh determinism contract). The store CONTENT
+    # keeps every batch's rows — incremental pruning semantics are
+    # untouched; only the trainer sees the deduped view.
+    train_vecs = vecs.groupBy("vec_id").agg(
+        F.max_by(vec_col, "batch_id").alias(vec_col)
+    )
 
-    c = resolve_num_centroids(vecs, num_centroids)
+    c = resolve_num_centroids(train_vecs, num_centroids)
     if lloyd_rounds > 0:
         cents = lloyd_refined_centroids(
-            vecs.select("vec_id", vec_col),
+            train_vecs,
             num_centroids=c,
             rounds=lloyd_rounds,
             id_col="vec_id",
             vec_col=vec_col,
         )
     else:
-        base = vecs.select("vec_id", dbl_vector(vec_col).alias("vdbl"))
+        base = train_vecs.select("vec_id", dbl_vector(vec_col).alias("vdbl"))
         cents = _seed_centroids(base, c, "vec_id")
     # pin the geometry before it feeds both the staged write and the
     # re-assignment (a lazy plan would otherwise re-derive it twice)
@@ -1259,38 +1280,72 @@ def retrain_ivf_store(
     )
     cents.write.mode("overwrite").parquet(staged_cents)
 
+    # COMMIT POINT: the marker asserts both staged tables are complete
+    # and the swap has begun — recovery rolls FORWARD from here, so a
+    # crash between the two table swaps can never strand mixed geometry
+    hfs.touch(f"{store_dir}/.retrain_commit")
     hfs.rename(cells_path, backup_cells)
     hfs.rename(staged_cells, cells_path)
     hfs.rename(cents_path, backup_cents)
     hfs.rename(staged_cents, cents_path)
     hfs.delete(backup_cells)
     hfs.delete(backup_cents)
+    hfs.delete(f"{store_dir}/.retrain_commit")
     return c
 
 
 def recover_ivf_store(spark, store_dir: str) -> None:
-    """Crash recovery for an interrupted :func:`retrain_ivf_store`
-    (same rules as ``compact_partitions``): a backup dir whose live
-    sibling is missing is the authoritative copy — restore it; a
-    backup with a live sibling means the swap completed — sweep it;
-    stale stage dirs are leaked bytes — delete them. Called
-    automatically at the start of every retrain; exposed for an
+    """Crash recovery for an interrupted :func:`retrain_ivf_store`.
+    Two regimes, decided by the ``.retrain_commit`` marker:
+
+    * marker PRESENT — both staged tables were complete and the swap
+      had begun: roll each table FORWARD (staged → live, sweeping
+      backups), so the store ends at the NEW geometry and the marker
+      is removed. Rolling forward — never restoring one table's backup
+      while the other is already swapped — is what keeps the cells and
+      centroids geometries CONSISTENT through any crash point of the
+      two-directory swap.
+    * marker ABSENT — staged dirs are incomplete distributed writes
+      (leaked bytes): delete them; a backup whose live sibling is
+      missing is the authoritative copy — restore it; a backup with a
+      live sibling is swept.
+
+    Called automatically at the start of every retrain; exposed for an
     operator who wants to repair the store without retraining."""
     from crypto_data_pipeline_with_kafka_spark.warehouse import _HadoopFs
 
     hfs = _HadoopFs(spark, store_dir)
-    for live, backup in (
-        (f"{store_dir}/cells", f"{store_dir}/.retrain_backup_cells"),
-        (f"{store_dir}/centroids", f"{store_dir}/.retrain_backup_centroids"),
-    ):
+    marker = f"{store_dir}/.retrain_commit"
+    tables = (
+        (
+            f"{store_dir}/cells",
+            f"{store_dir}/.retrain_cells",
+            f"{store_dir}/.retrain_backup_cells",
+        ),
+        (
+            f"{store_dir}/centroids",
+            f"{store_dir}/.retrain_centroids",
+            f"{store_dir}/.retrain_backup_centroids",
+        ),
+    )
+    if hfs.exists(marker):
+        for live, staged, backup in tables:
+            if hfs.exists(staged):
+                # this table's swap had not (fully) happened: advance it
+                if hfs.exists(live):
+                    if hfs.exists(backup):
+                        hfs.delete(backup)
+                    hfs.rename(live, backup)
+                hfs.rename(staged, live)
+            if hfs.exists(backup):
+                hfs.delete(backup)
+        hfs.delete(marker)
+        return
+    for live, staged, backup in tables:
         if hfs.exists(backup):
             if hfs.exists(live):
                 hfs.delete(backup)
             else:
                 hfs.rename(backup, live)
-    for staged in (
-        f"{store_dir}/.retrain_cells",
-        f"{store_dir}/.retrain_centroids",
-    ):
         if hfs.exists(staged):
             hfs.delete(staged)

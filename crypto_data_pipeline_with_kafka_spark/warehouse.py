@@ -82,6 +82,10 @@ class _HadoopFs:
         if not self.fs.rename(self.path(src), self.path(dst)):
             raise OSError(f"hadoop fs rename returned false: {src} -> {dst}")
 
+    def touch(self, p: str) -> None:
+        # create() raises on failure (unlike the boolean-returning ops)
+        self.fs.create(self.path(p), True).close()
+
 
 def compact_partitions(
     spark: SparkSession,

@@ -1405,3 +1405,137 @@ def test_retrain_ivf_store_equals_fresh_geometry(spark, tmp_path):
     assert retrain_ivf_store(spark, store_a) == 32
     # only_if_needed: geometry already current → no-op
     assert retrain_ivf_store(spark, store_a, only_if_needed=True) is None
+
+
+def test_retrain_crash_between_table_swaps_rolls_forward(spark, tmp_path):
+    """The two-directory swap's worst crash points — after the cells
+    table swapped but before the centroids table did (and mid-cells
+    swap) — must recover to the NEW geometry on both tables, never a
+    mixed store: the commit marker tells recovery to roll forward."""
+    import shutil
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _seed_centroids,
+        dbl_vector,
+        incremental_ivf_update,
+        recover_ivf_store,
+        retrain_ivf_store,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    tiny = _seed_centroids(
+        emb.select("vec_id", dbl_vector("embedding").alias("vdbl")), 2, "vec_id"
+    ).localCheckpoint()
+
+    def build_store(path):
+        incremental_ivf_update(emb, path, 0, centroids=tiny, min_cosine=0.9)
+
+    # reference: a clean retrain
+    ref = str(tmp_path / "ref")
+    build_store(ref)
+    pre = str(tmp_path / "pre")
+    shutil.copytree(ref, pre)
+    assert retrain_ivf_store(spark, ref, num_centroids=8) == 8
+
+    def rows(path, sub):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/{sub}")
+            .selectExpr("vec_id", "cast(centroid_id as int) c")
+            .collect()
+        ) if sub == "cells" else sorted(
+            (r.centroid_id, tuple(r.cvec))
+            for r in spark.read.parquet(f"{path}/{sub}").collect()
+        )
+
+    def assert_recovered(store):
+        recover_ivf_store(spark, store)
+        assert rows(store, "centroids") == rows(ref, "centroids")
+        assert rows(store, "cells") == rows(ref, "cells")
+        import os as _os
+
+        leftovers = [n for n in _os.listdir(store) if n.startswith(".retrain")]
+        assert leftovers == [], leftovers
+
+    # crash point A: cells fully swapped, centroids untouched
+    sa = str(tmp_path / "crash_a")
+    shutil.copytree(pre, sa)
+    shutil.move(f"{sa}/cells", f"{sa}/.retrain_backup_cells")
+    shutil.copytree(f"{ref}/cells", f"{sa}/cells")
+    shutil.copytree(f"{ref}/centroids", f"{sa}/.retrain_centroids")
+    open(f"{sa}/.retrain_commit", "w").close()
+    assert_recovered(sa)
+
+    # crash point B: mid-cells swap (live cells missing entirely)
+    sb = str(tmp_path / "crash_b")
+    shutil.copytree(pre, sb)
+    shutil.move(f"{sb}/cells", f"{sb}/.retrain_backup_cells")
+    shutil.copytree(f"{ref}/cells", f"{sb}/.retrain_cells")
+    shutil.copytree(f"{ref}/centroids", f"{sb}/.retrain_centroids")
+    open(f"{sb}/.retrain_commit", "w").close()
+    assert_recovered(sb)
+
+    # no marker: staged dirs are incomplete writes — swept, store intact
+    sc = str(tmp_path / "no_marker")
+    shutil.copytree(pre, sc)
+    shutil.copytree(f"{ref}/centroids", f"{sc}/.retrain_centroids")
+    recover_ivf_store(spark, sc)
+    assert spark.read.parquet(f"{sc}/centroids").count() == 2
+    import os as _os
+
+    assert not _os.path.exists(f"{sc}/.retrain_centroids")
+
+
+def test_retrain_trains_on_latest_vectors_of_reingested_ids(spark, tmp_path):
+    """A store holding multiple rows for a re-ingested id (one per
+    ingest) must train its new geometry on the LATEST vectors only —
+    deterministically — and the store content keeps every batch's rows."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _seed_centroids,
+        dbl_vector,
+        incremental_ivf_update,
+        retrain_ivf_store,
+    )
+
+    cents1 = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "centroid_id int, cvec array<double>"
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    store = str(tmp_path / "st")
+    b0 = [(i, [float(i), 1.0]) for i in range(1, 11)]
+    incremental_ivf_update(vecs(b0), store, 0, centroids=cents1, min_cosine=0.99)
+    # re-ingest id 1 with a NEW vector in batch 1
+    incremental_ivf_update(
+        vecs([(1, [-5.0, 2.0])]), store, 1, min_cosine=0.99
+    )
+
+    assert retrain_ivf_store(spark, store, num_centroids=3) == 3
+    latest = vecs([(1, [-5.0, 2.0])] + b0[1:])
+    expected = sorted(
+        (r.centroid_id, tuple(r.cvec))
+        for r in _seed_centroids(
+            latest.select("vec_id", dbl_vector("embedding").alias("vdbl")),
+            3,
+            "vec_id",
+        ).collect()
+    )
+    got = sorted(
+        (r.centroid_id, tuple(r.cvec))
+        for r in spark.read.parquet(f"{store}/centroids").collect()
+    )
+    assert got == expected
+    # store content keeps both batches' rows for the re-ingested id
+    n_rows_id1 = (
+        spark.read.parquet(f"{store}/cells").filter("vec_id = 1").count()
+    )
+    assert n_rows_id1 == 2
+    # deterministic: a second retrain reproduces the same geometry
+    assert retrain_ivf_store(spark, store, num_centroids=3) == 3
+    got2 = sorted(
+        (r.centroid_id, tuple(r.cvec))
+        for r in spark.read.parquet(f"{store}/centroids").collect()
+    )
+    assert got2 == expected
