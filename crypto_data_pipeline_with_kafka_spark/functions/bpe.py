@@ -33,14 +33,18 @@ from crypto_data_pipeline_with_kafka_spark.functions.text import tokens
 END_OF_WORD = "</w>"
 
 
-def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", widen: bool = True
+) -> DataFrame:
     """(word, freq) over the corpus — the ONE corpus-wide pass BPE
-    needs; everything after operates on this vocab-sized relation."""
+    needs; everything after operates on this vocab-sized relation.
+    ``widen=False`` for derived (non-scan) inputs — see the
+    widen_if_narrow caller contract."""
     return (
         # keyed on the text itself: hash partitioning keeps the widen's
         # layout deterministic under retry (the keyless fallback is
         # round-robin), and the immediate groupBy re-keys anyway
-        widen_if_narrow(docs, text_col)
+        (widen_if_narrow(docs, text_col) if widen else docs)
         .select(F.explode(tokens(text_col)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -100,6 +104,7 @@ def learn_bpe_merges(
     checkpoint_every: int = 8,
     merges_per_sync: int = 1,
     stats: dict | None = None,
+    widen: bool = True,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
     Returns the ordered rule list [(a, b), ...]; ties broken
@@ -129,7 +134,7 @@ def learn_bpe_merges(
     The returned list is O(n_merges) — driver-sized by definition (it
     IS the tokenizer artifact), not a collected data relation."""
     words = (
-        word_frequencies(docs, text_col)
+        word_frequencies(docs, text_col, widen=widen)
         .withColumn("sym", _initial_symbols(F.col("word")))
         .localCheckpoint(eager=False)
     )
@@ -175,6 +180,7 @@ def bpe_tokenize(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_every: int = 8,
+    widen: bool = True,
 ) -> DataFrame:
     """(id, bpe_tokens array<string>): tokenize the corpus with learned
     merge rules. The rules are applied on the DISTINCT-WORD vocab (the
@@ -183,7 +189,7 @@ def bpe_tokenize(
     occurrence) and the (word → pieces) map is joined back to the
     exploded corpus (AQE picks broadcast when the vocab is actually
     small), then re-assembled in word order."""
-    toked = widen_if_narrow(docs, id_col).select(
+    toked = (widen_if_narrow(docs, id_col) if widen else docs).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
     )
     vocab = toked.select("word").distinct().withColumn(

@@ -860,9 +860,14 @@ _SIMHASH_LANE = 1 << _SIMHASH_LANE_BITS
 
 
 def simhash_bits(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    widen: bool = True,
 ) -> DataFrame:
     """64-bit SimHash as a 64-char '0'/'1' string per document.
+    ``widen=False`` for derived (non-scan) inputs — see the
+    widen_if_narrow caller contract.
 
     Token hash = first 16 hex chars of md5(word); bit j of the token is
     bit (3 - j%4) of hex digit j/4. Each token contributes
@@ -878,7 +883,7 @@ def simhash_bits(
     the packing is implementation, not semantics).
     """
     wc = (
-        widen_if_narrow(df, id_col)
+        (widen_if_narrow(df, id_col) if widen else df)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -559,6 +559,10 @@ def run_incremental_ivf_stream(
     restart — the checkpoint keeps advancing epoch ids, and the
     re-trained store is pytest-equal to one bootstrapped at the new
     geometry from the start."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        ivf_store_needs_retrain,
+    )
+
     stream = embeddings_stream_reader(spark, source_path, max_files_per_trigger=1)
     if not target_exists(spark, f"{store_dir}/centroids"):
         raise ValueError(
@@ -566,6 +570,19 @@ def run_incremental_ivf_stream(
             "cell geometry before starting the stream (save_ivf_index, "
             "or incremental_ivf_update(centroids=...) on a bootstrap "
             "batch)"
+        )
+    # one cheap probe per stream START (never per batch): surface the
+    # grown-geometry condition at the moment the operator can act on it
+    if target_exists(spark, f"{store_dir}/cells") and ivf_store_needs_retrain(
+        spark, store_dir
+    ):
+        warnings.warn(
+            f"IVF store at {store_dir} has grown past its trained cell "
+            "geometry (sqrt-corpus C-doubling threshold): candidate "
+            "recall degrades under stale cells — stop the stream and run "
+            "operators.similarity.retrain_ivf_store before ingesting "
+            "more batches",
+            stacklevel=2,
         )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:

@@ -94,14 +94,20 @@ def compact_partitions(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: tuple[str, ...] = (),
     max_parallel: int = 1,
+    partition_col: str = "dt",
 ) -> dict[str, int]:
-    """Small-file compaction for a ``dt=``-partitioned store — the
+    """Small-file compaction for a directory-partitioned store — the
     maintenance job every streaming sink needs at scale: per-batch
     appends (foreachBatch idempotent writers, late-data rewrites)
     accrete many small files per partition, degrading scan throughput
     and file-index size. For each selected partition this rewrites the
     data as ``ceil(bytes / target_file_bytes)`` files (optionally
-    re-sorted so min/max stats tighten again).
+    re-sorted so min/max stats tighten again). ``partition_col``
+    defaults to the warehouse's ``dt`` layout; pass ``"batch_id"`` to
+    maintain the incremental dedup/ANN stores' per-batch dirs (compact
+    only batches no redelivery can still rewrite — i.e. older than the
+    streaming checkpoint's committed epoch — the same
+    past-the-late-window contract as dates).
 
     Swap protocol (NOT atomic — plain filesystems have no atomic
     directory swap; this ordering makes the exposure a metadata-op
@@ -131,24 +137,26 @@ def compact_partitions(
     import math
 
     hfs = _HadoopFs(spark, path)
+    live_prefix = f"{partition_col}="
+    backup_prefix = f".compact_backup_{partition_col}="
     if partitions is None:
         # Discovery must ALSO surface partitions whose only copy is an
-        # orphaned backup (crash between the two renames left no dt=
+        # orphaned backup (crash between the two renames left no live
         # dir) — otherwise the promised automatic recovery never runs
         # for exactly the partitions that need it most.
         found: set[str] = set()
         for st in hfs.list_status(path):
             name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("dt="):
+            if st.isDirectory() and name.startswith(live_prefix):
                 found.add(name.split("=", 1)[1])
-            elif st.isDirectory() and name.startswith(".compact_backup_dt="):
+            elif st.isDirectory() and name.startswith(backup_prefix):
                 found.add(name.split("=", 1)[1])
         partitions = sorted(found)
 
     def compact_one(dt: str) -> int | None:
-        pdir = f"{path}/dt={dt}"
-        staged = f"{path}/.compact_dt={dt}"
-        backup = f"{path}/.compact_backup_dt={dt}"
+        pdir = f"{path}/{partition_col}={dt}"
+        staged = f"{path}/.compact_{partition_col}={dt}"
+        backup = f"{path}/{backup_prefix}{dt}"
         if hfs.exists(backup):
             if hfs.exists(pdir):
                 # prior run crashed after the swap, before the sweep:

@@ -824,3 +824,102 @@ def test_incremental_hamming_stream_matches_batch_calls(spark, tmp_path):
 
     sflags, bflags = flags(stream_store), flags(batch_store)
     assert sflags == bflags and len(sflags) > 0
+
+
+def test_compact_partitions_on_batch_id_store(spark, tmp_path):
+    """partition_col generalization: the incremental hamming store's
+    per-batch dirs compact like warehouse dates — fewer files, identical
+    rows, and the store still serves redelivered batches byte-identically
+    after the rewrite."""
+    import glob as _glob
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+        simhash_bits,
+    )
+    from crypto_data_pipeline_with_kafka_spark.warehouse import compact_partitions
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = str(tmp_path / "ham")
+    for b, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 500)]):
+        incremental_hamming_dedup(
+            simhash_bits(
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            ),
+            store,
+            b,
+        )
+    hashes = f"{store}/hashes"
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(hashes).collect()
+    )
+    files_before = len(_glob.glob(f"{hashes}/batch_id=*/part-*.parquet"))
+    flags_before = {
+        (r.doc_id, r.dup_of, r.hamming)
+        for r in incremental_hamming_dedup(
+            simhash_bits(
+                docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500))
+            ),
+            store,
+            2,
+        ).collect()
+    }
+
+    written = compact_partitions(
+        spark, hashes, partition_col="batch_id", sort_cols=("doc_id",)
+    )
+    assert written  # at least one batch dir actually shrank
+    files_after = len(_glob.glob(f"{hashes}/batch_id=*/part-*.parquet"))
+    assert files_after < files_before
+    rows_after = sorted(tuple(r) for r in spark.read.parquet(hashes).collect())
+    assert rows_after == rows_before
+    # the compacted index serves a redelivered batch identically
+    flags_after = {
+        (r.doc_id, r.dup_of, r.hamming)
+        for r in incremental_hamming_dedup(
+            simhash_bits(
+                docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500))
+            ),
+            store,
+            2,
+        ).collect()
+    }
+    assert flags_after == flags_before
+
+
+def test_ivf_stream_warns_when_store_needs_retrain(spark, tmp_path):
+    """Stream start surfaces the grown-geometry condition: a store far
+    past its trained C warns, naming retrain_ivf_store."""
+    import glob as _glob
+    import os
+    import shutil
+    import warnings as _warnings
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        incremental_ivf_update,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_ivf_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = _ensure_ann_base(emb, "vec_id")
+    tiny = _seed_centroids(base, 2, "vec_id").localCheckpoint()
+    store = str(tmp_path / "store")
+    incremental_ivf_update(emb, store, 0, centroids=tiny, min_cosine=0.9)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = f"{src}/_stage"
+    emb.limit(3).coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.move(_glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/b0.parquet")
+    shutil.rmtree(stage)
+
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        run_incremental_ivf_stream(spark, src, store, min_cosine=0.9)
+    msgs = [str(x.message) for x in w]
+    assert any("retrain_ivf_store" in m for m in msgs), msgs
+    base.unpersist()
