@@ -482,3 +482,48 @@ def test_curate_corpus_image_gate(spark, tmp_path):
     )
     assert st2["image_neardup_dropped"] == 1 and st2["curated_rows"] == 0
     assert cur2.isEmpty()
+
+
+def test_curate_corpus_optional_stages_empty_inputs(spark, tmp_path):
+    """P7 for the optional stages: an empty corpus (and empty
+    benchmark/embeddings/images relations) runs the full pipeline with
+    every stage on — zero rows, zero stats, no crash."""
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame([], "doc_id long, embedding array<float>")
+    empty_img = spark.createDataFrame([], "doc_id long, payload binary")
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+
+    curated, stats = curate_corpus(
+        spark,
+        empty_docs,
+        benchmark=bench,
+        embeddings=empty_emb,
+        images=empty_img,
+        chunk_dedup=True,
+    )
+    assert curated.isEmpty()
+    assert stats["input_rows"] == 0 == stats["curated_rows"]
+    assert all(v == 0 for v in stats.values()), stats
+
+    # a non-empty corpus with EMPTY optional relations degrades to the
+    # core pipeline (gates pass everything through)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    curated2, stats2 = curate_corpus(
+        spark,
+        docs,
+        benchmark=bench,
+        embeddings=empty_emb,
+        images=empty_img,
+    )
+    assert stats2["curated_rows"] == curated2.count() == 5
+    assert stats2["decontam_dropped"] == 0
+    assert stats2["dense_neardup_dropped"] == 0
+    assert stats2["image_neardup_dropped"] == 0
