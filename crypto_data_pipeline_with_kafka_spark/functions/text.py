@@ -684,3 +684,67 @@ def collocations(
         .limit(top_k)
         .drop("_r")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, word-level
+    subset — the fixture corpus is single-line, so the line-shape rules
+    don't apply): per document — word count bounds, mean word length in
+    [3, 10], ≥ 80% of words containing an alphabetic character,
+    symbol-to-word ratio (# and ASCII ellipsis) ≤ 0.1, and at least two
+    of the canonical stop set present — plus the conjunction
+    ``gopher_ok``. Complements the distinct-ratio/repetition gates in
+    ``text_profile``; an LLM pipeline runs both families.
+
+    All pure JVM built-ins over one tokenization (zero shuffles — a
+    per-row column map the optimizer pipelines into the scan), and
+    every emitted double is an exact-integer division, so the DuckDB
+    oracle matches bitwise.
+
+    Returns (id, n_words, mean_word_len, frac_alpha_words,
+    symbol_word_ratio, stop_hits, gopher_ok)."""
+    txt = F.col(text_col)
+    ws = tokens(text_col)
+    n = F.size(ws)
+    word_len_sum = F.aggregate(
+        F.transform(ws, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_len = word_len_sum.cast("double") / n
+    frac_alpha = (
+        F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = F.regexp_count(txt, F.lit(r"\.\.\."))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(ws), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    out = docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    ok = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("gopher_ok", ok)

@@ -553,3 +553,39 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_quality(_docs(spark, sf_dir)).select(
         "doc_id", "n_bigrams", "avg_logprob"
     )
+
+
+@register(
+    "text_gopher_rules",
+    r"""
+    WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents),
+    q AS (
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mean_word_len,
+        CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(ws) AS frac_alpha_words,
+        CAST((length(text) - length(replace(text, '#', '')))
+             + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws) AS symbol_word_ratio,
+        CAST(len(list_intersect(list_distinct(ws),
+             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+           symbol_word_ratio, stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND frac_alpha_words >= 0.8 AND symbol_word_ratio <= 0.1
+            AND stop_hits >= 2) AS gopher_ok
+    FROM q
+    """,
+    doc="Gopher quality-rule set (functions/text.py::gopher_rules): "
+    "word-count bounds, mean word length, alphabetic-word fraction, "
+    "symbol-to-word ratio, canonical-stopword support, and the "
+    "conjunction verdict — all exact-integer divisions over one "
+    "tokenization, zero shuffles.",
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.functions.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
