@@ -188,6 +188,12 @@ def resample_to_mixture(
         .collect()
         if r["s"] in weights
     }
+    if not counts and df.isEmpty():
+        # P7: resampling an EMPTY corpus is an empty corpus — the
+        # registered-query empty-ingest guard. A non-empty corpus where
+        # the mixture names only absent sources still raises below
+        # (that is misconfiguration, not emptiness).
+        return df.filter(F.lit(False))
     missing = [s for s in weights if s not in counts]
     if missing:
         raise ValueError(

@@ -589,3 +589,96 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.functions.text import gopher_rules
 
     return gopher_rules(_docs(spark, sf_dir))
+
+
+@register(
+    "text_chunking",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    q AS (
+      SELECT doc_id, ws,
+             greatest(CAST(ceil((len(ws) - 4) / 12.0) AS INTEGER), 1) AS n_chunks
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest([{'chunk_id': i, 'chunk': array_to_string(ws[i*12 + 1 : i*12 + 16], ' ')}
+                     for i in range(0, n_chunks)], recursive := true)
+      FROM q
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, chunk AS text,
+           CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tokens
+    FROM ch
+    """,
+    doc="Overlap-preserving document chunking "
+    "(operators/dedup.py::chunk_documents at max_tokens=16, overlap=4 "
+    "so the fixture docs split into several chunks): chunk i covers "
+    "tokens [i*stride, i*stride + max_tokens), whitespace-normalized — "
+    "a per-row flatMap the optimizer pipelines into the scan, no "
+    "shuffle. The oracle rebuilds the identical slices with DuckDB "
+    "list slicing.",
+    tags=("text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=16, overlap=4)
+
+
+# Mixture weights for text_mixture_resample. The DuckDB twin recomputes
+# wtot/t_max/rates with the IDENTICAL left-associated IEEE expression
+# order as operators.sampling.resample_to_mixture (0.2+0.5+0.3 is NOT
+# 1.0 in doubles — both engines must fold it the same way), and the
+# binding source (min n/(w/wtot); unique here: uniform fixture counts ×
+# distinct weights) snaps to exactly 1.0 on both sides.
+_MIX_FRAC = (
+    "CAST(('0x' || substr(md5('mixture-v1|' || CAST(d.doc_id AS VARCHAR)), 1, "
+    f"{_FRAC_HEX_DIGITS})) AS UBIGINT) / {_FRAC_DENOM!r}"
+)
+
+
+@register(
+    "text_mixture_resample",
+    f"""
+    WITH w(s, wgt) AS (VALUES ('src0', 0.2), ('src1', 0.5), ('src2', 0.3)),
+    tot AS (SELECT 0.2 + 0.5 + 0.3 AS wtot),
+    c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
+    jv AS (
+      SELECT w.s, w.wgt, c.n,
+             CAST(c.n AS DOUBLE) / (w.wgt / (SELECT wtot FROM tot)) AS tv
+      FROM w JOIN c USING (s)
+    ),
+    tm AS (SELECT min(tv) AS t_max FROM jv),
+    rates AS (
+      SELECT s,
+             CASE WHEN tv = (SELECT t_max FROM tm) THEN 1.0
+                  ELSE least(1.0,
+                       ((SELECT t_max FROM tm) * wgt / (SELECT wtot FROM tot)) / n)
+             END AS rate
+      FROM jv
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON r.s = d.source
+    WHERE {_MIX_FRAC} < r.rate
+    """,
+    doc="Domain-mixture rebalancing "
+    "(operators/sampling.py::resample_to_mixture): down-sample each "
+    "source to a 20/50/30 target over src0/src1/src2 — the scarcest "
+    "source (largest weight under uniform counts) binds and is kept "
+    "whole (rate snapped to exactly 1.0), the rest keep a "
+    "deterministic md5 fraction. The oracle independently re-derives "
+    "wtot, t_max, and per-source rates from the corpus counts with "
+    "the identical IEEE expression order, then replays the 52-bit md5 "
+    "keep rule.",
+    tags=("sampling", "mixture"),
+)
+def text_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    return resample_to_mixture(
+        _docs(spark, sf_dir), {"src0": 0.2, "src1": 0.5, "src2": 0.3}
+    ).select("doc_id", "source")
