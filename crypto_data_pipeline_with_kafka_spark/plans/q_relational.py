@@ -626,7 +626,7 @@ def win_rank_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_ops_distinct",
+    "set_ops_suite",
     """
     SELECT 'intersect' AS op, CAST(o_custkey AS VARCHAR) AS key FROM (
       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
@@ -645,15 +645,30 @@ def win_rank_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15'
     )
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(l_suppkey AS VARCHAR) AS key FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(l_suppkey AS VARCHAR) AS key FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
     """,
-    doc="§2.7 distinct-semantics set ops in one checked plan: intersect "
-    "(customers active in both years), except (the J2 anti-join's set-op "
-    "twin), union-distinct (U1 relative) — each via its DataFrame API "
-    "(.intersect/.subtract/.unionByName+distinct), tagged and unioned "
-    "(keys stringified so heterogeneous key types share one schema)",
+    doc="§2.7 ALL the set ops in one checked plan (merged r6 from the "
+    "former set_ops_distinct + set_ops_all pair to free a registry slot "
+    "under the driver's ~50-query attestation cap): intersect "
+    "(customers active in both years), except (the J2 anti-join's "
+    "set-op twin), union-distinct (U1 relative), plus the multiset "
+    "EXCEPT ALL / INTERSECT ALL — each via its DataFrame API, tagged "
+    "and unioned (keys stringified so heterogeneous key types share "
+    "one schema)",
     tags=("setop",),
 )
-def set_ops_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
     b = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
@@ -677,36 +692,23 @@ def set_ops_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.lit("union").alias("op"), F.col("event_type").alias("key"))
     )
-    return inter.unionByName(exc).unionByName(uni)
-
-
-@register(
-    "set_ops_all",
-    """
-    SELECT 'except_all' AS op, l_suppkey FROM (
-      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
-      EXCEPT ALL
-      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
-    )
-    UNION ALL
-    SELECT 'intersect_all' AS op, l_suppkey FROM (
-      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
-      INTERSECT ALL
-      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
-    )
-    """,
-    doc="§2.7 multiset set ops in one checked plan: EXCEPT ALL (each "
-    "occurrence cancels one occurrence) + INTERSECT ALL (min of "
-    "occurrence counts), tagged and unioned",
-    tags=("setop",),
-)
-def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
-    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
-    exc = a.exceptAll(r).select(F.lit("except_all").alias("op"), "l_suppkey")
-    inter = a.intersectAll(r).select(F.lit("intersect_all").alias("op"), "l_suppkey")
-    return exc.unionByName(inter)
+    la = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    lr = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    exc_all = la.exceptAll(lr).select(
+        F.lit("except_all").alias("op"),
+        F.col("l_suppkey").cast("string").alias("key"),
+    )
+    inter_all = la.intersectAll(lr).select(
+        F.lit("intersect_all").alias("op"),
+        F.col("l_suppkey").cast("string").alias("key"),
+    )
+    return (
+        inter.unionByName(exc)
+        .unionByName(uni)
+        .unionByName(exc_all)
+        .unionByName(inter_all)
+    )
 
 
 @register(

@@ -454,9 +454,18 @@ def news_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idempotent_append(joined, already, ["doc_id"])
 
 
-@register(
-    "text_collocations",
-    """
+
+
+# ------------------------------------------------- text-mining suite (r6)
+# The driver's CORRECTNESS gate attests ~50 queries in registration
+# order (round-2 note at the module top of q_relational.py), so the six
+# r6 text-mining/sampling operators land as TAGGED LEGS of one slot —
+# the same consolidation every round has used — rendered to a common
+# (tag, k1, k2, n, v) schema. Each leg's oracle is the independent
+# DuckDB derivation of its operator; chunk text rides in k2 as
+# chunk_id:md5(text) so content is hashed, not just shape.
+
+_COLLOC_SQL = """
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
     uni AS (SELECT unnest(ws) AS w FROM toks),
     uc AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
@@ -485,28 +494,9 @@ def news_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     ORDER BY r DESC, c12 DESC, w1, w2
     LIMIT 50
-    """,
-    doc="PMI collocation mining (functions/text.py::collocations): "
-    "phrase discovery for tokenizer/vocab prep — top-50 bigrams by "
-    "pointwise mutual information with the Church-Hanks min-count "
-    "floor. Ranking orders on the exact probability RATIO (integer "
-    "counts → one correctly-rounded division, bitwise cross-engine; "
-    "ln is monotone so the order equals the PMI order without ranking "
-    "on a transcendental); the checked value is the micro-quantized "
-    "pmi, the bm25_topk construction.",
-    tags=("text", "pmi", "collocations"),
-)
-def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.functions.text import collocations
+"""
 
-    return collocations(_docs(spark, sf_dir), min_count=5, top_k=50).select(
-        "w1", "w2", "c12", "pmi_micro"
-    )
-
-
-@register(
-    "text_bigram_lm",
-    """
+_LM_SQL = """
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
     uni AS (SELECT unnest(ws) AS w1 FROM toks),
     uc AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
@@ -528,72 +518,26 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN bc ON bc.w1 = q.w1 AND bc.w2 = q.w2
       LEFT JOIN uc ON uc.w1 = q.w1
       CROSS JOIN v
-    ),
-    per AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             CAST(CAST(sum(lq) AS VARCHAR) AS DOUBLE) / count(*) AS avg_logprob
-      FROM lp GROUP BY doc_id
     )
-    SELECT doc_id, n_bigrams, avg_logprob FROM per
-    """,
-    doc="Corpus-trained bigram-LM perplexity scoring "
-    "(functions/text.py::bigram_lm_quality) — the CCNet-style quality "
-    "filter, self-scored over documents. Per-bigram log-probs quantize "
-    "to decimal(28,9) before the per-doc sum (order-free, absorbs "
-    "ln-ulp engine differences); the sum hops through a string to "
-    "double exactly like the indicator decimal sums, so the oracle is "
-    "value-exact.",
-    tags=("text", "quality", "lm"),
-)
-def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.functions.text import (
-        bigram_lm_quality,
-    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(sum(lq) AS VARCHAR) AS DOUBLE) / count(*) AS avg_logprob
+    FROM lp GROUP BY doc_id
+"""
 
-    return bigram_lm_quality(_docs(spark, sf_dir)).select(
-        "doc_id", "n_bigrams", "avg_logprob"
-    )
+_GOPHER_SQL = r"""
+    WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents)
+    SELECT doc_id,
+      CAST(len(ws) AS BIGINT) AS n_words,
+      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mean_word_len,
+      CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(ws) AS frac_alpha_words,
+      CAST((length(text) - length(replace(text, '#', '')))
+           + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws) AS symbol_word_ratio,
+      CAST(len(list_intersect(list_distinct(ws),
+           ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+    FROM toks
+"""
 
-
-@register(
-    "text_gopher_rules",
-    r"""
-    WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents),
-    q AS (
-      SELECT doc_id,
-        CAST(len(ws) AS BIGINT) AS n_words,
-        CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mean_word_len,
-        CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(ws) AS frac_alpha_words,
-        CAST((length(text) - length(replace(text, '#', '')))
-             + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws) AS symbol_word_ratio,
-        CAST(len(list_intersect(list_distinct(ws),
-             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-      FROM toks
-    )
-    SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
-           symbol_word_ratio, stop_hits,
-           (n_words >= 50 AND n_words <= 100000
-            AND mean_word_len >= 3 AND mean_word_len <= 10
-            AND frac_alpha_words >= 0.8 AND symbol_word_ratio <= 0.1
-            AND stop_hits >= 2) AS gopher_ok
-    FROM q
-    """,
-    doc="Gopher quality-rule set (functions/text.py::gopher_rules): "
-    "word-count bounds, mean word length, alphabetic-word fraction, "
-    "symbol-to-word ratio, canonical-stopword support, and the "
-    "conjunction verdict — all exact-integer divisions over one "
-    "tokenization, zero shuffles.",
-    tags=("text", "quality", "gopher"),
-)
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.functions.text import gopher_rules
-
-    return gopher_rules(_docs(spark, sf_dir))
-
-
-@register(
-    "text_chunking",
-    """
+_CHUNK_SQL = """
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
     q AS (
       SELECT doc_id, ws,
@@ -606,42 +550,22 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for i in range(0, n_chunks)], recursive := true)
       FROM q
     )
-    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, chunk AS text,
-           CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tokens
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, chunk,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
     FROM ch
-    """,
-    doc="Overlap-preserving document chunking "
-    "(operators/dedup.py::chunk_documents at max_tokens=16, overlap=4 "
-    "so the fixture docs split into several chunks): chunk i covers "
-    "tokens [i*stride, i*stride + max_tokens), whitespace-normalized — "
-    "a per-row flatMap the optimizer pipelines into the scan, no "
-    "shuffle. The oracle rebuilds the identical slices with DuckDB "
-    "list slicing.",
-    tags=("text", "chunking"),
-)
-def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
-        chunk_documents,
-    )
+"""
 
-    return chunk_documents(_docs(spark, sf_dir), max_tokens=16, overlap=4)
-
-
-# Mixture weights for text_mixture_resample. The DuckDB twin recomputes
-# wtot/t_max/rates with the IDENTICAL left-associated IEEE expression
-# order as operators.sampling.resample_to_mixture (0.2+0.5+0.3 is NOT
-# 1.0 in doubles — both engines must fold it the same way), and the
-# binding source (min n/(w/wtot); unique here: uniform fixture counts ×
-# distinct weights) snaps to exactly 1.0 on both sides.
 _MIX_FRAC = (
     "CAST(('0x' || substr(md5('mixture-v1|' || CAST(d.doc_id AS VARCHAR)), 1, "
     f"{_FRAC_HEX_DIGITS})) AS UBIGINT) / {_FRAC_DENOM!r}"
 )
 
-
-@register(
-    "text_mixture_resample",
-    f"""
+# wtot/t_max/rates re-derived with the IDENTICAL left-associated IEEE
+# expression order as operators.sampling.resample_to_mixture
+# (0.2+0.5+0.3 is NOT 1.0 in doubles); the binding source (min
+# n/(w/wtot); unique here: uniform fixture counts x distinct weights)
+# snaps to exactly 1.0 on both sides.
+_MIX_SQL = f"""
     WITH w(s, wgt) AS (VALUES ('src0', 0.2), ('src1', 0.5), ('src2', 0.3)),
     tot AS (SELECT 0.2 + 0.5 + 0.3 AS wtot),
     c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
@@ -662,23 +586,150 @@ _MIX_FRAC = (
     SELECT d.doc_id, d.source
     FROM documents d JOIN rates r ON r.s = d.source
     WHERE {_MIX_FRAC} < r.rate
-    """,
-    doc="Domain-mixture rebalancing "
-    "(operators/sampling.py::resample_to_mixture): down-sample each "
-    "source to a 20/50/30 target over src0/src1/src2 — the scarcest "
-    "source (largest weight under uniform counts) binds and is kept "
-    "whole (rate snapped to exactly 1.0), the rest keep a "
-    "deterministic md5 fraction. The oracle independently re-derives "
-    "wtot, t_max, and per-source rates from the corpus counts with "
-    "the identical IEEE expression order, then replays the 52-bit md5 "
-    "keep rule.",
-    tags=("sampling", "mixture"),
+"""
+
+_STRAT_FRAC = (
+    "CAST(('0x' || substr(md5('strata-v1|' || CAST(doc_id AS VARCHAR)), 1, "
+    f"{_FRAC_HEX_DIGITS})) AS UBIGINT) / {_FRAC_DENOM!r}"
 )
-def text_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+_STRAT_SQL = f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY {_STRAT_FRAC}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 7
+"""
+
+_MINING_SQL = f"""
+    SELECT 'colloc' AS tag, w1 AS k1, w2 AS k2, c12 AS n,
+           CAST(pmi_micro AS DOUBLE) AS v
+    FROM ({_COLLOC_SQL})
+    UNION ALL
+    SELECT 'lm', CAST(doc_id AS VARCHAR), NULL, n_bigrams, avg_logprob
+    FROM ({_LM_SQL})
+    UNION ALL
+    SELECT 'gopher', CAST(doc_id AS VARCHAR), m.k2, n_words, m.v
+    FROM ({_GOPHER_SQL}) g,
+         LATERAL (VALUES
+           ('mean_word_len', g.mean_word_len),
+           ('frac_alpha_words', g.frac_alpha_words),
+           ('symbol_word_ratio', g.symbol_word_ratio),
+           ('stop_hits', CAST(g.stop_hits AS DOUBLE)),
+           ('gopher_ok', CAST(CAST((g.n_words >= 50 AND g.n_words <= 100000
+              AND g.mean_word_len >= 3 AND g.mean_word_len <= 10
+              AND g.frac_alpha_words >= 0.8 AND g.symbol_word_ratio <= 0.1
+              AND g.stop_hits >= 2) AS INTEGER) AS DOUBLE))
+         ) AS m(k2, v)
+    UNION ALL
+    SELECT 'chunk', CAST(doc_id AS VARCHAR),
+           CAST(chunk_id AS VARCHAR) || ':' || md5(chunk), n_tokens,
+           NULL
+    FROM ({_CHUNK_SQL})
+    UNION ALL
+    SELECT 'mix', CAST(doc_id AS VARCHAR), source, NULL, NULL
+    FROM ({_MIX_SQL})
+    UNION ALL
+    SELECT 'strat', CAST(doc_id AS VARCHAR), lang, NULL, NULL
+    FROM ({_STRAT_SQL})
+"""
+
+
+@register(
+    "text_mining_suite",
+    _MINING_SQL,
+    doc="Six r6 operators behind one value-checked slot (tagged legs): "
+    "'colloc' = PMI collocation mining (functions/text.py::collocations"
+    " — ranks on the exact probability ratio, emits micro-quantized "
+    "pmi); 'lm' = corpus-trained bigram-LM perplexity scoring "
+    "(bigram_lm_quality — decimal-quantized log-prob sums, value-exact "
+    "avg_logprob); 'gopher' = the Gopher word-level quality rules "
+    "(gopher_rules, unpivoted to metric rows incl. the conjunction "
+    "verdict); 'chunk' = overlap-preserving chunking "
+    "(operators/dedup.py::chunk_documents at max_tokens=16/overlap=4, "
+    "chunk text content-hashed into the key); 'mix' = domain-mixture "
+    "resampling (operators/sampling.py::resample_to_mixture — oracle "
+    "re-derives wtot/t_max/rates with identical IEEE expression order "
+    "and replays the md5 keep rule); 'strat' = exact-count stratified "
+    "sampling (stratified_sample_exact — the identical (md5, id) "
+    "window draw).",
+    tags=("text", "sampling", "suite"),
+)
+def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        bigram_lm_quality,
+        collocations,
+        gopher_rules,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_documents,
+    )
     from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
         resample_to_mixture,
+        stratified_sample_exact,
     )
 
-    return resample_to_mixture(
-        _docs(spark, sf_dir), {"src0": 0.2, "src1": 0.5, "src2": 0.3}
-    ).select("doc_id", "source")
+    docs = _docs(spark, sf_dir)
+    nul_s = F.lit(None).cast("string")
+    nul_l = F.lit(None).cast("long")
+    nul_d = F.lit(None).cast("double")
+
+    colloc = collocations(docs, min_count=5, top_k=50).select(
+        F.lit("colloc").alias("tag"),
+        F.col("w1").alias("k1"),
+        F.col("w2").alias("k2"),
+        F.col("c12").cast("long").alias("n"),
+        F.col("pmi_micro").cast("double").alias("v"),
+    )
+    lm = bigram_lm_quality(docs).select(
+        F.lit("lm").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        nul_s.alias("k2"),
+        F.col("n_bigrams").cast("long").alias("n"),
+        F.col("avg_logprob").alias("v"),
+    )
+    gop = gopher_rules(docs).select(
+        F.lit("gopher").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.expr(
+            "stack(5,"
+            " 'mean_word_len', mean_word_len,"
+            " 'frac_alpha_words', frac_alpha_words,"
+            " 'symbol_word_ratio', symbol_word_ratio,"
+            " 'stop_hits', cast(stop_hits as double),"
+            " 'gopher_ok', cast(cast(gopher_ok as int) as double)"
+            ") as (k2, v)"
+        ),
+        F.col("n_words").cast("long").alias("n"),
+    ).select("tag", "k1", "k2", "n", "v")
+    chunk = chunk_documents(docs, max_tokens=16, overlap=4).select(
+        F.lit("chunk").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat(
+            F.col("chunk_id").cast("string"), F.lit(":"), F.md5("text")
+        ).alias("k2"),
+        F.col("n_tokens").cast("long").alias("n"),
+        nul_d.alias("v"),
+    )
+    mix = resample_to_mixture(
+        docs, {"src0": 0.2, "src1": 0.5, "src2": 0.3}
+    ).select(
+        F.lit("mix").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("source").alias("k2"),
+        nul_l.alias("n"),
+        nul_d.alias("v"),
+    )
+    strat = stratified_sample_exact(docs, ["lang"], n_per_stratum=7).select(
+        F.lit("strat").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("lang").alias("k2"),
+        nul_l.alias("n"),
+        nul_d.alias("v"),
+    )
+    out = colloc
+    for leg in (lm, gop, chunk, mix, strat):
+        out = out.unionByName(leg)
+    return out
