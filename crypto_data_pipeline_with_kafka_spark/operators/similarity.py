@@ -1153,15 +1153,17 @@ def ivf_store_needs_retrain(spark, store_dir: str, factor: float = 2.0) -> bool:
     is ≥ ``factor`` × the trained centroid count — the C-doubling
     threshold at which a grown incremental store has re-created the
     fixed-C anti-pattern (SCALE.md's 10× measurement: fixed C cost 22×
-    wall at 10× data). Spends one O(C) centroid count and one distinct
-    id count over the cells store (distinct, not raw rows: a
-    re-ingested id has one stored row per ingest and must not inflate
-    the derived C)."""
+    wall at 10× data). Cost: one O(C) centroid count plus a stats-only
+    parquet ROW count as the first pass — raw rows upper-bound distinct
+    ids (a re-ingested id has one stored row per ingest), so when even
+    the raw bound stays under the threshold the answer is False with no
+    data scan; only a store that crosses the bound pays the exact
+    distinct-id count (the number retraining itself would derive)."""
     cents_c = spark.read.parquet(f"{store_dir}/centroids").count()
-    auto_c = resolve_num_centroids(
-        spark.read.parquet(f"{store_dir}/cells").select("vec_id").distinct(),
-        "auto",
-    )
+    cells = spark.read.parquet(f"{store_dir}/cells")
+    if resolve_num_centroids(cells, "auto") < factor * cents_c:
+        return False  # distinct ids <= raw rows: cannot need retrain
+    auto_c = resolve_num_centroids(cells.select("vec_id").distinct(), "auto")
     return auto_c >= factor * cents_c
 
 

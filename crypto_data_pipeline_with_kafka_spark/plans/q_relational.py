@@ -10,8 +10,9 @@ the same width (BIGINT / INTEGER).
 Registry note (round 2): the driver attests at most ~50 queries, so
 single-operator queries that share a table and a shape are folded into
 composite checked plans (e.g. ``rel_project_conditional`` = projection +
-pushdown filters + when/otherwise; ``set_ops_distinct`` = the three
-distinct-semantics set ops tagged and unioned). Each composite still
+pushdown filters + when/otherwise; ``set_ops_suite`` = all five set
+ops tagged and unioned; ``text_mining_suite`` = the six r6 text/
+sampling operators as tagged legs). Each composite still
 exercises the individual DataFrame APIs — the fold is in the *checking
 query*, not the operator surface.
 """

@@ -561,13 +561,22 @@ _MIX_FRAC = (
 )
 
 # wtot/t_max/rates re-derived with the IDENTICAL left-associated IEEE
-# expression order as operators.sampling.resample_to_mixture
-# (0.2+0.5+0.3 is NOT 1.0 in doubles); the binding source (min
-# n/(w/wtot); unique here: uniform fixture counts x distinct weights)
-# snaps to exactly 1.0 on both sides.
+# expression order as operators.sampling.resample_to_mixture. Every
+# weight literal is CAST to DOUBLE: bare decimal literals are DuckDB
+# DECIMALs and fold EXACTLY (0.1+0.2+0.7 = 1.0 in decimal but
+# 1.0000000000000002 in Python doubles) — without the casts, bitwise
+# rate equality would hold only for weight sets whose double sum
+# happens to coincide, and an edited mixture would break the oracle at
+# runtime instead of never. The binding source (min n/(w/wtot); unique
+# here: uniform fixture counts x distinct weights) snaps to exactly
+# 1.0 on both sides.
 _MIX_SQL = f"""
-    WITH w(s, wgt) AS (VALUES ('src0', 0.2), ('src1', 0.5), ('src2', 0.3)),
-    tot AS (SELECT 0.2 + 0.5 + 0.3 AS wtot),
+    WITH w(s, wgt) AS (VALUES
+      ('src0', CAST(0.2 AS DOUBLE)),
+      ('src1', CAST(0.5 AS DOUBLE)),
+      ('src2', CAST(0.3 AS DOUBLE))),
+    tot AS (SELECT CAST(0.2 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+                   + CAST(0.3 AS DOUBLE) AS wtot),
     c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
     jv AS (
       SELECT w.s, w.wgt, c.n,

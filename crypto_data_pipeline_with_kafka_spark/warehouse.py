@@ -104,10 +104,15 @@ def compact_partitions(
     data as ``ceil(bytes / target_file_bytes)`` files (optionally
     re-sorted so min/max stats tighten again). ``partition_col``
     defaults to the warehouse's ``dt`` layout; pass ``"batch_id"`` to
-    maintain the incremental dedup/ANN stores' per-batch dirs (compact
-    only batches no redelivery can still rewrite — i.e. older than the
-    streaming checkpoint's committed epoch — the same
-    past-the-late-window contract as dates).
+    maintain the FLAT incremental-store tables (minhash bands/shingles,
+    hamming hashes, flagged dirs — compact only batches no redelivery
+    can still rewrite, i.e. older than the streaming checkpoint's
+    committed epoch — the same past-the-late-window contract as
+    dates). NESTED layouts are refused at runtime: the IVF ``cells``
+    store is ``batch_id=N/centroid_id=C/`` and a flat rewrite of a
+    batch dir would destroy the centroid directory level
+    (``retrain_ivf_store`` IS that store's compaction — its layout
+    exchange rewrites every partition to one file).
 
     Swap protocol (NOT atomic — plain filesystems have no atomic
     directory swap; this ordering makes the exposure a metadata-op
@@ -177,6 +182,18 @@ def compact_partitions(
             for st in hfs.list_status(pdir)
             if not st.getPath().getName().startswith("_")
         ]
+        nested = [st.getPath().getName() for st in files if st.isDirectory()]
+        if nested:
+            # a sub-partitioned layout (e.g. IVF cells' centroid_id
+            # level): a flat rewrite would read the subdirs as a
+            # partition column and write it back as a DATA column,
+            # silently destroying planning-time pruning — refuse loudly
+            raise ValueError(
+                f"{pdir} contains nested partition dirs {nested[:3]} — "
+                "compact_partitions only handles flat partitions; for "
+                "the IVF cells store use retrain_ivf_store (its "
+                "re-assignment pass rewrites the full layout)"
+            )
         total = sum(st.getLen() for st in files)
         n_out = max(1, math.ceil(total / target_file_bytes))
         if n_out >= len(files):

@@ -1061,3 +1061,44 @@ def test_bpe_batched_merges_match_sequential(spark):
     assert batched == seq and len(seq) > 3
     # the batching actually saved driver round-trips
     assert batched_stats["sync_rounds"] < seq_stats["sync_rounds"]
+
+
+def test_gopher_rules_each_rule_discriminates(spark):
+    """gopher_rules against constructed documents: one doc passes every
+    rule, and five siblings each violate exactly one rule — so an
+    inverted bound or wrong threshold in the conjunction cannot hide
+    (the fixture corpus never produces a gopher_ok=true row, so the
+    oracle leg alone attests values, not the verdict)."""
+    from crypto_data_pipeline_with_kafka_spark.functions.text import gopher_rules
+
+    good_words = ["the", "and"] + [f"word{i:02d}" for i in range(58)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(good_words)),                       # passes all
+            (1, "the and " + " ".join(f"w{i}" for i in range(8))),  # too short
+            (2, "the and " + " ".join("ab" for _ in range(58))),    # mean len < 3
+            (3, " ".join(["the", "and"] + ["1234567"] * 58)),       # alpha frac
+            (4, " ".join(["the", "and"] + [f"#tag{i:03d}" for i in range(58)])),  # symbols
+            (5, " ".join(f"word{i:02d}" for i in range(60))),       # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_rules(docs).collect()}
+
+    assert got[0]["gopher_ok"] is True
+    for d in range(1, 6):
+        assert got[d]["gopher_ok"] is False, (d, got[d])
+    # each violator fails for its own reason
+    assert got[1]["n_words"] < 50
+    assert got[2]["mean_word_len"] < 3
+    assert got[3]["frac_alpha_words"] < 0.8
+    assert got[4]["symbol_word_ratio"] > 0.1
+    assert got[5]["stop_hits"] == 0
+
+    # value spot-check vs a direct computation for the good doc
+    n = len(good_words)
+    assert got[0]["n_words"] == n
+    assert got[0]["mean_word_len"] == sum(map(len, good_words)) / n
+    assert got[0]["frac_alpha_words"] == 1.0
+    assert got[0]["symbol_word_ratio"] == 0.0
+    assert got[0]["stop_hits"] == 2

@@ -923,3 +923,27 @@ def test_ivf_stream_warns_when_store_needs_retrain(spark, tmp_path):
     msgs = [str(x.message) for x in w]
     assert any("retrain_ivf_store" in m for m in msgs), msgs
     base.unpersist()
+
+
+def test_compact_partitions_refuses_nested_layout(spark, tmp_path):
+    """The IVF cells store is batch_id/centroid_id nested — a flat
+    rewrite would destroy the inner partition level, so compaction must
+    refuse it loudly and point at retrain_ivf_store."""
+    import pytest as _pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _seed_centroids,
+        dbl_vector,
+        incremental_ivf_update,
+    )
+    from crypto_data_pipeline_with_kafka_spark.warehouse import compact_partitions
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    cents = _seed_centroids(
+        emb.select("vec_id", dbl_vector("embedding").alias("vdbl")), 2, "vec_id"
+    ).localCheckpoint()
+    store = str(tmp_path / "ivf")
+    incremental_ivf_update(emb, store, 0, centroids=cents, min_cosine=0.9)
+
+    with _pytest.raises(ValueError, match="nested"):
+        compact_partitions(spark, f"{store}/cells", partition_col="batch_id")
