@@ -148,3 +148,110 @@ def streaming_ema(events: DataFrame, alpha: float = 0.125) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def has_transform_with_state(spark=None) -> bool:
+    """True when the Spark-4 ``transformWithStateInPandas`` path can
+    actually RUN here: the API shipped with pyspark 4.x, but its Python
+    state-server protocol needs ``google.protobuf`` in the worker —
+    absent in this container (verified r5, re-verified r6), so the
+    capability probe is the protobuf import, not the API surface."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def streaming_recursive_indicators_tws(
+    events: DataFrame, alpha: float = 0.125, period: int = 14
+) -> DataFrame:
+    """The ``transformWithStateInPandas`` twin of
+    :func:`streaming_recursive_indicators` — same per-key recurrence
+    walk, same state tuple, same IEEE op order, carried in a
+    ``ValueState`` under Spark 4's successor state API (richer state
+    types, timers, RocksDB-native layout). The recurrence is a pure
+    function of (state tuple, ordered rows), so this is the mechanical
+    port the applyInPandasWithState docstring promised; per-chunk
+    ordering behavior mirrors the sibling exactly so the two APIs are
+    bitwise-interchangeable.
+
+    Gate with :func:`has_transform_with_state` before starting a query:
+    building the plan works anywhere, but execution needs the
+    ``google.protobuf`` worker dependency (the equivalence test skips
+    with that reason when absent)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    a, p = float(alpha), int(period)
+
+    class _RecursiveIndicators(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("rec", RECURSIVE_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            stored = self._state.get() if self._state.exists() else None
+            if stored is not None:
+                ema, prev_val, n, sg, sl, ag, al = stored
+            else:
+                ema = prev_val = ag = al = None
+                n, sg, sl = 0, 0.0, 0.0
+            for pdf in rows:
+                pdf = pdf.sort_values(
+                    ["ts", "event_id"], kind="mergesort"
+                ).reset_index(drop=True)
+                emas = []
+                rsis: list[float | None] = []
+                for x in pdf["value"]:
+                    n += 1
+                    if n == 1:
+                        ema = x
+                    else:
+                        ema = a * x + (1.0 - a) * ema
+                        d = x - prev_val
+                        g = d if d > 0 else 0.0
+                        ls = -d if d < 0 else 0.0
+                        if n <= p:
+                            sg += g
+                            sl += ls
+                        elif n == p + 1:
+                            sg += g
+                            sl += ls
+                            ag = sg / float(p)
+                            al = sl / float(p)
+                        else:
+                            ag = (ag * float(p - 1) + g) / float(p)
+                            al = (al * float(p - 1) + ls) / float(p)
+                    prev_val = x
+                    emas.append(ema)
+                    rsis.append(
+                        None
+                        if ag is None
+                        else (
+                            100.0
+                            if al == 0.0
+                            else 100.0 - 100.0 / (1.0 + ag / al)
+                        )
+                    )
+                pdf = pdf[["user_id", "event_id", "ts", "value"]].copy()
+                pdf["ema"] = emas
+                pdf["rsi_wilder"] = pd.array(rsis, dtype="Float64")
+                yield pdf
+            self._state.update((ema, prev_val, n, sg, sl, ag, al))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RecursiveIndicators(),
+            RECURSIVE_OUTPUT_SCHEMA,
+            "append",
+            "None",
+        )
+    )

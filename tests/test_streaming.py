@@ -947,3 +947,68 @@ def test_compact_partitions_refuses_nested_layout(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="nested"):
         compact_partitions(spark, f"{store}/cells", partition_col="batch_id")
+
+
+def test_transform_with_state_twin_builds_and_matches_when_runnable(
+    spark, tmp_path
+):
+    """Spark-4 ``transformWithStateInPandas`` twin of the stateful
+    recursion (streaming_recursive_indicators_tws): the streaming PLAN
+    must build and analyze against a real file stream — attesting the
+    API plumbing, schema, and state wiring — and when the worker-side
+    dependency (google.protobuf) is present the streamed result must be
+    bitwise-equal to the batch walk, the same equivalence the
+    applyInPandasWithState path passes. In this container the
+    dependency is absent (r5/r6 verified), so the execution leg skips
+    at that documented boundary."""
+    import pytest as _pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.recursive import (
+        recursive_indicators,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.stateful import (
+        has_transform_with_state,
+        streaming_recursive_indicators_tws,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    as_ns = events.withColumn("ts", F.unix_micros("ts") * 1000)
+    ts_back = F.timestamp_micros(F.expr("ts div 1000"))
+    as_ns.filter(ts_back < cutoff).coalesce(1).write.parquet(src)
+    as_ns.filter(ts_back >= cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    plan = streaming_recursive_indicators_tws(raw)
+    # analysis ran: streaming flag + the full output schema resolved
+    assert plan.isStreaming
+    assert plan.columns == [
+        "user_id", "event_id", "ts", "value", "ema", "rsi_wilder",
+    ]
+
+    if not has_transform_with_state():
+        _pytest.skip(
+            "google.protobuf not installed: transformWithStateInPandas "
+            "workers cannot start in this container — plan attested, "
+            "execution gated (SCALE.md documented boundary)"
+        )
+
+    got = run_to_memory(plan, output_mode="append", name_prefix="tws")
+    want = recursive_indicators(events, alpha=0.125, period=14)
+    g = got.select("user_id", "event_id", "ema", "rsi_wilder")
+    w = want.select("user_id", "event_id", "ema", "rsi_wilder")
+    assert g.count() == w.count() == events.count()
+    assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
