@@ -91,6 +91,13 @@ def _synthesize_scale10(spark, sf_dir: str, out_dir: str) -> None:
 # sub-linear dedup family — the regression gate that keeps a future leg
 # from going accidentally quadratic (SCALE.md 'Measured 10× scale-up').
 SCALE10_DEDUP_GATE = 4.0
+# Incremental-store flatness gate: per-batch wall of the LAST of 10
+# equal-size batches vs the FIRST (empty index). The design claim is
+# O(batch + index scan + candidates) per batch — wall must not track
+# index size; 3× leaves room for the growing (but tiny) index scan and
+# candidate volume while catching an accidental per-batch index
+# reshuffle (which would trend toward ~10×).
+SCALE10_STORE_GATE = 3.0
 
 
 def run_scale10() -> int:
@@ -158,6 +165,45 @@ def run_scale10() -> int:
                 f"({report['ivf_sqrt_auto']['wall_10x']} vs "
                 f"{report['ivf_fixed_c32']['wall_10x']})"
             )
+
+        # incremental-store flatness: stream the 10x corpus through the
+        # hamming store as 10 equal batches; per-batch wall must not
+        # track index size (O(batch + index scan + candidates) design)
+        from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+            incremental_hamming_dedup,
+            simhash_bits,
+        )
+
+        docs10 = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+        lo, hi = docs10.agg(F.min("doc_id"), F.max("doc_id")).first()
+        span = (hi - lo + 1) // 10
+        store = os.path.join(out_dir, "_ham_store")
+        batch_walls = []
+        for b in range(10):
+            batch = docs10.filter(
+                (F.col("doc_id") >= lo + b * span)
+                & (F.col("doc_id") < (lo + (b + 1) * span if b < 9 else hi + 1))
+            )
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            incremental_hamming_dedup(simhash_bits(batch), store, b)
+            batch_walls.append(round(time.perf_counter() - t0, 3))
+        store_ratio = round(batch_walls[-1] / max(batch_walls[0], 1e-9), 2)
+        report["hamming_store_batches"] = {
+            "walls": batch_walls,
+            "last_vs_first": store_ratio,
+        }
+        print(
+            f"# hamming_store_batches: {batch_walls} last/first "
+            f"{store_ratio}x",
+            file=sys.stderr,
+        )
+        if store_ratio > SCALE10_STORE_GATE:
+            failures.append(
+                f"hamming store per-batch wall grew {store_ratio}x from "
+                f"batch 1 to 10 (> {SCALE10_STORE_GATE}) — per-batch cost "
+                "is tracking index size"
+            )
         print(
             json.dumps(
                 {
@@ -170,6 +216,7 @@ def run_scale10() -> int:
                     "ops": report,
                     "gate": {
                         "dedup_max_ratio": SCALE10_DEDUP_GATE,
+                        "store_last_vs_first_max": SCALE10_STORE_GATE,
                         "failures": failures,
                     },
                     "sf_dir": sf_dir,
