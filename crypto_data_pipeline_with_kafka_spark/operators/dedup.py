@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import widen_if_narrow
 from crypto_data_pipeline_with_kafka_spark.functions.text import (
+    kgrams_from_tokens,
     shingles_from_tokens,
     tokens,
 )
@@ -1121,3 +1122,95 @@ def incremental_hamming_dedup(
     hashes_new.write.mode("overwrite").parquet(f"{hashes_path}/batch_id={batch_id}")
     hashes_new.unpersist()
     return spark.read.parquet(flagged_path)
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    widen: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local-fingerprinting algorithm): hash every k-gram,
+    slide a window over ``window`` consecutive k-gram hashes, and keep
+    each window's MINIMUM hash. The guarantee that motivates winnowing
+    over plain 1-in-p hash sampling: any match of at least
+    ``window + k − 1`` tokens is CAUGHT (every such span contains a
+    full window, whose min is selected on both sides), while the
+    selected density stays ~2/(window+1) — position-robust
+    fingerprints that survive the insert/reorder edits that break
+    whole-document content hashes.
+
+    Returns (id, fp) — the DISTINCT selected 52-bit hashes per doc
+    (hash = first 13 md5 hex digits of the k-gram, engine-identical
+    and exact in a long, the repo's standard md5-fraction trick).
+    Docs with fewer than ``k + window − 1`` tokens emit their k-gram
+    hashes directly when they have ≥ k tokens (degenerate single
+    window), none below k.
+
+    Execution shape: pure per-row array math pipelined into the scan —
+    k-gram hashing, the sliding min, and the distinct all happen inside
+    the row (``transform``/``array_min``/``slice``); the only shuffle
+    anywhere downstream is whatever the CONSUMER does with the
+    exploded (id, fp) rows. ``widen=False`` for derived inputs (the
+    widen_if_narrow contract)."""
+    toked = (widen_if_narrow(df, id_col) if widen else df).select(
+        F.col(id_col), tokens(text_col).alias("_ws")
+    )
+    grams = kgrams_from_tokens(F.col("_ws"), k)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("long"),
+    )
+    m = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), m - window + 1),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    fps = F.when(m >= window, mins).otherwise(hashes)
+    return (
+        toked.filter(F.size("_ws") >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+    )
+
+
+def winnowing_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup / partial-overlap candidate pairs from winnowing
+    fingerprints: documents sharing ≥ ``min_shared`` selected
+    fingerprints, via the same inverted-index join shape as
+    :func:`jaccard_pairs` (cost bounded by postings collisions, never
+    corpus²; ``max_doc_freq`` drops boilerplate fingerprints that
+    appear in more than N docs — the stop-shingle guard). Returns
+    (id_a, id_b, shared). Winnowing's guarantee makes this the
+    PARTIAL-overlap detector: a shared span of ≥ window+k−1 tokens
+    yields ≥ 1 shared fingerprint however the surrounding text
+    differs, which whole-doc Jaccard dilutes away."""
+    fps = fps.persist()
+    postings = fps
+    if max_doc_freq is not None:
+        w = Window.partitionBy("fp")
+        postings = (
+            fps.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    a = postings.select(F.col(id_col).alias("id_a"), "fp")
+    b = postings.select(F.col(id_col).alias("id_b"), "fp")
+    out = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return out

@@ -612,6 +612,25 @@ _STRAT_SQL = f"""
     ) WHERE rn <= 7
 """
 
+
+_WINNOW_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             [CAST(('0x' || substr(md5(array_to_string(ws[i : i+4], ' ')), 1, 13)) AS BIGINT)
+              for i in range(1, len(ws) - 5 + 2)] AS H
+      FROM toks WHERE len(ws) >= 5
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(H) >= 4
+                  THEN [list_min(H[i : i+3]) for i in range(1, len(H) - 4 + 2)]
+                  ELSE H END AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f
+"""
+
 _MINING_SQL = f"""
     SELECT 'colloc' AS tag, w1 AS k1, w2 AS k2, c12 AS n,
            CAST(pmi_micro AS DOUBLE) AS v
@@ -643,6 +662,9 @@ _MINING_SQL = f"""
     UNION ALL
     SELECT 'strat', CAST(doc_id AS VARCHAR), lang, NULL, NULL
     FROM ({_STRAT_SQL})
+    UNION ALL
+    SELECT 'winnow', CAST(doc_id AS VARCHAR), NULL, fp, NULL
+    FROM ({_WINNOW_SQL})
 """
 
 
@@ -661,7 +683,7 @@ _MINING_SQL = f"""
     "chunk text content-hashed into the key); 'mix' = domain-mixture "
     "resampling (operators/sampling.py::resample_to_mixture — oracle "
     "re-derives wtot/t_max/rates with identical IEEE expression order "
-    "and replays the md5 keep rule); 'strat' = exact-count stratified "
+    "and replays the md5 keep rule); 'winnow' = MOSS winnowing fingerprints (operators/dedup.py::winnowing_fingerprints at k=5/window=4 — sliding-window minima over k-gram hashes, the partial-overlap detector with the ≥ window+k−1-token match guarantee, sequential-reference pytest); 'strat' = exact-count stratified "
     "sampling (stratified_sample_exact — the identical (md5, id) "
     "window draw).",
     tags=("text", "sampling", "suite"),
@@ -674,6 +696,7 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
         chunk_documents,
+        winnowing_fingerprints,
     )
     from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
         resample_to_mixture,
@@ -738,7 +761,14 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_l.alias("n"),
         nul_d.alias("v"),
     )
+    winnow = winnowing_fingerprints(docs, k=5, window=4).select(
+        F.lit("winnow").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        nul_s.alias("k2"),
+        F.col("fp").alias("n"),
+        nul_d.alias("v"),
+    )
     out = colloc
-    for leg in (lm, gop, chunk, mix, strat):
+    for leg in (lm, gop, chunk, mix, strat, winnow):
         out = out.unionByName(leg)
     return out

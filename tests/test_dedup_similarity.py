@@ -1539,3 +1539,64 @@ def test_retrain_trains_on_latest_vectors_of_reingested_ids(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/centroids").collect()
     )
     assert got2 == expected
+
+
+def test_winnowing_matches_reference_and_guarantee(spark):
+    """winnowing_fingerprints ≡ a sequential Schleimer-et-al reference
+    on fixture docs (same hashes, same window minima, same distinct
+    set), and the winnowing GUARANTEE holds: two docs sharing a span of
+    ≥ window+k−1 tokens — surrounded by completely different text —
+    share ≥ 1 fingerprint and are paired, where whole-doc Jaccard at
+    0.8 never would."""
+    import hashlib
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    K, W = 5, 4
+
+    def ref(words):
+        grams = [" ".join(words[i : i + K]) for i in range(len(words) - K + 1)]
+        H = [int(hashlib.md5(g.encode()).hexdigest()[:13], 16) for g in grams]
+        if not H:
+            return set()
+        if len(H) < W:
+            return set(H)
+        return {min(H[i : i + W]) for i in range(len(H) - W + 1)}
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    got = {}
+    for r in winnowing_fingerprints(docs, k=K, window=W).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for r in docs.collect():
+        expected = ref(r.text.strip().split(" "))
+        assert got.get(r.doc_id, set()) == expected, r.doc_id
+
+    # guarantee: a W+K-1 = 8-token shared span inside different docs
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    d1 = " ".join(f"aa{i}" for i in range(20)) + f" {span} " + " ".join(
+        f"ab{i}" for i in range(20)
+    )
+    d2 = " ".join(f"ba{i}" for i in range(20)) + f" {span} " + " ".join(
+        f"bb{i}" for i in range(20)
+    )
+    d3 = " ".join(f"ca{i}" for i in range(48))  # no shared span
+    planted = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    fps = winnowing_fingerprints(planted, k=K, window=W)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnowing_pairs(fps, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+    # edge: exactly k tokens -> the single k-gram hash is the fingerprint
+    tiny = spark.createDataFrame([(9, "t1 t2 t3 t4 t5")], "doc_id long, text string")
+    tiny_fps = [r.fp for r in winnowing_fingerprints(tiny, k=K, window=W).collect()]
+    assert tiny_fps == [
+        int(hashlib.md5(b"t1 t2 t3 t4 t5").hexdigest()[:13], 16)
+    ]
