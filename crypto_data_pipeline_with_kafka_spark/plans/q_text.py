@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.functions.text import (
-    LANG_MARKERS,
     STOPWORDS,
     BPE_TOKEN_PATTERN,
     kgrams_from_tokens,
