@@ -978,12 +978,24 @@ def incremental_ivf_update(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     min_cosine: float = 0.8,
+    probes: int = 1,
 ) -> DataFrame:
     """Index an ARRIVING embedding batch against a persisted IVF store
     and flag each new vector's best earlier near-duplicate — the dense
     twin of ``operators.dedup.incremental_minhash_dedup`` (same
     operational shape: a 100-TB corpus is never re-indexed from
     scratch; new data joins a persisted index).
+
+    ``probes`` is the recall knob, applied ASYMMETRICALLY the way IVF
+    serving does: every vector is INDEXED at its single primary cell
+    (the store layout never multiplies), while the ARRIVING batch
+    probes its top-``probes`` cells for candidates — a pair is
+    examined iff the later vector's probe set contains the earlier
+    vector's primary cell. That rule is per-pair deterministic (cell
+    assignment is a pure function of the vector), so flags remain
+    batching-invariant at any ``probes``; ``probes=1`` (the default,
+    and the registered contract) reduces to the symmetric
+    primary-cell rule the one-shot equivalence test pins.
 
     Store layout under ``store_dir``: ``centroids/`` (the trained cell
     centers — written from the ``centroids`` argument on the FIRST call
@@ -1047,8 +1059,14 @@ def incremental_ivf_update(
         vec_col,
     ).persist()
     assign_new = ivf_assignments(
-        base_new, probes=1, id_col="vec_id", vec_col="vdbl", centroids=cents
+        base_new,
+        probes=probes,
+        id_col="vec_id",
+        vec_col="vdbl",
+        centroids=cents,
+        with_rank=True,
     ).persist()
+    primary_new = assign_new.filter(F.col("probe_rank") == 1)
 
     def read_earlier(keep_batch: bool = False) -> DataFrame:
         # batch_id is a partition dir: pruned at planning time, so a
@@ -1060,7 +1078,9 @@ def incremental_ivf_update(
         )
         return df if keep_batch else df.drop("batch_id")
 
-    new_a = assign_new.select(F.col("vec_id").alias("id_a"), "centroid_id")
+    # earlier side (id_a) sits at its PRIMARY cell; the arriving side
+    # (id_b) brings all its probe cells — the asymmetric serve rule
+    new_a = primary_new.select(F.col("vec_id").alias("id_a"), "centroid_id")
     new_b = assign_new.select(F.col("vec_id").alias("id_b"), "centroid_id")
     cand = (
         new_a.join(F.broadcast(new_b), "centroid_id")
@@ -1122,9 +1142,11 @@ def incremental_ivf_update(
     )
     flagged_path = f"{store_dir}/flagged/batch_id={batch_id}"
     flagged.write.mode("overwrite").parquet(flagged_path)
+    # the index stores ONE row per vector — its primary cell — at any
+    # probes setting (multi-probe is a read-side recall knob only)
     cells_new = new_vectors.select(
         F.col(id_col).alias("vec_id"), vec_col
-    ).join(assign_new.select("vec_id", "centroid_id"), "vec_id")
+    ).join(primary_new.select("vec_id", "centroid_id"), "vec_id")
     (
         cells_new.write.mode("overwrite")
         .partitionBy("centroid_id")

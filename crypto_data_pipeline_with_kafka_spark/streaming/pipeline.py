@@ -533,6 +533,7 @@ def run_incremental_ivf_stream(
     source_path: str,
     store_dir: str,
     min_cosine: float = 0.8,
+    probes: int = 1,
 ) -> None:
     """Streaming ANN-index maintenance over arriving embeddings — the
     dense twin of :func:`run_incremental_dedup_stream`: each micro-batch
@@ -593,6 +594,7 @@ def run_incremental_ivf_stream(
             store_dir,
             int(epoch_id),
             min_cosine=min_cosine,
+            probes=probes,
         )
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()

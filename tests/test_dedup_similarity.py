@@ -1600,3 +1600,81 @@ def test_winnowing_matches_reference_and_guarantee(spark):
     assert tiny_fps == [
         int(hashlib.md5(b"t1 t2 t3 t4 t5").hexdigest()[:13], 16)
     ]
+
+
+def test_incremental_ivf_multiprobe_recall_and_invariance(spark, tmp_path):
+    """Asymmetric multi-probe on the incremental IVF store: arriving
+    batches probe their top-P cells against primary-cell inverted
+    lists. Flags over 3 batches must equal the independent derivation
+    of the probe rule (later's P probes ∋ earlier's primary, cosine
+    verified, best-earlier per later id), be a superset of the
+    probes=1 flags (recall is monotone in P), and keep the store
+    layout at one row per vector."""
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        cosine_for_pairs,
+        incremental_ivf_update,
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    t, P = 0.2, 2
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+
+    # expected: every (a < b) pair where b's top-P probes contain a's
+    # primary cell, exact cosine >= t, best earlier per b
+    ranked = ivf_assignments(
+        base, probes=P, vec_col="vdbl", centroids=cents, with_rank=True
+    ).persist()
+    prim = ranked.filter("probe_rank = 1").select(
+        F.col("vec_id").alias("id_a"), "centroid_id"
+    )
+    prob = ranked.select(F.col("vec_id").alias("id_b"), "centroid_id")
+    cand = (
+        prim.join(prob, "centroid_id")
+        .filter("id_a < id_b")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = cosine_for_pairs(
+        base, cand, min_cosine=t, exact_norms_in_base=False
+    )
+    expected = {}
+    for r in scored.collect():
+        cur = expected.get(r["id_b"])
+        c = (-r["cosine"], r["id_a"])
+        if cur is None or c < cur:
+            expected[r["id_b"]] = c
+    expected = {k: (v[1], round(-v[0], 9)) for k, v in expected.items()}
+
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + 2 * (hi - lo + 1) // 3, hi + 1]
+    store = str(tmp_path / "mp")
+    store1 = str(tmp_path / "p1")
+    got, got1 = {}, {}
+    for b in range(3):
+        batch = emb.filter(
+            (F.col("vec_id") >= cuts[b]) & (F.col("vec_id") < cuts[b + 1])
+        )
+        for st, acc, pp in ((store, got, P), (store1, got1, 1)):
+            fl = incremental_ivf_update(
+                batch, st, b, centroids=cents if b == 0 else None,
+                min_cosine=t, probes=pp,
+            )
+            for r in fl.collect():
+                acc[r["vec_id"]] = (r["match_id"], round(r["cosine"], 9))
+
+    assert got == expected and len(got) > 0
+    # recall monotone: every probes=1 flagged id is flagged at P=2 too
+    assert set(got1) <= set(got)
+    assert len(got) > len(got1)  # the extra probes actually find more
+    # store layout: one primary-cell row per vector regardless of P
+    assert (
+        spark.read.parquet(f"{store}/cells")
+        .groupBy("vec_id").count().filter("count > 1").isEmpty()
+    )
+    ranked.unpersist()
+    base.unpersist()
