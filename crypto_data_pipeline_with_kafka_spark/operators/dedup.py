@@ -945,14 +945,31 @@ def simhash_bits(
     return per_doc
 
 
-def _simhash_chunk_rows(sims: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, c, key): the 4 × 16-bit chunk-blocking rows of a 64-char
-    '0'/'1' ``simhash`` column — shared by the one-shot pair join and
-    the incremental hamming index (same blocking ⇒ same candidates)."""
+def _simhash_chunk_rows(
+    sims: DataFrame, id_col: str = "doc_id", n_chunks: int = 4
+) -> DataFrame:
+    """(id, c, key): the ``n_chunks`` × (64/n_chunks)-bit chunk-blocking
+    rows of a 64-char '0'/'1' ``simhash`` column — shared by the
+    one-shot pair join and the incremental hamming index (same blocking
+    ⇒ same candidates). Pigeonhole: a pair within hamming <
+    ``n_chunks`` MUST share an identical chunk, so recall is GUARANTEED
+    up to ``n_chunks − 1`` and probabilistic above; more chunks buy
+    guarantee at the cost of shorter (hotter) bucket keys."""
+    if 64 % n_chunks != 0 or not 2 <= n_chunks <= 16:
+        raise ValueError(
+            f"n_chunks must divide 64 and lie in [2, 16], got {n_chunks}"
+        )
+    width = 64 // n_chunks
     return sims.select(
         F.col(id_col),
         F.explode(
-            F.array(*[F.struct(F.lit(c).alias("c"), F.substring("simhash", 1 + 16 * c, 16).alias("key")) for c in range(4)])
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.substring("simhash", 1 + width * c, width).alias("key"),
+                )
+                for c in range(n_chunks)
+            ])
         ).alias("ck"),
     ).select(F.col(id_col), F.col("ck.c").alias("c"), F.col("ck.key").alias("key"))
 
@@ -968,15 +985,21 @@ def _packed_simhash_words(sims: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def simhash_pairs(
-    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_chunks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
-    blocked on the 4 × 16-bit chunks (a pair within hamming ≤ 3 per
-    pigeonhole shares a chunk; with 6 we still block, trading recall for
-    candidate-set size as real simhash dedup does). Returns
-    (id_a, id_b, hamming)."""
+    blocked on ``n_chunks`` equal bit chunks (default 4 × 16 bits — a
+    pair within hamming ≤ 3 per pigeonhole shares a chunk; with 6 we
+    still block, trading recall for candidate-set size as real simhash
+    dedup does). Raise ``n_chunks`` to 8 to GUARANTEE recall up to
+    hamming 7 — each chunk key shrinks to 8 bits, so buckets get
+    hotter; the knob is the simhash analogue of LSH band width /
+    IVF probes. Returns (id_a, id_b, hamming)."""
     sims = sims.persist()
-    chunks = _simhash_chunk_rows(sims, id_col)
+    chunks = _simhash_chunk_rows(sims, id_col, n_chunks)
     a = chunks.select(F.col(id_col).alias("id_a"), "c", "key")
     b = chunks.select(F.col(id_col).alias("id_b"), "c", "key")
     # distinct over bare id pairs (cheap), then re-attach the 64-char
@@ -1017,6 +1040,7 @@ def incremental_hamming_dedup(
     *,
     id_col: str = "doc_id",
     max_hamming: int = 6,
+    n_chunks: int = 4,
 ) -> DataFrame:
     """Modality-agnostic incremental near-dup gate over 64-bit hashes:
     an arriving batch of ``(id, simhash)`` rows — text SimHash
@@ -1042,7 +1066,14 @@ def incremental_hamming_dedup(
     one-shot :func:`simhash_pairs` derivation, pytest-pinned).
 
     Returns the flagged rows (id, dup_of, hamming) read back from the
-    flag store."""
+    flag store.
+
+    ``n_chunks`` is the recall-guarantee knob (see
+    :func:`_simhash_chunk_rows`): the store holds RAW 64-bit hashes and
+    blocking is derived per call, so the knob can be raised for later
+    batches without rebuilding anything — a batch processed at
+    ``n_chunks=8`` is guaranteed to catch every earlier item within
+    hamming 7, whatever blocking earlier batches used."""
     spark = new_hashed.sparkSession
     from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
 
@@ -1053,7 +1084,7 @@ def incremental_hamming_dedup(
         df = spark.read.parquet(hashes_path).filter(F.col("batch_id") < batch_id)
         return df if keep_batch else df.drop("batch_id")
 
-    chunks_new = _simhash_chunk_rows(hashes_new, id_col)
+    chunks_new = _simhash_chunk_rows(hashes_new, id_col, n_chunks)
     new_a = chunks_new.select(F.col(id_col).alias("id_a"), "c", "key")
     new_b = chunks_new.select(F.col(id_col).alias("id_b"), "c", "key")
     cand = (
@@ -1063,7 +1094,7 @@ def incremental_hamming_dedup(
     )
     have_store = target_exists(spark, hashes_path)
     if have_store:
-        old_a = _simhash_chunk_rows(read_earlier(), id_col).select(
+        old_a = _simhash_chunk_rows(read_earlier(), id_col, n_chunks).select(
             F.col(id_col).alias("id_a"), "c", "key"
         )
         cand = cand.unionByName(

@@ -606,6 +606,7 @@ def run_incremental_hamming_stream(
     source_path: str,
     store_dir: str,
     max_hamming: int = 6,
+    n_chunks: int = 4,
 ) -> None:
     """Streaming SimHash near-dup gate over an arriving corpus — the
     hamming-index sibling of :func:`run_incremental_dedup_stream`
@@ -626,6 +627,7 @@ def run_incremental_hamming_stream(
             store_dir,
             int(epoch_id),
             max_hamming=max_hamming,
+            n_chunks=n_chunks,
         )
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()

@@ -1678,3 +1678,54 @@ def test_incremental_ivf_multiprobe_recall_and_invariance(spark, tmp_path):
     )
     ranked.unpersist()
     base.unpersist()
+
+
+def test_hamming_chunk_blocking_recall_guarantee(spark, tmp_path):
+    """The n_chunks knob's pigeonhole guarantee: a pair at hamming 4
+    with one flipped bit in EACH 16-bit chunk shares no chunk at
+    n_chunks=4 (missed — the documented trade) but shares 8-bit chunks
+    at n_chunks=8 (guaranteed caught for hamming ≤ 7). The incremental
+    store derives blocking per call, so raising the knob on a later
+    batch widens recall against the already-indexed hashes."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+        simhash_pairs,
+    )
+
+    # flips at bits 0/16/32/48: one per 16-bit chunk, none per the
+    # odd 8-bit chunks
+    a = _hash64(set())
+    b = _hash64({0, 16, 32, 48})
+    sims = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, simhash string"
+    )
+    assert simhash_pairs(sims, max_hamming=6, n_chunks=4).isEmpty()
+    got = simhash_pairs(sims, max_hamming=6, n_chunks=8).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 4)]
+    with __import__("pytest").raises(ValueError, match="n_chunks"):
+        simhash_pairs(sims, n_chunks=5).count()
+
+    # incremental: index A at the default blocking, then process B at
+    # n_chunks=8 — the stored raw hash is re-blocked at read time
+    store = str(tmp_path / "st")
+    incremental_hamming_dedup(
+        spark.createDataFrame([(1, a)], "doc_id long, simhash string"),
+        store,
+        0,
+    )
+    missed = incremental_hamming_dedup(
+        spark.createDataFrame([(2, b)], "doc_id long, simhash string"),
+        store,
+        1,
+        n_chunks=4,
+    )
+    assert missed.isEmpty()
+    caught = incremental_hamming_dedup(
+        spark.createDataFrame([(2, b)], "doc_id long, simhash string"),
+        store,
+        1,
+        n_chunks=8,
+    )
+    assert [(r.doc_id, r.dup_of, r.hamming) for r in caught.collect()] == [
+        (2, 1, 4)
+    ]
