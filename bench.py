@@ -178,6 +178,10 @@ def run_scale10() -> int:
         lo, hi = docs10.agg(F.min("doc_id"), F.max("doc_id")).first()
         span = (hi - lo + 1) // 10
         store = os.path.join(out_dir, "_ham_store")
+        # a reused SPARK_GRAFT_SCALE10_DIR would otherwise hand batch 0
+        # a pre-populated index, inflating its wall and loosening the
+        # last/first gate — the baseline must be an EMPTY store
+        shutil.rmtree(store, ignore_errors=True)
         batch_walls = []
         for b in range(10):
             batch = docs10.filter(

@@ -1194,26 +1194,33 @@ def winnowing_fingerprints(
         F.col(id_col), tokens(text_col).alias("_ws")
     )
     grams = kgrams_from_tokens(F.col("_ws"), k)
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("long"),
+    # the hash array is MATERIALIZED as a column before the window
+    # pass: interpreted higher-order functions are not memoized, so
+    # referencing the hash-transform expression inside the sliding-min
+    # lambda would re-evaluate every md5 once per window (O(m²) md5s
+    # per long document instead of O(m))
+    hashed = toked.filter(F.size("_ws") >= k).select(
+        F.col(id_col),
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("long"),
+        ).alias("_h"),
     )
-    m = F.size(hashes)
+    m = F.size("_h")
     mins = F.transform(
         F.sequence(F.lit(1), m - window + 1),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        lambda i: F.array_min(F.slice("_h", i, window)),
     )
-    fps = F.when(m >= window, mins).otherwise(hashes)
-    return (
-        toked.filter(F.size("_ws") >= k)
-        .select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+    fps = F.when(m >= window, mins).otherwise(F.col("_h"))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
     )
 
 
 def winnowing_pairs(
     fps: DataFrame,
     id_col: str = "doc_id",
-    min_shared: int = 2,
+    min_shared: int = 1,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup / partial-overlap candidate pairs from winnowing
@@ -1225,7 +1232,10 @@ def winnowing_pairs(
     (id_a, id_b, shared). Winnowing's guarantee makes this the
     PARTIAL-overlap detector: a shared span of ≥ window+k−1 tokens
     yields ≥ 1 shared fingerprint however the surrounding text
-    differs, which whole-doc Jaccard dilutes away."""
+    differs, which whole-doc Jaccard dilutes away — which is why the
+    default is ``min_shared=1`` (the minimal guaranteed match IS one
+    fingerprint); raise it only as a noise/precision knob, accepting
+    that single-span overlaps then go unreported."""
     fps = fps.persist()
     postings = fps
     if max_doc_freq is not None:

@@ -990,12 +990,18 @@ def incremental_ivf_update(
     serving does: every vector is INDEXED at its single primary cell
     (the store layout never multiplies), while the ARRIVING batch
     probes its top-``probes`` cells for candidates — a pair is
-    examined iff the later vector's probe set contains the earlier
-    vector's primary cell. That rule is per-pair deterministic (cell
-    assignment is a pure function of the vector), so flags remain
-    batching-invariant at any ``probes``; ``probes=1`` (the default,
-    and the registered contract) reduces to the symmetric
-    primary-cell rule the one-shot equivalence test pins.
+    examined iff the LATER side's probe set contains the EARLIER
+    side's primary cell (within a batch, later = larger id; across
+    batches, later = later arrival). Cell assignment is a pure
+    function of the vector, so at ``probes > 1`` the flag set is
+    batching-invariant UNDER THE STORE'S ARRIVAL CONTRACT — batches
+    in increasing (batch_id, id) order, the same contract the minhash
+    store documents. Out-of-order arrival still flags every pair
+    whose later-ARRIVING member probes the earlier one's primary
+    cell; the orientation just follows arrival instead of id.
+    ``probes=1`` (the default, and the registered contract) is
+    orientation-free — both sides sit at one cell — so its
+    batching-invariance needs no arrival-order caveat.
 
     Store layout under ``store_dir``: ``centroids/`` (the trained cell
     centers — written from the ``centroids`` argument on the FIRST call

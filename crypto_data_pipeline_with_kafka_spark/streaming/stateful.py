@@ -34,6 +34,58 @@ RECURSIVE_STATE_SCHEMA = (
 )
 
 
+
+# (ema, prev_val, n, sg, sl, ag, al) — the full recurrence tuple
+_INIT_REC_STATE = (None, None, 0, 0.0, 0.0, None, None)
+
+
+def _recursive_chunk_walk(state, pdf, a: float, p: int):
+    """One sorted chunk of a key's rows through the EMA + Wilder-RSI
+    recurrence: takes the state tuple, returns (new_state, output pdf).
+    THE single implementation both state APIs wrap
+    (``streaming_recursive_indicators`` via applyInPandasWithState and
+    the ``transformWithStateInPandas`` twin) — bitwise
+    interchangeability between them is structural, not two hand-synced
+    copies of the walk."""
+    ema, prev_val, n, sg, sl, ag, al = state
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    emas = []
+    rsis: list[float | None] = []
+    for x in pdf["value"]:
+        n += 1
+        if n == 1:
+            ema = x
+        else:
+            ema = a * x + (1.0 - a) * ema
+            d = x - prev_val
+            g = d if d > 0 else 0.0
+            ls = -d if d < 0 else 0.0
+            if n <= p:
+                sg += g
+                sl += ls
+            elif n == p + 1:
+                sg += g
+                sl += ls
+                ag = sg / float(p)
+                al = sl / float(p)
+            else:
+                ag = (ag * float(p - 1) + g) / float(p)
+                al = (al * float(p - 1) + ls) / float(p)
+        prev_val = x
+        emas.append(ema)
+        rsis.append(
+            None
+            if ag is None
+            else (100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al))
+        )
+    out = pdf[["user_id", "event_id", "ts", "value"]].copy()
+    out["ema"] = emas
+    out["rsi_wilder"] = pd.array(rsis, dtype="Float64")  # NULL, not NaN
+    return (ema, prev_val, n, sg, sl, ag, al), out
+
+
 def streaming_recursive_indicators(
     events: DataFrame, alpha: float = 0.125, period: int = 14
 ) -> DataFrame:
@@ -48,49 +100,11 @@ def streaming_recursive_indicators(
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        if state.exists:
-            ema, prev_val, n, sg, sl, ag, al = state.get
-        else:
-            ema = prev_val = ag = al = None
-            n, sg, sl = 0, 0.0, 0.0
+        st = tuple(state.get) if state.exists else _INIT_REC_STATE
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
-                drop=True
-            )
-            emas = []
-            rsis: list[float | None] = []
-            for x in pdf["value"]:
-                n += 1
-                if n == 1:
-                    ema = x
-                else:
-                    ema = a * x + (1.0 - a) * ema
-                    d = x - prev_val
-                    g = d if d > 0 else 0.0
-                    ls = -d if d < 0 else 0.0
-                    if n <= p:
-                        sg += g
-                        sl += ls
-                    elif n == p + 1:
-                        sg += g
-                        sl += ls
-                        ag = sg / float(p)
-                        al = sl / float(p)
-                    else:
-                        ag = (ag * float(p - 1) + g) / float(p)
-                        al = (al * float(p - 1) + ls) / float(p)
-                prev_val = x
-                emas.append(ema)
-                rsis.append(
-                    None
-                    if ag is None
-                    else (100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al))
-                )
-            pdf = pdf[["user_id", "event_id", "ts", "value"]].copy()
-            pdf["ema"] = emas
-            pdf["rsi_wilder"] = pd.array(rsis, dtype="Float64")  # NULL, not NaN
-            yield pdf
-        state.update((ema, prev_val, n, sg, sl, ag, al))
+            st, out = _recursive_chunk_walk(st, pdf, a, p)
+            yield out
+        state.update(st)
 
     return (
         events.select("user_id", "event_id", "ts", "value")
@@ -194,53 +208,11 @@ def streaming_recursive_indicators_tws(
 
         def handleInputRows(self, key, rows, timerValues):
             stored = self._state.get() if self._state.exists() else None
-            if stored is not None:
-                ema, prev_val, n, sg, sl, ag, al = stored
-            else:
-                ema = prev_val = ag = al = None
-                n, sg, sl = 0, 0.0, 0.0
+            st = tuple(stored) if stored is not None else _INIT_REC_STATE
             for pdf in rows:
-                pdf = pdf.sort_values(
-                    ["ts", "event_id"], kind="mergesort"
-                ).reset_index(drop=True)
-                emas = []
-                rsis: list[float | None] = []
-                for x in pdf["value"]:
-                    n += 1
-                    if n == 1:
-                        ema = x
-                    else:
-                        ema = a * x + (1.0 - a) * ema
-                        d = x - prev_val
-                        g = d if d > 0 else 0.0
-                        ls = -d if d < 0 else 0.0
-                        if n <= p:
-                            sg += g
-                            sl += ls
-                        elif n == p + 1:
-                            sg += g
-                            sl += ls
-                            ag = sg / float(p)
-                            al = sl / float(p)
-                        else:
-                            ag = (ag * float(p - 1) + g) / float(p)
-                            al = (al * float(p - 1) + ls) / float(p)
-                    prev_val = x
-                    emas.append(ema)
-                    rsis.append(
-                        None
-                        if ag is None
-                        else (
-                            100.0
-                            if al == 0.0
-                            else 100.0 - 100.0 / (1.0 + ag / al)
-                        )
-                    )
-                pdf = pdf[["user_id", "event_id", "ts", "value"]].copy()
-                pdf["ema"] = emas
-                pdf["rsi_wilder"] = pd.array(rsis, dtype="Float64")
-                yield pdf
-            self._state.update((ema, prev_val, n, sg, sl, ag, al))
+                st, out = _recursive_chunk_walk(st, pdf, a, p)
+                yield out
+            self._state.update(st)
 
         def close(self) -> None:
             pass
