@@ -1379,3 +1379,231 @@ def recover_ivf_store(spark, store_dir: str) -> None:
                 hfs.rename(backup, live)
         if hfs.exists(staged):
             hfs.delete(staged)
+
+
+# ----------------------------------------------------- product quantization
+
+
+def pq_train(
+    emb: DataFrame,
+    num_subvectors: int = 8,
+    codes_per_subvector: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    lloyd_rounds: int = 0,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011) — the memory
+    side of the ANN story: each vector splits into ``num_subvectors``
+    sub-vectors and each sub-vector is later replaced by the id of its
+    nearest codebook entry, so a 64-dim float32 embedding (256 B)
+    serves from ``num_subvectors`` bytes of codes (32× at the defaults;
+    a billion-vector store drops from ~256 GB of vectors to ~8 GB of
+    codes + a KB-scale codebook). Returns (sub_id, code, cvec
+    array<double>, cnorm_sq) — O(m·k) rows, broadcastable by
+    construction.
+
+    Deterministic training, like every trainer in this module: the
+    codebook for sub-space j is the ``codes_per_subvector`` corpus
+    sub-vectors with the smallest md5(j|id) — a per-sub-space seeded
+    pseudo-random draw. ``lloyd_rounds > 0`` refines each sub-space's
+    codebook with that many deterministic k-means rounds
+    (``lloyd_refined_centroids`` over the sub-vector relation) — the
+    production polish: random-pick codes are COVERAGE, k-means codes
+    are fit, and on a near-orthogonal corpus the refinement is what
+    lifts ADC recall (measured in the tests). Each sub-space trains
+    independently — ``num_subvectors`` small jobs (picks plan as
+    TakeOrderedAndProject), never a corpus shuffle keyed on m hot
+    values."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if dim % num_subvectors != 0:
+        raise ValueError(f"dim {dim} not divisible by {num_subvectors} subvectors")
+    d = dim // num_subvectors
+    books = []
+    for j in range(num_subvectors):
+        sub = F.transform(
+            F.slice(vec_col, j * d + 1, d), lambda x: x.cast("double")
+        )
+        if lloyd_rounds > 0:
+            refined = lloyd_refined_centroids(
+                emb.select(F.col(id_col), sub.alias("_sub")),
+                num_centroids=codes_per_subvector,
+                rounds=lloyd_rounds,
+                id_col=id_col,
+                vec_col="_sub",
+            )
+            books.append(
+                refined.select(
+                    F.lit(j).alias("sub_id"),
+                    (F.col("centroid_id") - 1).cast("int").alias("code"),
+                    "cvec",
+                    dot_double(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
+                )
+            )
+            continue
+        seed_key = F.md5(F.concat(F.lit(f"{j}|"), F.col(id_col).cast("string")))
+        picked = (
+            emb.select(F.col(id_col), sub.alias("cvec"), seed_key.alias("_sk"))
+            .orderBy("_sk", F.col(id_col))
+            .limit(codes_per_subvector)
+        )
+        w = Window.orderBy("_sk", F.col(id_col))
+        books.append(
+            picked.select(
+                F.lit(j).alias("sub_id"),
+                (F.row_number().over(w) - 1).cast("int").alias("code"),
+                "cvec",
+                dot_double(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _packed_codebooks(codebooks: DataFrame):
+    """ONE row holding every codebook entry sorted by (sub_id, code) —
+    the broadcastable O(m·k) relation every PQ stage crossJoins."""
+    return codebooks.agg(
+        F.sort_array(
+            F.collect_list(F.struct("sub_id", "code", "cvec", "cnorm_sq"))
+        ).alias("_cb")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each sub-vector replaced by its nearest
+    codebook entry (squared L2, left-to-right fold — the order a
+    sequential reference reproduces bitwise; ties keep the SMALLER
+    code). In-row math against the broadcast packed codebooks — zero
+    shuffles, the encode pass pipelines into the scan."""
+    packed = _packed_codebooks(codebooks)
+    m = F.aggregate(
+        F.col("_cb"),
+        F.lit(-1),
+        lambda acc, c: F.greatest(acc, c["sub_id"]),
+    ) + 1
+    # dim of each sub-space from the first entry's cvec
+    d = F.size(F.element_at(F.col("_cb"), 1)["cvec"])
+
+    def best_code(j):
+        def dist2(c):
+            sub = F.transform(
+                F.slice(vec_col, j * d + 1, d), lambda x: x.cast("double")
+            )
+            return F.aggregate(
+                F.zip_with(sub, c["cvec"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        entries = F.filter(F.col("_cb"), lambda c: c["sub_id"] == j)
+        return F.aggregate(
+            entries,
+            F.struct(
+                F.lit(float("inf")).alias("bd"), F.lit(-1).alias("bc")
+            ),
+            lambda acc, c: F.when(
+                dist2(c) < acc["bd"],
+                F.struct(dist2(c).alias("bd"), c["code"].alias("bc")),
+            ).otherwise(acc),
+        )["bc"]
+
+    codes = F.transform(F.sequence(F.lit(0), m - 1), best_code)
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame | None = None,
+    query_ids_max: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries stay
+    full-precision, the corpus is its 8-byte codes. Per query, a
+    lookup table of dot(q_subvector, codebook entry) is built in-row
+    against the broadcast codebooks (m·k small dots); each corpus
+    row's score is then m table lookups — the classic PQ scan that
+    reads codes instead of vectors, 32× less memory traffic at the
+    defaults. Approximate cosine = LUT-sum / (|q| · |x̂|), with |x̂|²
+    the sum of the selected entries' stored norms (exact for the
+    RECONSTRUCTED vector; ranking quality is bounded by quantization
+    error, measured against ``brute_force_topk`` in the tests).
+    Same API shape as the brute/IVF query paths: queries are corpus
+    rows with id < ``query_ids_max``, self excluded, (score DESC,
+    id_b ASC) deterministic top-k. Pass ``codes`` (a ``pq_encode``
+    output, e.g. read back from parquet) to serve from a persisted
+    code store; None encodes ``emb`` on the fly."""
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
+    packed = _packed_codebooks(codebooks)
+    d = F.size(F.element_at(F.col("_cb"), 1)["cvec"])
+    # per-query LUT: for entry (j, c) at array position p, dots[p] =
+    # dot(q_sub_j, cvec); cnorms is query-independent
+    queries = (
+        emb.filter(F.col(id_col) < query_ids_max)
+        .select(F.col(id_col).alias("id_a"), dbl_vector(vec_col).alias("_q"))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "id_a",
+            F.sqrt(dot_double(F.col("_q"), F.col("_q"))).alias("_qn"),
+            F.transform(
+                F.col("_cb"),
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("_q"), c["sub_id"] * d + 1, d),
+                        c["cvec"],
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ).alias("_lut"),
+            F.transform(F.col("_cb"), lambda c: c["cnorm_sq"]).alias("_cn"),
+            F.aggregate(
+                F.col("_cb"), F.lit(0), lambda acc, c: F.greatest(acc, c["code"])
+            ).alias("_kmax"),
+        )
+    )
+    # entry position for (sub_id=j, code=c) in the sorted array: j*(kmax+1)+c+1
+    kk = F.col("_kmax") + 1
+    paired = queries.join(
+        codes.select(F.col(id_col).alias("id_b"), "codes"),
+        F.col("id_a") != F.col("id_b"),
+    )
+    idx = F.transform(
+        F.col("codes"),
+        lambda c, j: j * kk + c + 1,
+    )
+    score = F.aggregate(
+        idx, F.lit(0.0), lambda acc, i: acc + F.element_at("_lut", i)
+    )
+    xnorm = F.sqrt(
+        F.aggregate(
+            idx, F.lit(0.0), lambda acc, i: acc + F.element_at("_cn", i)
+        )
+    )
+    scored = paired.select(
+        "id_a",
+        "id_b",
+        (score / (F.col("_qn") * xnorm)).alias("cosine_pq"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine_pq").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id_a", "id_b", "cosine_pq", F.col("rnk").cast("int").alias("rnk"))
+    )
