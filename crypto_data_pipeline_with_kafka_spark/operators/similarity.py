@@ -1465,11 +1465,55 @@ def pq_train(
 
 def _packed_codebooks(codebooks: DataFrame):
     """ONE row holding every codebook entry sorted by (sub_id, code) —
-    the broadcastable O(m·k) relation every PQ stage crossJoins."""
-    return codebooks.agg(
+    the broadcastable O(m·k) relation every PQ stage crossJoins.
+
+    Validates the pack: every downstream consumer addresses entry
+    (sub_id=j, code=c) by ARRAY POSITION j·(kmax+1)+c+1, which silently
+    mis-scores if a caller-supplied codebook has ragged per-sub-space
+    entry counts or non-dense codes (``pq_train`` always emits uniform
+    dense books; external parquet might not). The sorted pack is valid
+    iff entry p (0-based) is exactly (sub_id = p div k, code = p mod k)
+    — one in-row forall, raised loudly at execution (zero extra jobs,
+    the module's guard idiom)."""
+    packed = codebooks.agg(
         F.sort_array(
             F.collect_list(F.struct("sub_id", "code", "cvec", "cnorm_sq"))
         ).alias("_cb")
+    )
+    cb = F.col("_cb")
+    k = (
+        F.aggregate(cb, F.lit(-1), lambda acc, c: F.greatest(acc, c["code"]))
+        + 1
+    )
+    m = (
+        F.aggregate(cb, F.lit(-1), lambda acc, c: F.greatest(acc, c["sub_id"]))
+        + 1
+    )
+    positional = F.transform(
+        cb,
+        lambda c, p: (c["sub_id"] == F.floor(p / k).cast("int"))
+        & (c["code"] == p % k),
+    )
+    valid = (F.size(cb) == m * k) & F.forall(positional, lambda x: x)
+    return packed.select(
+        F.when(valid, cb)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pq codebooks must be uniform and dense: every "
+                        "sub_id needs the same entry count with codes "
+                        "0..k-1 (positional ADC addressing) — got "
+                    ),
+                    F.size(cb).cast("string"),
+                    F.lit(" entries for "),
+                    m.cast("string"),
+                    F.lit(" sub-spaces with max code "),
+                    (k - 1).cast("string"),
+                )
+            )
+        )
+        .alias("_cb")
     )
 
 
@@ -1505,15 +1549,20 @@ def pq_encode(
             )
 
         entries = F.filter(F.col("_cb"), lambda c: c["sub_id"] == j)
-        return F.aggregate(
+        # bind each entry's distance ONCE (interpreted higher-order
+        # functions are not memoized — see module header): transform to
+        # (bd, bc) structs first, then fold the min, so the inner
+        # squared-L2 loop runs once per entry, not twice
+        scored = F.transform(
             entries,
+            lambda c: F.struct(dist2(c).alias("bd"), c["code"].alias("bc")),
+        )
+        return F.aggregate(
+            scored,
             F.struct(
                 F.lit(float("inf")).alias("bd"), F.lit(-1).alias("bc")
             ),
-            lambda acc, c: F.when(
-                dist2(c) < acc["bd"],
-                F.struct(dist2(c).alias("bd"), c["code"].alias("bc")),
-            ).otherwise(acc),
+            lambda acc, s: F.when(s["bd"] < acc["bd"], s).otherwise(acc),
         )["bc"]
 
     codes = F.transform(F.sequence(F.lit(0), m - 1), best_code)

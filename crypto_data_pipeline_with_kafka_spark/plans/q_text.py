@@ -457,8 +457,9 @@ def news_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- text-mining suite (r6)
 # The driver's CORRECTNESS gate attests ~50 queries in registration
-# order (round-2 note at the module top of q_relational.py), so the six
-# r6 text-mining/sampling operators land as TAGGED LEGS of one slot —
+# order (round-2 note at the module top of q_relational.py), so the
+# seven r6 text-mining/sampling operators land as TAGGED LEGS of one
+# slot —
 # the same consolidation every round has used — rendered to a common
 # (tag, k1, k2, n, v) schema. Each leg's oracle is the independent
 # DuckDB derivation of its operator; chunk text rides in k2 as
@@ -670,7 +671,7 @@ _MINING_SQL = f"""
 @register(
     "text_mining_suite",
     _MINING_SQL,
-    doc="Six r6 operators behind one value-checked slot (tagged legs): "
+    doc="Seven r6 operators behind one value-checked slot (tagged legs): "
     "'colloc' = PMI collocation mining (functions/text.py::collocations"
     " — ranks on the exact probability ratio, emits micro-quantized "
     "pmi); 'lm' = corpus-trained bigram-LM perplexity scoring "

@@ -160,25 +160,47 @@ def kafka_stream_writer(
     return writer
 
 
-def _shard_digests(exp: DataFrame) -> DataFrame:
-    """(shard, n_rows, content_hash) over an export read: content_hash
-    = sha2-256 of the shard's SORTED per-row digests, each row digested
-    as sha2-256 of its full JSON rendering (name-sorted columns).
+# Digest algorithms a manifest may carry. New manifests always write
+# the first entry; verify_export recomputes with whatever the STORED
+# manifest declares, so an algorithm upgrade never turns untouched
+# pre-upgrade exports into false tamper alarms (they keep verifying
+# under their recorded algorithm until rewritten).
+_DIGEST_ALGO_DEFAULT = "sha2-256"
+# pre-versioning manifests (no digest_algo column) were md5-digested
+_DIGEST_ALGO_LEGACY = "md5"
+
+
+def _digest_fn(algo: str):
+    if algo == "sha2-256":
+        return lambda c: F.sha2(c, 256)
+    if algo == "md5":
+        return F.md5
+    raise ValueError(f"unknown manifest digest algorithm: {algo!r}")
+
+
+def _shard_digests(exp: DataFrame, algo: str = _DIGEST_ALGO_DEFAULT) -> DataFrame:
+    """(shard, n_rows, content_hash, digest_algo) over an export read:
+    content_hash = digest of the shard's SORTED per-row digests, each
+    row digested from its full JSON rendering (name-sorted columns).
     Full-content coverage — an edit to any field changes the digest,
     not just key membership — and order-free without being forgeable
-    the way xor/sum row digests are. sha2-256 (not md5) because the
-    manifest's tamper-detection claim must hold against an adversary
+    the way xor/sum row digests are. Default sha2-256 (not md5) because
+    the manifest's tamper-detection claim must hold against an adversary
     who can CHOOSE row content: md5 collisions are constructible, and
-    the hash cost is negligible next to the export scan. The sort
-    happens INSIDE each shard group (shards are bounded by construction
-    — raise n_shards to keep them so); never a global sort."""
+    the hash cost is negligible next to the export scan. ``algo`` is
+    recorded in the manifest so verification survives future algorithm
+    changes. The sort happens INSIDE each shard group (shards are
+    bounded by construction — raise n_shards to keep them so); never a
+    global sort."""
+    h = _digest_fn(algo)
     row_cols = sorted(c for c in exp.columns if c != "shard")
-    row_digest = F.sha2(F.to_json(F.struct(*[F.col(c) for c in row_cols])), 256)
+    row_digest = h(F.to_json(F.struct(*[F.col(c) for c in row_cols])))
     return exp.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sha2(
-            F.to_json(F.sort_array(F.collect_list(row_digest))), 256
-        ).alias("content_hash"),
+        h(F.to_json(F.sort_array(F.collect_list(row_digest)))).alias(
+            "content_hash"
+        ),
+        F.lit(algo).alias("digest_algo"),
     )
 
 
@@ -227,9 +249,20 @@ def verify_export(spark, export_path: str) -> bool:
     compare to the stored one. False ⇒ the export changed since the
     manifest was written (lost/added shards, added/removed rows, OR any
     edited field value — the per-row digests cover full content) — the
-    check a training job runs before trusting a dataset path."""
+    check a training job runs before trusting a dataset path.
+
+    Recomputes with the algorithm the STORED manifest declares (legacy
+    manifests predate the ``digest_algo`` column and were md5-digested),
+    so a digest-algorithm upgrade is not mistaken for tampering. The
+    algorithm probe is an O(1) first() on the O(shards) manifest."""
     stored = spark.read.parquet(f"{export_path}/_manifest")
-    fresh = _shard_digests(_read_export(spark, export_path))
+    if "digest_algo" in stored.columns:
+        probe = stored.select("digest_algo").first()
+        algo = probe[0] if probe is not None else _DIGEST_ALGO_DEFAULT
+    else:
+        algo = _DIGEST_ALGO_LEGACY
+        stored = stored.withColumn("digest_algo", F.lit(algo))
+    fresh = _shard_digests(_read_export(spark, export_path), algo=algo)
     # full-outer on the full row with side markers: a row missing from
     # either side (count drift, hash drift, shard gone) leaves that
     # side's marker NULL (join keys themselves coalesce, so they can
@@ -238,7 +271,7 @@ def verify_export(spark, export_path: str) -> bool:
         stored.withColumn("_s", F.lit(1))
         .join(
             fresh.withColumn("_f", F.lit(1)),
-            ["shard", "n_rows", "content_hash"],
+            ["shard", "n_rows", "content_hash", "digest_algo"],
             "full_outer",
         )
         .filter(F.col("_s").isNull() | F.col("_f").isNull())

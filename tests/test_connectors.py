@@ -259,3 +259,43 @@ def test_export_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     extra = docs.limit(1).withColumn("shard", F.lit(1))
     extra.write.mode("append").partitionBy("shard").parquet(ppath)
     assert not verify_export(spark, ppath)
+
+
+def test_export_manifest_algo_versioning(spark, tmp_path):
+    """A digest-algorithm upgrade must not read as tampering:
+    verify_export recomputes with the algorithm the STORED manifest
+    declares. Legacy manifests (md5 digests, no digest_algo column —
+    the pre-sha2 format) still verify untouched exports; current
+    manifests record 'sha2-256'; and the recorded algorithm does not
+    weaken tamper detection under either algorithm."""
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import (
+        _read_export,
+        _shard_digests,
+        export_training_shards,
+        verify_export,
+        write_export_manifest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "export")
+    export_training_shards(docs, path, n_shards=4, fmt="parquet")
+
+    # current manifest records its algorithm
+    man = write_export_manifest(spark, path)
+    assert {r["digest_algo"] for r in man.collect()} == {"sha2-256"}
+    assert verify_export(spark, path)
+
+    # legacy manifest: md5 digests, no digest_algo column — exactly
+    # what a pre-upgrade export directory holds on disk
+    legacy = _shard_digests(_read_export(spark, path), algo="md5").drop(
+        "digest_algo"
+    )
+    legacy.write.mode("overwrite").parquet(f"{path}/_manifest")
+    assert verify_export(spark, path)
+
+    # tampering still detected under the legacy algorithm
+    import shutil as _shutil
+
+    _shutil.rmtree(f"{path}/shard=3")
+    assert not verify_export(spark, path)

@@ -1829,3 +1829,44 @@ def test_pq_topk_recall_compression_curve(spark):
     got3 = pq_topk(emb, books, codes=codes, query_ids_max=20, k=5).collect()
     assert sorted(map(tuple, got1)) == sorted(map(tuple, got3))
     books.unpersist()
+
+
+def test_packed_codebooks_reject_ragged_or_sparse(spark):
+    """pq scoring addresses codebook entries by array POSITION
+    j·(kmax+1)+c+1, so a caller-supplied codebook with ragged
+    per-sub-space entry counts or non-dense codes would silently
+    corrupt every score — the pack must raise loudly instead. A valid
+    externally-built codebook (uniform, dense) still encodes."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(4)
+    schema = (
+        "sub_id int, code int, cvec array<double>, cnorm_sq double"
+    )
+    v = [0.0] * 32
+
+    def run(rows):
+        books = spark.createDataFrame(rows, schema)
+        return pq_encode(emb, books).collect()
+
+    # uniform dense 2 sub-spaces x 2 codes: accepted
+    ok = [(0, 0, v, 0.0), (0, 1, v, 0.0), (1, 0, v, 0.0), (1, 1, v, 0.0)]
+    assert len(run(ok)) == 4
+
+    # ragged: sub-space 1 has one entry fewer
+    with pytest.raises((Py4JJavaError, PySparkException), match="uniform and dense"):
+        run(ok[:3])
+    # non-dense codes: sub-space 1 jumps 0 -> 2
+    sparse = ok[:3] + [(1, 2, v, 0.0)]
+    with pytest.raises((Py4JJavaError, PySparkException), match="uniform and dense"):
+        run(sparse)
+    # missing sub-space 0 entirely (codes dense per space, spaces not)
+    missing = [(1, 0, v, 0.0), (1, 1, v, 0.0)]
+    with pytest.raises((Py4JJavaError, PySparkException), match="uniform and dense"):
+        run(missing)
