@@ -61,6 +61,16 @@ def quantized_vector(vec_col: Column | str) -> Column:
     )
 
 
+def _dot_exact_decimal(a: Column, b: Column) -> Column:
+    """Exact dot product of two quantized (long) vectors, kept as the
+    wide DECIMAL — for callers that sum several exact dots before the
+    one string-hopped double conversion (see :func:`dot_exact`)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast(_QDEC) * y.cast(_QDEC))
+    return F.aggregate(
+        prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC)
+    )
+
+
 def dot_exact(a: Column, b: Column) -> Column:
     """Exact dot product of two quantized (long) vectors → double, at
     the quantized scale (the 1e24 factor cancels inside cosine).
@@ -69,9 +79,7 @@ def dot_exact(a: Column, b: Column) -> Column:
     direct decimal→double casts beyond 2^53 round differently by 1 ulp
     per engine, while string→double parses are correctly rounded in
     both."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast(_QDEC) * y.cast(_QDEC))
-    total = F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC))
-    return total.cast("string").cast("double")
+    return _dot_exact_decimal(a, b).cast("string").cast("double")
 
 
 def with_q_and_norm(
@@ -979,6 +987,7 @@ def incremental_ivf_update(
     centroids: DataFrame | None = None,
     min_cosine: float = 0.8,
     probes: int = 1,
+    pq_codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Index an ARRIVING embedding batch against a persisted IVF store
     and flag each new vector's best earlier near-duplicate — the dense
@@ -1028,6 +1037,18 @@ def incremental_ivf_update(
     equals the one-shot ``ivf_ann_pairs`` derivation at probes=1
     (pytest-pinned).
 
+    ``pq_codebooks`` opts the store into the IVF-PQ serve layout: the
+    codebooks (a ``pq_train`` output — train them ONCE over a bootstrap
+    corpus, the same fixed-geometry contract as ``centroids``) are
+    persisted at ``pq_codebooks/`` on the first call, each batch's
+    vectors are PQ-encoded in the same pass that assigns cells, and the
+    cell rows carry an extra ``codes array<int>`` column — so a serve
+    job (:func:`read_ivf_pq_store` → :func:`ivf_pq_topk`) scans 8-byte
+    codes instead of full vectors. Like centroids, re-passing
+    codebooks later re-trains the code geometry and stales earlier
+    batches' codes, so don't. The dedup flag path is unchanged (exact
+    cosine over full vectors); codes are a serving artifact.
+
     Returns the flagged rows (id, match_id, cosine) read back from the
     flag store."""
     spark = new_vectors.sparkSession
@@ -1036,6 +1057,7 @@ def incremental_ivf_update(
 
     cpath = f"{store_dir}/centroids"
     cells_path = f"{store_dir}/cells"
+    books_path = f"{store_dir}/pq_codebooks"
     if centroids is not None:
         centroids.write.mode("overwrite").parquet(cpath)
     elif not target_exists(spark, cpath):
@@ -1046,6 +1068,13 @@ def incremental_ivf_update(
             "first — incremental updates require a fixed cell geometry"
         )
     cents = spark.read.parquet(cpath)
+    if pq_codebooks is not None:
+        pq_codebooks.write.mode("overwrite").parquet(books_path)
+    books = (
+        spark.read.parquet(books_path)
+        if target_exists(spark, books_path)
+        else None
+    )
 
     if new_vectors.isEmpty():
         # P7 guard, same reasoning as foreach_batch_idempotent_append:
@@ -1153,6 +1182,17 @@ def incremental_ivf_update(
     cells_new = new_vectors.select(
         F.col(id_col).alias("vec_id"), vec_col
     ).join(primary_new.select("vec_id", "centroid_id"), "vec_id")
+    if books is not None:
+        # PQ-encode in the same pass (in-row math against the broadcast
+        # packed codebooks — no extra shuffle joins the codes in before
+        # the layout write)
+        codes_new = pq_encode(
+            new_vectors.select(F.col(id_col).alias("vec_id"), vec_col),
+            books,
+            id_col="vec_id",
+            vec_col=vec_col,
+        )
+        cells_new = cells_new.join(codes_new, "vec_id")
     (
         cells_new.write.mode("overwrite")
         .partitionBy("centroid_id")
@@ -1165,15 +1205,71 @@ def incremental_ivf_update(
 
 def _cells_vec_col(stored: DataFrame) -> str:
     """The vector column of a cells-store read is whatever the writer's
-    ``vec_col`` was — the one column besides the fixed trio."""
+    ``vec_col`` was — the one column besides the fixed trio (and the
+    optional PQ ``codes`` column a ``pq_codebooks=`` store carries)."""
     others = [
-        c for c in stored.columns if c not in ("vec_id", "centroid_id", "batch_id")
+        c
+        for c in stored.columns
+        if c not in ("vec_id", "centroid_id", "batch_id", "codes")
     ]
     if len(others) != 1:
         raise ValueError(
             f"cells store has ambiguous vector column: {stored.columns}"
         )
     return others[0]
+
+
+def read_ivf_pq_store(
+    spark, store_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Serve-side view of an :func:`incremental_ivf_update` store
+    written with ``pq_codebooks=``: ``(cells, codebooks, centroids)``
+    where ``cells`` is ONE row per vec_id — (vec_id, <vec>, codes,
+    centroid_id), latest batch wins. The store itself keeps one row per
+    ingest (idempotence/pruning need the batch layout); re-ingested
+    content is authoritative at its latest batch, the same
+    latest-content-wins contract as the minhash/hamming stores — so
+    the serve view must collapse history, one candidate-bounded
+    ``max_by`` aggregation here (a long-lived serve tier would
+    materialize this view at compaction time instead of per-read).
+
+    Feed straight into :func:`ivf_pq_topk`::
+
+        cells, books, cents = read_ivf_pq_store(spark, store)
+        ivf_pq_topk(cells.select("vec_id", vec),
+                    centroids=cents,
+                    corpus_cells=cells.select("vec_id", "centroid_id"),
+                    codebooks=books,
+                    codes=cells.select("vec_id", "codes"), ...)
+    """
+    stored = spark.read.parquet(f"{store_dir}/cells").withColumn(
+        "centroid_id", F.col("centroid_id").cast("int")
+    )
+    vec_col = _cells_vec_col(stored)
+    if "codes" not in stored.columns:
+        raise ValueError(
+            f"{store_dir}/cells has no codes column: the store was not "
+            "written with pq_codebooks= (enable it from the store's "
+            "FIRST batch — earlier code-less batches cannot be served "
+            "by ADC)"
+        )
+    latest = (
+        stored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(vec_col, "codes", "centroid_id"), "batch_id"
+            ).alias("_s")
+        )
+        .select(
+            "vec_id",
+            F.col(f"_s.{vec_col}").alias(vec_col),
+            F.col("_s.codes").alias("codes"),
+            F.col("_s.centroid_id").alias("centroid_id"),
+        )
+    )
+    books = spark.read.parquet(f"{store_dir}/pq_codebooks")
+    cents = spark.read.parquet(f"{store_dir}/centroids")
+    return latest, books, cents
 
 
 def ivf_store_needs_retrain(spark, store_dir: str, factor: float = 2.0) -> bool:
@@ -1261,7 +1357,10 @@ def retrain_ivf_store(
 
     stored = spark.read.parquet(cells_path)
     vec_col = _cells_vec_col(stored)
-    vecs = stored.select("vec_id", vec_col, "batch_id")
+    # PQ codes (a pq_codebooks= store) are cell-geometry-independent —
+    # carry them through the re-assignment untouched
+    extra_cols = ("codes",) if "codes" in stored.columns else ()
+    vecs = stored.select("vec_id", vec_col, "batch_id", *extra_cols)
     # Training/C-derivation sees ONE row per id (latest batch wins): a
     # re-ingested id has one stored row per ingest, and training on the
     # raw store would inflate auto-C and make the seeded pick
@@ -1296,13 +1395,13 @@ def retrain_ivf_store(
         id_col="vec_id",
         vec_col=vec_col,
         centroids=cents,
-        carry_cols=("batch_id", vec_col),
+        carry_cols=("batch_id", vec_col) + extra_cols,
     )
     (
         # one exchange on the layout keys so each (batch, cell) dir
         # lands as one file — this IS the maintenance pass, small-file
         # consolidation included
-        re_cells.select("vec_id", vec_col, "batch_id", "centroid_id")
+        re_cells.select("vec_id", vec_col, *extra_cols, "batch_id", "centroid_id")
         .repartition("batch_id", "centroid_id")
         .write.mode("overwrite")
         .partitionBy("batch_id", "centroid_id")
@@ -1392,6 +1491,7 @@ def pq_train(
     vec_col: str = "embedding",
     dim: int | None = None,
     lloyd_rounds: int = 0,
+    exact: bool = False,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011) — the memory
     side of the ANN story: each vector splits into ``num_subvectors``
@@ -1414,7 +1514,20 @@ def pq_train(
     lifts ADC recall (measured in the tests). Each sub-space trains
     independently — ``num_subvectors`` small jobs (picks plan as
     TakeOrderedAndProject), never a corpus shuffle keyed on m hot
-    values."""
+    values.
+
+    ``exact=True`` stores trunc-quantized long components and
+    exact-decimal ``cnorm_sq`` instead of doubles (module-header
+    convention) — the ORACLE-CHECKABLE numeric mode: every downstream
+    distance/score is then an exact integer a SQL twin reproduces
+    bitwise. Same picks, same plan shape; the double mode stays the
+    fast production path. Pass ``dim`` to skip the one-row inference
+    job (same threading contract as ``num_centroids``)."""
+    if exact and lloyd_rounds > 0:
+        raise ValueError(
+            "exact=True requires lloyd_rounds=0: Lloyd means are "
+            "IEEE-double centroids, not oracle-replayable integers"
+        )
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     if dim % num_subvectors != 0:
@@ -1422,9 +1535,13 @@ def pq_train(
     d = dim // num_subvectors
     books = []
     for j in range(num_subvectors):
-        sub = F.transform(
-            F.slice(vec_col, j * d + 1, d), lambda x: x.cast("double")
-        )
+        if exact:
+            sub = F.slice(quantized_vector(vec_col), j * d + 1, d)
+        else:
+            sub = F.transform(
+                F.slice(vec_col, j * d + 1, d), lambda x: x.cast("double")
+            )
+        norm_fn = _dot_exact_decimal if exact else dot_double
         if lloyd_rounds > 0:
             refined = lloyd_refined_centroids(
                 emb.select(F.col(id_col), sub.alias("_sub")),
@@ -1438,7 +1555,7 @@ def pq_train(
                     F.lit(j).alias("sub_id"),
                     (F.col("centroid_id") - 1).cast("int").alias("code"),
                     "cvec",
-                    dot_double(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
+                    norm_fn(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
                 )
             )
             continue
@@ -1454,7 +1571,7 @@ def pq_train(
                 F.lit(j).alias("sub_id"),
                 (F.row_number().over(w) - 1).cast("int").alias("code"),
                 "cvec",
-                dot_double(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
+                norm_fn(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
             )
         )
     out = books[0]
@@ -1522,12 +1639,18 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """(id, codes array<int>): each sub-vector replaced by its nearest
     codebook entry (squared L2, left-to-right fold — the order a
     sequential reference reproduces bitwise; ties keep the SMALLER
     code). In-row math against the broadcast packed codebooks — zero
-    shuffles, the encode pass pipelines into the scan."""
+    shuffles, the encode pass pipelines into the scan.
+
+    ``exact=True`` pairs with an ``exact`` codebook: distances are
+    exact integer decimals over trunc-quantized components, so the
+    argmin (ties to the smaller code) is engine-independent and a SQL
+    oracle re-derives every code bitwise."""
     packed = _packed_codebooks(codebooks)
     m = F.aggregate(
         F.col("_cb"),
@@ -1536,9 +1659,22 @@ def pq_encode(
     ) + 1
     # dim of each sub-space from the first entry's cvec
     d = F.size(F.element_at(F.col("_cb"), 1)["cvec"])
+    vq = quantized_vector(vec_col) if exact else None
 
     def best_code(j):
         def dist2(c):
+            if exact:
+                sub = F.slice(vq, j * d + 1, d)
+                diffs = F.zip_with(
+                    sub,
+                    c["cvec"],
+                    lambda a, b: (a - b).cast(_QDEC) * (a - b).cast(_QDEC),
+                )
+                return F.aggregate(
+                    diffs,
+                    F.lit(0).cast(_ACC),
+                    lambda acc, x: (acc + x).cast(_ACC),
+                )
             sub = F.transform(
                 F.slice(vec_col, j * d + 1, d), lambda x: x.cast("double")
             )
@@ -1557,12 +1693,18 @@ def pq_encode(
             entries,
             lambda c: F.struct(dist2(c).alias("bd"), c["code"].alias("bc")),
         )
+        # exact mode has no decimal infinity — seed with bc = -1 and
+        # adopt the first entry unconditionally (entries are in code
+        # order, strict < keeps the smaller code on ties either way)
+        init_bd = (
+            F.lit(None).cast(_ACC) if exact else F.lit(float("inf"))
+        )
         return F.aggregate(
             scored,
-            F.struct(
-                F.lit(float("inf")).alias("bd"), F.lit(-1).alias("bc")
-            ),
-            lambda acc, s: F.when(s["bd"] < acc["bd"], s).otherwise(acc),
+            F.struct(init_bd.alias("bd"), F.lit(-1).alias("bc")),
+            lambda acc, s: F.when(acc["bc"] == -1, s)
+            .when(s["bd"] < acc["bd"], s)
+            .otherwise(acc),
         )["bc"]
 
     codes = F.transform(F.sequence(F.lit(0), m - 1), best_code)
@@ -1570,6 +1712,90 @@ def pq_encode(
         emb.crossJoin(F.broadcast(packed))
         .select(F.col(id_col), codes.alias("codes"))
     )
+
+
+def _pq_query_luts(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    exact: bool,
+) -> DataFrame:
+    """(id_a, _qn, _lut, _cn, _kmax) for a (small) query frame against
+    the broadcast packed codebooks — the per-query ADC lookup table:
+    for entry (j, c) at array position p, ``_lut[p]`` =
+    dot(q_sub_j, cvec) and ``_cn[p]`` = that entry's stored norm
+    (query-independent, carried for the reconstructed-norm cosine).
+    ``exact`` switches the kernels between primitive doubles (fast
+    path) and the module's exact-decimal convention (oracle path)."""
+    packed = _packed_codebooks(codebooks)
+    d = F.size(F.element_at(F.col("_cb"), 1)["cvec"])
+    if exact:
+        qvec = quantized_vector(vec_col)
+        qnorm = F.sqrt(dot_exact(F.col("_q"), F.col("_q")))
+        lut_entry = lambda c: _dot_exact_decimal(  # noqa: E731
+            F.slice(F.col("_q"), c["sub_id"] * d + 1, d), c["cvec"]
+        )
+    else:
+        qvec = dbl_vector(vec_col)
+        qnorm = F.sqrt(dot_double(F.col("_q"), F.col("_q")))
+        lut_entry = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(
+                F.slice(F.col("_q"), c["sub_id"] * d + 1, d),
+                c["cvec"],
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    return (
+        queries.select(F.col(id_col).alias("id_a"), qvec.alias("_q"))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "id_a",
+            qnorm.alias("_qn"),
+            F.transform(F.col("_cb"), lut_entry).alias("_lut"),
+            F.transform(F.col("_cb"), lambda c: c["cnorm_sq"]).alias("_cn"),
+            F.aggregate(
+                F.col("_cb"), F.lit(0), lambda acc, c: F.greatest(acc, c["code"])
+            ).alias("_kmax"),
+        )
+    )
+
+
+def _adc_cosine(exact: bool) -> Column:
+    """The asymmetric-distance cosine over a row holding a query's LUT
+    columns (``_pq_query_luts``) and a corpus row's ``codes``: m table
+    lookups for the dot, m norm lookups for the reconstructed |x̂|.
+    Entry position for (sub_id=j, code=c) in the sorted pack is
+    j·(kmax+1)+c+1."""
+    kk = F.col("_kmax") + 1
+    idx = F.transform(F.col("codes"), lambda c, j: j * kk + c + 1)
+    if exact:
+        # decimal sums of the m selected exact dots / entry norms, ONE
+        # string-hopped double conversion each (dot_exact convention)
+        score = F.aggregate(
+            idx,
+            F.lit(0).cast(_ACC),
+            lambda acc, i: (acc + F.element_at("_lut", i)).cast(_ACC),
+        ).cast("string").cast("double")
+        xnorm = F.sqrt(
+            F.aggregate(
+                idx,
+                F.lit(0).cast(_ACC),
+                lambda acc, i: (acc + F.element_at("_cn", i)).cast(_ACC),
+            ).cast("string").cast("double")
+        )
+    else:
+        score = F.aggregate(
+            idx, F.lit(0.0), lambda acc, i: acc + F.element_at("_lut", i)
+        )
+        xnorm = F.sqrt(
+            F.aggregate(
+                idx, F.lit(0.0), lambda acc, i: acc + F.element_at("_cn", i)
+            )
+        )
+    return score / (F.col("_qn") * xnorm)
 
 
 def pq_topk(
@@ -1580,6 +1806,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: queries stay
     full-precision, the corpus is its 8-byte codes. Per query, a
@@ -1595,64 +1822,152 @@ def pq_topk(
     rows with id < ``query_ids_max``, self excluded, (score DESC,
     id_b ASC) deterministic top-k. Pass ``codes`` (a ``pq_encode``
     output, e.g. read back from parquet) to serve from a persisted
-    code store; None encodes ``emb`` on the fly."""
+    code store; None encodes ``emb`` on the fly.
+
+    ``exact=True`` (with an ``exact`` codebook/codes): the LUT holds
+    exact-decimal dots, the m-lookup score and reconstructed norm sum
+    as decimals with ONE string-hopped double conversion each, and the
+    query norm is the module's exact decimal norm — every emitted
+    cosine_pq is then bitwise-reproducible by a SQL oracle (same
+    IEEE division tree over identical correctly-rounded doubles)."""
     if codes is None:
-        codes = pq_encode(emb, codebooks, id_col, vec_col)
-    packed = _packed_codebooks(codebooks)
-    d = F.size(F.element_at(F.col("_cb"), 1)["cvec"])
-    # per-query LUT: for entry (j, c) at array position p, dots[p] =
-    # dot(q_sub_j, cvec); cnorms is query-independent
-    queries = (
-        emb.filter(F.col(id_col) < query_ids_max)
-        .select(F.col(id_col).alias("id_a"), dbl_vector(vec_col).alias("_q"))
-        .crossJoin(F.broadcast(packed))
-        .select(
-            "id_a",
-            F.sqrt(dot_double(F.col("_q"), F.col("_q"))).alias("_qn"),
-            F.transform(
-                F.col("_cb"),
-                lambda c: F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("_q"), c["sub_id"] * d + 1, d),
-                        c["cvec"],
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            ).alias("_lut"),
-            F.transform(F.col("_cb"), lambda c: c["cnorm_sq"]).alias("_cn"),
-            F.aggregate(
-                F.col("_cb"), F.lit(0), lambda acc, c: F.greatest(acc, c["code"])
-            ).alias("_kmax"),
-        )
+        codes = pq_encode(emb, codebooks, id_col, vec_col, exact=exact)
+    queries = _pq_query_luts(
+        emb.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
+        vec_col, exact,
     )
-    # entry position for (sub_id=j, code=c) in the sorted array: j*(kmax+1)+c+1
-    kk = F.col("_kmax") + 1
     paired = queries.join(
         codes.select(F.col(id_col).alias("id_b"), "codes"),
         F.col("id_a") != F.col("id_b"),
     )
-    idx = F.transform(
-        F.col("codes"),
-        lambda c, j: j * kk + c + 1,
-    )
-    score = F.aggregate(
-        idx, F.lit(0.0), lambda acc, i: acc + F.element_at("_lut", i)
-    )
-    xnorm = F.sqrt(
-        F.aggregate(
-            idx, F.lit(0.0), lambda acc, i: acc + F.element_at("_cn", i)
-        )
-    )
     scored = paired.select(
-        "id_a",
-        "id_b",
-        (score / (F.col("_qn") * xnorm)).alias("cosine_pq"),
+        "id_a", "id_b", _adc_cosine(exact).alias("cosine_pq")
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_pq").desc(), F.col("id_b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("id_a", "id_b", "cosine_pq", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids_max: int = 20,
+    k: int = 5,
+    num_centroids: int = 32,
+    probes: int = 3,
+    num_subvectors: int = 8,
+    codes_per_subvector: int = 16,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking — the memory-bounded serve tier
+    (Jégou et al. 2011, the FAISS IVFPQ layout): ``ivf_topk`` prunes
+    WHICH vectors each query examines (probed cells) but re-scores
+    every candidate against its FULL vector (256 B at dim 64); here the
+    probed cells are scanned as ``num_subvectors``-byte PQ codes via
+    the per-query ADC lookup table, only the ADC top-``refine``
+    shortlist (default 4k) is fetched at full precision for exact
+    re-scoring, and the final top-k ranks on the same exact-decimal
+    cosine as every other query path. A billion-vector cell store
+    drops 32× in scan traffic at the defaults; full vectors are
+    touched for ~refine rows per query, not per-cell volume.
+
+    Recall: candidates are ivf_topk's (same cells, same probes); the
+    ADC shortlist is the only extra approximation, and with ``refine``
+    ≥ the probed-cell candidate volume the output is IDENTICAL to
+    ``ivf_topk`` (pytest-pinned) — ``refine`` buys exactness back at
+    full-vector-fetch cost, the standard IVF-PQ knob.
+
+    Hooks mirror ``ivf_topk``/``pq_topk``: pass ``assignments`` (a
+    ranked ``ivf_assignments`` over the same base) to reuse a suite's
+    one corpus-vs-centroids pass, ``centroids`` for a persisted cell
+    geometry (with ``corpus_cells`` — an (id, centroid_id) relation,
+    e.g. a store's stored primary cells — to skip re-assigning the
+    corpus entirely: :func:`read_ivf_pq_store` supplies all four
+    store-side pieces), ``codebooks``/``codes`` for a persisted PQ
+    layout (an :func:`incremental_ivf_update` store written with
+    ``pq_codebooks=``), and ``dim`` to keep training probe-free.
+
+    Scale shape: queries (with their O(m·k) LUT arrays) broadcast into
+    the candidate join; codes join shuffles only the candidate list;
+    the full-vector join after the shortlist is O(queries · refine)."""
+    refine = 4 * k if refine is None else refine
+    if refine < k:
+        raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
+    base = _ensure_ann_base(emb, id_col)
+    if assignments is not None:
+        corpus_cells = assignments.filter(F.col("probe_rank") == 1).select(
+            F.col(id_col), "centroid_id"
+        )
+        query_cells = assignments.filter(F.col(id_col) < query_ids_max).select(
+            F.col(id_col), "centroid_id"
+        )
+    else:
+        if centroids is None:
+            if corpus_cells is not None:
+                raise ValueError(
+                    "corpus_cells without centroids: queries cannot "
+                    "probe an unknown cell geometry — pass the store's "
+                    "centroids alongside its cells"
+                )
+            num_centroids = resolve_num_centroids(base, num_centroids)
+            cents = _seed_centroids(base, num_centroids, id_col)
+        else:
+            cents = centroids
+        if corpus_cells is None:
+            corpus_cells = ivf_assignments(
+                base, num_centroids, probes=1, id_col=id_col, vec_col="vdbl",
+                centroids=cents,
+            )
+        qbase = base.filter(F.col(id_col) < query_ids_max)
+        query_cells = ivf_assignments(
+            qbase, num_centroids, probes=probes, id_col=id_col, vec_col="vdbl",
+            centroids=cents,
+        )
+    cand = (
+        query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+        .join(
+            corpus_cells.select(F.col(id_col).alias("id_b"), "centroid_id"),
+            "centroid_id",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if codebooks is None:
+        codebooks = pq_train(
+            base, num_subvectors, codes_per_subvector, id_col=id_col,
+            vec_col="vdbl", dim=dim,
+        )
+    if codes is None:
+        codes = pq_encode(base, codebooks, id_col=id_col, vec_col="vdbl")
+    queries = _pq_query_luts(
+        base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
+        "vdbl", exact=False,
+    )
+    adc = (
+        cand.join(F.broadcast(queries), "id_a")
+        .join(codes.select(F.col(id_col).alias("id_b"), "codes"), "id_b")
+        .select("id_a", "id_b", _adc_cosine(exact=False).alias("_adc"))
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.col("_adc").desc(), F.col("id_b"))
+    shortlist = (
+        adc.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= refine)
+        .select("id_a", "id_b")
+    )
+    scored = cosine_for_pairs(base, shortlist, exact_norms_in_base=False)
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id_a", "id_b", "cosine", F.col("rnk").cast("int").alias("rnk"))
     )

@@ -16,11 +16,19 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     ivf_assignments,
     ivf_topk,
     lsh_ann_pairs,
+    pq_topk,
+    pq_train,
     with_dbl_and_approx_norm,
 )
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
 _DIM = 64
+# pq leg geometry: 8 sub-spaces × 16 codes over dim 64 (sub-dim 8) —
+# 32× compression of float32; small enough that the oracle's codebook
+# relation is 128 entries
+_PQ_M = 8
+_PQ_K = 16
+_PQ_D = _DIM // _PQ_M
 
 # (vec_id, pos 1-based, v = trunc(x·1e12) quantized integer) + norms —
 # the shared oracle base. Quantization by TRUNCATION is tie-free (decimal
@@ -203,6 +211,70 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cosine DESC, id_b) AS rnk
         FROM qcos
       ) WHERE rnk <= 3
+    ),
+    pq_picks AS (
+      SELECT j, cb_vid, CAST(rn - 1 AS INT) AS code FROM (
+        SELECT CAST(j AS INT) AS j, vec_id AS cb_vid,
+               row_number() OVER (PARTITION BY j
+                 ORDER BY md5(CAST(j AS VARCHAR) || '|' ||
+                              CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM (SELECT DISTINCT vec_id FROM embeddings), range(0, {_PQ_M}) t(j)
+      ) WHERE rn <= {_PQ_K}
+    ),
+    pq_cbent AS (
+      SELECT p.j, p.code, CAST(c.pos - p.j*{_PQ_D} AS INT) AS i,
+             CAST(c.v AS HUGEINT) AS v
+      FROM pq_picks p JOIN comp c ON c.vec_id = p.cb_vid
+       AND c.pos > p.j*{_PQ_D} AND c.pos <= (p.j+1)*{_PQ_D}
+    ),
+    pq_cbnorm AS (
+      SELECT j, code, sum(v * v) AS cn FROM pq_cbent GROUP BY 1, 2
+    ),
+    pq_dist AS (
+      SELECT c.vec_id, e.j, e.code,
+             sum((CAST(c.v AS HUGEINT) - e.v) *
+                 (CAST(c.v AS HUGEINT) - e.v)) AS d2
+      FROM comp c JOIN pq_cbent e ON c.pos = e.j*{_PQ_D} + e.i
+      GROUP BY 1, 2, 3
+    ),
+    pq_codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, code) AS rn
+        FROM pq_dist) WHERE rn = 1
+    ),
+    pq_lut AS (
+      SELECT q.vec_id AS id_a, e.j, e.code,
+             sum(CAST(q.v AS HUGEINT) * e.v) AS dotp
+      FROM comp q JOIN pq_cbent e ON q.pos = e.j*{_PQ_D} + e.i
+      WHERE q.vec_id < 20
+      GROUP BY 1, 2, 3
+    ),
+    pq_xnorm AS (
+      SELECT cd.vec_id, CAST(CAST(sum(cn.cn) AS VARCHAR) AS DOUBLE) AS xn
+      FROM pq_codes cd JOIN pq_cbnorm cn ON cn.j = cd.j AND cn.code = cd.code
+      GROUP BY 1
+    ),
+    pq_adc AS (
+      SELECT l.id_a, cd.vec_id AS id_b,
+             CAST(CAST(sum(l.dotp) AS VARCHAR) AS DOUBLE) AS sc
+      FROM pq_codes cd JOIN pq_lut l ON l.j = cd.j AND l.code = cd.code
+       AND l.id_a <> cd.vec_id
+      GROUP BY 1, 2
+    ),
+    pq_cos AS (
+      SELECT a.id_a, a.id_b,
+             a.sc / (sqrt(n.norm_sq) * sqrt(x.xn)) AS cosine
+      FROM pq_adc a JOIN nrm n ON n.vec_id = a.id_a
+      JOIN pq_xnorm x ON x.vec_id = a.id_b
+    ),
+    pqtopk AS (
+      SELECT id_a, id_b, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT id_a, id_b, cosine,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY cosine DESC, id_b) AS rnk
+        FROM pq_cos) WHERE rnk <= 3
     )
     SELECT 'lsh' AS method, id_a, id_b, cosine,
            CAST(NULL AS INTEGER) AS rnk FROM lsh_out
@@ -211,8 +283,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS INTEGER) AS rnk FROM ivf_out
     UNION ALL
     SELECT 'qtopk' AS method, id_a, id_b, cosine, rnk FROM qtopk
+    UNION ALL
+    SELECT 'pq' AS method, id_a, id_b, cosine, rnk FROM pqtopk
     """,
-    doc="ANN suite, ALL THREE scale paths in one checked plan (tagged "
+    doc="ANN suite, ALL FOUR scale paths in one checked plan (tagged "
     "union, the grouping-suite pattern): 'lsh' = 16 deterministic "
     "random-hyperplane sign bits (md5-derived, oracle-identical) banded "
     "4×4 so vectors sharing any band collide; 'ivf' = inverted-file "
@@ -221,11 +295,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path (ivf_topk): corpus indexed to its single nearest cell, the "
     "20 query vectors multi-probe their top-3 cells, probed-cell "
     "members exactly re-scored, top-3 per query — per-query cost ~ "
-    "probed cells, not the corpus. Exact-decimal scoring everywhere "
-    "(even probe ASSIGNMENT), so the whole suite is value-checked. "
-    "Cost ~ collisions, never corpus²; measured recall at sf0.1: lsh "
-    "0.53, ivf 0.67, precision 1.0 (see operator docstrings)",
-    tags=("similarity", "lsh", "ivf"),
+    "probed cells, not the corpus; 'pq' = product quantization "
+    "(pq_train/pq_topk exact mode, 8 sub-spaces × 16 codes = 32× "
+    "compression): seeded codebook pick, nearest-code encoding, and "
+    "per-query ADC over the 8-byte codes, all in exact integer "
+    "decimals so codes AND reconstructed-norm cosines check bitwise. "
+    "Exact-decimal scoring everywhere (even probe ASSIGNMENT), so the "
+    "whole suite is value-checked. Cost ~ collisions, never corpus²; "
+    "measured recall at sf0.1: lsh 0.53, ivf 0.67, precision 1.0 (see "
+    "operator docstrings)",
+    tags=("similarity", "lsh", "ivf", "pq"),
 )
 def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one (id, vdbl, approx-norm) base — a single scan of embeddings —
@@ -249,7 +328,20 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, query_ids_max=20, k=3, num_centroids=32, probes=3,
         assignments=assign,
     ).select(F.lit("qtopk").alias("method"), "id_a", "id_b", "cosine", "rnk")
-    return lsh.unionByName(ivf).unionByName(qt)
+    # pq leg rides the same persisted base (vec_col="vdbl" — the
+    # quantization inside exact mode truncates identically from the
+    # double components); dim passed explicitly, no inference job
+    books = pq_train(
+        base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K,
+        vec_col="vdbl", dim=_DIM, exact=True,
+    )
+    pq = pq_topk(
+        base, books, query_ids_max=20, k=3, vec_col="vdbl", exact=True
+    ).select(
+        F.lit("pq").alias("method"), "id_a", "id_b",
+        F.col("cosine_pq").alias("cosine"), "rnk",
+    )
+    return lsh.unionByName(ivf).unionByName(qt).unionByName(pq)
 
 
 @register(
