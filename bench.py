@@ -98,6 +98,14 @@ SCALE10_DEDUP_GATE = 4.0
 # candidate volume while catching an accidental per-batch index
 # reshuffle (which would trend toward ~10×).
 SCALE10_STORE_GATE = 3.0
+# PQ train+encode and store-retrain linearity gate: both are designed
+# as ONE distributed pass over the corpus (train = m
+# TakeOrderedAndProject picks; encode = in-row folds; retrain = one
+# re-assignment + layout exchange), so 10× data must cost well under
+# 4× wall at this size (overhead-dominated locally; an accidental
+# corpus×corpus join or per-row driver sync would blow straight
+# through).
+SCALE10_PQ_GATE = 4.0
 
 
 def run_scale10() -> int:
@@ -118,6 +126,8 @@ def run_scale10() -> int:
 
     from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
         ivf_ann_pairs,
+        pq_encode,
+        pq_train,
         with_dbl_and_approx_norm,
     )
 
@@ -132,12 +142,18 @@ def run_scale10() -> int:
             base, num_centroids=num_centroids, probes=1, min_cosine=0.8
         )
 
+    def pq_train_encode(d):
+        emb = load_emb(d)
+        books = pq_train(emb, num_subvectors=8, codes_per_subvector=16, dim=64)
+        return pq_encode(emb, books)
+
     OPS = {
         "dedup_minhash_lsh": lambda d: qs["dedup_minhash_lsh"](spark, d),
         "dedup_ngram_jaccard": lambda d: qs["dedup_ngram_jaccard"](spark, d),
         "dedup_simhash": lambda d: qs["dedup_simhash"](spark, d),
         "ivf_fixed_c32": lambda d: ivf_at(d, 32),
         "ivf_sqrt_auto": lambda d: ivf_at(d, "auto"),
+        "pq_train_encode": pq_train_encode,
     }
 
     out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR") or tempfile.mkdtemp(
@@ -159,6 +175,8 @@ def run_scale10() -> int:
             print(f"# {name}: {walls} ratio {ratio}x", file=sys.stderr)
             if name.startswith("dedup_") and ratio > SCALE10_DEDUP_GATE:
                 failures.append(f"{name} ratio {ratio} > {SCALE10_DEDUP_GATE}")
+            if name.startswith("pq_") and ratio > SCALE10_PQ_GATE:
+                failures.append(f"{name} ratio {ratio} > {SCALE10_PQ_GATE}")
         if report["ivf_sqrt_auto"]["wall_10x"] > report["ivf_fixed_c32"]["wall_10x"]:
             failures.append(
                 "sqrt-C IVF tuning no longer beats fixed C at 10x "
@@ -208,6 +226,62 @@ def run_scale10() -> int:
                 f"batch 1 to 10 (> {SCALE10_STORE_GATE}) — per-batch cost "
                 "is tracking index size"
             )
+
+        # store-retrain linearity: build a PQ-coded incremental IVF
+        # store (5 batches) at 1x and 10x, then time the geometry
+        # migration (retrain_ivf_store) — one re-assignment pass + the
+        # layout exchange, so the 10x/1x retrain-wall ratio must stay
+        # under the same linearity gate; this also keeps the
+        # codes-carrying retrain path itself under timing
+        from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+            _seed_centroids,
+            incremental_ivf_update,
+            retrain_ivf_store,
+        )
+
+        def retrain_wall(d, tag):
+            emb = load_emb(d)
+            lo_v, hi_v = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+            span_v = (hi_v - lo_v + 1) // 5
+            st = os.path.join(out_dir, f"_ivfpq_store_{tag}")
+            shutil.rmtree(st, ignore_errors=True)
+            base = with_dbl_and_approx_norm(emb)
+            cents = _seed_centroids(base, 32, "vec_id").localCheckpoint()
+            books = pq_train(
+                emb, num_subvectors=8, codes_per_subvector=16, dim=64
+            ).localCheckpoint()
+            for b in range(5):
+                batch = emb.filter(
+                    (F.col("vec_id") >= lo_v + b * span_v)
+                    & (
+                        F.col("vec_id")
+                        < (lo_v + (b + 1) * span_v if b < 4 else hi_v + 1)
+                    )
+                )
+                incremental_ivf_update(
+                    batch,
+                    st,
+                    b,
+                    centroids=cents if b == 0 else None,
+                    pq_codebooks=books if b == 0 else None,
+                    min_cosine=0.8,
+                )
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            retrain_ivf_store(spark, st, num_centroids="auto")
+            return round(time.perf_counter() - t0, 3)
+
+        rt = {
+            "wall_1x": retrain_wall(sf_dir, "1x"),
+            "wall_10x": retrain_wall(out_dir, "10x"),
+        }
+        rt["ratio"] = round(rt["wall_10x"] / max(rt["wall_1x"], 1e-9), 2)
+        report["ivf_pq_retrain"] = rt
+        print(f"# ivf_pq_retrain: {rt}", file=sys.stderr)
+        if rt["ratio"] > SCALE10_PQ_GATE:
+            failures.append(
+                f"ivf_pq_retrain ratio {rt['ratio']} > {SCALE10_PQ_GATE}"
+            )
         print(
             json.dumps(
                 {
@@ -221,6 +295,7 @@ def run_scale10() -> int:
                     "gate": {
                         "dedup_max_ratio": SCALE10_DEDUP_GATE,
                         "store_last_vs_first_max": SCALE10_STORE_GATE,
+                        "pq_max_ratio": SCALE10_PQ_GATE,
                         "failures": failures,
                     },
                     "sf_dir": sf_dir,

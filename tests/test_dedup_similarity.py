@@ -1831,6 +1831,156 @@ def test_pq_topk_recall_compression_curve(spark):
     books.unpersist()
 
 
+def test_ivf_pq_topk_refine_tradeoff(spark):
+    """IVF-PQ with exact re-ranking vs plain ivf_topk on the same cell
+    geometry: with refine covering every probed-cell candidate the two
+    are IDENTICAL (ADC only orders a shortlist that is then fully
+    exact re-scored), a tight refine keeps recall far above chance,
+    and refine < k refuses."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        ivf_pq_topk,
+        ivf_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 16, "vec_id").localCheckpoint()
+    books = pq_train(
+        base, num_subvectors=16, codes_per_subvector=64, vec_col="vdbl", dim=64
+    ).persist()
+
+    exact = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                base, query_ids_max=20, k=5, probes=3, centroids=cents
+            ).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                base, query_ids_max=20, k=5, probes=3, centroids=cents,
+                codebooks=books, refine=10**6,
+            ).collect(),
+        )
+    )
+    assert full == exact and len(full) > 0
+
+    # tight shortlist: the ADC approximation appears, but recall vs the
+    # full-refine truth stays far above chance
+    mid = ivf_pq_topk(
+        base, query_ids_max=20, k=5, probes=3, centroids=cents,
+        codebooks=books, refine=8,
+    ).collect()
+    truth = {}
+    for t in exact:
+        truth.setdefault(t[0], set()).add(t[1])
+    hits = sum(1 for r in mid if r.id_b in truth.get(r.id_a, set()))
+    total = sum(len(v) for v in truth.values())
+    n = emb.count()
+    chance = 5.0 / (n - 1)
+    assert hits / total > 10 * chance, (hits, total, chance)
+
+    with pytest.raises(ValueError, match="refine"):
+        ivf_pq_topk(base, k=5, refine=3, centroids=cents, codebooks=books)
+    books.unpersist()
+
+
+def test_ivf_pq_store_serves_and_preserves_contract(spark, tmp_path):
+    """The pq_codebooks= store layout: codes ride each batch's cell
+    rows; the serve view (read_ivf_pq_store) is one row per vec_id with
+    LATEST-content codes (the minhash/hamming stores' re-ingestion
+    contract); flags never self-flag a re-ingested id; ivf_pq_topk fed
+    from the store's stored pieces ≡ recomputing over the same corpus;
+    and retrain_ivf_store carries codes through the new geometry."""
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        incremental_ivf_update,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+        read_ivf_pq_store,
+        retrain_ivf_store,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = str(tmp_path / "ivfpq_store")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+    books = pq_train(
+        base, num_subvectors=8, codes_per_subvector=16, vec_col="vdbl", dim=64
+    ).localCheckpoint()
+
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut = lo + (hi - lo + 1) // 2
+    b0 = emb.filter(F.col("vec_id") < cut)
+    # batch 1 re-ingests id `lo` with CHANGED content (negated vector)
+    reingested = b0.filter(F.col("vec_id") == lo).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    b1 = (
+        emb.filter(F.col("vec_id") >= cut)
+        .select("vec_id", "embedding")
+        .unionByName(reingested)
+    )
+
+    incremental_ivf_update(
+        b0, store, 0, centroids=cents, pq_codebooks=books, min_cosine=0.2
+    )
+    fl1 = incremental_ivf_update(b1, store, 1, min_cosine=0.2)
+    assert fl1.filter(F.col("vec_id") == F.col("match_id")).count() == 0
+
+    cells, books_r, cents_r = read_ivf_pq_store(spark, store)
+    n_ids = emb.count()
+    assert cells.count() == n_ids  # one serve row per id, history collapsed
+    # the re-ingested id's codes are its LATEST content's codes
+    want = pq_encode(reingested, books).collect()[0].codes
+    got = cells.filter(F.col("vec_id") == lo).collect()[0].codes
+    assert list(got) == list(want)
+
+    # serving from the stored pieces ≡ recomputing cells+codes over the
+    # same latest corpus with the same geometry/codebooks
+    def serve(cells_df, cents_df, books_df, precomputed: bool):
+        kw = dict(
+            query_ids_max=20, k=5, probes=3, centroids=cents_df,
+            codebooks=books_df, refine=20,
+        )
+        if precomputed:
+            kw["corpus_cells"] = cells_df.select("vec_id", "centroid_id")
+            kw["codes"] = cells_df.select("vec_id", "codes")
+        return sorted(
+            map(
+                tuple,
+                ivf_pq_topk(
+                    cells_df.select("vec_id", "embedding"), **kw
+                ).collect(),
+            )
+        )
+
+    assert serve(cells, cents_r, books_r, True) == serve(
+        cells, cents_r, books_r, False
+    )
+
+    # retrain to the grown store's geometry: codes survive untouched
+    before = {r.vec_id: list(r.codes) for r in cells.collect()}
+    assert retrain_ivf_store(spark, store, num_centroids=16) == 16
+    cells2, books2, cents2 = read_ivf_pq_store(spark, store)
+    after = {r.vec_id: list(r.codes) for r in cells2.collect()}
+    assert after == before
+    assert cents2.count() == 16
+    # and the retrained store still serves
+    assert len(serve(cells2, cents2, books2, True)) > 0
+
+
 def test_packed_codebooks_reject_ragged_or_sparse(spark):
     """pq scoring addresses codebook entries by array POSITION
     j·(kmax+1)+c+1, so a caller-supplied codebook with ragged
