@@ -55,6 +55,11 @@ def curate_corpus(
     max_top_bigram_frac: float = 0.2,
     max_dup_trigram_frac: float = 0.3,
     minhash_jaccard: float = 0.8,
+    winnow: bool = False,
+    winnow_k: int = 8,
+    winnow_window: int = 4,
+    winnow_min_shared: int = 2,
+    winnow_max_doc_freq: int | None = 8,
     benchmark: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_min_containment: float = 0.5,
@@ -85,6 +90,21 @@ def curate_corpus(
     by cost so every expensive stage sees only cheaper stages'
     survivors:
 
+    * ``winnow`` — PARTIAL-overlap dedup
+      (:func:`...operators.dedup.winnowing_fingerprints` /
+      ``winnowing_pairs``, the MOSS algorithm) right after the MinHash
+      stage: docs sharing ≥ ``winnow_min_shared`` selected fingerprints
+      cluster and resolve to quality-weighted survivors exactly like
+      stage 3 (stats key ``winnow_dropped``). This is the detector for
+      a long copied span embedded in otherwise-different documents —
+      whole-doc Jaccard dilutes such a span below any workable
+      threshold, winnowing GUARANTEES ≥ 1 shared fingerprint for any
+      match of ``winnow_window + winnow_k − 1`` tokens. Because the
+      verdict here DROPS documents, the defaults lean precise:
+      ``winnow_min_shared=2`` (one shared fingerprint = one span —
+      real containment shares many) and ``winnow_max_doc_freq=8``
+      (boilerplate fingerprints never pair); loosen toward the
+      operator defaults to match MOSS's report-everything posture.
     * ``benchmark`` — eval-set decontamination
       (:func:`...operators.dedup.decontaminate`): docs whose k-gram
       containment of any benchmark item reaches
@@ -250,6 +270,66 @@ def curate_corpus(
     )
     keep_mh = cheap_keep & F.col("_decontam_ok") & F.col("_neardup_keep")
 
+    # stage 3w (optional): partial-overlap winnowing gate over the
+    # MinHash survivors — same cluster/keep-best shape as stage 3;
+    # fingerprinting is in-row array math, pairing is the inverted-
+    # index join (cost ~ postings collisions under the doc-freq guard)
+    winnow_caches: tuple = ()
+    if winnow:
+        from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+            winnowing_fingerprints,
+            winnowing_pairs,
+        )
+
+        wn_surv = (
+            flagged.filter(keep_mh)
+            .select(did, F.length(F.trim(txt)).alias("_wq"))
+            .persist()
+        )
+        wfps = winnowing_fingerprints(
+            flagged.filter(keep_mh).select(did, txt),
+            k=winnow_k,
+            window=winnow_window,
+            text_col=text_col,
+            id_col=id_col,
+            widen=False,
+        )
+        wpairs = winnowing_pairs(
+            wfps,
+            id_col=id_col,
+            min_shared=winnow_min_shared,
+            max_doc_freq=winnow_max_doc_freq,
+        )
+        wclusters = connected_components(wpairs).withColumnRenamed(
+            "doc_id", id_col
+        )
+        wsurv = select_cluster_survivors(
+            wn_surv, wclusters, quality_col="_wq", id_col=id_col
+        )
+        flagged = flagged.join(
+            wclusters.select(did).withColumn("_in_wcluster", F.lit(True)),
+            id_col,
+            "left",
+        ).join(
+            wsurv.select(F.col("survivor_id").alias(id_col)).withColumn(
+                "_is_wsurvivor", F.lit(True)
+            ),
+            id_col,
+            "left",
+        )
+        flagged = flagged.withColumn(
+            "_winnow_keep",
+            ~F.coalesce(F.col("_in_wcluster"), F.lit(False))
+            | F.coalesce(F.col("_is_wsurvivor"), F.lit(False)),
+        )
+        # winnowing_pairs persists the fingerprint frame it is handed
+        # (its postings join reads it twice) — release it with the
+        # stage caches
+        winnow_caches = (wn_surv, wfps)
+    else:
+        flagged = flagged.withColumn("_winnow_keep", F.lit(True))
+    keep_wn = keep_mh & F.col("_winnow_keep")
+
     # stage 3b (optional): dense near-dup gate over the MinHash
     # survivors' embeddings — same cluster/keep-best shape as stage 3,
     # candidate generation via IVF cells (never all-pairs). The base is
@@ -262,7 +342,7 @@ def curate_corpus(
         # (the eager convergence actions would pin the whole surviving
         # corpus in cache otherwise)
         mh_surv = (
-            flagged.filter(keep_mh)
+            flagged.filter(keep_wn)
             .select(did, F.length(F.trim(txt)).alias("_dq"))
             .persist()
         )
@@ -311,7 +391,7 @@ def curate_corpus(
         dense_caches = (mh_surv, emb_base, dpairs)
     else:
         flagged = flagged.withColumn("_dense_keep", F.lit(True))
-    keep_dense = keep_mh & F.col("_dense_keep")
+    keep_dense = keep_wn & F.col("_dense_keep")
 
     # stage 3c (optional): image near-dup gate — aHash the payloads of
     # still-alive docs, pair via hamming (one-shot in-batch, or against
@@ -375,7 +455,8 @@ def curate_corpus(
         _n(
             cheap_keep & F.col("_decontam_ok") & ~F.col("_neardup_keep")
         ).alias("neardup_dropped"),
-        _n(keep_mh & ~F.col("_dense_keep")).alias("dense_neardup_dropped"),
+        _n(keep_mh & ~F.col("_winnow_keep")).alias("winnow_dropped"),
+        _n(keep_wn & ~F.col("_dense_keep")).alias("dense_neardup_dropped"),
         _n(keep_dense & ~F.col("_image_keep")).alias("image_neardup_dropped"),
         _n(F.col("_keep")).alias("curated_rows"),
     ).first()
@@ -383,8 +464,9 @@ def curate_corpus(
 
     curated = flagged.filter("_keep").drop(
         "_exact_keep", "_quality_ok", "_rep_ok", "_decontam_ok",
-        "_neardup_keep", "_dense_keep", "_image_keep", "_keep",
-        "_top2", "_n2", "_dup3", "_n3", "_in_cluster", "_is_survivor",
+        "_neardup_keep", "_winnow_keep", "_dense_keep", "_image_keep",
+        "_keep", "_top2", "_n2", "_dup3", "_n3", "_in_cluster",
+        "_is_survivor", "_in_wcluster", "_is_wsurvivor",
         "_in_dcluster", "_is_dsurvivor",
     )
 
@@ -437,6 +519,9 @@ def curate_corpus(
             curated, export_path, n_shards=n_shards, key_col=id_col
         )
         write_export_manifest(spark, export_path)
-    for df in (gated, pairs, flagged, *dense_caches, *image_caches, *chunk_caches):
+    for df in (
+        gated, pairs, flagged,
+        *winnow_caches, *dense_caches, *image_caches, *chunk_caches,
+    ):
         df.unpersist()
     return curated, stats

@@ -416,6 +416,57 @@ def test_curate_corpus_optional_stages(spark):
     curated.unpersist()
 
 
+def test_curate_corpus_winnow_stage(spark):
+    """The optional winnowing stage catches a planted PARTIAL overlap —
+    a 40-word span copied between two otherwise-disjoint documents —
+    that the whole-doc MinHash stage provably misses (shared-span
+    Jaccard ≈ 0.2 ≪ the 0.8 threshold): without ``winnow=True`` both
+    docs survive; with it the cluster resolves to its quality-weighted
+    survivor and the stats identity extends across the new stage."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    span = " ".join(f"wns{j}" for j in range(40))
+    a_id, b_id = 300001, 300002
+    planted = [
+        (a_id, " ".join(f"wna{j}" for j in range(70)) + " " + span),
+        (b_id, " ".join(f"wnb{j}" for j in range(60)) + " " + span),
+    ]
+    corpus = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(planted, "doc_id long, text string")
+    )
+
+    base, base_stats = curate_corpus(spark, corpus)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    assert {a_id, b_id} <= base_ids  # MinHash alone misses the overlap
+    assert "winnow_dropped" in base_stats and base_stats["winnow_dropped"] == 0
+
+    curated, stats = curate_corpus(spark, corpus, winnow=True)
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    # quality-weighted survivor: the longer doc (a_id) survives
+    assert a_id in ids and b_id not in ids
+    assert stats["winnow_dropped"] == 1
+    # the stage only removes the planted overlap — everything else is
+    # untouched relative to the base run
+    assert ids == base_ids - {b_id}
+    assert stats["input_rows"] == stats["curated_rows"] + sum(
+        stats[k]
+        for k in (
+            "exact_dups_dropped",
+            "quality_dropped",
+            "repetition_dropped",
+            "decontam_dropped",
+            "neardup_dropped",
+            "winnow_dropped",
+            "dense_neardup_dropped",
+            "image_neardup_dropped",
+        )
+    )
+
+
 def test_curate_corpus_image_gate(spark, tmp_path):
     """Mixed-modality curation: a planted near-dup image pair keeps only
     its min-id member (in-batch aHash pairing), a structurally different
