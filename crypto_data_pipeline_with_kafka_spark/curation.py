@@ -71,6 +71,10 @@ def curate_corpus(
     image_max_hamming: int = 6,
     image_store_dir: str | None = None,
     image_batch_id: int = 0,
+    audio: DataFrame | None = None,
+    audio_max_hamming: int = 6,
+    audio_store_dir: str | None = None,
+    audio_batch_id: int = 0,
     chunk_dedup: bool = False,
     words_per_chunk: int = 8,
     chunk_min_docs: int = 2,
@@ -129,6 +133,14 @@ def curate_corpus(
       ``image_batch_id``) — this run's images are flagged against every
       image any earlier run indexed, the cross-run operational shape.
       Docs without an image row pass through.
+    * ``audio`` — the audio twin of the image gate, over the same
+      (id, binary payload) shape: payloads are frame-energy-
+      fingerprinted (``multimodal.perceptual_hash_audio``) and run
+      through the identical hamming machinery (in-batch, or the
+      incremental store via ``audio_store_dir``/``audio_batch_id``) at
+      distance ≤ ``audio_max_hamming``; each cluster keeps its min-id
+      member (stats key ``audio_neardup_dropped``). Docs without an
+      audio row pass through.
     * ``chunk_dedup`` — sub-document boilerplate removal
       (:func:`...operators.dedup.chunk_level_dedup`) as the FINAL
       stage: surviving docs' text is rewritten with cross-doc repeated
@@ -393,51 +405,72 @@ def curate_corpus(
         flagged = flagged.withColumn("_dense_keep", F.lit(True))
     keep_dense = keep_wn & F.col("_dense_keep")
 
-    # stage 3c (optional): image near-dup gate — aHash the payloads of
-    # still-alive docs, pair via hamming (one-shot in-batch, or against
-    # the persisted cross-run store), keep each cluster's min id
-    image_caches: tuple = ()
-    if images is not None:
-        from crypto_data_pipeline_with_kafka_spark.multimodal import (
-            perceptual_hash_images,
-        )
+    # stages 3c/3d (optional): binary-modality near-dup gates — hash the
+    # payloads of still-alive docs with the modality's perceptual hash,
+    # pair via the shared hamming machinery (one-shot in-batch, or
+    # against the persisted cross-run store), keep each cluster's min id
+    def _modality_gate(flagged, alive_expr, rel, hash_fn, max_h,
+                       store_dir, batch_id, keep_name):
         from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
             incremental_hamming_dedup,
             simhash_pairs,
         )
 
-        alive = flagged.filter(keep_dense).select(did)
-        hashed = perceptual_hash_images(
-            images.join(alive, id_col, "left_semi"),
+        alive = flagged.filter(alive_expr).select(did)
+        hashed = hash_fn(
+            rel.join(alive, id_col, "left_semi"),
             id_col=id_col,
             payload_col=payload_col,
         ).persist()
-        if image_store_dir is not None:
-            img_dups = incremental_hamming_dedup(
-                hashed,
-                image_store_dir,
-                image_batch_id,
-                id_col=id_col,
-                max_hamming=image_max_hamming,
+        if store_dir is not None:
+            dups = incremental_hamming_dedup(
+                hashed, store_dir, batch_id, id_col=id_col, max_hamming=max_h
             ).select(did)
         else:
-            ipairs = simhash_pairs(
-                hashed, id_col=id_col, max_hamming=image_max_hamming
-            )
-            comp = connected_components(ipairs)
-            img_dups = comp.filter("doc_id != canonical_id").select(
+            pairs = simhash_pairs(hashed, id_col=id_col, max_hamming=max_h)
+            comp = connected_components(pairs)
+            dups = comp.filter("doc_id != canonical_id").select(
                 F.col("doc_id").alias(id_col)
             )
         flagged = flagged.join(
-            img_dups.withColumn("_img_dup", F.lit(True)), id_col, "left"
+            dups.withColumn("_bin_dup", F.lit(True)), id_col, "left"
         ).withColumn(
-            "_image_keep", ~F.coalesce(F.col("_img_dup"), F.lit(False))
-        ).drop("_img_dup")
-        image_caches = (hashed,)
+            keep_name, ~F.coalesce(F.col("_bin_dup"), F.lit(False))
+        ).drop("_bin_dup")
+        return flagged, hashed
+
+    image_caches: tuple = ()
+    if images is not None:
+        from crypto_data_pipeline_with_kafka_spark.multimodal import (
+            perceptual_hash_images,
+        )
+
+        flagged, img_hashed = _modality_gate(
+            flagged, keep_dense, images, perceptual_hash_images,
+            image_max_hamming, image_store_dir, image_batch_id,
+            "_image_keep",
+        )
+        image_caches = (img_hashed,)
     else:
         flagged = flagged.withColumn("_image_keep", F.lit(True))
+    keep_img = keep_dense & F.col("_image_keep")
 
-    keep = keep_dense & F.col("_image_keep")
+    audio_caches: tuple = ()
+    if audio is not None:
+        from crypto_data_pipeline_with_kafka_spark.multimodal import (
+            perceptual_hash_audio,
+        )
+
+        flagged, aud_hashed = _modality_gate(
+            flagged, keep_img, audio, perceptual_hash_audio,
+            audio_max_hamming, audio_store_dir, audio_batch_id,
+            "_audio_keep",
+        )
+        audio_caches = (aud_hashed,)
+    else:
+        flagged = flagged.withColumn("_audio_keep", F.lit(True))
+
+    keep = keep_img & F.col("_audio_keep")
     flagged = flagged.withColumn("_keep", keep).persist()
 
     # ONE aggregation pass for every stage statistic
@@ -458,6 +491,7 @@ def curate_corpus(
         _n(keep_mh & ~F.col("_winnow_keep")).alias("winnow_dropped"),
         _n(keep_wn & ~F.col("_dense_keep")).alias("dense_neardup_dropped"),
         _n(keep_dense & ~F.col("_image_keep")).alias("image_neardup_dropped"),
+        _n(keep_img & ~F.col("_audio_keep")).alias("audio_neardup_dropped"),
         _n(F.col("_keep")).alias("curated_rows"),
     ).first()
     stats = {k: int(srow[k]) for k in srow.asDict()}
@@ -465,7 +499,7 @@ def curate_corpus(
     curated = flagged.filter("_keep").drop(
         "_exact_keep", "_quality_ok", "_rep_ok", "_decontam_ok",
         "_neardup_keep", "_winnow_keep", "_dense_keep", "_image_keep",
-        "_keep", "_top2", "_n2", "_dup3", "_n3", "_in_cluster",
+        "_audio_keep", "_keep", "_top2", "_n2", "_dup3", "_n3", "_in_cluster",
         "_is_survivor", "_in_wcluster", "_is_wsurvivor",
         "_in_dcluster", "_is_dsurvivor",
     )
@@ -521,7 +555,8 @@ def curate_corpus(
         write_export_manifest(spark, export_path)
     for df in (
         gated, pairs, flagged,
-        *winnow_caches, *dense_caches, *image_caches, *chunk_caches,
+        *winnow_caches, *dense_caches, *image_caches, *audio_caches,
+        *chunk_caches,
     ):
         df.unpersist()
     return curated, stats

@@ -665,6 +665,158 @@ def perceptual_hash_images(
     )
 
 
+AUDIO_FP_SCHEMA = "doc_id long, sample_rate int, n_samples long, simhash string"
+
+
+def perceptual_hash_audio(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit frame-energy fingerprint per audio payload — the audio
+    modality's aHash twin, closing the loop on the modality-agnostic
+    hamming store (text SimHash and image aHash already feed it): split
+    the mono-mixed sample stream into 64 equal time frames
+    (floor-boundary segments, the aHash grid rule), take each frame's
+    mean absolute amplitude, and set bit k iff frame k's mean > the
+    mean of the 64 frame means (strict >, ties → 0). The sign-of-
+    energy-contour construction is robust to the perturbations that
+    break content-hash identity — re-encodes at different bit depths
+    scale ALL frames together (the global-mean threshold cancels gain),
+    low-level noise moves frame means by ±1 LSB — while a different
+    loudness CONTOUR flips many bits.
+
+    Decodes the engine's real codec-free audio (RIFF/WAVE, the same
+    chunk walk as :func:`decode_audio`): PCM 8/16/32-bit and IEEE
+    float 32/64; 24-bit PCM and compressed tags raise at the
+    documented loud boundary. Channels mix down by per-frame integer
+    mean (exact for PCM — the fingerprint is bit-reproducible).
+    Requires ≥ 64 mono samples. Output carries the ``simhash`` column
+    contract, so ``operators.dedup.simhash_pairs`` (chunk-blocked
+    hamming join) and ``incremental_hamming_dedup`` (the cross-run
+    store) consume it unchanged."""
+
+    def hash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure shipped by value (decoder convention)
+        import struct
+
+        def _mono_samples(payload: bytes) -> tuple[int, list]:
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise NotImplementedError(
+                    "only RIFF/WAVE PCM fingerprinting without codec "
+                    "libraries; compressed audio needs soundfile/ffmpeg"
+                )
+            fmt = None
+            data = None
+            pos = 12
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", payload, pos + 4)
+                body = pos + 8
+                if cid == b"fmt ":
+                    if size < 16 or body + 16 > len(payload):
+                        raise ValueError("WAV fmt chunk truncated")
+                    tag, ch, rate, _br, _ba, bits = struct.unpack_from(
+                        "<HHIIHH", payload, body
+                    )
+                    if tag not in (1, 3):
+                        raise NotImplementedError(
+                            f"WAV format tag {tag} is a compressed codec"
+                        )
+                    fmt = (tag, ch, rate, bits)
+                elif cid == b"data":
+                    if body + size > len(payload):
+                        raise ValueError("WAV data chunk truncated")
+                    data = (body, size)
+                pos = body + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("WAV missing fmt/data chunk")
+            tag, ch, rate, bits = fmt
+            if ch <= 0 or rate <= 0:
+                raise ValueError(f"WAV fmt invalid: channels={ch} rate={rate}")
+            off, size = data
+            if tag == 1 and bits == 8:  # unsigned, midpoint 128
+                frames = [b - 128 for b in payload[off : off + size]]
+            elif tag == 1 and bits == 16:
+                frames = list(
+                    struct.unpack_from(f"<{size // 2}h", payload, off)
+                )
+            elif tag == 1 and bits == 32:
+                frames = list(
+                    struct.unpack_from(f"<{size // 4}i", payload, off)
+                )
+            elif tag == 3 and bits == 32:
+                frames = list(
+                    struct.unpack_from(f"<{size // 4}f", payload, off)
+                )
+            elif tag == 3 and bits == 64:
+                frames = list(
+                    struct.unpack_from(f"<{size // 8}d", payload, off)
+                )
+            else:
+                raise NotImplementedError(
+                    f"WAV tag {tag} at {bits}-bit needs a codec shim "
+                    "(24-bit PCM packing / non-IEEE widths)"
+                )
+            if ch == 1:
+                return rate, frames
+            n = len(frames) // ch
+            if tag == 1:  # integer channel mean keeps PCM exact
+                return rate, [
+                    sum(frames[i * ch : (i + 1) * ch]) // ch for i in range(n)
+                ]
+            return rate, [
+                sum(frames[i * ch : (i + 1) * ch]) / ch for i in range(n)
+            ]
+
+        def _fp(payload: bytes) -> tuple[int, int, str]:
+            rate, mono = _mono_samples(payload)
+            n = len(mono)
+            if n < 64:
+                raise ValueError(
+                    f"audio fingerprint needs >= 64 samples, got {n}"
+                )
+            means = []
+            for s in range(64):
+                i0, i1 = s * n // 64, (s + 1) * n // 64
+                acc = 0
+                for v in mono[i0:i1]:
+                    acc += v if v >= 0 else -v
+                means.append(acc / (i1 - i0))
+            mu = sum(means) / 64.0
+            return rate, n, "".join("1" if m > mu else "0" for m in means)
+
+        for pdf in it:
+            hashed = pdf[payload_col].map(_fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],  # aliased in the select below
+                    "sample_rate": hashed.map(lambda t: t[0]),
+                    "n_samples": hashed.map(lambda t: t[1]),
+                    "simhash": hashed.map(lambda t: t[2]),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), payload_col).mapInPandas(
+        hash_batch, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio near-dup pairs: frame-energy fingerprint → the SAME
+    chunk-blocked hamming join text SimHash and image aHash use (one
+    blocking/verify engine, three modalities). Returns
+    (id_a, id_b, hamming)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        perceptual_hash_audio(df, id_col, payload_col), max_hamming=max_hamming
+    )
+
+
 def image_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 6,

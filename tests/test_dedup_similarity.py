@@ -1056,6 +1056,110 @@ def test_image_ahash_near_dup_pairs(spark):
     assert got == 3
 
 
+def _wav16(samples, rate=8000):
+    """Minimal RIFF/WAVE, 16-bit PCM mono."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_audio_fingerprint_near_dup_pairs(spark, tmp_path):
+    """Frame-energy audio fingerprints: a lightly-noised re-take pairs
+    with its original at low hamming, a different loudness contour does
+    not; the Spark hash matches an independent sequential recomputation;
+    and the fingerprints flow through BOTH the in-batch hamming join
+    and the cross-run incremental store — the third modality on the
+    modality-agnostic engine (text SimHash, image aHash, now audio)."""
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        audio_near_dup_pairs,
+        perceptual_hash_audio,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+
+    # 64 frames x 128 samples; loud frames (amplitude 1000) on a fixed
+    # pattern, quiet elsewhere (amplitude 10), alternating sign
+    loud = {s for s in range(64) if s % 3 == 0}
+
+    def tone(loud_set):
+        out = []
+        for s in range(64):
+            amp = 1000 if s in loud_set else 10
+            out.extend(amp if i % 2 == 0 else -amp for i in range(128))
+        return out
+
+    base = tone(loud)
+    noisy = list(base)
+    for k in range(0, len(noisy), 97):  # sparse 1-LSB perturbations
+        noisy[k] += 1
+    different = tone({s for s in range(64) if s % 3 != 0})
+    rows = [(1, _wav16(base)), (2, _wav16(noisy)), (3, _wav16(different))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {r.doc_id: r for r in perceptual_hash_audio(df).collect()}
+    assert got[1].sample_rate == 8000 and got[1].n_samples == 64 * 128
+
+    # independent sequential recomputation of the base fingerprint
+    def ref_fp(samples):
+        n = len(samples)
+        means = []
+        for s in range(64):
+            i0, i1 = s * n // 64, (s + 1) * n // 64
+            seg = samples[i0:i1]
+            means.append(sum(abs(v) for v in seg) / len(seg))
+        mu = sum(means) / 64.0
+        return "".join("1" if m > mu else "0" for m in means)
+
+    assert got[1].simhash == ref_fp(base)
+    assert got[3].simhash == ref_fp(different)
+    ham_12 = sum(a != b for a, b in zip(got[1].simhash, got[2].simhash))
+    ham_13 = sum(a != b for a, b in zip(got[1].simhash, got[3].simhash))
+    assert ham_12 <= 6 < ham_13
+
+    # in-batch pairing: only the near-dup pair survives
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] == ham_12
+
+    # cross-run store path: index the original, then a later run's
+    # re-take is flagged against it while the different contour is not
+    store = str(tmp_path / "audio_store")
+    first = incremental_hamming_dedup(
+        perceptual_hash_audio(df.filter("doc_id = 1")), store, 0
+    )
+    assert first.isEmpty()
+    flagged = incremental_hamming_dedup(
+        perceptual_hash_audio(df.filter("doc_id >= 2")), store, 1
+    )
+    assert [(r.doc_id, r.dup_of, r.hamming) for r in flagged.collect()] == [
+        (2, 1, ham_12)
+    ]
+
+    # honest codec boundary: compressed tags refuse loudly
+    import struct as _struct
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    bad_fmt = _struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    bad = (
+        b"RIFF" + _struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + bad_fmt
+        + b"data" + _struct.pack("<I", 0)
+    )
+    baddf = spark.createDataFrame([(9, bad)], "doc_id long, payload binary")
+    with pytest.raises((Py4JJavaError, PySparkException), match="compressed codec"):
+        perceptual_hash_audio(baddf).collect()
+
+
 def test_incremental_hamming_dedup_text_and_images(spark, tmp_path):
     """One hash-index engine, two modalities: (1) text SimHash over 2
     batches ≡ the one-shot simhash_pairs derivation; (2) image aHash

@@ -463,6 +463,7 @@ def test_curate_corpus_winnow_stage(spark):
             "winnow_dropped",
             "dense_neardup_dropped",
             "image_neardup_dropped",
+            "audio_neardup_dropped",
         )
     )
 
@@ -534,6 +535,37 @@ def test_curate_corpus_image_gate(spark, tmp_path):
     assert st2["image_neardup_dropped"] == 1 and st2["curated_rows"] == 0
     assert cur2.isEmpty()
 
+    # audio twin of the gate: a planted near-dup recording pair keeps
+    # its min-id member, the different loudness contour passes
+    import struct as _struct
+
+    def wav16(samples, rate=8000):
+        data = _struct.pack(f"<{len(samples)}h", *samples)
+        fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data)
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def tone(loud_set):
+        out = []
+        for s in range(64):
+            amp = 1000 if s in loud_set else 10
+            out.extend(amp if i % 2 == 0 else -amp for i in range(128))
+        return out
+
+    loud = {s for s in range(64) if s % 3 == 0}
+    a_base = tone(loud)
+    a_noisy = [v + (1 if k % 97 == 0 else 0) for k, v in enumerate(a_base)]
+    a_diff = tone({s for s in range(64) if s % 3 != 0})
+    audio = spark.createDataFrame(
+        [(s1, wav16(a_base)), (s2, wav16(a_noisy)), (s3, wav16(a_diff))],
+        "doc_id long, payload binary",
+    )
+    cur3, st3 = curate_corpus(spark, docs, audio=audio)
+    ids3 = {r.doc_id for r in cur3.select("doc_id").collect()}
+    assert st3["audio_neardup_dropped"] == 1
+    assert s1 in ids3 and s2 not in ids3 and s3 in ids3
+
 
 def test_curate_corpus_optional_stages_empty_inputs(spark, tmp_path):
     """P7 for the optional stages: an empty corpus (and empty
@@ -552,9 +584,11 @@ def test_curate_corpus_optional_stages_empty_inputs(spark, tmp_path):
     curated, stats = curate_corpus(
         spark,
         empty_docs,
+        winnow=True,
         benchmark=bench,
         embeddings=empty_emb,
         images=empty_img,
+        audio=spark.createDataFrame([], "doc_id long, payload binary"),
         chunk_dedup=True,
     )
     assert curated.isEmpty()
