@@ -1755,47 +1755,76 @@ def _pq_query_luts(
             "id_a",
             qnorm.alias("_qn"),
             F.transform(F.col("_cb"), lut_entry).alias("_lut"),
-            F.transform(F.col("_cb"), lambda c: c["cnorm_sq"]).alias("_cn"),
-            F.aggregate(
-                F.col("_cb"), F.lit(0), lambda acc, c: F.greatest(acc, c["code"])
-            ).alias("_kmax"),
         )
     )
 
 
-def _adc_cosine(exact: bool) -> Column:
-    """The asymmetric-distance cosine over a row holding a query's LUT
-    columns (``_pq_query_luts``) and a corpus row's ``codes``: m table
-    lookups for the dot, m norm lookups for the reconstructed |x̂|.
-    Entry position for (sub_id=j, code=c) in the sorted pack is
-    j·(kmax+1)+c+1."""
-    kk = F.col("_kmax") + 1
-    idx = F.transform(F.col("codes"), lambda c, j: j * kk + c + 1)
-    if exact:
-        # decimal sums of the m selected exact dots / entry norms, ONE
-        # string-hopped double conversion each (dot_exact convention)
-        score = F.aggregate(
-            idx,
-            F.lit(0).cast(_ACC),
-            lambda acc, i: (acc + F.element_at("_lut", i)).cast(_ACC),
-        ).cast("string").cast("double")
-        xnorm = F.sqrt(
+def _codes_adc_side(
+    codes: DataFrame, codebooks: DataFrame, id_col: str, exact: bool
+) -> DataFrame:
+    """(id_b, _idx, _xn) — the per-CORPUS-ROW half of an ADC scan,
+    computed once per row and NEVER per (query, row) pair: ``_idx``
+    holds each code's position in the sorted codebook pack
+    (j·(kmax+1)+c+1) and ``_xn`` the reconstructed norm |x̂| (sum of
+    the selected entries' stored norms). The pair loop downstream is
+    then one m-lookup fold plus a division — higher-order functions
+    run interpreted, so hoisting the norm fold and position transform
+    off the pair cardinality is what keeps the scan ~codes-sized."""
+    packed = _packed_codebooks(codebooks)
+    staged = codes.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col).alias("id_b"),
+        "codes",
+        F.transform(F.col("_cb"), lambda c: c["cnorm_sq"]).alias("_cn"),
+        (
             F.aggregate(
-                idx,
+                F.col("_cb"), F.lit(0), lambda acc, c: F.greatest(acc, c["code"])
+            )
+            + 1
+        ).alias("_kk"),
+    )
+    idx = F.transform(
+        F.col("codes"), lambda c, j: j * F.col("_kk") + c + 1
+    )
+    staged = staged.select("id_b", idx.alias("_idx"), "_cn")
+    if exact:
+        # decimal norm sum, ONE string-hopped double conversion (the
+        # dot_exact convention)
+        xn = F.sqrt(
+            F.aggregate(
+                F.col("_idx"),
                 F.lit(0).cast(_ACC),
                 lambda acc, i: (acc + F.element_at("_cn", i)).cast(_ACC),
             ).cast("string").cast("double")
         )
     else:
-        score = F.aggregate(
-            idx, F.lit(0.0), lambda acc, i: acc + F.element_at("_lut", i)
-        )
-        xnorm = F.sqrt(
+        xn = F.sqrt(
             F.aggregate(
-                idx, F.lit(0.0), lambda acc, i: acc + F.element_at("_cn", i)
+                F.col("_idx"),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at("_cn", i),
             )
         )
-    return score / (F.col("_qn") * xnorm)
+    return staged.select("id_b", "_idx", xn.alias("_xn"))
+
+
+def _adc_pair_cosine(exact: bool) -> Column:
+    """The asymmetric-distance cosine over a joined row holding a
+    query's LUT (``_pq_query_luts``) and a corpus row's precomputed
+    ADC columns (``_codes_adc_side``): m table lookups for the dot,
+    divided by the query norm × the precomputed reconstructed norm."""
+    if exact:
+        score = F.aggregate(
+            F.col("_idx"),
+            F.lit(0).cast(_ACC),
+            lambda acc, i: (acc + F.element_at("_lut", i)).cast(_ACC),
+        ).cast("string").cast("double")
+    else:
+        score = F.aggregate(
+            F.col("_idx"),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at("_lut", i),
+        )
+    return score / (F.col("_qn") * F.col("_xn"))
 
 
 def pq_topk(
@@ -1836,12 +1865,18 @@ def pq_topk(
         emb.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
         vec_col, exact,
     )
-    paired = queries.join(
-        codes.select(F.col(id_col).alias("id_b"), "codes"),
-        F.col("id_a") != F.col("id_b"),
+    # the query side (with its LUTs) broadcasts explicitly and the
+    # codes side STREAMS: each corpus row's positions/norm evaluate
+    # once (see _codes_adc_side), then fan out across the broadcast
+    # queries — a non-equi join the other way round would re-derive
+    # the encode expressions at pair cardinality
+    paired = (
+        _codes_adc_side(codes, codebooks, id_col, exact)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("id_a") != F.col("id_b"))
     )
     scored = paired.select(
-        "id_a", "id_b", _adc_cosine(exact).alias("cosine_pq")
+        "id_a", "id_b", _adc_pair_cosine(exact).alias("cosine_pq")
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_pq").desc(), F.col("id_b"))
     return (
@@ -1955,8 +1990,8 @@ def ivf_pq_topk(
     )
     adc = (
         cand.join(F.broadcast(queries), "id_a")
-        .join(codes.select(F.col(id_col).alias("id_b"), "codes"), "id_b")
-        .select("id_a", "id_b", _adc_cosine(exact=False).alias("_adc"))
+        .join(_codes_adc_side(codes, codebooks, id_col, exact=False), "id_b")
+        .select("id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc"))
     )
     wa = Window.partitionBy("id_a").orderBy(F.col("_adc").desc(), F.col("id_b"))
     shortlist = (

@@ -330,11 +330,15 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("qtopk").alias("method"), "id_a", "id_b", "cosine", "rnk")
     # pq leg rides the same persisted base (vec_col="vdbl" — the
     # quantization inside exact mode truncates identically from the
-    # double components); dim passed explicitly, no inference job
+    # double components); dim passed explicitly, no inference job. The
+    # O(m·k) codebook is localCheckpointed: three downstream stages
+    # (encode, query LUTs, corpus ADC side) each pack it, and pinning
+    # the 128 rows keeps the per-sub-space pick jobs from re-running
+    # once per consumer
     books = pq_train(
         base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K,
         vec_col="vdbl", dim=_DIM, exact=True,
-    )
+    ).localCheckpoint()
     pq = pq_topk(
         base, books, query_ids_max=20, k=3, vec_col="vdbl", exact=True
     ).select(

@@ -343,8 +343,27 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            'pgm' AS format, width, height,
            CAST(1 AS INTEGER) AS channels
     FROM pay
+    UNION ALL
+    SELECT 'afp' AS method, g.doc_id, CAST(556 AS BIGINT) AS n_bytes,
+           string_agg(CASE WHEN 64*g.sabs > t.total THEN '1' ELSE '0' END,
+                      '' ORDER BY g.s) AS content_hash,
+           'wav_fp' AS format, CAST(8000 AS INTEGER) AS width,
+           CAST(512 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels
+    FROM (
+      SELECT d.doc_id, CAST(t.s AS INT) AS s,
+             sum(128 - ((d.doc_id*7 + (t.s*8 + u.j)*13) % 128)) AS sabs
+      FROM documents d, range(0, 64) t(s), range(0, 8) u(j)
+      GROUP BY 1, 2
+    ) g
+    JOIN (
+      SELECT doc_id,
+             sum(128 - ((doc_id*7 + CAST(i AS INT)*13) % 128)) AS total
+      FROM documents, range(0, 512) t(i)
+      GROUP BY 1
+    ) t USING (doc_id)
+    GROUP BY g.doc_id
     """,
-    doc="Multimodal decode, tagged union of both decoder paths through "
+    doc="Multimodal decode, tagged union of the decoder paths through "
     "the SAME Arrow mapInPandas stage: 'stub' = opaque binary payload "
     "(utf-8 bytes standing in for compressed blobs) through the "
     "documented deterministic stub decoder — byte length + content hash "
@@ -352,16 +371,25 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each document's text packed into a GENUINE binary PGM payload (P5 "
     "header with per-row planted dimensions, text bytes as the raster — "
     "all-ASCII fixture, so chars = bytes) and decode_images("
-    "decoder='real') — the pure-Python Netpbm parser — decodes it back. "
-    "The oracle derives both legs' (format, width, height, channels, "
-    "n_bytes, content_hash) purely arithmetically, so a header-parse or "
-    "raster-validation bug breaks the hash match",
-    tags=("multimodal", "udf"),
+    "decoder='real') — the pure-Python Netpbm parser — decodes it back; "
+    "'afp' (r7) = per-doc GENUINE RIFF/WAVE payloads (8-bit PCM mono, "
+    "512 samples derived arithmetically from doc_id; every byte < 128 "
+    "so the UTF-8 hop is byte-exact) fingerprinted by "
+    "multimodal.perceptual_hash_audio — the frame count (8 = 2^3 "
+    "samples/frame) makes every frame mean and the global mean EXACT "
+    "doubles, so the sign-contour bits reduce to the integer rule "
+    "64·S_s > ΣS the oracle replays; content_hash carries the 64-bit "
+    "fingerprint, width/height the parsed rate/sample count. The "
+    "oracle derives all legs' columns purely arithmetically, so a "
+    "header-parse, raster-validation, or WAV chunk-walk bug breaks "
+    "the hash match",
+    tags=("multimodal", "udf", "audio"),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.multimodal import (
         attach_binary_payload,
         decode_images,
+        perceptual_hash_audio,
     )
 
     docs = _docs(spark, sf_dir)
@@ -387,7 +415,46 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     real = decode_images(planted, decoder="real").select(
         F.lit("real").alias("method"), "*"
     )
-    return stub.unionByName(real)
+    # 'afp' leg: genuine WAV bytes built in-plan (constant 44-byte
+    # header — 8-bit PCM mono @8000, 512-sample data chunk — plus
+    # doc_id-derived samples, all bytes < 128 so encode() is exact),
+    # fingerprinted through the REAL audio path
+    import struct as _struct
+
+    _hdr = (
+        b"RIFF" + _struct.pack("<I", 4 + 24 + 8 + 512) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + _struct.pack("<I", 512)
+    ).decode("ascii")
+    wav_samples = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(511)),
+            lambda i: F.char((F.col("doc_id") * 7 + i * 13) % 128),
+        ),
+        "",
+    )
+    wav_payload = F.encode(F.concat(F.lit(_hdr), wav_samples), "UTF-8")
+    planted_aud = docs.select(
+        "doc_id",
+        wav_payload.alias("payload"),
+        F.length(wav_payload).cast("long").alias("n_bytes"),
+    )
+    afp = (
+        perceptual_hash_audio(planted_aud.select("doc_id", "payload"))
+        .join(planted_aud.select("doc_id", "n_bytes"), "doc_id")
+        .select(
+            F.lit("afp").alias("method"),
+            "doc_id",
+            "n_bytes",
+            F.col("simhash").alias("content_hash"),
+            F.lit("wav_fp").alias("format"),
+            F.col("sample_rate").cast("int").alias("width"),
+            F.col("n_samples").cast("int").alias("height"),
+            F.lit(1).cast("int").alias("channels"),
+        )
+    )
+    return stub.unionByName(real).unionByName(afp)
 
 
 @register(

@@ -549,7 +549,12 @@ def run_incremental_ivf_stream(
     trained cell geometry at ``store_dir/centroids`` before the stream
     starts (``save_ivf_index`` or a first-batch ``incremental_ivf_update``
     call with ``centroids=``) — a stream must not re-derive geometry
-    per batch, or earlier cells would be invalidated mid-stream.
+    per batch, or earlier cells would be invalidated mid-stream. A
+    store bootstrapped with ``pq_codebooks=`` needs nothing extra
+    here: the codebooks live at ``store_dir/pq_codebooks`` and every
+    batch step reads them from the store, so streamed cells keep
+    carrying PQ codes for the ``read_ivf_pq_store`` serve tier
+    (pytest-pinned against the direct batch calls).
 
     The geometry is fixed only WHILE the stream runs, not forever: when
     the store grows past the sqrt-corpus rule's C-doubling threshold

@@ -727,7 +727,9 @@ def test_incremental_dedup_empty_batch_is_noop(spark, tmp_path):
 def test_incremental_ivf_stream_matches_batch_calls(spark, tmp_path):
     """run_incremental_ivf_stream through the REAL streaming engine over
     3 staged files ≡ three direct incremental_ivf_update calls with the
-    same fixed centroids; starting without trained centroids refuses."""
+    same fixed centroids (both stores bootstrapped with pq_codebooks=,
+    so the streamed cells must keep carrying PQ codes identical to the
+    direct path's); starting without trained centroids refuses."""
     import glob as _glob
     import os
     import time as _time
@@ -738,6 +740,7 @@ def test_incremental_ivf_stream_matches_batch_calls(spark, tmp_path):
         _ensure_ann_base,
         _seed_centroids,
         incremental_ivf_update,
+        pq_train,
     )
     from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
         run_incremental_ivf_stream,
@@ -746,6 +749,9 @@ def test_incremental_ivf_stream_matches_batch_calls(spark, tmp_path):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     base = _ensure_ann_base(emb, "vec_id")
     cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+    books = pq_train(
+        base, num_subvectors=8, codes_per_subvector=16, vec_col="vdbl", dim=64
+    ).localCheckpoint()
     t = 0.2
 
     src = str(tmp_path / "src")
@@ -762,6 +768,7 @@ def test_incremental_ivf_stream_matches_batch_calls(spark, tmp_path):
         batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         incremental_ivf_update(
             batch, batch_store, i, centroids=cents if i == 0 else None,
+            pq_codebooks=books if i == 0 else None,
             min_cosine=t,
         )
         stage = f"{src}/_stage"
@@ -772,6 +779,7 @@ def test_incremental_ivf_stream_matches_batch_calls(spark, tmp_path):
         os.utime(f"{src}/batch{i}.parquet", (now + 10 * i, now + 10 * i))
 
     cents.write.mode("overwrite").parquet(f"{stream_store}/centroids")
+    books.write.mode("overwrite").parquet(f"{stream_store}/pq_codebooks")
     run_incremental_ivf_stream(spark, src, stream_store, min_cosine=t)
 
     def read_flags(store):
@@ -782,6 +790,18 @@ def test_incremental_ivf_stream_matches_batch_calls(spark, tmp_path):
 
     sflags, bflags = read_flags(stream_store), read_flags(batch_store)
     assert sflags == bflags and len(sflags) > 0
+
+    # a pq_codebooks-bootstrapped store keeps coding every STREAMED
+    # batch (the per-batch step reads the persisted codebooks): codes
+    # identical to the direct batch path's, for every vector
+    def read_codes(store):
+        return {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.read.parquet(f"{store}/cells").collect()
+        }
+
+    scodes, bcodes = read_codes(stream_store), read_codes(batch_store)
+    assert scodes == bcodes and len(scodes) == emb.count()
 
 
 def test_incremental_hamming_stream_matches_batch_calls(spark, tmp_path):
