@@ -1807,24 +1807,78 @@ def _codes_adc_side(
     return staged.select("id_b", "_idx", xn.alias("_xn"))
 
 
+def _adc_lut_sum(exact: bool) -> Column:
+    """The m-lookup ADC dot over a joined row: sum of the query LUT
+    entries selected by the corpus row's precomputed positions."""
+    if exact:
+        return F.aggregate(
+            F.col("_idx"),
+            F.lit(0).cast(_ACC),
+            lambda acc, i: (acc + F.element_at("_lut", i)).cast(_ACC),
+        ).cast("string").cast("double")
+    return F.aggregate(
+        F.col("_idx"),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at("_lut", i),
+    )
+
+
 def _adc_pair_cosine(exact: bool) -> Column:
     """The asymmetric-distance cosine over a joined row holding a
     query's LUT (``_pq_query_luts``) and a corpus row's precomputed
     ADC columns (``_codes_adc_side``): m table lookups for the dot,
     divided by the query norm × the precomputed reconstructed norm."""
-    if exact:
-        score = F.aggregate(
-            F.col("_idx"),
-            F.lit(0).cast(_ACC),
-            lambda acc, i: (acc + F.element_at("_lut", i)).cast(_ACC),
-        ).cast("string").cast("double")
-    else:
-        score = F.aggregate(
-            F.col("_idx"),
-            F.lit(0.0),
-            lambda acc, i: acc + F.element_at("_lut", i),
+    return _adc_lut_sum(exact) / (F.col("_qn") * F.col("_xn"))
+
+
+def _residual_adc_side(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    corpus_cells: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """(id_b, centroid_id, _idx, _xn) for RESIDUAL codes: like
+    :func:`_codes_adc_side`, but the reconstructed vector is
+    x̂ = c + r̂ (primary centroid plus the decoded residual), so the
+    norm is rebuilt in-row from the broadcast centroid vectors and the
+    selected codebook entries — still once per corpus row, never per
+    pair, and still query-independent."""
+    packed = _packed_codebooks(codebooks)
+    cb = F.col("_cb")
+    kk = (
+        F.aggregate(cb, F.lit(0), lambda acc, c: F.greatest(acc, c["code"]))
+        + 1
+    )
+    idx = F.transform(F.col("codes"), lambda c, j: j * kk + c + 1)
+    rhat = F.flatten(
+        F.transform(
+            F.col("codes"),
+            lambda c, j: F.element_at(cb, j * kk + c + 1)["cvec"],
         )
-    return score / (F.col("_qn") * F.col("_xn"))
+    )
+    staged = (
+        codes.join(corpus_cells.select(F.col(id_col), "centroid_id"), id_col)
+        .join(
+            F.broadcast(
+                cents.select("centroid_id", F.col("cvec").alias("_cvec"))
+            ),
+            "centroid_id",
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col).alias("id_b"),
+            "centroid_id",
+            idx.alias("_idx"),
+            F.zip_with(F.col("_cvec"), rhat, lambda a, b: a + b).alias("_xhat"),
+        )
+    )
+    return staged.select(
+        "id_b",
+        "centroid_id",
+        "_idx",
+        F.sqrt(dot_double(F.col("_xhat"), F.col("_xhat"))).alias("_xn"),
+    )
 
 
 def pq_topk(
@@ -1902,6 +1956,7 @@ def ivf_pq_topk(
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
     dim: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking — the memory-bounded serve tier
     (Jégou et al. 2011, the FAISS IVFPQ layout): ``ivf_topk`` prunes
@@ -1933,7 +1988,26 @@ def ivf_pq_topk(
 
     Scale shape: queries (with their O(m·k) LUT arrays) broadcast into
     the candidate join; codes join shuffles only the candidate list;
-    the full-vector join after the shortlist is O(queries · refine)."""
+    the full-vector join after the shortlist is O(queries · refine).
+
+    ``residual=True`` is the textbook IVFADC refinement: quantize the
+    RESIDUAL x − c(x) against each vector's primary centroid instead
+    of the raw vector. Residuals are smaller and better centered than
+    raw vectors, so the same code budget spends its resolution where
+    the cell already localized the point — on clustered data this is
+    what makes 8-byte codes usable at all (pytest measures the recall
+    gain on a planted clustered corpus). Scoring decomposes as
+    dot(q, x̂) = dot(q, c) + dot(q, r̂): the first term is one
+    O(queries·C) broadcastable relation, the second the usual ADC LUT
+    over the RESIDUAL codebooks; the reconstructed norm |c + r̂| is
+    precomputed per corpus row at index time (query-independent).
+    Requires an explicit cell geometry when ``codebooks``/``codes``
+    are supplied (codes are only meaningful against the geometry that
+    produced the residuals — the same fixed-geometry contract as the
+    incremental store's centroids); retraining cells invalidates
+    residual codes, which is why the STORE layout quantizes raw
+    vectors (geometry-independent, retrain-surviving) and accepts the
+    recall difference."""
     refine = 4 * k if refine is None else refine
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
@@ -1977,22 +2051,81 @@ def ivf_pq_topk(
         .select("id_a", "id_b")
         .distinct()
     )
-    if codebooks is None:
-        codebooks = pq_train(
-            base, num_subvectors, codes_per_subvector, id_col=id_col,
-            vec_col="vdbl", dim=dim,
+    if residual:
+        if assignments is not None:
+            raise ValueError(
+                "residual=True cannot run from assignments=: residuals "
+                "are taken against the cell geometry's centroid VECTORS, "
+                "which the assignments relation does not carry — pass "
+                "centroids= (or let the seeded pick derive them)"
+            )
+        cvecs = F.broadcast(
+            cents.select("centroid_id", F.col("cvec").alias("_cvec"))
         )
-    if codes is None:
-        codes = pq_encode(base, codebooks, id_col=id_col, vec_col="vdbl")
-    queries = _pq_query_luts(
-        base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
-        "vdbl", exact=False,
-    )
-    adc = (
-        cand.join(F.broadcast(queries), "id_a")
-        .join(_codes_adc_side(codes, codebooks, id_col, exact=False), "id_b")
-        .select("id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc"))
-    )
+        res = (
+            base.join(corpus_cells.select(F.col(id_col), "centroid_id"), id_col)
+            .join(cvecs, "centroid_id")
+            .select(
+                F.col(id_col),
+                F.zip_with("vdbl", "_cvec", lambda a, b: a - b).alias("_rvec"),
+            )
+        )
+        if codebooks is None:
+            codebooks = pq_train(
+                res, num_subvectors, codes_per_subvector, id_col=id_col,
+                vec_col="_rvec", dim=dim,
+            )
+        if codes is None:
+            codes = pq_encode(res, codebooks, id_col=id_col, vec_col="_rvec")
+        queries = _pq_query_luts(
+            base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
+            "vdbl", exact=False,
+        )
+        # dot(q, c) per (query, cell): the cell half of the decomposed
+        # score — O(queries·C), broadcastable by construction
+        qc = (
+            base.filter(F.col(id_col) < query_ids_max)
+            .select(F.col(id_col).alias("id_a"), "vdbl")
+            .crossJoin(cvecs)
+            .select(
+                "id_a",
+                "centroid_id",
+                dot_double(F.col("vdbl"), F.col("_cvec")).alias("_qc"),
+            )
+        )
+        adc = (
+            cand.join(F.broadcast(queries), "id_a")
+            .join(
+                _residual_adc_side(codes, codebooks, corpus_cells, cents, id_col),
+                "id_b",
+            )
+            .join(F.broadcast(qc), ["id_a", "centroid_id"])
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    (F.col("_qc") + _adc_lut_sum(False))
+                    / (F.col("_qn") * F.col("_xn"))
+                ).alias("_adc"),
+            )
+        )
+    else:
+        if codebooks is None:
+            codebooks = pq_train(
+                base, num_subvectors, codes_per_subvector, id_col=id_col,
+                vec_col="vdbl", dim=dim,
+            )
+        if codes is None:
+            codes = pq_encode(base, codebooks, id_col=id_col, vec_col="vdbl")
+        queries = _pq_query_luts(
+            base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
+            "vdbl", exact=False,
+        )
+        adc = (
+            cand.join(F.broadcast(queries), "id_a")
+            .join(_codes_adc_side(codes, codebooks, id_col, exact=False), "id_b")
+            .select("id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc"))
+        )
     wa = Window.partitionBy("id_a").orderBy(F.col("_adc").desc(), F.col("id_b"))
     shortlist = (
         adc.withColumn("_ar", F.row_number().over(wa))

@@ -1997,6 +1997,83 @@ def test_ivf_pq_topk_refine_tradeoff(spark):
     books.unpersist()
 
 
+def test_ivf_pq_residual_encoding_lifts_recall(spark):
+    """residual=True (the textbook IVFADC layout) quantizes x − c(x)
+    instead of the raw vector: on a planted CLUSTERED corpus — where
+    raw-vector codebooks waste their resolution re-encoding the cluster
+    structure the cell assignment already captured — the same 8-byte
+    code budget roughly doubles shortlist recall (measured 0.78 vs 0.44
+    at refine=8). Full-refine output is still exactly ivf_topk (the
+    decomposed dot(q,c) + LUT score only orders the shortlist), and
+    the assignments= path refuses (it has no centroid vectors)."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        ivf_assignments,
+        ivf_pq_topk,
+        ivf_topk,
+    )
+
+    G, PER, DIM = 16, 40, 64
+    rows = []
+    for g in range(G):
+        center = [((g * 31 + i * 7) % 17 - 8) / 4.0 for i in range(DIM)]
+        for j in range(PER):
+            p = g * PER + j
+            delta = [((p * 13 + i * 5) % 9 - 4) / 40.0 for i in range(DIM)]
+            rows.append((p, [center[i] + delta[i] for i in range(DIM)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 16, "vec_id").localCheckpoint()
+
+    truth = {}
+    for r in ivf_topk(
+        base, query_ids_max=20, k=5, probes=3, centroids=cents
+    ).collect():
+        truth.setdefault(r.id_a, set()).add(r.id_b)
+    total = sum(len(v) for v in truth.values())
+
+    def recall(**kw):
+        got = ivf_pq_topk(
+            base, query_ids_max=20, k=5, probes=3, centroids=cents,
+            num_subvectors=8, codes_per_subvector=16, refine=8, dim=DIM,
+            **kw,
+        ).collect()
+        return sum(1 for r in got if r.id_b in truth.get(r.id_a, set())) / total
+
+    r_plain, r_res = recall(), recall(residual=True)
+    assert r_res > r_plain, (r_res, r_plain)
+    assert r_res >= 0.7 and r_plain >= 0.3, (r_res, r_plain)
+
+    full = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                base, query_ids_max=20, k=5, probes=3, centroids=cents,
+                refine=10**6, dim=DIM, residual=True,
+            ).collect(),
+        )
+    )
+    exact = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                base, query_ids_max=20, k=5, probes=3, centroids=cents
+            ).collect(),
+        )
+    )
+    assert full == exact
+
+    assign = ivf_assignments(
+        base, 16, probes=3, vec_col="vdbl", centroids=cents, with_rank=True
+    )
+    with pytest.raises(ValueError, match="centroid VECTORS"):
+        ivf_pq_topk(base, assignments=assign, residual=True, dim=DIM)
+    base.unpersist()
+
+
 def test_ivf_pq_store_serves_and_preserves_contract(spark, tmp_path):
     """The pq_codebooks= store layout: codes ride each batch's cell
     rows; the serve view (read_ivf_pq_store) is one row per vec_id with
