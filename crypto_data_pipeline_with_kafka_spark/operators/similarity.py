@@ -230,6 +230,7 @@ def cosine_for_pairs(
     pairs: DataFrame,
     min_cosine: float | None = None,
     exact_norms_in_base: bool = True,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine for an explicit (id_a, id_b) pair list: two hash
     joins to fetch the vectors, one array fold per pair. Cost |pairs|,
@@ -247,10 +248,10 @@ def cosine_for_pairs(
     recomputed HERE, per surviving pair side — O(emitted pairs) decimal
     folds instead of O(corpus)."""
     a = base_dbl.select(
-        F.col("vec_id").alias("id_a"), F.col("vdbl").alias("va"), F.col("norm_sq").alias("na")
+        F.col(id_col).alias("id_a"), F.col("vdbl").alias("va"), F.col("norm_sq").alias("na")
     )
     b = base_dbl.select(
-        F.col("vec_id").alias("id_b"), F.col("vdbl").alias("vb"), F.col("norm_sq").alias("nb")
+        F.col(id_col).alias("id_b"), F.col("vdbl").alias("vb"), F.col("norm_sq").alias("nb")
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
     if min_cosine is not None:
@@ -429,7 +430,8 @@ def lsh_ann_pairs(
         .distinct()
     )
     return cosine_for_pairs(
-        base, cand, min_cosine=min_cosine, exact_norms_in_base=False
+        base, cand, min_cosine=min_cosine, exact_norms_in_base=False,
+        id_col=id_col,
     )
 
 
@@ -805,7 +807,8 @@ def ivf_ann_pairs(
         .distinct()
     )
     return cosine_for_pairs(
-        base, cand, min_cosine=min_cosine, exact_norms_in_base=False
+        base, cand, min_cosine=min_cosine, exact_norms_in_base=False,
+        id_col=id_col,
     )
 
 
@@ -884,7 +887,7 @@ def ivf_topk(
         .select("id_a", "id_b")
         .distinct()
     )
-    scored = cosine_for_pairs(base, cand, exact_norms_in_base=False)
+    scored = cosine_for_pairs(base, cand, exact_norms_in_base=False, id_col=id_col)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -936,7 +939,7 @@ def all_pairs_cosine(
         .join(F.broadcast(guard), F.col("_apc_ok") == 1)
         .drop("_apc_ok")
     )
-    return cosine_for_pairs(base, pairs, min_cosine=min_cosine)
+    return cosine_for_pairs(base, pairs, min_cosine=min_cosine, id_col=id_col)
 
 
 # ------------------------------------------------- IVF index persistence
@@ -1069,6 +1072,20 @@ def incremental_ivf_update(
         )
     cents = spark.read.parquet(cpath)
     if pq_codebooks is not None:
+        if target_exists(spark, f"{store_dir}/cells") and "codes" not in (
+            spark.read.parquet(f"{store_dir}/cells").columns
+        ):
+            # a mixed store is worse than either pure layout: code-less
+            # early batches would serve NULL ADC scores (silently
+            # unreachable vectors) or lose the coded batches' codes on
+            # retrain, depending on which batch schema a reader samples
+            raise ValueError(
+                f"pq_codebooks= on a store whose existing cells at "
+                f"{store_dir}/cells carry no codes: enable PQ from the "
+                "store's FIRST batch — earlier batches' vectors were "
+                "never encoded and cannot be served by ADC; rebuild "
+                "the store (retrain_ivf_store will not backfill codes)"
+            )
         pq_codebooks.write.mode("overwrite").parquet(books_path)
     books = (
         spark.read.parquet(books_path)
@@ -1253,6 +1270,25 @@ def read_ivf_pq_store(
             "FIRST batch — earlier code-less batches cannot be served "
             "by ADC)"
         )
+    # NULL codes mean a batch predates the codebooks (a mixed store
+    # that slipped past the write-side guard, e.g. via direct writes):
+    # such rows would be silently unreachable from every ADC shortlist,
+    # so fail loudly instead of serving a quiet recall hole
+    codes_checked = F.when(
+        F.col("_s.codes").isNotNull(), F.col("_s.codes")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("read_ivf_pq_store: vec_id "),
+                F.col("vec_id").cast("string"),
+                F.lit(
+                    " has no PQ codes (a batch written before the "
+                    "codebooks existed) — rebuild the store with "
+                    "pq_codebooks= from its first batch"
+                ),
+            )
+        )
+    )
     latest = (
         stored.groupBy("vec_id")
         .agg(
@@ -1263,7 +1299,7 @@ def read_ivf_pq_store(
         .select(
             "vec_id",
             F.col(f"_s.{vec_col}").alias(vec_col),
-            F.col("_s.codes").alias("codes"),
+            codes_checked.alias("codes"),
             F.col("_s.centroid_id").alias("centroid_id"),
         )
     )
@@ -1580,6 +1616,24 @@ def pq_train(
     return out
 
 
+def _check_codebook_mode(codebooks: DataFrame, exact: bool, caller: str) -> None:
+    """exact=True pairs with LONG (trunc-quantized, ×1e12-scale)
+    codebook components from ``pq_train(exact=True)``; exact=False
+    with doubles. A mismatch would not error — it silently mis-scores
+    (raw-scale sub-vectors against 1e12-scale entries collapse every
+    distance to ~|cvec|², assigning one code corpus-wide) — so refuse
+    at plan-build from the schema."""
+    dt = dict(codebooks.dtypes).get("cvec", "<missing>")
+    want = "array<bigint>" if exact else "array<double>"
+    if dt != want:
+        raise ValueError(
+            f"{caller}: codebook cvec type {dt} does not match "
+            f"exact={exact} (expected {want}) — exact mode pairs with "
+            "pq_train(exact=True) quantized-long components, the "
+            "default double mode with double components"
+        )
+
+
 def _packed_codebooks(codebooks: DataFrame):
     """ONE row holding every codebook entry sorted by (sub_id, code) —
     the broadcastable O(m·k) relation every PQ stage crossJoins.
@@ -1651,7 +1705,18 @@ def pq_encode(
     exact integer decimals over trunc-quantized components, so the
     argmin (ties to the smaller code) is engine-independent and a SQL
     oracle re-derives every code bitwise."""
+    _check_codebook_mode(codebooks, exact, "pq_encode")
     packed = _packed_codebooks(codebooks)
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), _codes_expr(vec_col, exact).alias("codes"))
+    )
+
+
+def _codes_expr(vec_col: Column | str, exact: bool) -> Column:
+    """The nearest-code assignment as an expression over a row holding
+    the packed ``_cb`` codebook array — shared by :func:`pq_encode`
+    and the fused encode+ADC path in :func:`_codes_adc_side`."""
     m = F.aggregate(
         F.col("_cb"),
         F.lit(-1),
@@ -1707,11 +1772,7 @@ def pq_encode(
             .otherwise(acc),
         )["bc"]
 
-    codes = F.transform(F.sequence(F.lit(0), m - 1), best_code)
-    return (
-        emb.crossJoin(F.broadcast(packed))
-        .select(F.col(id_col), codes.alias("codes"))
-    )
+    return F.transform(F.sequence(F.lit(0), m - 1), best_code)
 
 
 def _pq_query_luts(
@@ -1721,13 +1782,14 @@ def _pq_query_luts(
     vec_col: str,
     exact: bool,
 ) -> DataFrame:
-    """(id_a, _qn, _lut, _cn, _kmax) for a (small) query frame against
-    the broadcast packed codebooks — the per-query ADC lookup table:
-    for entry (j, c) at array position p, ``_lut[p]`` =
-    dot(q_sub_j, cvec) and ``_cn[p]`` = that entry's stored norm
-    (query-independent, carried for the reconstructed-norm cosine).
-    ``exact`` switches the kernels between primitive doubles (fast
-    path) and the module's exact-decimal convention (oracle path)."""
+    """(id_a, _qn, _lut) for a (small) query frame against the
+    broadcast packed codebooks — the per-query ADC lookup table: for
+    entry (j, c) at array position p, ``_lut[p]`` = dot(q_sub_j, cvec);
+    the corpus-side columns (positions, reconstructed norm) live in
+    :func:`_codes_adc_side`. ``exact`` switches the kernels between
+    primitive doubles (fast path) and the module's exact-decimal
+    convention (oracle path)."""
+    _check_codebook_mode(codebooks, exact, "_pq_query_luts")
     packed = _packed_codebooks(codebooks)
     d = F.size(F.element_at(F.col("_cb"), 1)["cvec"])
     if exact:
@@ -1760,7 +1822,12 @@ def _pq_query_luts(
 
 
 def _codes_adc_side(
-    codes: DataFrame, codebooks: DataFrame, id_col: str, exact: bool
+    codes: DataFrame | None,
+    codebooks: DataFrame,
+    id_col: str,
+    exact: bool,
+    emb: DataFrame | None = None,
+    vec_col: str | None = None,
 ) -> DataFrame:
     """(id_b, _idx, _xn) — the per-CORPUS-ROW half of an ADC scan,
     computed once per row and NEVER per (query, row) pair: ``_idx``
@@ -1769,9 +1836,23 @@ def _codes_adc_side(
     the selected entries' stored norms). The pair loop downstream is
     then one m-lookup fold plus a division — higher-order functions
     run interpreted, so hoisting the norm fold and position transform
-    off the pair cardinality is what keeps the scan ~codes-sized."""
+    off the pair cardinality is what keeps the scan ~codes-sized.
+
+    Pass ``codes=None`` with ``emb``/``vec_col`` to FUSE the encode
+    into the same packed-codebook pass — one broadcast crossJoin for
+    encode + positions + norm instead of two (the on-the-fly serve
+    path); a persisted codes relation skips the encode entirely."""
+    _check_codebook_mode(codebooks, exact, "_codes_adc_side")
     packed = _packed_codebooks(codebooks)
-    staged = codes.crossJoin(F.broadcast(packed)).select(
+    if codes is None:
+        src = emb.crossJoin(F.broadcast(packed)).select(
+            F.col(id_col),
+            _codes_expr(vec_col, exact).alias("codes"),
+            F.col("_cb"),
+        )
+    else:
+        src = codes.crossJoin(F.broadcast(packed))
+    staged = src.select(
         F.col(id_col).alias("id_b"),
         "codes",
         F.transform(F.col("_cb"), lambda c: c["cnorm_sq"]).alias("_cn"),
@@ -1913,19 +1994,18 @@ def pq_topk(
     query norm is the module's exact decimal norm — every emitted
     cosine_pq is then bitwise-reproducible by a SQL oracle (same
     IEEE division tree over identical correctly-rounded doubles)."""
-    if codes is None:
-        codes = pq_encode(emb, codebooks, id_col, vec_col, exact=exact)
     queries = _pq_query_luts(
         emb.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
         vec_col, exact,
     )
     # the query side (with its LUTs) broadcasts explicitly and the
     # codes side STREAMS: each corpus row's positions/norm evaluate
-    # once (see _codes_adc_side), then fan out across the broadcast
-    # queries — a non-equi join the other way round would re-derive
-    # the encode expressions at pair cardinality
+    # once (see _codes_adc_side; with codes=None the encode fuses into
+    # the same pass), then fan out across the broadcast queries — a
+    # non-equi join the other way round would re-derive the encode
+    # expressions at pair cardinality
     paired = (
-        _codes_adc_side(codes, codebooks, id_col, exact)
+        _codes_adc_side(codes, codebooks, id_col, exact, emb, vec_col)
         .crossJoin(F.broadcast(queries))
         .filter(F.col("id_a") != F.col("id_b"))
     )
@@ -2071,12 +2151,24 @@ def ivf_pq_topk(
             )
         )
         if codebooks is None:
+            # training sees the WHOLE corpus (codebooks are the
+            # geometry); pinned so the three downstream packers don't
+            # re-run the per-sub-space pick jobs
             codebooks = pq_train(
                 res, num_subvectors, codes_per_subvector, id_col=id_col,
                 vec_col="_rvec", dim=dim,
-            )
+            ).localCheckpoint()
+        # encode/ADC-precompute only rows some query actually probes —
+        # the equi-join on id_b would discard the rest anyway, but only
+        # AFTER their in-row encode/norm folds had run
+        cand_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
         if codes is None:
-            codes = pq_encode(res, codebooks, id_col=id_col, vec_col="_rvec")
+            codes = pq_encode(
+                res.join(cand_ids, id_col, "left_semi"), codebooks,
+                id_col=id_col, vec_col="_rvec",
+            )
+        else:
+            codes = codes.join(cand_ids, id_col, "left_semi")
         queries = _pq_query_luts(
             base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
             "vdbl", exact=False,
@@ -2111,12 +2203,20 @@ def ivf_pq_topk(
         )
     else:
         if codebooks is None:
+            # trained on the whole corpus, pinned for the three packers
             codebooks = pq_train(
                 base, num_subvectors, codes_per_subvector, id_col=id_col,
                 vec_col="vdbl", dim=dim,
-            )
+            ).localCheckpoint()
+        # encode/ADC-precompute candidates only (see residual branch)
+        cand_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
         if codes is None:
-            codes = pq_encode(base, codebooks, id_col=id_col, vec_col="vdbl")
+            codes = pq_encode(
+                base.join(cand_ids, id_col, "left_semi"), codebooks,
+                id_col=id_col, vec_col="vdbl",
+            )
+        else:
+            codes = codes.join(cand_ids, id_col, "left_semi")
         queries = _pq_query_luts(
             base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
             "vdbl", exact=False,
@@ -2132,7 +2232,7 @@ def ivf_pq_topk(
         .filter(F.col("_ar") <= refine)
         .select("id_a", "id_b")
     )
-    scored = cosine_for_pairs(base, shortlist, exact_norms_in_base=False)
+    scored = cosine_for_pairs(base, shortlist, exact_norms_in_base=False, id_col=id_col)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -251,16 +251,27 @@ def verify_export(spark, export_path: str) -> bool:
     edited field value — the per-row digests cover full content) — the
     check a training job runs before trusting a dataset path.
 
-    Recomputes with the algorithm the STORED manifest declares (legacy
-    manifests predate the ``digest_algo`` column and were md5-digested),
-    so a digest-algorithm upgrade is not mistaken for tampering. The
-    algorithm probe is an O(1) first() on the O(shards) manifest."""
+    Recomputes with the algorithm the STORED manifest declares, so a
+    digest-algorithm upgrade is not mistaken for tampering. Manifests
+    predating the ``digest_algo`` column exist in BOTH digest eras
+    (md5 first, then sha2-256 before the column was added), so a
+    column-less manifest's algorithm is inferred from its stored
+    digest LENGTH — 32 hex chars is md5, 64 is sha2-256; the digest
+    length is part of what the full-outer compare checks, so the
+    inference can never accept a digest the declared algorithm could
+    not have produced. The algorithm probe is an O(1) first() on the
+    O(shards) manifest."""
     stored = spark.read.parquet(f"{export_path}/_manifest")
     if "digest_algo" in stored.columns:
         probe = stored.select("digest_algo").first()
         algo = probe[0] if probe is not None else _DIGEST_ALGO_DEFAULT
     else:
-        algo = _DIGEST_ALGO_LEGACY
+        probe = stored.select(F.length("content_hash")).first()
+        algo = (
+            _DIGEST_ALGO_LEGACY
+            if probe is not None and probe[0] == 32
+            else _DIGEST_ALGO_DEFAULT
+        )
         stored = stored.withColumn("digest_algo", F.lit(algo))
     fresh = _shard_digests(_read_export(spark, export_path), algo=algo)
     # full-outer on the full row with side markers: a row missing from

@@ -286,13 +286,14 @@ def test_export_manifest_algo_versioning(spark, tmp_path):
     assert {r["digest_algo"] for r in man.collect()} == {"sha2-256"}
     assert verify_export(spark, path)
 
-    # legacy manifest: md5 digests, no digest_algo column — exactly
-    # what a pre-upgrade export directory holds on disk
-    legacy = _shard_digests(_read_export(spark, path), algo="md5").drop(
-        "digest_algo"
-    )
-    legacy.write.mode("overwrite").parquet(f"{path}/_manifest")
-    assert verify_export(spark, path)
+    # legacy manifests exist in BOTH pre-column eras; the algorithm is
+    # inferred from the stored digest length (32 hex = md5, 64 = sha2)
+    for era_algo in ("md5", "sha2-256"):
+        legacy = _shard_digests(_read_export(spark, path), algo=era_algo).drop(
+            "digest_algo"
+        )
+        legacy.write.mode("overwrite").parquet(f"{path}/_manifest")
+        assert verify_export(spark, path), era_algo
 
     # tampering still detected under the legacy algorithm
     import shutil as _shutil

@@ -1994,6 +1994,13 @@ def test_ivf_pq_topk_refine_tradeoff(spark):
 
     with pytest.raises(ValueError, match="refine"):
         ivf_pq_topk(base, k=5, refine=3, centroids=cents, codebooks=books)
+
+    # non-default id column survives the full path (the exact re-rank
+    # stage threads id_col through cosine_for_pairs)
+    renamed = emb.withColumnRenamed("vec_id", "emb_id")
+    assert ivf_pq_topk(
+        renamed, id_col="emb_id", query_ids_max=5, k=2, refine=4
+    ).count() > 0
     books.unpersist()
 
 
@@ -2160,6 +2167,30 @@ def test_ivf_pq_store_serves_and_preserves_contract(spark, tmp_path):
     assert cents2.count() == 16
     # and the retrained store still serves
     assert len(serve(cells2, cents2, books2, True)) > 0
+
+    # guards: enabling PQ on a store with existing code-less cells
+    # refuses (a mixed store would serve NULL ADC scores or lose codes
+    # on retrain), and an exact/double codebook-mode mismatch refuses
+    # at plan build instead of silently mis-scoring
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    plain_store = str(tmp_path / "plain_store")
+    incremental_ivf_update(b0, plain_store, 0, centroids=cents, min_cosine=0.2)
+    with pytest.raises(ValueError, match="FIRST batch"):
+        incremental_ivf_update(b1, plain_store, 1, pq_codebooks=books)
+
+    exact_books = pq_train(
+        base, num_subvectors=8, codes_per_subvector=16, vec_col="vdbl",
+        dim=64, exact=True,
+    )
+    with pytest.raises(ValueError, match="does not match exact"):
+        pq_encode(b0, exact_books)  # exact books, double mode
+    with pytest.raises(ValueError, match="does not match exact"):
+        pq_topk(base, books, vec_col="vdbl", exact=True)  # double books
 
 
 def test_packed_codebooks_reject_ragged_or_sparse(spark):
