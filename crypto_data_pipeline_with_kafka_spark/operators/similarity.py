@@ -1856,17 +1856,11 @@ def _codes_adc_side(
         F.col(id_col).alias("id_b"),
         "codes",
         F.transform(F.col("_cb"), lambda c: c["cnorm_sq"]).alias("_cn"),
-        (
-            F.aggregate(
-                F.col("_cb"), F.lit(0), lambda acc, c: F.greatest(acc, c["code"])
-            )
-            + 1
-        ).alias("_kk"),
+        _kmax_plus_one().alias("_kk"),
     )
-    idx = F.transform(
-        F.col("codes"), lambda c, j: j * F.col("_kk") + c + 1
+    staged = staged.select(
+        "id_b", _adc_positions(F.col("_kk")).alias("_idx"), "_cn"
     )
-    staged = staged.select("id_b", idx.alias("_idx"), "_cn")
     if exact:
         # decimal norm sum, ONE string-hopped double conversion (the
         # dot_exact convention)
@@ -1886,6 +1880,26 @@ def _codes_adc_side(
             )
         )
     return staged.select("id_b", "_idx", xn.alias("_xn"))
+
+
+def _kmax_plus_one() -> Column:
+    """kmax+1 (the positional-addressing stride) from a row's ``_cb``
+    pack — BIND this as a column before use: interpreted lambdas are
+    not memoized, so referencing the aggregate inside a per-element
+    lambda would re-fold the pack once per code."""
+    return (
+        F.aggregate(
+            F.col("_cb"), F.lit(0), lambda acc, c: F.greatest(acc, c["code"])
+        )
+        + 1
+    )
+
+
+def _adc_positions(kk: Column) -> Column:
+    """Each code's position in the sorted codebook pack —
+    j·(kk)+c+1, the ONE addressing convention ``_packed_codebooks``
+    validates; ``kk`` is a pre-bound :func:`_kmax_plus_one` column."""
+    return F.transform(F.col("codes"), lambda c, j: j * kk + c + 1)
 
 
 def _adc_lut_sum(exact: bool) -> Column:
@@ -1926,18 +1940,6 @@ def _residual_adc_side(
     selected codebook entries — still once per corpus row, never per
     pair, and still query-independent."""
     packed = _packed_codebooks(codebooks)
-    cb = F.col("_cb")
-    kk = (
-        F.aggregate(cb, F.lit(0), lambda acc, c: F.greatest(acc, c["code"]))
-        + 1
-    )
-    idx = F.transform(F.col("codes"), lambda c, j: j * kk + c + 1)
-    rhat = F.flatten(
-        F.transform(
-            F.col("codes"),
-            lambda c, j: F.element_at(cb, j * kk + c + 1)["cvec"],
-        )
-    )
     staged = (
         codes.join(corpus_cells.select(F.col(id_col), "centroid_id"), id_col)
         .join(
@@ -1950,9 +1952,29 @@ def _residual_adc_side(
         .select(
             F.col(id_col).alias("id_b"),
             "centroid_id",
-            idx.alias("_idx"),
-            F.zip_with(F.col("_cvec"), rhat, lambda a, b: a + b).alias("_xhat"),
+            "codes",
+            "_cvec",
+            F.col("_cb"),
+            _kmax_plus_one().alias("_kk"),
         )
+    )
+    staged = staged.select(
+        "id_b",
+        "centroid_id",
+        "_cvec",
+        F.col("_cb"),
+        _adc_positions(F.col("_kk")).alias("_idx"),
+    )
+    rhat = F.flatten(
+        F.transform(
+            F.col("_idx"), lambda i: F.element_at(F.col("_cb"), i)["cvec"]
+        )
+    )
+    staged = staged.select(
+        "id_b",
+        "centroid_id",
+        "_idx",
+        F.zip_with(F.col("_cvec"), rhat, lambda a, b: a + b).alias("_xhat"),
     )
     return staged.select(
         "id_b",
@@ -2139,6 +2161,18 @@ def ivf_pq_topk(
                 "which the assignments relation does not carry — pass "
                 "centroids= (or let the seeded pick derive them)"
             )
+        if (codebooks is not None or codes is not None) and centroids is None:
+            # residual codebooks/codes are meaningless against any
+            # geometry but the one that produced them; a re-derived
+            # seeded pick over a changed corpus would decode residuals
+            # of the WRONG centroids — scores stay plausible-looking
+            # while recall silently collapses, so refuse
+            raise ValueError(
+                "residual=True with persisted codebooks=/codes= requires "
+                "the centroids= they were trained against — residual "
+                "codes die with their cell geometry (and raw-vector "
+                "codes, e.g. read_ivf_pq_store's, are not residual codes)"
+            )
         cvecs = F.broadcast(
             cents.select("centroid_id", F.col("cvec").alias("_cvec"))
         )
@@ -2152,8 +2186,13 @@ def ivf_pq_topk(
         )
         if codebooks is None:
             # training sees the WHOLE corpus (codebooks are the
-            # geometry); pinned so the three downstream packers don't
-            # re-run the per-sub-space pick jobs
+            # geometry). Pin the residual relation FIRST: the m
+            # per-sub-space pick branches plus the encode pass would
+            # otherwise each re-run the assignment join + subtraction
+            # corpus-wide; then pin the O(m·k) books so the three
+            # downstream packers don't re-run the picks. (A deployment
+            # passes persisted codebooks/codes and never pays either.)
+            res = res.localCheckpoint()
             codebooks = pq_train(
                 res, num_subvectors, codes_per_subvector, id_col=id_col,
                 vec_col="_rvec", dim=dim,

@@ -166,7 +166,9 @@ def kafka_stream_writer(
 # pre-upgrade exports into false tamper alarms (they keep verifying
 # under their recorded algorithm until rewritten).
 _DIGEST_ALGO_DEFAULT = "sha2-256"
-# pre-versioning manifests (no digest_algo column) were md5-digested
+# pre-versioning manifests (no digest_algo column) exist in BOTH
+# digest eras (md5 first, later sha2-256); verify_export infers which
+# from the stored digest LENGTH — this constant only names the md5 era
 _DIGEST_ALGO_LEGACY = "md5"
 
 

@@ -1996,11 +1996,15 @@ def test_ivf_pq_topk_refine_tradeoff(spark):
         ivf_pq_topk(base, k=5, refine=3, centroids=cents, codebooks=books)
 
     # non-default id column survives the full path (the exact re-rank
-    # stage threads id_col through cosine_for_pairs)
-    renamed = emb.withColumnRenamed("vec_id", "emb_id")
+    # stage threads id_col through cosine_for_pairs); prepare the base
+    # explicitly so its cache can be released (caller-owned lifecycle)
+    rbase = _ensure_ann_base(
+        emb.withColumnRenamed("vec_id", "emb_id"), "emb_id"
+    )
     assert ivf_pq_topk(
-        renamed, id_col="emb_id", query_ids_max=5, k=2, refine=4
+        rbase, id_col="emb_id", query_ids_max=5, k=2, refine=4
     ).count() > 0
+    rbase.unpersist()
     books.unpersist()
 
 
@@ -2078,6 +2082,15 @@ def test_ivf_pq_residual_encoding_lifts_recall(spark):
     )
     with pytest.raises(ValueError, match="centroid VECTORS"):
         ivf_pq_topk(base, assignments=assign, residual=True, dim=DIM)
+    # persisted residual codebooks without their geometry refuse: a
+    # re-derived seeded pick would decode residuals of WRONG centroids
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        pq_train,
+    )
+
+    some_books = pq_train(base, 8, 16, vec_col="vdbl", dim=DIM)
+    with pytest.raises(ValueError, match="cell geometry"):
+        ivf_pq_topk(base, residual=True, codebooks=some_books, dim=DIM)
     base.unpersist()
 
 
