@@ -1,7 +1,8 @@
 """Similarity-search queries over ``embeddings`` (array<float>, dim 64):
-brute-force cosine top-k (exactness baseline) and random-hyperplane LSH
-ANN (scale path). Decimal-exact dot products keep both engines bitwise
-aligned, so even top-k rank order is oracle-checkable."""
+brute-force cosine top-k (exactness baseline) and the scale paths —
+random-hyperplane LSH, inverted-file cells (pair + query flavors), and
+product-quantized ADC. Decimal-exact dot products keep both engines
+bitwise aligned, so even top-k rank order is oracle-checkable."""
 
 from __future__ import annotations
 
