@@ -1255,3 +1255,146 @@ def winnowing_pairs(
         .filter(F.col("shared") >= min_shared)
     )
     return out
+
+
+def incremental_winnowing_dedup(
+    new_docs: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 8,
+) -> DataFrame:
+    """Partial-overlap detection for an ARRIVING batch against every
+    previously seen document — the winnowing member of the incremental
+    store family (minhash = whole-doc sets, hamming = simhash/aHash/
+    audio fingerprints, IVF = dense vectors; this one catches a copied
+    SPAN of ≥ window+k−1 tokens embedded in otherwise-new text, which
+    none of the others can).
+
+    The index is ONE parquet table ``store_dir/fps`` (id, fp — the
+    winnowing fingerprints) partitioned by ``batch_id``. Per call:
+    fingerprint the batch; candidates = within-batch inverted-index
+    pairs plus earlier-postings-vs-batch pairs (the batch side is
+    broadcast — the index is scanned, fp-pruned by a broadcast
+    left-semi, and NEVER shuffled); verify = shared-fingerprint count
+    over LATEST-version postings only, with the boilerplate
+    ``max_doc_freq`` guard computed over those same latest postings
+    (candidate generation guarantees every earlier holder of a batch
+    fingerprint is a candidate, so the per-batch document frequency is
+    the true as-of-arrival frequency, not a sample); flag each new
+    doc's best earlier overlap (max shared, ties to the smallest id)
+    to ``flagged/batch_id=N``; index the batch's fingerprints under
+    their own partition.
+
+    Same contracts as the sibling stores, pytest-pinned: idempotent
+    overwrite of this batch's partitions with planning-time
+    ``batch_id < N`` pruning (redelivery-safe); a re-ingested id never
+    self-flags and its LATEST content is what every shared count reads
+    (stale versions are candidate bait only — verification excludes
+    them); with ``max_doc_freq=None`` the union of incremental flags
+    over in-order batches equals the one-shot
+    :func:`winnowing_pairs` derivation oriented best-earlier-per-later
+    (fingerprints are per-doc deterministic, so WHEN a pair's members
+    arrive cannot change its shared count). The df cap itself is
+    as-of-arrival by construction — a fingerprint that only becomes
+    boilerplate later cannot retroactively un-flag an earlier catch.
+
+    Returns the flagged rows (id, overlap_of, shared) read back from
+    the flag store."""
+    spark = new_docs.sparkSession
+    # local import: sources.sinks ← operators would be circular the other way
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
+
+    fps_path = f"{store_dir}/fps"
+    fps_new = winnowing_fingerprints(
+        new_docs, k=k, window=window, text_col=text_col, id_col=id_col
+    ).persist()
+
+    def read_earlier(keep_batch: bool = False) -> DataFrame:
+        # batch_id is a partition directory: pruned at planning time,
+        # so a redelivered/half-written current batch is never scanned
+        df = spark.read.parquet(fps_path).filter(F.col("batch_id") < batch_id)
+        return df if keep_batch else df.drop("batch_id")
+
+    new_b = fps_new.select(F.col(id_col).alias("id_b"), "fp")
+    new_a = fps_new.select(F.col(id_col).alias("id_a"), "fp")
+    cand = (
+        new_a.join(F.broadcast(new_b), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    have_store = target_exists(spark, fps_path)
+    if have_store:
+        old_a = (
+            read_earlier()
+            .join(
+                F.broadcast(fps_new.select("fp").distinct()), "fp", "left_semi"
+            )
+            .select(F.col(id_col).alias("id_a"), "fp")
+        )
+        cand = cand.unionByName(
+            old_a.join(F.broadcast(new_b), "fp")
+            # an id re-ingested in a later batch meets its indexed self
+            # here — never flag a row as its own overlap
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    cand = cand.distinct().persist()
+
+    # verify base: the batch plus ONLY candidate earlier ids' LATEST
+    # fingerprints (left-semi key-pruned store read — O(candidates),
+    # not O(index); no forced broadcast on the collision-bounded
+    # candidate list, AQE decides — the minhash store's skew reasoning)
+    fp_all = fps_new
+    if have_store:
+        new_ids = fps_new.select(id_col).distinct()
+        ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+        latest = (
+            read_earlier(keep_batch=True)
+            .join(ids_a, id_col, "left_semi")
+            .join(new_ids, id_col, "left_anti")
+            .groupBy(id_col)
+            .agg(F.max("batch_id").alias("batch_id"))
+        )
+        fp_all = fps_new.unionByName(
+            read_earlier(keep_batch=True)
+            .join(latest, [id_col, "batch_id"], "left_semi")
+            .drop("batch_id")
+        )
+    if max_doc_freq is not None:
+        w_df = Window.partitionBy("fp")
+        fp_all = (
+            fp_all.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    shared = (
+        cand.join(fp_all.select(F.col(id_col).alias("id_a"), "fp"), "id_a")
+        .join(fp_all.select(F.col(id_col).alias("id_b"), "fp"), ["id_b", "fp"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    w = Window.partitionBy("id_b").orderBy(
+        F.col("shared").desc(), F.col("id_a").asc()
+    )
+    flagged = (
+        shared.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("overlap_of"),
+            "shared",
+        )
+    )
+    flagged_path = f"{store_dir}/flagged/batch_id={batch_id}"
+    flagged.write.mode("overwrite").parquet(flagged_path)
+    fps_new.write.mode("overwrite").parquet(f"{fps_path}/batch_id={batch_id}")
+    for df in (fps_new, cand):
+        df.unpersist()
+    return spark.read.parquet(flagged_path)

@@ -639,6 +639,47 @@ def run_incremental_hamming_stream(
     q.awaitTermination()
 
 
+def run_incremental_winnow_stream(
+    spark: SparkSession,
+    source_path: str,
+    store_dir: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 8,
+) -> None:
+    """Streaming PARTIAL-overlap gate over an arriving corpus — the
+    winnowing-index sibling of :func:`run_incremental_dedup_stream`
+    (same file source, same epoch_id-as-batch_id exactly-once
+    contract): each micro-batch of documents is winnowing-fingerprinted
+    and flagged against the persisted fingerprint index of every
+    earlier batch
+    (:func:`...operators.dedup.incremental_winnowing_dedup`) — the
+    detector for a copied span of ≥ window+k−1 tokens inside otherwise
+    new text, which the whole-doc MinHash stream dilutes away."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_winnowing_dedup,
+    )
+
+    stream = documents_stream_reader(spark, source_path, max_files_per_trigger=1)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        incremental_winnowing_dedup(
+            batch.select("doc_id", "text"),
+            store_dir,
+            int(epoch_id),
+            k=k,
+            window=window,
+            min_shared=min_shared,
+            max_doc_freq=max_doc_freq,
+        )
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def price_ingestion_stream(spark: SparkSession, source_path: str) -> DataFrame:
     """Entry point B as ONE streaming query (SURVEY §3.2): file/Kafka
     source → typed rows → watermark → stateful dedup. Chain

@@ -1160,6 +1160,113 @@ def test_audio_fingerprint_near_dup_pairs(spark, tmp_path):
         perceptual_hash_audio(baddf).collect()
 
 
+def test_incremental_winnowing_store(spark, tmp_path):
+    """The winnowing member of the incremental store family: 3 in-order
+    batches (max_doc_freq=None) reproduce EXACTLY the one-shot
+    winnowing_pairs derivation oriented best-earlier-per-later;
+    redelivery is a no-op; a re-ingested id never self-flags and its
+    LATEST content is what later arrivals are verified against; the
+    boilerplate df cap prunes a span shared too widely."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_winnowing_dedup,
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    K, W, MS = 5, 4, 2
+
+    # one-shot expected flags: best earlier overlap per later id
+    pairs = winnowing_pairs(
+        winnowing_fingerprints(docs, k=K, window=W), min_shared=MS,
+        max_doc_freq=None,
+    )
+    expected = {}
+    for r in pairs.collect():
+        cur = expected.get(r["id_b"])
+        cand = (-r["shared"], r["id_a"])
+        if cur is None or cand < cur:
+            expected[r["id_b"]] = cand
+    expected = {b: (a, -neg) for b, (neg, a) in expected.items()}
+
+    store = str(tmp_path / "winnow_store")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cuts = [lo, lo + (hi - lo + 1) // 3, lo + 2 * (hi - lo + 1) // 3, hi + 1]
+    got = {}
+    for b in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+        )
+        flags = incremental_winnowing_dedup(
+            batch, store, b, k=K, window=W, min_shared=MS, max_doc_freq=None
+        )
+        for r in flags.collect():
+            got[r["doc_id"]] = (r["overlap_of"], r["shared"])
+    assert got == expected and len(got) > 0
+
+    # redelivery: re-running batch 1 rewrites identical flags
+    batch1 = docs.filter(
+        (F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])
+    )
+    re_flags = incremental_winnowing_dedup(
+        batch1, store, 1, k=K, window=W, min_shared=MS, max_doc_freq=None
+    )
+    re_got = {
+        r["doc_id"]: (r["overlap_of"], r["shared"]) for r in re_flags.collect()
+    }
+    assert re_got == {b: v for b, v in got.items() if cuts[1] <= b < cuts[2]}
+
+    # re-ingestion contract: lo re-ingested as a COPY of a mid-corpus
+    # doc flags against it (never itself)...
+    mid = docs.filter(F.col("doc_id") == cuts[1]).first()
+    reingest = spark.createDataFrame([(lo, mid.text)], "doc_id long, text string")
+    fl3 = incremental_winnowing_dedup(
+        reingest, store, 3, k=K, window=W, min_shared=MS, max_doc_freq=None
+    )
+    rows3 = {r["doc_id"]: r["overlap_of"] for r in fl3.collect()}
+    assert rows3.get(lo) is not None and rows3[lo] != lo
+    # ...then re-ingested AGAIN with unique text: no flags (stale
+    # copies are candidate bait only, latest content decides)
+    uniq = " ".join(f"wnstore{j}" for j in range(40))
+    fl4 = incremental_winnowing_dedup(
+        spark.createDataFrame([(lo, uniq)], "doc_id long, text string"),
+        store, 4, k=K, window=W, min_shared=MS, max_doc_freq=None,
+    )
+    assert fl4.isEmpty()
+    # a later arrival copying the ORIGINAL mid-corpus text must flag
+    # against the mid doc, NOT against lo's stale copy
+    fl5 = incremental_winnowing_dedup(
+        spark.createDataFrame(
+            [(900001, mid.text)], "doc_id long, text string"
+        ),
+        store, 5, k=K, window=W, min_shared=MS, max_doc_freq=None,
+    )
+    rows5 = {r["doc_id"]: r["overlap_of"] for r in fl5.collect()}
+    assert rows5.get(900001) is not None and rows5[900001] != lo
+
+    # boilerplate guard: three new docs sharing one 12-token span pair
+    # at max_doc_freq=None but the span's fingerprints are df-pruned at
+    # max_doc_freq=2 (span present in 3 docs)
+    span = " ".join(f"wnb{j}" for j in range(12))
+    trio = spark.createDataFrame(
+        [
+            (910000 + i, " ".join(f"wnu{i}x{j}" for j in range(20)) + " " + span)
+            for i in range(3)
+        ],
+        "doc_id long, text string",
+    )
+    open_store = str(tmp_path / "winnow_open")
+    capped_store = str(tmp_path / "winnow_capped")
+    assert not incremental_winnowing_dedup(
+        trio, open_store, 0, k=K, window=W, min_shared=1, max_doc_freq=None
+    ).isEmpty()
+    assert incremental_winnowing_dedup(
+        trio, capped_store, 0, k=K, window=W, min_shared=1, max_doc_freq=2
+    ).isEmpty()
+
+
 def test_incremental_hamming_dedup_text_and_images(spark, tmp_path):
     """One hash-index engine, two modalities: (1) text SimHash over 2
     batches ≡ the one-shot simhash_pairs derivation; (2) image aHash

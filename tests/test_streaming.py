@@ -846,6 +846,50 @@ def test_incremental_hamming_stream_matches_batch_calls(spark, tmp_path):
     assert sflags == bflags and len(sflags) > 0
 
 
+def test_incremental_winnow_stream_matches_batch_calls(spark, tmp_path):
+    """run_incremental_winnow_stream through the real streaming engine
+    over 2 staged files ≡ two direct incremental_winnowing_dedup calls
+    (the partial-overlap store's epoch_id-as-batch_id contract)."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_winnowing_dedup,
+    )
+    from crypto_data_pipeline_with_kafka_spark.streaming.pipeline import (
+        run_incremental_winnow_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "src")
+    stream_store = str(tmp_path / "stream_store")
+    batch_store = str(tmp_path / "batch_store")
+    os.makedirs(src)
+    now = _time.time()
+    for b, (lo, hi) in enumerate([(0, 250), (250, 500)]):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        incremental_winnowing_dedup(
+            batch.select("doc_id", "text"), batch_store, b
+        )
+        stage = f"{src}/_stage"
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch{b}.parquet")
+        shutil.rmtree(stage)
+        os.utime(f"{src}/batch{b}.parquet", (now + 10 * b, now + 10 * b))
+    run_incremental_winnow_stream(spark, src, stream_store)
+
+    def wflags(store):
+        return {
+            (r.doc_id, r.overlap_of, r.shared)
+            for r in spark.read.parquet(f"{store}/flagged").collect()
+        }
+
+    sflags, bflags = wflags(stream_store), wflags(batch_store)
+    assert sflags == bflags and len(sflags) > 0
+
+
 def test_compact_partitions_on_batch_id_store(spark, tmp_path):
     """partition_col generalization: the incremental hamming store's
     per-batch dirs compact like warehouse dates — fewer files, identical
