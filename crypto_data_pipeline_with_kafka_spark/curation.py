@@ -60,6 +60,8 @@ def curate_corpus(
     winnow_window: int = 4,
     winnow_min_shared: int = 2,
     winnow_max_doc_freq: int | None = 8,
+    winnow_store_dir: str | None = None,
+    winnow_batch_id: int = 0,
     benchmark: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_min_containment: float = 0.5,
@@ -109,6 +111,12 @@ def curate_corpus(
       real containment shares many) and ``winnow_max_doc_freq=8``
       (boilerplate fingerprints never pair); loosen toward the
       operator defaults to match MOSS's report-everything posture.
+      With ``winnow_store_dir`` the stage runs through the INCREMENTAL
+      winnowing store instead (``incremental_winnowing_dedup`` at
+      ``winnow_batch_id``) — this run's docs are checked for copied
+      spans against every document any earlier run indexed, the same
+      cross-run shape as the image/audio store gates; flagged docs
+      drop (the earlier copy is the survivor by construction).
     * ``benchmark`` — eval-set decontamination
       (:func:`...operators.dedup.decontaminate`): docs whose k-gram
       containment of any benchmark item reaches
@@ -287,7 +295,28 @@ def curate_corpus(
     # fingerprinting is in-row array math, pairing is the inverted-
     # index join (cost ~ postings collisions under the doc-freq guard)
     winnow_caches: tuple = ()
-    if winnow:
+    if winnow and winnow_store_dir is not None:
+        from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+            incremental_winnowing_dedup,
+        )
+
+        wflags = incremental_winnowing_dedup(
+            flagged.filter(keep_mh).select(did, txt),
+            winnow_store_dir,
+            winnow_batch_id,
+            text_col=text_col,
+            id_col=id_col,
+            k=winnow_k,
+            window=winnow_window,
+            min_shared=winnow_min_shared,
+            max_doc_freq=winnow_max_doc_freq,
+        ).select(did)
+        flagged = flagged.join(
+            wflags.withColumn("_wn_dup", F.lit(True)), id_col, "left"
+        ).withColumn(
+            "_winnow_keep", ~F.coalesce(F.col("_wn_dup"), F.lit(False))
+        ).drop("_wn_dup")
+    elif winnow:
         from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
             winnowing_fingerprints,
             winnowing_pairs,

@@ -416,7 +416,7 @@ def test_curate_corpus_optional_stages(spark):
     curated.unpersist()
 
 
-def test_curate_corpus_winnow_stage(spark):
+def test_curate_corpus_winnow_stage(spark, tmp_path):
     """The optional winnowing stage catches a planted PARTIAL overlap —
     a 40-word span copied between two otherwise-disjoint documents —
     that the whole-doc MinHash stage provably misses (shared-span
@@ -466,6 +466,23 @@ def test_curate_corpus_winnow_stage(spark):
             "audio_neardup_dropped",
         )
     )
+
+    # cross-run store variant: run 1 indexes this corpus's surviving
+    # fingerprints; run 2's single new doc carries the same span and is
+    # flagged against the STORE (no overlap inside its own batch)
+    store = str(tmp_path / "wn_store")
+    _, st1 = curate_corpus(
+        spark, corpus, winnow=True, winnow_store_dir=store, winnow_batch_id=0
+    )
+    assert st1["winnow_dropped"] >= 1  # the in-batch planted pair
+    new_doc = spark.createDataFrame(
+        [(310000, " ".join(f"wnz{j}" for j in range(30)) + " " + span)],
+        "doc_id long, text string",
+    )
+    cur2, st2 = curate_corpus(
+        spark, new_doc, winnow=True, winnow_store_dir=store, winnow_batch_id=1
+    )
+    assert st2["winnow_dropped"] == 1 and cur2.isEmpty()
 
 
 def test_curate_corpus_image_gate(spark, tmp_path):
