@@ -61,7 +61,7 @@ def curate_corpus(
     winnow_min_shared: int = 2,
     winnow_max_doc_freq: int | None = 8,
     winnow_store_dir: str | None = None,
-    winnow_batch_id: int = 0,
+    winnow_batch_id: int | None = None,
     benchmark: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_min_containment: float = 0.5,
@@ -112,11 +112,14 @@ def curate_corpus(
       (boilerplate fingerprints never pair); loosen toward the
       operator defaults to match MOSS's report-everything posture.
       With ``winnow_store_dir`` the stage runs through the INCREMENTAL
-      winnowing store instead (``incremental_winnowing_dedup`` at
-      ``winnow_batch_id``) — this run's docs are checked for copied
-      spans against every document any earlier run indexed, the same
-      cross-run shape as the image/audio store gates; flagged docs
-      drop (the earlier copy is the survivor by construction).
+      winnowing store instead (``incremental_winnowing_dedup``) — this
+      run's docs are checked for copied spans against every document
+      any earlier run indexed, the same cross-run shape as the
+      image/audio store gates; flagged docs drop (the earlier copy is
+      the survivor by construction). ``winnow_batch_id`` is REQUIRED
+      with the store and must strictly increase across runs — a reused
+      id would read an empty earlier-index AND overwrite that run's
+      fingerprints, silently disabling the cross-run check.
     * ``benchmark`` — eval-set decontamination
       (:func:`...operators.dedup.decontaminate`): docs whose k-gram
       containment of any benchmark item reaches
@@ -300,6 +303,14 @@ def curate_corpus(
             incremental_winnowing_dedup,
         )
 
+        if winnow_batch_id is None:
+            raise ValueError(
+                "winnow_store_dir without winnow_batch_id: each curation "
+                "run needs its own strictly-increasing batch id — a "
+                "default would make every run batch 0, reading an empty "
+                "earlier-index and overwriting the previous run's "
+                "fingerprints"
+            )
         wflags = incremental_winnowing_dedup(
             flagged.filter(keep_mh).select(did, txt),
             winnow_store_dir,
@@ -310,6 +321,11 @@ def curate_corpus(
             window=winnow_window,
             min_shared=winnow_min_shared,
             max_doc_freq=winnow_max_doc_freq,
+            # the "batch" here is a whole curation run over a DERIVED
+            # frame: no widen probe (it would re-execute the earlier
+            # stages) and no forced broadcast of run-sized postings
+            widen=False,
+            broadcast_batch=False,
         ).select(did)
         flagged = flagged.join(
             wflags.withColumn("_wn_dup", F.lit(True)), id_col, "left"

@@ -1268,6 +1268,8 @@ def incremental_winnowing_dedup(
     window: int = 4,
     min_shared: int = 2,
     max_doc_freq: int | None = 8,
+    widen: bool = True,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Partial-overlap detection for an ARRIVING batch against every
     previously seen document — the winnowing member of the incremental
@@ -1275,6 +1277,13 @@ def incremental_winnowing_dedup(
     audio fingerprints, IVF = dense vectors; this one catches a copied
     SPAN of ≥ window+k−1 tokens embedded in otherwise-new text, which
     none of the others can).
+
+    ``widen=False`` for derived (non-scan) batch inputs — the
+    widen_if_narrow caller contract. ``broadcast_batch=False`` when the
+    "batch" is not micro-batch-sized (e.g. a whole curation run passed
+    through the store): the forced broadcast of the batch postings is
+    the right plan ONLY under the streaming contract's structurally
+    small batches; with it off, AQE picks the join strategy.
 
     The index is ONE parquet table ``store_dir/fps`` (id, fp — the
     winnowing fingerprints) partitioned by ``batch_id``. Per call:
@@ -1312,7 +1321,8 @@ def incremental_winnowing_dedup(
 
     fps_path = f"{store_dir}/fps"
     fps_new = winnowing_fingerprints(
-        new_docs, k=k, window=window, text_col=text_col, id_col=id_col
+        new_docs, k=k, window=window, text_col=text_col, id_col=id_col,
+        widen=widen,
     ).persist()
 
     def read_earlier(keep_batch: bool = False) -> DataFrame:
@@ -1321,24 +1331,36 @@ def incremental_winnowing_dedup(
         df = spark.read.parquet(fps_path).filter(F.col("batch_id") < batch_id)
         return df if keep_batch else df.drop("batch_id")
 
-    new_b = fps_new.select(F.col(id_col).alias("id_b"), "fp")
-    new_a = fps_new.select(F.col(id_col).alias("id_a"), "fp")
+    # candidate generation runs fps pre-capped by the BATCH document
+    # frequency: batch df lower-bounds the as-of-arrival df the verify
+    # stage caps on, so any fp capped here is certainly pruned there —
+    # and a pair sharing ONLY capped fps can never reach min_shared.
+    # This is winnowing_pairs' stop-shingle bound on join blowup (a
+    # boilerplate span shared by d batch docs would otherwise emit
+    # O(d²) candidates before the verify-time cap saw it).
+    cand_fps = fps_new
+    if max_doc_freq is not None:
+        w_bdf = Window.partitionBy("fp")
+        cand_fps = (
+            fps_new.withColumn("_df", F.count(F.lit(1)).over(w_bdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    new_b = cand_fps.select(F.col(id_col).alias("id_b"), "fp")
+    maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
+    new_a = cand_fps.select(F.col(id_col).alias("id_a"), "fp")
     cand = (
-        new_a.join(F.broadcast(new_b), "fp")
+        new_a.join(maybe_bcast(new_b), "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
     have_store = target_exists(spark, fps_path)
     if have_store:
-        old_a = (
-            read_earlier()
-            .join(
-                F.broadcast(fps_new.select("fp").distinct()), "fp", "left_semi"
-            )
-            .select(F.col(id_col).alias("id_a"), "fp")
-        )
+        # the inner join on fp against the (broadcast) batch postings
+        # IS the index prune — the store is scanned, never shuffled
+        old_a = read_earlier().select(F.col(id_col).alias("id_a"), "fp")
         cand = cand.unionByName(
-            old_a.join(F.broadcast(new_b), "fp")
+            old_a.join(maybe_bcast(new_b), "fp")
             # an id re-ingested in a later batch meets its indexed self
             # here — never flag a row as its own overlap
             .filter(F.col("id_a") != F.col("id_b"))

@@ -2113,6 +2113,13 @@ def ivf_pq_topk(
     refine = 4 * k if refine is None else refine
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "codes= without codebooks=: persisted codes are POSITIONAL "
+            "references into the codebooks that produced them — freshly "
+            "trained books would decode every code against the wrong "
+            "entries while scores stay plausible-looking"
+        )
     base = _ensure_ann_base(emb, id_col)
     if assignments is not None:
         corpus_cells = assignments.filter(F.col("probe_rank") == 1).select(

@@ -2101,6 +2101,13 @@ def test_ivf_pq_topk_refine_tradeoff(spark):
 
     with pytest.raises(ValueError, match="refine"):
         ivf_pq_topk(base, k=5, refine=3, centroids=cents, codebooks=books)
+    # persisted codes are positional references into THEIR codebooks
+    with pytest.raises(ValueError, match="codes= without codebooks"):
+        ivf_pq_topk(
+            base,
+            centroids=cents,
+            codes=spark.createDataFrame([], "vec_id long, codes array<int>"),
+        )
 
     # non-default id column survives the full path (the exact re-rank
     # stage threads id_col through cosine_for_pairs); prepare the base
