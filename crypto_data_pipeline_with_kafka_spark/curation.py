@@ -111,15 +111,16 @@ def curate_corpus(
       real containment shares many) and ``winnow_max_doc_freq=8``
       (boilerplate fingerprints never pair); loosen toward the
       operator defaults to match MOSS's report-everything posture.
-      With ``winnow_store_dir`` the stage runs through the INCREMENTAL
-      winnowing store instead (``incremental_winnowing_dedup``) — this
-      run's docs are checked for copied spans against every document
-      any earlier run indexed, the same cross-run shape as the
-      image/audio store gates; flagged docs drop (the earlier copy is
-      the survivor by construction). ``winnow_batch_id`` is REQUIRED
-      with the store and must strictly increase across runs — a reused
-      id would read an empty earlier-index AND overwrite that run's
-      fingerprints, silently disabling the cross-run check.
+      With ``winnow_store_dir`` — which by ITSELF enables the stage
+      (a configured cross-run check must never be silently ignored) —
+      it runs through the INCREMENTAL winnowing store instead
+      (``incremental_winnowing_dedup``): this run's docs are checked
+      for copied spans against every document any earlier run indexed,
+      the same cross-run shape as the image/audio store gates; flagged
+      docs drop (the earlier copy is the survivor by construction).
+      ``winnow_batch_id`` is REQUIRED with the store and must not
+      decrease across runs (enforced against the store's newest batch;
+      re-running the latest id is the redelivery contract).
     * ``benchmark`` — eval-set decontamination
       (:func:`...operators.dedup.decontaminate`): docs whose k-gram
       containment of any benchmark item reaches
@@ -298,19 +299,44 @@ def curate_corpus(
     # fingerprinting is in-row array math, pairing is the inverted-
     # index join (cost ~ postings collisions under the doc-freq guard)
     winnow_caches: tuple = ()
-    if winnow and winnow_store_dir is not None:
+    if winnow_store_dir is not None:
+        # the store dir IMPLIES the stage (winnow= need not also be
+        # set): silently ignoring a configured cross-run check would be
+        # the worst failure mode — copied spans flowing through while
+        # the caller believes they are gated
         from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
             incremental_winnowing_dedup,
+        )
+        from crypto_data_pipeline_with_kafka_spark.sources.sinks import (
+            target_exists,
         )
 
         if winnow_batch_id is None:
             raise ValueError(
                 "winnow_store_dir without winnow_batch_id: each curation "
                 "run needs its own strictly-increasing batch id — a "
-                "default would make every run batch 0, reading an empty "
-                "earlier-index and overwriting the previous run's "
-                "fingerprints"
+                "default would make every run batch 0, never seeing "
+                "earlier runs and overwriting batch 0's fingerprints"
             )
+        fps_path = f"{winnow_store_dir}/fps"
+        if target_exists(spark, fps_path):
+            max_existing = (
+                spark.read.parquet(fps_path)
+                .agg(F.max("batch_id"))
+                .first()[0]
+            )
+            # == max is a legitimate redelivery rewrite (crash re-run);
+            # < max would silently OVERWRITE an older run's fingerprints
+            # while newer runs' postings keep matching against the dead
+            # content — refuse the corruption
+            if max_existing is not None and winnow_batch_id < max_existing:
+                raise ValueError(
+                    f"winnow_batch_id {winnow_batch_id} < the store's "
+                    f"newest batch {max_existing}: batch ids must not "
+                    "decrease — reusing an old id overwrites that run's "
+                    "fingerprints (re-running the LATEST id is fine; "
+                    "that is the redelivery contract)"
+                )
         wflags = incremental_winnowing_dedup(
             flagged.filter(keep_mh).select(did, txt),
             winnow_store_dir,

@@ -1288,9 +1288,10 @@ def incremental_winnowing_dedup(
     The index is ONE parquet table ``store_dir/fps`` (id, fp — the
     winnowing fingerprints) partitioned by ``batch_id``. Per call:
     fingerprint the batch; candidates = within-batch inverted-index
-    pairs plus earlier-postings-vs-batch pairs (the batch side is
-    broadcast — the index is scanned, fp-pruned by a broadcast
-    left-semi, and NEVER shuffled); verify = shared-fingerprint count
+    pairs plus earlier-postings-vs-batch pairs (the index is scanned
+    and NEVER shuffled: pruned by the broadcast batch postings, or —
+    with ``broadcast_batch=False`` — by a broadcast left-semi on the
+    much smaller distinct-fp set); verify = shared-fingerprint count
     over LATEST-version postings only, with the boilerplate
     ``max_doc_freq`` guard computed over those same latest postings
     (candidate generation guarantees every earlier holder of a batch
@@ -1341,10 +1342,14 @@ def incremental_winnowing_dedup(
     cand_fps = fps_new
     if max_doc_freq is not None:
         w_bdf = Window.partitionBy("fp")
+        # persisted: the df-cap window shuffle would otherwise re-run
+        # for each of its three consumers (both in-batch join sides
+        # plus the store join)
         cand_fps = (
             fps_new.withColumn("_df", F.count(F.lit(1)).over(w_bdf))
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
+            .persist()
         )
     new_b = cand_fps.select(F.col(id_col).alias("id_b"), "fp")
     maybe_bcast = F.broadcast if broadcast_batch else (lambda df: df)
@@ -1356,15 +1361,27 @@ def incremental_winnowing_dedup(
     )
     have_store = target_exists(spark, fps_path)
     if have_store:
-        # the inner join on fp against the (broadcast) batch postings
-        # IS the index prune — the store is scanned, never shuffled
         old_a = read_earlier().select(F.col(id_col).alias("id_a"), "fp")
+        if broadcast_batch:
+            # the broadcast inner join on fp against the batch postings
+            # IS the index prune — the store is scanned, never shuffled
+            old_hits = old_a.join(F.broadcast(new_b), "fp")
+        else:
+            # run-sized batch: postings are too big to force-broadcast,
+            # but the DISTINCT fp set is far smaller — a broadcast
+            # left-semi keeps the store scan shuffle-free, and only the
+            # pruned hits enter the (AQE-planned) pairing join
+            old_hits = old_a.join(
+                F.broadcast(cand_fps.select("fp").distinct()),
+                "fp",
+                "left_semi",
+            ).join(new_b, "fp")
         cand = cand.unionByName(
-            old_a.join(maybe_bcast(new_b), "fp")
             # an id re-ingested in a later batch meets its indexed self
             # here — never flag a row as its own overlap
-            .filter(F.col("id_a") != F.col("id_b"))
-            .select("id_a", "id_b")
+            old_hits.filter(F.col("id_a") != F.col("id_b")).select(
+                "id_a", "id_b"
+            )
         )
     cand = cand.distinct().persist()
 
@@ -1417,6 +1434,6 @@ def incremental_winnowing_dedup(
     flagged_path = f"{store_dir}/flagged/batch_id={batch_id}"
     flagged.write.mode("overwrite").parquet(flagged_path)
     fps_new.write.mode("overwrite").parquet(f"{fps_path}/batch_id={batch_id}")
-    for df in (fps_new, cand):
+    for df in (fps_new, cand_fps, cand):
         df.unpersist()
     return spark.read.parquet(flagged_path)

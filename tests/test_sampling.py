@@ -484,6 +484,28 @@ def test_curate_corpus_winnow_stage(spark, tmp_path):
     )
     assert st2["winnow_dropped"] == 1 and cur2.isEmpty()
 
+    # the store dir ALONE enables the stage (a configured cross-run
+    # check must never be silently skipped)
+    new_doc3 = spark.createDataFrame(
+        [(310001, " ".join(f"wny{j}" for j in range(30)) + " " + span)],
+        "doc_id long, text string",
+    )
+    cur3, st3 = curate_corpus(
+        spark, new_doc3, winnow_store_dir=store, winnow_batch_id=2
+    )
+    assert st3["winnow_dropped"] == 1 and cur3.isEmpty()
+
+    # misconfigurations refuse: store without a batch id, and a
+    # DECREASING batch id (would overwrite an older run's fingerprints)
+    import pytest
+
+    with pytest.raises(ValueError, match="winnow_batch_id"):
+        curate_corpus(spark, new_doc3, winnow_store_dir=store)
+    with pytest.raises(ValueError, match="must not decrease"):
+        curate_corpus(
+            spark, new_doc3, winnow_store_dir=store, winnow_batch_id=0
+        )
+
 
 def test_curate_corpus_image_gate(spark, tmp_path):
     """Mixed-modality curation: a planted near-dup image pair keeps only
