@@ -314,17 +314,38 @@ def curate_corpus(
         if winnow_batch_id is None:
             raise ValueError(
                 "winnow_store_dir without winnow_batch_id: each curation "
-                "run needs its own strictly-increasing batch id — a "
-                "default would make every run batch 0, never seeing "
+                "run needs its own non-decreasing batch id (re-running "
+                "the LATEST id is the crash-recovery/redelivery path) — "
+                "a default would make every run batch 0, never seeing "
                 "earlier runs and overwriting batch 0's fingerprints"
             )
         fps_path = f"{winnow_store_dir}/fps"
         if target_exists(spark, fps_path):
-            max_existing = (
-                spark.read.parquet(fps_path)
-                .agg(F.max("batch_id"))
-                .first()[0]
-            )
+            # newest indexed batch from the PARTITION LISTING (metadata
+            # only — no Spark job, no store scan); connect sessions
+            # (no py4j) fall back to the one-column read
+            jvm = getattr(spark, "_jvm", None)
+            if jvm is not None:
+                from crypto_data_pipeline_with_kafka_spark.warehouse import (
+                    _HadoopFs,
+                )
+
+                names = [
+                    st.getPath().getName()
+                    for st in _HadoopFs(spark, fps_path).list_status(fps_path)
+                ]
+                ids = [
+                    int(n.split("=", 1)[1])
+                    for n in names
+                    if n.startswith("batch_id=")
+                ]
+                max_existing = max(ids) if ids else None
+            else:
+                max_existing = (
+                    spark.read.parquet(fps_path)
+                    .agg(F.max("batch_id"))
+                    .first()[0]
+                )
             # == max is a legitimate redelivery rewrite (crash re-run);
             # < max would silently OVERWRITE an older run's fingerprints
             # while newer runs' postings keep matching against the dead

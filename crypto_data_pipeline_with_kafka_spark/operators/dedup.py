@@ -1288,10 +1288,11 @@ def incremental_winnowing_dedup(
     The index is ONE parquet table ``store_dir/fps`` (id, fp — the
     winnowing fingerprints) partitioned by ``batch_id``. Per call:
     fingerprint the batch; candidates = within-batch inverted-index
-    pairs plus earlier-postings-vs-batch pairs (the index is scanned
-    and NEVER shuffled: pruned by the broadcast batch postings, or —
-    with ``broadcast_batch=False`` — by a broadcast left-semi on the
-    much smaller distinct-fp set); verify = shared-fingerprint count
+    pairs plus earlier-postings-vs-batch pairs (under the streaming
+    contract the index is scanned and never shuffled — pruned by the
+    broadcast batch postings; with ``broadcast_batch=False`` nothing
+    is force-broadcast and AQE plans the prune/pairing joins, safe at
+    any batch size); verify = shared-fingerprint count
     over LATEST-version postings only, with the boilerplate
     ``max_doc_freq`` guard computed over those same latest postings
     (candidate generation guarantees every earlier holder of a batch
@@ -1367,14 +1368,16 @@ def incremental_winnowing_dedup(
             # IS the index prune — the store is scanned, never shuffled
             old_hits = old_a.join(F.broadcast(new_b), "fp")
         else:
-            # run-sized batch: postings are too big to force-broadcast,
-            # but the DISTINCT fp set is far smaller — a broadcast
-            # left-semi keeps the store scan shuffle-free, and only the
-            # pruned hits enter the (AQE-planned) pairing join
+            # run-sized batch: nothing here is structurally bounded —
+            # postings are run-sized and even the distinct-fp set only
+            # trails them by the df-cap factor, so NOTHING is force-
+            # broadcast. The left-semi on the distinct fps still prunes
+            # the store before the wider pairing join, and AQE
+            # broadcasts either side at runtime whenever it actually is
+            # small (the common case), degrading to a safe shuffle —
+            # never a driver OOM — when it is not.
             old_hits = old_a.join(
-                F.broadcast(cand_fps.select("fp").distinct()),
-                "fp",
-                "left_semi",
+                cand_fps.select("fp").distinct(), "fp", "left_semi"
             ).join(new_b, "fp")
         cand = cand.unionByName(
             # an id re-ingested in a later batch meets its indexed self
