@@ -817,6 +817,77 @@ def audio_near_dup_pairs(
     )
 
 
+VIDEO_FP_SCHEMA = "doc_id long, n_frames_hashed long, simhash string"
+
+
+def perceptual_hash_video(
+    df: DataFrame,
+    every_nth: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """64-bit temporal-majority aHash per video — the THIRD modality on
+    the shared hamming engine (text SimHash, image aHash, audio
+    frame-energy, now video): sample every ``every_nth`` frame out of
+    the real y4m payload (:func:`sample_video_frames` — the luma plane
+    repackaged as PGM), aHash each sampled frame with the SAME image
+    hash, then set bit k iff a strict MAJORITY of sampled frames have
+    bit k (ties → 0). The majority fold is what makes the hash a VIDEO
+    identity rather than a frame identity: per-frame noise, a few
+    edited frames, or a small temporal shift flip a minority of frames'
+    bits and the majority absorbs them, while different footage flips
+    most frames together. Composition, not new machinery — the frame
+    slice, the image hash, and the downstream pairing/store are all the
+    existing attested stages; only the 64-column majority aggregation
+    (one map-side-combined pass) is new. Output carries the ``simhash``
+    column contract for ``operators.dedup.simhash_pairs`` /
+    ``incremental_hamming_dedup``."""
+    frames = sample_video_frames(
+        df.select(F.col(id_col).alias("doc_id"), payload_col), every_nth
+    )
+    fh = perceptual_hash_images(frames.select("doc_id", "payload"))
+    bit_cols = [
+        F.substring("simhash", i + 1, 1).cast("int").alias(f"_b{i}")
+        for i in range(64)
+    ]
+    per_frame = fh.select("doc_id", *bit_cols)
+    agg = per_frame.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_b{i}").alias(f"_s{i}") for i in range(64)],
+    )
+    majority = F.concat(
+        *[
+            F.when(F.col(f"_s{i}") * 2 > F.col("_n"), F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(64)
+        ]
+    )
+    return agg.select(
+        "doc_id",
+        F.col("_n").cast("long").alias("n_frames_hashed"),
+        majority.alias("simhash"),
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    every_nth: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video near-dup pairs: temporal-majority aHash → the SAME
+    chunk-blocked hamming join every other modality uses. Returns
+    (id_a, id_b, hamming)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        perceptual_hash_video(df, every_nth, id_col, payload_col),
+        max_hamming=max_hamming,
+    )
+
+
 def image_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 6,

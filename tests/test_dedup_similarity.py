@@ -1160,6 +1160,106 @@ def test_audio_fingerprint_near_dup_pairs(spark, tmp_path):
         perceptual_hash_audio(baddf).collect()
 
 
+def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
+    """Temporal-majority video aHash: a noisy re-encode pairs with its
+    original (even with one wholesale-edited frame — the majority
+    absorbs a minority of flipped frames), inverted footage does not;
+    the Spark hash matches an independent sequential recomputation; and
+    the fingerprints run the cross-run hamming store — the fourth
+    modality on the shared engine."""
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        perceptual_hash_video,
+        video_near_dup_pairs,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+
+    w = h = 32
+
+    def y4m(frames):
+        out = b"YUV4MPEG2 W32 H32 F25:1 Ip A1:1 Cmono\n"
+        for f in frames:
+            out += b"FRAME\n" + bytes(f)
+        return out
+
+    grad = [min(255, 4 * (x + y)) for y in range(h) for x in range(w)]
+    inv = [255 - p for p in grad]
+
+    def jitter(frame, i):  # per-frame variation, hash-stable
+        out = list(frame)
+        for p in range(i, len(out), 113):
+            out[p] = min(255, out[p] + 1)
+        return out
+
+    base_frames = [jitter(grad, i) for i in range(5)]
+    noisy_frames = []
+    for i, f in enumerate(base_frames):
+        nf = list(f)
+        for p in range(0, len(nf), 97):
+            nf[p] = min(255, nf[p] + 2)
+        noisy_frames.append(nf)
+    # one wholesale-edited frame: the majority must absorb it (frame 2
+    # is among the sampled {0, 2, 4} at every_nth=2)
+    noisy_frames[2] = list(inv)
+    diff_frames = [jitter(inv, i) for i in range(5)]
+
+    df = spark.createDataFrame(
+        [(1, y4m(base_frames)), (2, y4m(noisy_frames)), (3, y4m(diff_frames))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: r for r in perceptual_hash_video(df, every_nth=2).collect()
+    }
+    assert all(got[d].n_frames_hashed == 3 for d in (1, 2, 3))
+
+    # independent sequential recomputation: per-frame aHash + majority
+    def ref_ahash(px):
+        means = []
+        for gy in range(8):
+            for gx in range(8):
+                cell = [
+                    px[y * w + x]
+                    for y in range(gy * 4, gy * 4 + 4)
+                    for x in range(gx * 4, gx * 4 + 4)
+                ]
+                means.append(sum(cell) / len(cell))
+        mu = sum(means) / 64
+        return ["1" if m > mu else "0" for m in means]
+
+    def ref_video(frames):
+        sampled = [ref_ahash(frames[i]) for i in (0, 2, 4)]
+        return "".join(
+            "1" if sum(int(s[k]) for s in sampled) * 2 > 3 else "0"
+            for k in range(64)
+        )
+
+    assert got[1].simhash == ref_video(base_frames)
+    assert got[3].simhash == ref_video(diff_frames)
+    ham_12 = sum(a != b for a, b in zip(got[1].simhash, got[2].simhash))
+    ham_13 = sum(a != b for a, b in zip(got[1].simhash, got[3].simhash))
+    assert ham_12 <= 6 < ham_13
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in video_near_dup_pairs(df, max_hamming=6, every_nth=2).collect()
+    }
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] == ham_12
+
+    # cross-run store: the original indexed by an earlier run, the
+    # noisy re-encode flagged against it in a later run
+    store = str(tmp_path / "video_store")
+    assert incremental_hamming_dedup(
+        perceptual_hash_video(df.filter("doc_id = 1"), every_nth=2), store, 0
+    ).isEmpty()
+    flagged = incremental_hamming_dedup(
+        perceptual_hash_video(df.filter("doc_id >= 2"), every_nth=2), store, 1
+    )
+    assert [(r.doc_id, r.dup_of, r.hamming) for r in flagged.collect()] == [
+        (2, 1, ham_12)
+    ]
+
+
 def test_incremental_winnowing_store(spark, tmp_path):
     """The winnowing member of the incremental store family: 3 in-order
     batches (max_doc_freq=None) reproduce EXACTLY the one-shot
