@@ -77,6 +77,11 @@ def curate_corpus(
     audio_max_hamming: int = 6,
     audio_store_dir: str | None = None,
     audio_batch_id: int = 0,
+    video: DataFrame | None = None,
+    video_max_hamming: int = 6,
+    video_every_nth: int = 10,
+    video_store_dir: str | None = None,
+    video_batch_id: int = 0,
     chunk_dedup: bool = False,
     words_per_chunk: int = 8,
     chunk_min_docs: int = 2,
@@ -153,6 +158,12 @@ def curate_corpus(
       distance ≤ ``audio_max_hamming``; each cluster keeps its min-id
       member (stats key ``audio_neardup_dropped``). Docs without an
       audio row pass through.
+    * ``video`` — the video twin (``multimodal.perceptual_hash_video``,
+      temporal-majority aHash over every ``video_every_nth``-th frame)
+      through the identical machinery at distance ≤
+      ``video_max_hamming`` (stats key ``video_neardup_dropped``; store
+      variant via ``video_store_dir``/``video_batch_id``). Docs without
+      a video row pass through.
     * ``chunk_dedup`` — sub-document boilerplate removal
       (:func:`...operators.dedup.chunk_level_dedup`) as the FINAL
       stage: surviving docs' text is rewritten with cross-doc repeated
@@ -561,8 +572,31 @@ def curate_corpus(
         audio_caches = (aud_hashed,)
     else:
         flagged = flagged.withColumn("_audio_keep", F.lit(True))
+    keep_aud = keep_img & F.col("_audio_keep")
 
-    keep = keep_img & F.col("_audio_keep")
+    video_caches: tuple = ()
+    if video is not None:
+        from crypto_data_pipeline_with_kafka_spark.multimodal import (
+            perceptual_hash_video,
+        )
+
+        flagged, vid_hashed = _modality_gate(
+            flagged,
+            keep_aud,
+            video,
+            lambda rel, id_col, payload_col: perceptual_hash_video(
+                rel, video_every_nth, id_col=id_col, payload_col=payload_col
+            ),
+            video_max_hamming,
+            video_store_dir,
+            video_batch_id,
+            "_video_keep",
+        )
+        video_caches = (vid_hashed,)
+    else:
+        flagged = flagged.withColumn("_video_keep", F.lit(True))
+
+    keep = keep_aud & F.col("_video_keep")
     flagged = flagged.withColumn("_keep", keep).persist()
 
     # ONE aggregation pass for every stage statistic
@@ -584,6 +618,7 @@ def curate_corpus(
         _n(keep_wn & ~F.col("_dense_keep")).alias("dense_neardup_dropped"),
         _n(keep_dense & ~F.col("_image_keep")).alias("image_neardup_dropped"),
         _n(keep_img & ~F.col("_audio_keep")).alias("audio_neardup_dropped"),
+        _n(keep_aud & ~F.col("_video_keep")).alias("video_neardup_dropped"),
         _n(F.col("_keep")).alias("curated_rows"),
     ).first()
     stats = {k: int(srow[k]) for k in srow.asDict()}
@@ -591,7 +626,8 @@ def curate_corpus(
     curated = flagged.filter("_keep").drop(
         "_exact_keep", "_quality_ok", "_rep_ok", "_decontam_ok",
         "_neardup_keep", "_winnow_keep", "_dense_keep", "_image_keep",
-        "_audio_keep", "_keep", "_top2", "_n2", "_dup3", "_n3", "_in_cluster",
+        "_audio_keep", "_video_keep", "_keep",
+        "_top2", "_n2", "_dup3", "_n3", "_in_cluster",
         "_is_survivor", "_in_wcluster", "_is_wsurvivor",
         "_in_dcluster", "_is_dsurvivor",
     )
@@ -648,7 +684,7 @@ def curate_corpus(
     for df in (
         gated, pairs, flagged,
         *winnow_caches, *dense_caches, *image_caches, *audio_caches,
-        *chunk_caches,
+        *video_caches, *chunk_caches,
     ):
         df.unpersist()
     return curated, stats

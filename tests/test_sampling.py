@@ -464,6 +464,7 @@ def test_curate_corpus_winnow_stage(spark, tmp_path):
             "dense_neardup_dropped",
             "image_neardup_dropped",
             "audio_neardup_dropped",
+            "video_neardup_dropped",
         )
     )
 
@@ -604,6 +605,25 @@ def test_curate_corpus_image_gate(spark, tmp_path):
     ids3 = {r.doc_id for r in cur3.select("doc_id").collect()}
     assert st3["audio_neardup_dropped"] == 1
     assert s1 in ids3 and s2 not in ids3 and s3 in ids3
+
+    # video twin: a noisy re-encode keeps its min-id member, different
+    # footage passes (temporal-majority aHash over sampled frames)
+    def y4m(frames):
+        return b"YUV4MPEG2 W32 H32 F25:1 Ip A1:1 Cmono\n" + b"".join(
+            b"FRAME\n" + bytes(f) for f in frames
+        )
+
+    v_base = [base] * 3
+    v_noisy = [noisy] * 3
+    v_diff = [inverted] * 3
+    video = spark.createDataFrame(
+        [(s1, y4m(v_base)), (s2, y4m(v_noisy)), (s3, y4m(v_diff))],
+        "doc_id long, payload binary",
+    )
+    cur4, st4 = curate_corpus(spark, docs, video=video, video_every_nth=1)
+    ids4 = {r.doc_id for r in cur4.select("doc_id").collect()}
+    assert st4["video_neardup_dropped"] == 1
+    assert s1 in ids4 and s2 not in ids4 and s3 in ids4
 
 
 def test_curate_corpus_optional_stages_empty_inputs(spark, tmp_path):
