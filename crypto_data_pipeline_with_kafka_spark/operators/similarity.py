@@ -1547,10 +1547,11 @@ def pq_train(
     (``lloyd_refined_centroids`` over the sub-vector relation) — the
     production polish: random-pick codes are COVERAGE, k-means codes
     are fit, and on a near-orthogonal corpus the refinement is what
-    lifts ADC recall (measured in the tests). Each sub-space trains
-    independently — ``num_subvectors`` small jobs (picks plan as
-    TakeOrderedAndProject), never a corpus shuffle keyed on m hot
-    values.
+    lifts ADC recall (measured in the tests). The seeded pick runs ALL
+    sub-spaces in one pass (explode + two-level per-sub-space top-k —
+    see the inline note), never a corpus shuffle keyed on m hot values;
+    Lloyd refinement trains each sub-space independently as
+    ``num_subvectors`` small iterative jobs.
 
     ``exact=True`` stores trunc-quantized long components and
     exact-decimal ``cnorm_sq`` instead of doubles (module-header
@@ -1569,16 +1570,13 @@ def pq_train(
     if dim % num_subvectors != 0:
         raise ValueError(f"dim {dim} not divisible by {num_subvectors} subvectors")
     d = dim // num_subvectors
-    books = []
-    for j in range(num_subvectors):
-        if exact:
-            sub = F.slice(quantized_vector(vec_col), j * d + 1, d)
-        else:
+    norm_fn = _dot_exact_decimal if exact else dot_double
+    if lloyd_rounds > 0:
+        books = []
+        for j in range(num_subvectors):
             sub = F.transform(
                 F.slice(vec_col, j * d + 1, d), lambda x: x.cast("double")
             )
-        norm_fn = _dot_exact_decimal if exact else dot_double
-        if lloyd_rounds > 0:
             refined = lloyd_refined_centroids(
                 emb.select(F.col(id_col), sub.alias("_sub")),
                 num_centroids=codes_per_subvector,
@@ -1594,26 +1592,65 @@ def pq_train(
                     norm_fn(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
                 )
             )
-            continue
-        seed_key = F.md5(F.concat(F.lit(f"{j}|"), F.col(id_col).cast("string")))
-        picked = (
-            emb.select(F.col(id_col), sub.alias("cvec"), seed_key.alias("_sk"))
-            .orderBy("_sk", F.col(id_col))
-            .limit(codes_per_subvector)
+        out = books[0]
+        for b in books[1:]:
+            out = out.unionByName(b)
+        return out
+    # seeded pick, ALL sub-spaces in ONE pass: each corpus row explodes
+    # into its m (sub_id, sub-vector) rows, then a two-level top-k —
+    # row_number within (sub_id, input partition) prunes to k rows per
+    # group map-sized, the global window per sub_id ranks only the
+    # surviving m·k·P rows. Same picks and codes as the former
+    # per-sub-space orderBy().limit() loop (top-k by (_sk, id) is
+    # order-insensitive to the pruning level), but 3 stages instead of
+    # 2·m TakeOrdered jobs — and no single hot key: the first shuffle
+    # spreads over m × input-partition-count groups, each bounded by
+    # one input partition's rows
+    full = quantized_vector(vec_col) if exact else dbl_vector(vec_col)
+    exploded = (
+        emb.select(F.col(id_col), full.alias("_v"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_subvectors - 1))
+            ).alias("sub_id"),
+            F.col("_v"),
+            F.spark_partition_id().alias("_pid"),
         )
-        w = Window.orderBy("_sk", F.col(id_col))
-        books.append(
-            picked.select(
-                F.lit(j).alias("sub_id"),
-                (F.row_number().over(w) - 1).cast("int").alias("code"),
-                "cvec",
-                norm_fn(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
-            )
+        .select(
+            F.col(id_col),
+            F.col("sub_id"),
+            "_pid",
+            F.slice(F.col("_v"), F.col("sub_id") * d + 1, F.lit(d)).alias(
+                "cvec"
+            ),
+            F.md5(
+                F.concat(
+                    F.col("sub_id").cast("string"),
+                    F.lit("|"),
+                    F.col(id_col).cast("string"),
+                )
+            ).alias("_sk"),
         )
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out
+    )
+    w_local = Window.partitionBy("sub_id", "_pid").orderBy(
+        "_sk", F.col(id_col)
+    )
+    pruned = (
+        exploded.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= codes_per_subvector)
+    )
+    w_glob = Window.partitionBy("sub_id").orderBy("_sk", F.col(id_col))
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w_glob))
+        .filter(F.col("_rn") <= codes_per_subvector)
+        .select(
+            F.col("sub_id").cast("int").alias("sub_id"),
+            (F.col("_rn") - 1).cast("int").alias("code"),
+            "cvec",
+            norm_fn(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
+        )
+    )
 
 
 def _check_codebook_mode(codebooks: DataFrame, exact: bool, caller: str) -> None:
@@ -2015,11 +2052,31 @@ def pq_topk(
     as decimals with ONE string-hopped double conversion each, and the
     query norm is the module's exact decimal norm — every emitted
     cosine_pq is then bitwise-reproducible by a SQL oracle (same
-    IEEE division tree over identical correctly-rounded doubles)."""
+    IEEE division tree over identical correctly-rounded doubles).
+
+    Two-pass exactness in exact mode (the ``brute_force_topk`` trick):
+    a primitive-double ADC pass ranks ALL pairs — each decimal LUT
+    entry cast to double ONCE per query row, the per-pair fold then m
+    primitive adds — and the interpreted exact-decimal fold runs only
+    on pairs within 1e-6 of each query's k-th approximate score. Both
+    passes sum the SAME m entries over the SAME denominator (_qn·_xn),
+    so the approx→exact gap is one decimal→double cast (≤ 1 ulp per
+    entry) plus m-term double-summation error — ≤ ~1e-14 in cosine
+    units, ≥ 10⁷ inside the margin — hence any excluded pair is
+    provably below ≥ k kept pairs in the EXACT score too: emitted
+    values and membership are identical to the all-exact computation,
+    with decimal folds at O(queries·k) instead of pair cardinality."""
     queries = _pq_query_luts(
         emb.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
         vec_col, exact,
     )
+    if exact:
+        # double twin of the LUT, derived once per QUERY row (≤ 20) —
+        # the prefilter never feeds an emitted value, so the cast's
+        # engine-dependent ulp is irrelevant
+        queries = queries.withColumn(
+            "_lutd", F.transform(F.col("_lut"), lambda x: x.cast("double"))
+        )
     # the query side (with its LUTs) broadcasts explicitly and the
     # codes side STREAMS: each corpus row's positions/norm evaluate
     # once (see _codes_adc_side; with codes=None the encode fuses into
@@ -2031,9 +2088,41 @@ def pq_topk(
         .crossJoin(F.broadcast(queries))
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    scored = paired.select(
-        "id_a", "id_b", _adc_pair_cosine(exact).alias("cosine_pq")
-    )
+    if exact:
+        apx = F.aggregate(
+            F.col("_idx"),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at("_lutd", i),
+        ) / (F.col("_qn") * F.col("_xn"))
+        # slim the pair frame BEFORE the rank shuffle: _idx (m ints),
+        # _qn/_xn scalars and the approx score travel; the 128-entry
+        # decimal LUT is re-joined from the ≤20-row broadcast query
+        # frame only for margin survivors
+        slim = paired.select(
+            "id_a", "id_b", "_idx", "_qn", "_xn", apx.alias("_apx")
+        )
+        w_apx = Window.partitionBy("id_a").orderBy(
+            F.col("_apx").desc(), F.col("id_b")
+        )
+        ranked = slim.withColumn("_ark", F.row_number().over(w_apx))
+        kth = ranked.filter(F.col("_ark") == k).select(
+            "id_a", F.col("_apx").alias("_kth_apx")
+        )
+        cand = (
+            ranked.join(F.broadcast(kth), "id_a", "left")
+            .filter(
+                F.col("_kth_apx").isNull()
+                | (F.col("_apx") >= F.col("_kth_apx") - 1e-6)
+            )
+            .join(F.broadcast(queries.select("id_a", "_lut")), "id_a")
+        )
+        scored = cand.select(
+            "id_a", "id_b", _adc_pair_cosine(True).alias("cosine_pq")
+        )
+    else:
+        scored = paired.select(
+            "id_a", "id_b", _adc_pair_cosine(False).alias("cosine_pq")
+        )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_pq").desc(), F.col("id_b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
