@@ -227,6 +227,44 @@ def run_scale10() -> int:
                 "is tracking index size"
             )
 
+        # winnow-store flatness: the same 10-batch stream through the
+        # winnowing member of the store family (r8 — it was the ONE
+        # incremental store whose O(batch + pruned index) claim had no
+        # command-checked number). Per batch the design cost is the
+        # batch's in-row fingerprinting plus the postings join against
+        # the df-capped index — wall must not track index size.
+        from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+            incremental_winnowing_dedup,
+        )
+
+        wstore = os.path.join(out_dir, "_winnow_store")
+        shutil.rmtree(wstore, ignore_errors=True)
+        wn_walls = []
+        for b in range(10):
+            batch = docs10.filter(
+                (F.col("doc_id") >= lo + b * span)
+                & (F.col("doc_id") < (lo + (b + 1) * span if b < 9 else hi + 1))
+            )
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            incremental_winnowing_dedup(batch, wstore, b)
+            wn_walls.append(round(time.perf_counter() - t0, 3))
+        wn_ratio = round(wn_walls[-1] / max(wn_walls[0], 1e-9), 2)
+        report["winnow_store_batches"] = {
+            "walls": wn_walls,
+            "last_vs_first": wn_ratio,
+        }
+        print(
+            f"# winnow_store_batches: {wn_walls} last/first {wn_ratio}x",
+            file=sys.stderr,
+        )
+        if wn_ratio > SCALE10_STORE_GATE:
+            failures.append(
+                f"winnow store per-batch wall grew {wn_ratio}x from "
+                f"batch 1 to 10 (> {SCALE10_STORE_GATE}) — per-batch cost "
+                "is tracking index size"
+            )
+
         # store-retrain linearity: build a PQ-coded incremental IVF
         # store (5 batches) at 1x and 10x, then time the geometry
         # migration (retrain_ivf_store) — one re-assignment pass + the

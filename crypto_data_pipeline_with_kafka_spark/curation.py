@@ -124,8 +124,14 @@ def curate_corpus(
       the same cross-run shape as the image/audio store gates; flagged
       docs drop (the earlier copy is the survivor by construction).
       ``winnow_batch_id`` is REQUIRED with the store and must not
-      decrease across runs (enforced against the store's newest batch;
-      re-running the latest id is the redelivery contract).
+      decrease across runs (enforced inside the operator against the
+      store's newest batch; re-running the latest id is the redelivery
+      contract). The store call is the run's one EAGER stage (it
+      writes flags + fingerprints immediately, before the returned
+      frame is consumed), so a run that fails in any LATER stage has
+      already committed this run's fingerprints — re-run it under the
+      SAME ``winnow_batch_id``: the redelivery rewrite is idempotent,
+      and a fresh id would double-index the same content.
     * ``benchmark`` — eval-set decontamination
       (:func:`...operators.dedup.decontaminate`): docs whose k-gram
       containment of any benchmark item reaches
@@ -318,9 +324,6 @@ def curate_corpus(
         from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
             incremental_winnowing_dedup,
         )
-        from crypto_data_pipeline_with_kafka_spark.sources.sinks import (
-            target_exists,
-        )
 
         if winnow_batch_id is None:
             raise ValueError(
@@ -330,45 +333,17 @@ def curate_corpus(
                 "a default would make every run batch 0, never seeing "
                 "earlier runs and overwriting batch 0's fingerprints"
             )
-        fps_path = f"{winnow_store_dir}/fps"
-        if target_exists(spark, fps_path):
-            # newest indexed batch from the PARTITION LISTING (metadata
-            # only — no Spark job, no store scan); connect sessions
-            # (no py4j) fall back to the one-column read
-            jvm = getattr(spark, "_jvm", None)
-            if jvm is not None:
-                from crypto_data_pipeline_with_kafka_spark.warehouse import (
-                    _HadoopFs,
-                )
-
-                names = [
-                    st.getPath().getName()
-                    for st in _HadoopFs(spark, fps_path).list_status(fps_path)
-                ]
-                ids = [
-                    int(n.split("=", 1)[1])
-                    for n in names
-                    if n.startswith("batch_id=")
-                ]
-                max_existing = max(ids) if ids else None
-            else:
-                max_existing = (
-                    spark.read.parquet(fps_path)
-                    .agg(F.max("batch_id"))
-                    .first()[0]
-                )
-            # == max is a legitimate redelivery rewrite (crash re-run);
-            # < max would silently OVERWRITE an older run's fingerprints
-            # while newer runs' postings keep matching against the dead
-            # content — refuse the corruption
-            if max_existing is not None and winnow_batch_id < max_existing:
-                raise ValueError(
-                    f"winnow_batch_id {winnow_batch_id} < the store's "
-                    f"newest batch {max_existing}: batch ids must not "
-                    "decrease — reusing an old id overwrites that run's "
-                    "fingerprints (re-running the LATEST id is fine; "
-                    "that is the redelivery contract)"
-                )
+        # the non-decreasing-batch-id refusal (== max is redelivery)
+        # lives INSIDE incremental_winnowing_dedup now (r8: moved from
+        # this call site so direct callers and the streaming runner get
+        # it too — operators.dedup.check_store_batch_monotonic).
+        # Persist the staged frame FIRST: the store call is EAGER
+        # (writes flags + fps immediately), so without the cache the
+        # exact-dedup/quality/minhash plan behind `flagged` would run
+        # here AND again for the stats pass (released with the stage
+        # caches below)
+        flagged = flagged.persist()
+        winnow_caches = (flagged,)
         wflags = incremental_winnowing_dedup(
             flagged.filter(keep_mh).select(did, txt),
             winnow_store_dir,
@@ -524,7 +499,13 @@ def curate_corpus(
             rel.join(alive, id_col, "left_semi"),
             id_col=id_col,
             payload_col=payload_col,
-        ).persist()
+        )
+        # the perceptual hashers emit the id as 'doc_id' regardless of
+        # id_col; rename back so the pairing calls below (which receive
+        # id_col) resolve under a non-default id column
+        if id_col != "doc_id":
+            hashed = hashed.withColumnRenamed("doc_id", id_col)
+        hashed = hashed.persist()
         if store_dir is not None:
             dups = incremental_hamming_dedup(
                 hashed, store_dir, batch_id, id_col=id_col, max_hamming=max_h

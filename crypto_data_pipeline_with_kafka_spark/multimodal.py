@@ -682,7 +682,13 @@ def perceptual_hash_audio(
     break content-hash identity — re-encodes at different bit depths
     scale ALL frames together (the global-mean threshold cancels gain),
     low-level noise moves frame means by ±1 LSB — while a different
-    loudness CONTOUR flips many bits.
+    loudness CONTOUR flips many bits. Leading/trailing NEAR-SILENCE
+    (|v| ≤ peak/256 — a scale-free threshold, so gain invariance is
+    preserved) is trimmed before framing (r8): a planted silence pad
+    would otherwise shift every absolute frame boundary, the classic
+    temporal-offset failure; with the trim a pure pad is an exact
+    no-op. (The Haitsma–Kalker adjacent-delta bit rule was measured
+    and rejected for this — see the inline note.)
 
     Decodes the engine's real codec-free audio (RIFF/WAVE, the same
     chunk walk as :func:`decode_audio`): PCM 8/16/32-bit and IEEE
@@ -769,11 +775,33 @@ def perceptual_hash_audio(
 
         def _fp(payload: bytes) -> tuple[int, int, str]:
             rate, mono = _mono_samples(payload)
-            n = len(mono)
+            n_decoded = n = len(mono)
             if n < 64:
                 raise ValueError(
                     f"audio fingerprint needs >= 64 samples, got {n}"
                 )
+            # temporal-shift tolerance (r8): trim leading/trailing
+            # near-silence (|v| <= peak/256, i.e. 256|v| <= max|v| —
+            # scale-free, so gain invariance survives) BEFORE framing.
+            # A planted silence/low-noise pad shifts every absolute
+            # frame boundary otherwise; trimming makes pure pads EXACT
+            # no-ops. The Haitsma-Kalker adjacent-delta bit rule was
+            # measured as the alternative and rejected: over these
+            # non-overlapped frames it flips 11-17/64 bits on a padded
+            # smooth envelope vs 0-3 for the absolute-threshold rule
+            # (their construction's shift robustness comes from 31/32
+            # frame OVERLAP, not the delta itself). All-silence audio
+            # (peak 0) and a trim below 64 samples fall back untrimmed.
+            peak = max(v if v >= 0 else -v for v in mono)
+            if peak > 0:
+                lo_i, hi_i = 0, n
+                while lo_i < n and 256 * abs(mono[lo_i]) <= peak:
+                    lo_i += 1
+                while hi_i > lo_i and 256 * abs(mono[hi_i - 1]) <= peak:
+                    hi_i -= 1
+                if hi_i - lo_i >= 64:
+                    mono = mono[lo_i:hi_i]
+                    n = hi_i - lo_i
             means = []
             for s in range(64):
                 i0, i1 = s * n // 64, (s + 1) * n // 64
@@ -782,7 +810,11 @@ def perceptual_hash_audio(
                     acc += v if v >= 0 else -v
                 means.append(acc / (i1 - i0))
             mu = sum(means) / 64.0
-            return rate, n, "".join("1" if m > mu else "0" for m in means)
+            # n_samples reports the DECODED count (the parse result),
+            # not the trimmed framing window
+            return rate, n_decoded, "".join(
+                "1" if m > mu else "0" for m in means
+            )
 
         for pdf in it:
             hashed = pdf[payload_col].map(_fp)
@@ -842,8 +874,16 @@ def perceptual_hash_video(
     (one map-side-combined pass) is new. Output carries the ``simhash``
     column contract for ``operators.dedup.simhash_pairs`` /
     ``incremental_hamming_dedup``."""
+    # normalize BOTH names before the frame sampler: sample_video_frames
+    # hard-selects 'doc_id'/'payload' inside its Arrow closure, so a
+    # non-default payload_col must be aliased here (the image/audio
+    # hashers read payload_col directly in their own closures)
     frames = sample_video_frames(
-        df.select(F.col(id_col).alias("doc_id"), payload_col), every_nth
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(payload_col).alias("payload"),
+        ),
+        every_nth,
     )
     fh = perceptual_hash_images(frames.select("doc_id", "payload"))
     bit_cols = [

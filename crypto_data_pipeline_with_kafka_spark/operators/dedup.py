@@ -1257,6 +1257,53 @@ def winnowing_pairs(
     return out
 
 
+def check_store_batch_monotonic(spark, table_path: str, batch_id: int) -> None:
+    """Refuse a DECREASING batch id against an incremental store table
+    partitioned by ``batch_id``: re-running the store's NEWEST id is
+    the legitimate redelivery/crash-recovery rewrite (== max allowed),
+    but an id BELOW the newest silently overwrites an older run's
+    partition while newer runs' postings keep matching the dead
+    content — corruption, not idempotence. The newest batch comes from
+    the PARTITION LISTING (metadata only — no Spark job, no store
+    scan); connect sessions (no py4j) fall back to the one-column read.
+
+    Enforced inside :func:`incremental_winnowing_dedup` so every
+    caller gets it (r8 advice — it was previously a curate_corpus
+    call-site check only). The minhash/hamming/IVF siblings document
+    tolerated out-of-order ARRIVAL (flag orientation follows arrival
+    order), so the hard refusal is not wired there."""
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
+
+    if not target_exists(spark, table_path):
+        return
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        from crypto_data_pipeline_with_kafka_spark.warehouse import _HadoopFs
+
+        names = [
+            st.getPath().getName()
+            for st in _HadoopFs(spark, table_path).list_status(table_path)
+        ]
+        ids = [
+            int(n.split("=", 1)[1])
+            for n in names
+            if n.startswith("batch_id=")
+        ]
+        max_existing = max(ids) if ids else None
+    else:
+        max_existing = (
+            spark.read.parquet(table_path).agg(F.max("batch_id")).first()[0]
+        )
+    if max_existing is not None and batch_id < max_existing:
+        raise ValueError(
+            f"batch_id {batch_id} < the store's newest batch "
+            f"{max_existing} at {table_path}: batch ids must not "
+            "decrease — reusing an old id overwrites that run's "
+            "partition (re-running the LATEST id is fine; that is the "
+            "redelivery contract)"
+        )
+
+
 def incremental_winnowing_dedup(
     new_docs: DataFrame,
     store_dir: str,
@@ -1322,6 +1369,10 @@ def incremental_winnowing_dedup(
     from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
 
     fps_path = f"{store_dir}/fps"
+    # every caller gets the non-decreasing-batch-id refusal (not just
+    # curate_corpus): a decreasing id is partition corruption, and the
+    # check is metadata-only — see check_store_batch_monotonic
+    check_store_batch_monotonic(spark, fps_path, batch_id)
     fps_new = winnowing_fingerprints(
         new_docs, k=k, window=window, text_col=text_col, id_col=id_col,
         widen=widen,

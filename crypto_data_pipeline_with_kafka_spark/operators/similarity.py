@@ -1202,13 +1202,37 @@ def incremental_ivf_update(
     if books is not None:
         # PQ-encode in the same pass (in-row math against the broadcast
         # packed codebooks — no extra shuffle joins the codes in before
-        # the layout write)
-        codes_new = pq_encode(
-            new_vectors.select(F.col(id_col).alias("vec_id"), vec_col),
-            books,
-            id_col="vec_id",
-            vec_col=vec_col,
-        )
+        # the layout write). Residual-tagged books (pq_train_residual)
+        # switch the encoded quantity to x − c(x) against each row's
+        # PRIMARY cell — the IVFADC store layout; retrain_ivf_store
+        # re-encodes these codes against its new geometry.
+        if "residual" in books.columns:
+            enc_src = (
+                new_vectors.select(F.col(id_col).alias("vec_id"), vec_col)
+                .join(primary_new.select("vec_id", "centroid_id"), "vec_id")
+                .join(
+                    F.broadcast(
+                        cents.select(
+                            "centroid_id", F.col("cvec").alias("_cvec")
+                        )
+                    ),
+                    "centroid_id",
+                )
+                .select(
+                    "vec_id",
+                    F.zip_with(
+                        dbl_vector(vec_col), "_cvec", lambda a, b: a - b
+                    ).alias("_rvec"),
+                )
+            )
+            codes_new = pq_encode(enc_src, books, id_col="vec_id", vec_col="_rvec")
+        else:
+            codes_new = pq_encode(
+                new_vectors.select(F.col(id_col).alias("vec_id"), vec_col),
+                books,
+                id_col="vec_id",
+                vec_col=vec_col,
+            )
         cells_new = cells_new.join(codes_new, "vec_id")
     (
         cells_new.write.mode("overwrite")
@@ -1391,11 +1415,26 @@ def retrain_ivf_store(
     backup_cells = f"{store_dir}/.retrain_backup_cells"
     backup_cents = f"{store_dir}/.retrain_backup_centroids"
 
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
+
     stored = spark.read.parquet(cells_path)
     vec_col = _cells_vec_col(stored)
-    # PQ codes (a pq_codebooks= store) are cell-geometry-independent —
-    # carry them through the re-assignment untouched
-    extra_cols = ("codes",) if "codes" in stored.columns else ()
+    books_path = f"{store_dir}/pq_codebooks"
+    books = (
+        spark.read.parquet(books_path)
+        if target_exists(spark, books_path)
+        else None
+    )
+    residual_books = books is not None and "residual" in books.columns
+    # RAW-layout PQ codes are cell-geometry-independent — carried
+    # through the re-assignment untouched. RESIDUAL-tagged codes die
+    # with their geometry, so they are dropped here and RE-ENCODED
+    # against the new centroids inside the same re-assignment pass
+    # below (the books stay fixed — like centroids at bootstrap, they
+    # are the code geometry; only the quantized residuals move).
+    extra_cols = (
+        ("codes",) if "codes" in stored.columns and not residual_books else ()
+    )
     vecs = stored.select("vec_id", vec_col, "batch_id", *extra_cols)
     # Training/C-derivation sees ONE row per id (latest batch wins): a
     # re-ingested id has one stored row per ingest, and training on the
@@ -1433,6 +1472,28 @@ def retrain_ivf_store(
         centroids=cents,
         carry_cols=("batch_id", vec_col) + extra_cols,
     )
+    if residual_books:
+        # re-encode x − c_new(x) per stored row, in-row against the
+        # broadcast packed books + O(C) new centroids — no join back
+        # on vec_id (stale re-ingested rows share ids across batches),
+        # no second corpus pass: this IS the re-assignment pass
+        packed = _packed_codebooks(books)
+        re_cells = (
+            re_cells.join(
+                F.broadcast(
+                    cents.select("centroid_id", F.col("cvec").alias("_cvec"))
+                ),
+                "centroid_id",
+            )
+            .crossJoin(F.broadcast(packed))
+            .withColumn(
+                "_rvec",
+                F.zip_with(dbl_vector(vec_col), "_cvec", lambda a, b: a - b),
+            )
+            .withColumn("codes", _codes_expr("_rvec", exact=False))
+            .drop("_cb", "_cvec", "_rvec")
+        )
+        extra_cols = ("codes",)
     (
         # one exchange on the layout keys so each (batch, cell) dir
         # lands as one file — this IS the maintenance pass, small-file
@@ -1651,6 +1712,82 @@ def pq_train(
             norm_fn(F.col("cvec"), F.col("cvec")).alias("cnorm_sq"),
         )
     )
+
+
+def pq_train_residual(
+    emb: DataFrame,
+    centroids: DataFrame,
+    num_subvectors: int = 8,
+    codes_per_subvector: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    lloyd_rounds: int = 0,
+) -> DataFrame:
+    """PQ codebooks over RESIDUALS x − c(x) against a FIXED cell
+    geometry (the IVFADC training step): assign each vector its primary
+    cell (broadcast O(C) centroids, in-row — zero shuffles), subtract
+    the centroid vector, train :func:`pq_train` over the residual
+    relation. The returned books carry a literal ``residual`` boolean
+    column — the tag :func:`ivf_pq_topk` / :func:`pq_topk` check so
+    residual codes are never silently decoded as raw reconstructions
+    (or vice versa): codes are positional references whose MEANING
+    depends on what was quantized, and a mismatch mis-scores
+    plausibly instead of erroring. Train once over a bootstrap corpus,
+    then pass as ``pq_codebooks=`` to :func:`incremental_ivf_update` —
+    the store detects the tag, encodes each arriving batch's residuals
+    against its assigned cells, and ``retrain_ivf_store`` RE-ENCODES
+    the codes against the new geometry in its re-assignment pass
+    (residual codes die with their geometry; the retrain pass is
+    exactly where the new geometry and every stored vector meet)."""
+    base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("_vd"))
+    assign = ivf_assignments(
+        base, probes=1, id_col=id_col, vec_col="_vd", centroids=centroids
+    )
+    res = (
+        base.join(assign, id_col)
+        .join(
+            F.broadcast(
+                centroids.select("centroid_id", F.col("cvec").alias("_cvec"))
+            ),
+            "centroid_id",
+        )
+        .select(
+            F.col(id_col),
+            F.zip_with("_vd", "_cvec", lambda a, b: a - b).alias("_rvec"),
+        )
+    )
+    return pq_train(
+        res, num_subvectors, codes_per_subvector, id_col=id_col,
+        vec_col="_rvec", dim=dim, lloyd_rounds=lloyd_rounds,
+    ).withColumn("residual", F.lit(True))
+
+
+def _check_residual_tag(
+    codebooks: DataFrame, residual: bool, caller: str
+) -> None:
+    """Residual codebooks (``pq_train_residual``) carry a literal
+    ``residual`` column; raw books don't. A mismatch between the tag
+    and the caller's decode mode never errors on its own — raw codes
+    decoded as residuals (or residuals as raw) produce plausible
+    scores with collapsed recall — so refuse at plan-build from the
+    schema, the same idiom as ``_check_codebook_mode``."""
+    tagged = "residual" in codebooks.columns
+    if tagged and not residual:
+        raise ValueError(
+            f"{caller}: codebooks carry the residual tag (trained by "
+            "pq_train_residual over x − c(x)) but the caller decodes "
+            "raw reconstructions — pass residual=True with the cell "
+            "geometry the books were trained against"
+        )
+    if residual and not tagged:
+        raise ValueError(
+            f"{caller}: residual=True with UNTAGGED codebooks — these "
+            "books quantize raw vectors (e.g. a read_ivf_pq_store "
+            "raw-layout store), and decoding their codes as residuals "
+            "mis-scores silently; train residual books with "
+            "pq_train_residual (which tags them) or drop residual=True"
+        )
 
 
 def _check_codebook_mode(codebooks: DataFrame, exact: bool, caller: str) -> None:
@@ -2066,6 +2203,7 @@ def pq_topk(
     provably below ≥ k kept pairs in the EXACT score too: emitted
     values and membership are identical to the all-exact computation,
     with decimal folds at O(queries·k) instead of pair cardinality."""
+    _check_residual_tag(codebooks, False, "pq_topk")
     queries = _pq_query_luts(
         emb.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
         vec_col, exact,
@@ -2195,10 +2333,14 @@ def ivf_pq_topk(
     Requires an explicit cell geometry when ``codebooks``/``codes``
     are supplied (codes are only meaningful against the geometry that
     produced the residuals — the same fixed-geometry contract as the
-    incremental store's centroids); retraining cells invalidates
-    residual codes, which is why the STORE layout quantizes raw
-    vectors (geometry-independent, retrain-surviving) and accepts the
-    recall difference."""
+    incremental store's centroids), and the codebooks must carry the
+    ``residual`` tag :func:`pq_train_residual` writes — raw books with
+    a matching geometry would otherwise decode raw codes as residuals,
+    scoring plausibly with collapsed recall. The STORE supports both
+    layouts: raw books (untagged) write geometry-independent codes
+    that survive retrain untouched; residual-tagged books write IVFADC
+    codes that ``retrain_ivf_store`` re-encodes against the new
+    geometry inside its re-assignment pass."""
     refine = 4 * k if refine is None else refine
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
@@ -2269,6 +2411,11 @@ def ivf_pq_topk(
                 "codes die with their cell geometry (and raw-vector "
                 "codes, e.g. read_ivf_pq_store's, are not residual codes)"
             )
+        if codebooks is not None:
+            # centroids alone don't prove the books hold residual
+            # entries: a raw-layout store's (books, cents) pair passes
+            # the geometry guard above — the tag is what refuses it
+            _check_residual_tag(codebooks, True, "ivf_pq_topk")
         cvecs = F.broadcast(
             cents.select("centroid_id", F.col("cvec").alias("_cvec"))
         )
@@ -2343,6 +2490,8 @@ def ivf_pq_topk(
                 base, num_subvectors, codes_per_subvector, id_col=id_col,
                 vec_col="vdbl", dim=dim,
             ).localCheckpoint()
+        else:
+            _check_residual_tag(codebooks, False, "ivf_pq_topk")
         # encode/ADC-precompute candidates only (see residual branch)
         cand_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
         if codes is None:

@@ -1260,6 +1260,103 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
     ]
 
 
+def test_audio_fingerprint_shift_tolerance(spark, tmp_path):
+    """Temporal-shift robustness (r8): a re-take padded with leading
+    silence (exact zeros AND a ±1-LSB noise floor) fingerprints
+    IDENTICALLY to the original — the near-silence trim removes the
+    pad before framing, so the absolute frame boundaries realign —
+    and the padded copy pairs with the original through both the
+    in-batch join and the cross-run store under the same max_hamming.
+    All-silence audio still fingerprints (untrimmed fallback)."""
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        audio_near_dup_pairs,
+        perceptual_hash_audio,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+
+    # smooth deterministic envelope (NOT frame-aligned blocks — the
+    # hard case for boundary shifts): 64 frames x 128 samples
+    out, amp, x = [], 500, 7
+    for s in range(64):
+        x = (x * 1103515245 + 12345) % (2**31)
+        amp = max(20, min(2000, amp + (x % 401) - 200))
+        out.extend(amp if i % 2 == 0 else -amp for i in range(128))
+    pad_zero = [0] * 100 + out
+    pad_noise = [1 if i % 2 == 0 else -1 for i in range(100)] + out
+    rows = [
+        (1, _wav16(out)),
+        (2, _wav16(pad_zero)),
+        (3, _wav16(pad_noise)),
+        (4, _wav16([0] * 256)),  # all silence: untrimmed fallback
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in perceptual_hash_audio(df).collect()}
+    assert got[2].simhash == got[1].simhash
+    assert got[3].simhash == got[1].simhash
+    assert got[2].n_samples == 64 * 128 + 100  # decoded, not trimmed
+    assert got[4].simhash == "0" * 64
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in audio_near_dup_pairs(
+            df.filter("doc_id <= 3"), max_hamming=6
+        ).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    # cross-run store: index the original, the padded re-take flags
+    store = str(tmp_path / "audio_shift_store")
+    assert incremental_hamming_dedup(
+        perceptual_hash_audio(df.filter("doc_id = 1")), store, 0
+    ).isEmpty()
+    flagged = incremental_hamming_dedup(
+        perceptual_hash_audio(df.filter("doc_id = 2")), store, 1
+    )
+    assert [(r.doc_id, r.dup_of, r.hamming) for r in flagged.collect()] == [
+        (2, 1, 0)
+    ]
+
+
+def test_video_hash_non_default_columns(spark):
+    """perceptual_hash_video under non-default id_col/payload_col:
+    identical output to the default names (r8 advice fix — the
+    pre-select must alias BOTH columns before sample_video_frames,
+    whose Arrow closure hard-reads 'doc_id'/'payload')."""
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        perceptual_hash_video,
+    )
+
+    w = h = 32
+
+    def y4m(frames):
+        out = b"YUV4MPEG2 W32 H32 F25:1 Ip A1:1 Cmono\n"
+        for f in frames:
+            out += b"FRAME\n" + bytes(f)
+        return out
+
+    grad = [min(255, 4 * (x + y)) for y in range(h) for x in range(w)]
+    vid = y4m([grad] * 3)
+    default = spark.createDataFrame(
+        [(7, vid)], "doc_id long, payload binary"
+    )
+    renamed = spark.createDataFrame(
+        [(7, vid)], "vid_id long, blob binary"
+    )
+    want = [
+        tuple(r)
+        for r in perceptual_hash_video(default, every_nth=2).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in perceptual_hash_video(
+            renamed, every_nth=2, id_col="vid_id", payload_col="blob"
+        ).collect()
+    ]
+    assert got == want and len(got) == 1
+
+
 def test_incremental_winnowing_store(spark, tmp_path):
     """The winnowing member of the incremental store family: 3 in-order
     batches (max_doc_freq=None) reproduce EXACTLY the one-shot
@@ -1306,17 +1403,26 @@ def test_incremental_winnowing_store(spark, tmp_path):
             got[r["doc_id"]] = (r["overlap_of"], r["shared"])
     assert got == expected and len(got) > 0
 
-    # redelivery: re-running batch 1 rewrites identical flags
-    batch1 = docs.filter(
-        (F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])
+    # redelivery: re-running the LATEST batch (2) rewrites identical
+    # flags; re-running an OLDER id is refused by the operator's
+    # monotonicity guard (r8: moved in from the curate_corpus call
+    # site — a decreasing id overwrites that run's fps partition while
+    # newer postings keep matching the dead content)
+    batch2 = docs.filter(
+        (F.col("doc_id") >= cuts[2]) & (F.col("doc_id") < cuts[3])
     )
     re_flags = incremental_winnowing_dedup(
-        batch1, store, 1, k=K, window=W, min_shared=MS, max_doc_freq=None
+        batch2, store, 2, k=K, window=W, min_shared=MS, max_doc_freq=None
     )
     re_got = {
         r["doc_id"]: (r["overlap_of"], r["shared"]) for r in re_flags.collect()
     }
-    assert re_got == {b: v for b, v in got.items() if cuts[1] <= b < cuts[2]}
+    assert re_got == {b: v for b, v in got.items() if cuts[2] <= b < cuts[3]}
+    with pytest.raises(ValueError, match="must not decrease"):
+        incremental_winnowing_dedup(
+            docs.limit(1), store, 1, k=K, window=W, min_shared=MS,
+            max_doc_freq=None,
+        )
 
     # re-ingestion contract: lo re-ingested as a COPY of a mid-corpus
     # doc flags against it (never itself)...
@@ -2418,6 +2524,143 @@ def test_ivf_pq_store_serves_and_preserves_contract(spark, tmp_path):
         pq_encode(b0, exact_books)  # exact books, double mode
     with pytest.raises(ValueError, match="does not match exact"):
         pq_topk(base, books, vec_col="vdbl", exact=True)  # double books
+
+
+def test_ivf_pq_residual_store_mode(spark, tmp_path):
+    """Residual-tagged books (pq_train_residual) in the incremental
+    store (r8): batches encode x − c(x) against their primary cells;
+    the re-ingestion contract (latest-wins, never-self-flag) holds;
+    serving from the stored pieces ≡ recomputing over the same corpus;
+    retrain RE-ENCODES the codes against the new geometry in its
+    re-assignment pass (unlike raw codes, which it carries untouched);
+    and the tag guards refuse every silent raw/residual mix."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        incremental_ivf_update,
+        ivf_assignments,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+        pq_train_residual,
+        read_ivf_pq_store,
+        retrain_ivf_store,
+    )
+
+    G, PER, DIM = 8, 20, 64
+    rows = []
+    for g in range(G):
+        center = [((g * 31 + i * 7) % 17 - 8) / 4.0 for i in range(DIM)]
+        for j in range(PER):
+            p = g * PER + j
+            delta = [((p * 13 + i * 5) % 9 - 4) / 40.0 for i in range(DIM)]
+            rows.append((p, [center[i] + delta[i] for i in range(DIM)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, G, "vec_id").localCheckpoint()
+    books = pq_train_residual(
+        emb, cents, num_subvectors=8, codes_per_subvector=16, dim=DIM
+    ).localCheckpoint()
+    assert "residual" in books.columns
+
+    cut = G * PER // 2
+    b0 = emb.filter(F.col("vec_id") < cut)
+    reingested = b0.filter(F.col("vec_id") == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    b1 = (
+        emb.filter(F.col("vec_id") >= cut)
+        .select("vec_id", "embedding")
+        .unionByName(reingested)
+    )
+    store = str(tmp_path / "ivfpq_res_store")
+    incremental_ivf_update(
+        b0, store, 0, centroids=cents, pq_codebooks=books, min_cosine=0.2
+    )
+    fl1 = incremental_ivf_update(b1, store, 1, min_cosine=0.2)
+    assert fl1.filter(F.col("vec_id") == F.col("match_id")).count() == 0
+
+    cells, books_r, cents_r = read_ivf_pq_store(spark, store)
+    assert "residual" in books_r.columns
+    assert cells.count() == G * PER  # latest-wins serve view
+
+    # latest-wins codes: the re-ingested id's stored codes are the
+    # residual-encode of its LATEST content against its primary cell
+    def residual_codes(vectors, geometry):
+        vd = vectors.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("_vd"),
+        )
+        assign = ivf_assignments(
+            vd, probes=1, id_col="vec_id", vec_col="_vd", centroids=geometry
+        )
+        rv = (
+            vd.join(assign, "vec_id")
+            .join(
+                geometry.select(
+                    "centroid_id", F.col("cvec").alias("_cvec")
+                ),
+                "centroid_id",
+            )
+            .select(
+                "vec_id",
+                F.zip_with("_vd", "_cvec", lambda a, b: a - b).alias("_rvec"),
+            )
+        )
+        return pq_encode(rv, books_r, id_col="vec_id", vec_col="_rvec")
+
+    want = residual_codes(reingested, cents_r).collect()[0].codes
+    got = cells.filter(F.col("vec_id") == 0).collect()[0].codes
+    assert list(got) == list(want)
+
+    # serve from stored pieces ≡ recompute over the same latest corpus
+    def serve(cells_df, cents_df, books_df, precomputed: bool):
+        kw = dict(
+            query_ids_max=10, k=5, probes=3, centroids=cents_df,
+            codebooks=books_df, refine=12, residual=True,
+        )
+        if precomputed:
+            kw["corpus_cells"] = cells_df.select("vec_id", "centroid_id")
+            kw["codes"] = cells_df.select("vec_id", "codes")
+        return sorted(
+            map(
+                tuple,
+                ivf_pq_topk(
+                    cells_df.select("vec_id", "embedding"), **kw
+                ).collect(),
+            )
+        )
+
+    assert serve(cells, cents_r, books_r, True) == serve(
+        cells, cents_r, books_r, False
+    )
+
+    # retrain: residual codes are RE-ENCODED against the new geometry
+    before = {r.vec_id: list(r.codes) for r in cells.collect()}
+    assert retrain_ivf_store(spark, store, num_centroids=2 * G) == 2 * G
+    cells2, books2, cents2 = read_ivf_pq_store(spark, store)
+    assert cents2.count() == 2 * G
+    after = {r.vec_id: list(r.codes) for r in cells2.collect()}
+    assert after != before  # new geometry, new residuals
+    want2 = residual_codes(reingested, cents2.localCheckpoint()).collect()[0]
+    assert after[0] == list(want2.codes)
+    # and the retrained store still serves from its stored pieces
+    assert len(serve(cells2, cents2, books2, True)) > 0
+
+    # tag guards: every raw/residual mix refuses at plan build
+    raw_books = pq_train(base, 8, 16, vec_col="vdbl", dim=DIM)
+    with pytest.raises(ValueError, match="UNTAGGED"):
+        ivf_pq_topk(
+            base, residual=True, codebooks=raw_books, centroids=cents, dim=DIM
+        )
+    with pytest.raises(ValueError, match="residual tag"):
+        ivf_pq_topk(base, codebooks=books, centroids=cents, dim=DIM)
+    with pytest.raises(ValueError, match="residual tag"):
+        pq_topk(base, books, vec_col="vdbl")
+    base.unpersist()
 
 
 def test_packed_codebooks_reject_ragged_or_sparse(spark):

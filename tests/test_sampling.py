@@ -626,6 +626,189 @@ def test_curate_corpus_image_gate(spark, tmp_path):
     assert s1 in ids4 and s2 not in ids4 and s3 in ids4
 
 
+def test_curate_corpus_all_gates_composed(spark, tmp_path):
+    """EVERYTHING ON at once (r8): one corpus through exact dedup,
+    quality, repetition, decontamination, MinHash, the winnow STORE
+    gate, the dense embedding gate, the image/audio/video hamming
+    gates, and chunk-level dedup — with a planted victim for EVERY
+    stage and the stats identity pinned to the input count. The
+    flag-column staging (keep_mh → keep_wn → dense → modality gates)
+    only composes correctly if each gate evaluates over the PREVIOUS
+    gate's survivors — exactly where a silent stage-ordering bug
+    would hide; the per-stage victims make any mis-ordering visible
+    as a wrong drop count or a surviving victim."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # ten baseline survivors to aim the per-stage victims at
+    base_curated, _ = curate_corpus(spark, docs)
+    surv = [r.doc_id for r in base_curated.orderBy("doc_id").limit(10).collect()]
+    s_dec, s_mh, s_d1, s_d2, s_i1, s_i2, s_a1, s_a2, s_v1, s_v2 = surv
+    text_of = {
+        r.doc_id: r.text
+        for r in docs.filter(F.col("doc_id").isin(surv)).collect()
+    }
+
+    # planted victims, unique vocab so stages don't cross-couple
+    span = " ".join(f"cgs{j}" for j in range(40))
+    planted = [
+        # exact dup of the decontam target's text (drops at stage 1)
+        (900001, text_of[s_dec]),
+        # quality: under min_words
+        (900002, "too short to keep"),
+        # repetition: distinct ratio fine, one bigram over the cap
+        (900003, " ".join(f"cgr{j}" for j in range(20)) + " xq yq" * 10),
+        # winnow pair: disjoint docs sharing the 40-word span (MinHash
+        # misses it; the longer doc survives the winnow cluster)
+        (900006, " ".join(f"cgwa{j}" for j in range(70)) + " " + span),
+        (900007, " ".join(f"cgwb{j}" for j in range(60)) + " " + span),
+        # chunk-dedup trio: one chunk-aligned 8-word boilerplate
+        *[
+            (
+                900011 + i,
+                " ".join(f"cgc{i}w{j}" for j in range(24))
+                + " cgb1 cgb2 cgb3 cgb4 cgb5 cgb6 cgb7 cgb8",
+            )
+            for i in range(3)
+        ],
+    ]
+    corpus = docs.unionByName(
+        spark.createDataFrame(planted, "doc_id long, text string")
+    )
+
+    benchmark = spark.createDataFrame(
+        [(0, text_of[s_dec])], "doc_id long, text string"
+    )
+    # minhash victim: whole-doc near-copy of s_mh (one word appended)
+    corpus = corpus.unionByName(
+        spark.createDataFrame(
+            [(900005, text_of[s_mh] + " cgtail")], "doc_id long, text string"
+        )
+    )
+    vec = [float(i) for i in range(1, 9)]
+    embeddings = spark.createDataFrame(
+        [(s_d1, vec), (s_d2, vec)], "doc_id long, embedding array<float>"
+    )
+
+    w = h = 32
+    pix = [min(255, 4 * (x + y)) for y in range(h) for x in range(w)]
+    noisy_pix = [
+        min(255, p + 2) if k % 97 == 0 else p for k, p in enumerate(pix)
+    ]
+    pgm = lambda p: b"P5\n32 32\n255\n" + bytes(p)
+    images = spark.createDataFrame(
+        [(s_i1, pgm(pix)), (s_i2, pgm(noisy_pix))],
+        "doc_id long, payload binary",
+    )
+
+    def wav16(samples):
+        data = _struct.pack(f"<{len(samples)}h", *samples)
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data)
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    tone = []
+    for s in range(64):
+        amp = 1000 if s % 3 == 0 else 10
+        tone.extend(amp if i % 2 == 0 else -amp for i in range(128))
+    tone_noisy = [v + (1 if k % 97 == 0 else 0) for k, v in enumerate(tone)]
+    audio = spark.createDataFrame(
+        [(s_a1, wav16(tone)), (s_a2, wav16(tone_noisy))],
+        "doc_id long, payload binary",
+    )
+
+    y4m = lambda frames: (
+        b"YUV4MPEG2 W32 H32 F25:1 Ip A1:1 Cmono\n"
+        + b"".join(b"FRAME\n" + bytes(f) for f in frames)
+    )
+    video = spark.createDataFrame(
+        [(s_v1, y4m([pix] * 3)), (s_v2, y4m([noisy_pix] * 3))],
+        "doc_id long, payload binary",
+    )
+
+    store = str(tmp_path / "cg_wn_store")
+    curated, stats = curate_corpus(
+        spark,
+        corpus,
+        benchmark=benchmark,
+        winnow_store_dir=store,
+        winnow_batch_id=0,
+        embeddings=embeddings,
+        images=images,
+        audio=audio,
+        video=video,
+        video_every_nth=1,
+        chunk_dedup=True,
+    )
+    curated = curated.persist()
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+
+    # per-stage victims landed in THEIR stage's counter
+    assert stats["exact_dups_dropped"] >= 1
+    assert stats["quality_dropped"] >= 1 and 900002 not in ids
+    assert stats["repetition_dropped"] >= 1 and 900003 not in ids
+    assert stats["decontam_dropped"] >= 1 and s_dec not in ids
+    assert stats["neardup_dropped"] >= 1
+    assert len({s_mh, 900005} & ids) == 1  # minhash cluster survivor
+    assert stats["winnow_dropped"] == 1
+    assert 900006 in ids and 900007 not in ids  # longer doc survives
+    assert stats["dense_neardup_dropped"] == 1
+    assert len({s_d1, s_d2} & ids) == 1
+    assert stats["image_neardup_dropped"] == 1
+    assert s_i1 in ids and s_i2 not in ids  # min id survives
+    assert stats["audio_neardup_dropped"] == 1
+    assert s_a1 in ids and s_a2 not in ids
+    assert stats["video_neardup_dropped"] == 1
+    assert s_v1 in ids and s_v2 not in ids
+    # chunk dedup: the trio survives doc-level, loses its shared chunk
+    kept = {
+        r.doc_id: r.text for r in curated.filter("doc_id >= 900011").collect()
+    }
+    assert set(kept) == {900011, 900012, 900013}
+    assert all("cgb1" not in t for t in kept.values())
+
+    # stats identity pinned to the input count across ALL stages
+    assert stats["input_rows"] == corpus.count()
+    assert stats["input_rows"] == stats["curated_rows"] + sum(
+        stats[k]
+        for k in (
+            "exact_dups_dropped",
+            "quality_dropped",
+            "repetition_dropped",
+            "decontam_dropped",
+            "neardup_dropped",
+            "winnow_dropped",
+            "dense_neardup_dropped",
+            "image_neardup_dropped",
+            "audio_neardup_dropped",
+            "video_neardup_dropped",
+            "chunkdedup_docs_dropped",
+        )
+    )
+    curated.unpersist()
+
+    # the eager winnow-store write committed THIS run's fingerprints:
+    # a second run's doc copying the span flags against the store
+    cur2, st2 = curate_corpus(
+        spark,
+        spark.createDataFrame(
+            [(910000, " ".join(f"cgz{j}" for j in range(30)) + " " + span)],
+            "doc_id long, text string",
+        ),
+        winnow_store_dir=store,
+        winnow_batch_id=1,
+    )
+    assert st2["winnow_dropped"] == 1 and cur2.isEmpty()
+
+
 def test_curate_corpus_optional_stages_empty_inputs(spark, tmp_path):
     """P7 for the optional stages: an empty corpus (and empty
     benchmark/embeddings/images relations) runs the full pipeline with
