@@ -2242,18 +2242,23 @@ def pq_topk(
         w_apx = Window.partitionBy("id_a").orderBy(
             F.col("_apx").desc(), F.col("id_b")
         )
-        ranked = slim.withColumn("_ark", F.row_number().over(w_apx))
-        kth = ranked.filter(F.col("_ark") == k).select(
-            "id_a", F.col("_apx").alias("_kth_apx")
+        # the k-th approximate score as a SECOND window over the SAME
+        # partitioning (unbounded frame) — it rides the row_number's
+        # exchange/sort, so the encode+pair upstream executes ONCE; a
+        # separate kth frame joined back would re-execute that whole
+        # plan a second time (measured ~2× the leg's wall at sf0.1)
+        ranked = slim.withColumn(
+            "_ark", F.row_number().over(w_apx)
+        ).withColumn(
+            "_kth_apx",
+            F.max(F.when(F.col("_ark") == k, F.col("_apx"))).over(
+                Window.partitionBy("id_a")
+            ),
         )
-        cand = (
-            ranked.join(F.broadcast(kth), "id_a", "left")
-            .filter(
-                F.col("_kth_apx").isNull()
-                | (F.col("_apx") >= F.col("_kth_apx") - 1e-6)
-            )
-            .join(F.broadcast(queries.select("id_a", "_lut")), "id_a")
-        )
+        cand = ranked.filter(
+            F.col("_kth_apx").isNull()
+            | (F.col("_apx") >= F.col("_kth_apx") - 1e-6)
+        ).join(F.broadcast(queries.select("id_a", "_lut")), "id_a")
         scored = cand.select(
             "id_a", "id_b", _adc_pair_cosine(True).alias("cosine_pq")
         )
