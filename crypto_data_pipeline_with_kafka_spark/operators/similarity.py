@@ -2100,6 +2100,67 @@ def _adc_pair_cosine(exact: bool) -> Column:
     return _adc_lut_sum(exact) / (F.col("_qn") * F.col("_xn"))
 
 
+def _exact_adc_topk(paired: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Two-pass exact-decimal ADC top-k over a pair frame (the
+    ``brute_force_topk`` trick, shared by :func:`pq_topk` exact mode
+    and :func:`ivf_pq_topk`'s exact shortlist): ``paired`` carries
+    (id_a, id_b, _idx, _qn, _xn, _lutd) — a primitive-double ADC pass
+    ranks ALL pairs, and the interpreted exact-decimal fold runs only
+    on pairs within 1e-6 of each query's k-th approximate score. Both
+    passes sum the SAME m entries over the SAME (_qn·_xn) denominator,
+    so the approx→exact gap is one decimal→double cast (≤ 1 ulp per
+    entry) plus m-term double-summation error — ≤ ~1e-14 in cosine
+    units, ≥ 10⁷ inside the margin — hence any excluded pair is
+    provably below ≥ k kept pairs in the EXACT score too: emitted
+    values, membership, and rank are identical to the all-exact
+    computation, with decimal folds at O(queries·k) instead of pair
+    cardinality. Returns (id_a, id_b, cosine_pq, rnk ≤ k).
+
+    The k-th approximate score is a SECOND window over the SAME
+    partitioning (unbounded frame) — it rides the row_number's
+    exchange/sort, so the encode+pair upstream executes ONCE; a
+    separate kth frame joined back would re-execute that whole plan a
+    second time (measured ~2× the leg's wall at sf0.1)."""
+    apx = F.aggregate(
+        F.col("_idx"),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at("_lutd", i),
+    ) / (F.col("_qn") * F.col("_xn"))
+    # slim the pair frame BEFORE the rank shuffle: _idx (m ints),
+    # _qn/_xn scalars and the approx score travel; the decimal LUT is
+    # re-joined from the broadcast query frame only for margin
+    # survivors
+    slim = paired.select(
+        "id_a", "id_b", "_idx", "_qn", "_xn", apx.alias("_apx")
+    )
+    w_apx = Window.partitionBy("id_a").orderBy(
+        F.col("_apx").desc(), F.col("id_b")
+    )
+    ranked = slim.withColumn(
+        "_ark", F.row_number().over(w_apx)
+    ).withColumn(
+        "_kth_apx",
+        F.max(F.when(F.col("_ark") == k, F.col("_apx"))).over(
+            Window.partitionBy("id_a")
+        ),
+    )
+    cand = ranked.filter(
+        F.col("_kth_apx").isNull()
+        | (F.col("_apx") >= F.col("_kth_apx") - 1e-6)
+    ).join(F.broadcast(queries.select("id_a", "_lut")), "id_a")
+    scored = cand.select(
+        "id_a", "id_b", _adc_pair_cosine(True).alias("cosine_pq")
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine_pq").desc(), F.col("id_b")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id_a", "id_b", "cosine_pq", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def _residual_adc_side(
     codes: DataFrame,
     codebooks: DataFrame,
@@ -2227,45 +2288,10 @@ def pq_topk(
         .filter(F.col("id_a") != F.col("id_b"))
     )
     if exact:
-        apx = F.aggregate(
-            F.col("_idx"),
-            F.lit(0.0),
-            lambda acc, i: acc + F.element_at("_lutd", i),
-        ) / (F.col("_qn") * F.col("_xn"))
-        # slim the pair frame BEFORE the rank shuffle: _idx (m ints),
-        # _qn/_xn scalars and the approx score travel; the 128-entry
-        # decimal LUT is re-joined from the ≤20-row broadcast query
-        # frame only for margin survivors
-        slim = paired.select(
-            "id_a", "id_b", "_idx", "_qn", "_xn", apx.alias("_apx")
-        )
-        w_apx = Window.partitionBy("id_a").orderBy(
-            F.col("_apx").desc(), F.col("id_b")
-        )
-        # the k-th approximate score as a SECOND window over the SAME
-        # partitioning (unbounded frame) — it rides the row_number's
-        # exchange/sort, so the encode+pair upstream executes ONCE; a
-        # separate kth frame joined back would re-execute that whole
-        # plan a second time (measured ~2× the leg's wall at sf0.1)
-        ranked = slim.withColumn(
-            "_ark", F.row_number().over(w_apx)
-        ).withColumn(
-            "_kth_apx",
-            F.max(F.when(F.col("_ark") == k, F.col("_apx"))).over(
-                Window.partitionBy("id_a")
-            ),
-        )
-        cand = ranked.filter(
-            F.col("_kth_apx").isNull()
-            | (F.col("_apx") >= F.col("_kth_apx") - 1e-6)
-        ).join(F.broadcast(queries.select("id_a", "_lut")), "id_a")
-        scored = cand.select(
-            "id_a", "id_b", _adc_pair_cosine(True).alias("cosine_pq")
-        )
-    else:
-        scored = paired.select(
-            "id_a", "id_b", _adc_pair_cosine(False).alias("cosine_pq")
-        )
+        return _exact_adc_topk(paired, queries, k)
+    scored = paired.select(
+        "id_a", "id_b", _adc_pair_cosine(False).alias("cosine_pq")
+    )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_pq").desc(), F.col("id_b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -2291,6 +2317,7 @@ def ivf_pq_topk(
     codes: DataFrame | None = None,
     dim: int | None = None,
     residual: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking — the memory-bounded serve tier
     (Jégou et al. 2011, the FAISS IVFPQ layout): ``ivf_topk`` prunes
@@ -2345,10 +2372,27 @@ def ivf_pq_topk(
     layouts: raw books (untagged) write geometry-independent codes
     that survive retrain untouched; residual-tagged books write IVFADC
     codes that ``retrain_ivf_store`` re-encodes against the new
-    geometry inside its re-assignment pass."""
+    geometry inside its re-assignment pass.
+
+    ``exact=True`` (raw mode, with ``exact`` codebooks/codes): the ADC
+    SHORTLIST itself becomes engine-independent — codes, LUTs, and the
+    refine ranking run in the module's exact integer decimals (via the
+    shared :func:`_exact_adc_topk` two-pass, so the decimal folds stay
+    O(queries·refine)), and the final top-k re-ranks on the exact-
+    decimal cosine like every other query path. A SQL oracle can then
+    replay the ENTIRE pipeline bitwise, shortlist membership included
+    (the double-mode shortlist is rank-stable only up to float
+    summation order). Refused with ``residual=True``: the decomposed
+    dot(q,c) cell term is primitive-double by design."""
     refine = 4 * k if refine is None else refine
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
+    if exact and residual:
+        raise ValueError(
+            "exact=True with residual=True: the residual decomposition's "
+            "dot(q, centroid) term is primitive-double — an exact-decimal "
+            "shortlist is only defined for the raw-code layout"
+        )
     if codes is not None and codebooks is None:
         raise ValueError(
             "codes= without codebooks=: persisted codes are POSITIONAL "
@@ -2493,7 +2537,7 @@ def ivf_pq_topk(
             # trained on the whole corpus, pinned for the three packers
             codebooks = pq_train(
                 base, num_subvectors, codes_per_subvector, id_col=id_col,
-                vec_col="vdbl", dim=dim,
+                vec_col="vdbl", dim=dim, exact=exact,
             ).localCheckpoint()
         else:
             _check_residual_tag(codebooks, False, "ivf_pq_topk")
@@ -2502,25 +2546,47 @@ def ivf_pq_topk(
         if codes is None:
             codes = pq_encode(
                 base.join(cand_ids, id_col, "left_semi"), codebooks,
-                id_col=id_col, vec_col="vdbl",
+                id_col=id_col, vec_col="vdbl", exact=exact,
             )
         else:
             codes = codes.join(cand_ids, id_col, "left_semi")
         queries = _pq_query_luts(
             base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
-            "vdbl", exact=False,
+            "vdbl", exact=exact,
         )
-        adc = (
-            cand.join(F.broadcast(queries), "id_a")
-            .join(_codes_adc_side(codes, codebooks, id_col, exact=False), "id_b")
-            .select("id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc"))
+        if exact:
+            # double twin of the LUT, once per query row (pq_topk's
+            # prefilter shape); the shortlist is then the shared
+            # two-pass exact-decimal rank at k=refine — membership
+            # provably identical to an all-exact ADC ranking
+            queries = queries.withColumn(
+                "_lutd",
+                F.transform(F.col("_lut"), lambda x: x.cast("double")),
+            )
+            paired = cand.join(F.broadcast(queries), "id_a").join(
+                _codes_adc_side(codes, codebooks, id_col, exact=True), "id_b"
+            )
+            shortlist = _exact_adc_topk(paired, queries, refine).select(
+                "id_a", "id_b"
+            )
+        else:
+            adc = (
+                cand.join(F.broadcast(queries), "id_a")
+                .join(
+                    _codes_adc_side(codes, codebooks, id_col, exact=False),
+                    "id_b",
+                )
+                .select(
+                    "id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc")
+                )
+            )
+    if residual or not exact:
+        wa = Window.partitionBy("id_a").orderBy(F.col("_adc").desc(), F.col("id_b"))
+        shortlist = (
+            adc.withColumn("_ar", F.row_number().over(wa))
+            .filter(F.col("_ar") <= refine)
+            .select("id_a", "id_b")
         )
-    wa = Window.partitionBy("id_a").orderBy(F.col("_adc").desc(), F.col("id_b"))
-    shortlist = (
-        adc.withColumn("_ar", F.row_number().over(wa))
-        .filter(F.col("_ar") <= refine)
-        .select("id_a", "id_b")
-    )
     scored = cosine_for_pairs(base, shortlist, exact_norms_in_base=False, id_col=id_col)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (

@@ -15,8 +15,10 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     brute_force_topk,
     ivf_ann_pairs,
     ivf_assignments,
+    ivf_pq_topk,
     ivf_topk,
     lsh_ann_pairs,
+    pq_encode,
     pq_topk,
     pq_train,
     with_dbl_and_approx_norm,
@@ -30,6 +32,11 @@ _DIM = 64
 _PQ_M = 8
 _PQ_K = 16
 _PQ_D = _DIM // _PQ_M
+# ivfpq leg: ADC top-6 shortlist per query, exact re-rank to top-3 —
+# refine is deliberately far below the probed-cell candidate volume so
+# the code-level pruning is semantically load-bearing in the checked
+# output (a covering refine would collapse the leg to qtopk)
+_IPQ_REFINE = 6
 
 # (vec_id, pos 1-based, v = trunc(x·1e12) quantized integer) + norms —
 # the shared oracle base. Quantization by TRUNCATION is tie-free (decimal
@@ -276,6 +283,34 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY id_a
                                   ORDER BY cosine DESC, id_b) AS rnk
         FROM pq_cos) WHERE rnk <= 3
+    ),
+    ipq_adc AS (
+      SELECT qc.id_a, qc.id_b,
+             CAST(CAST(sum(l.dotp) AS VARCHAR) AS DOUBLE) AS sc
+      FROM qcand qc
+      JOIN pq_codes cd ON cd.vec_id = qc.id_b
+      JOIN pq_lut l ON l.id_a = qc.id_a AND l.j = cd.j AND l.code = cd.code
+      GROUP BY 1, 2
+    ),
+    ipq_short AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id_a, a.id_b,
+               row_number() OVER (PARTITION BY a.id_a
+                 ORDER BY a.sc / (sqrt(n.norm_sq) * sqrt(x.xn)) DESC,
+                          a.id_b) AS ar
+        FROM ipq_adc a
+        JOIN nrm n ON n.vec_id = a.id_a
+        JOIN pq_xnorm x ON x.vec_id = a.id_b
+      ) WHERE ar <= {_IPQ_REFINE}
+    ),
+    ipqtopk AS (
+      SELECT id_a, id_b, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT s.id_a, s.id_b, q.cosine,
+               row_number() OVER (PARTITION BY s.id_a
+                                  ORDER BY q.cosine DESC, s.id_b) AS rnk
+        FROM ipq_short s
+        JOIN qcos q ON q.id_a = s.id_a AND q.id_b = s.id_b
+      ) WHERE rnk <= 3
     )
     SELECT 'lsh' AS method, id_a, id_b, cosine,
            CAST(NULL AS INTEGER) AS rnk FROM lsh_out
@@ -286,8 +321,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'qtopk' AS method, id_a, id_b, cosine, rnk FROM qtopk
     UNION ALL
     SELECT 'pq' AS method, id_a, id_b, cosine, rnk FROM pqtopk
+    UNION ALL
+    SELECT 'ivfpq' AS method, id_a, id_b, cosine, rnk FROM ipqtopk
     """,
-    doc="ANN suite, ALL FOUR scale paths in one checked plan (tagged "
+    doc="ANN suite, ALL FIVE scale paths in one checked plan (tagged "
     "union, the grouping-suite pattern): 'lsh' = 16 deterministic "
     "random-hyperplane sign bits (md5-derived, oracle-identical) banded "
     "4×4 so vectors sharing any band collide; 'ivf' = inverted-file "
@@ -300,12 +337,19 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(pq_train/pq_topk exact mode, 8 sub-spaces × 16 codes = 32× "
     "compression): seeded codebook pick, nearest-code encoding, and "
     "per-query ADC over the 8-byte codes, all in exact integer "
-    "decimals so codes AND reconstructed-norm cosines check bitwise. "
+    "decimals so codes AND reconstructed-norm cosines check bitwise; "
+    "'ivfpq' (r8) = the IVF-PQ serve tier (ivf_pq_topk exact mode): "
+    "the qtopk leg's probed-cell candidates scanned as the pq leg's "
+    "8-byte codes (one shared exact encode pass serves both legs), "
+    "ADC top-6 shortlist per query in exact decimals (shortlist "
+    "MEMBERSHIP is engine-independent, not just scores), exact-cosine "
+    "re-rank to top-3 — code-level pruning is load-bearing in the "
+    "checked output since refine=6 is far below candidate volume. "
     "Exact-decimal scoring everywhere (even probe ASSIGNMENT), so the "
     "whole suite is value-checked. Cost ~ collisions, never corpus²; "
     "measured recall at sf0.1: lsh 0.53, ivf 0.67, precision 1.0 (see "
     "operator docstrings)",
-    tags=("similarity", "lsh", "ivf", "pq"),
+    tags=("similarity", "lsh", "ivf", "pq", "ivfpq"),
 )
 def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one (id, vdbl, approx-norm) base — a single scan of embeddings —
@@ -340,13 +384,36 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K,
         vec_col="vdbl", dim=_DIM, exact=True,
     ).localCheckpoint()
+    # ONE exact encode pass serves BOTH pq legs (pq_topk would
+    # otherwise fuse its own corpus-wide encode and ivf_pq_topk would
+    # re-encode its candidates — at full-probe coverage that is the
+    # corpus again); localCheckpoint pins the 8-int rows
+    codes = pq_encode(
+        base, books, vec_col="vdbl", exact=True
+    ).localCheckpoint()
     pq = pq_topk(
-        base, books, query_ids_max=20, k=3, vec_col="vdbl", exact=True
+        base, books, codes=codes, query_ids_max=20, k=3, vec_col="vdbl",
+        exact=True,
     ).select(
         F.lit("pq").alias("method"), "id_a", "id_b",
         F.col("cosine_pq").alias("cosine"), "rnk",
     )
-    return lsh.unionByName(ivf).unionByName(qt).unionByName(pq)
+    # fifth leg (r8): IVF-PQ serving with an EXACT-DECIMAL ADC
+    # shortlist — cells/probes shared with the qtopk leg via the same
+    # ranked assignments, books/codes shared with the pq leg; the
+    # oracle replays candidate generation, code-level shortlist
+    # pruning (top-6 by exact ADC), and the exact re-rank bitwise
+    ipq = ivf_pq_topk(
+        base, query_ids_max=20, k=3, num_centroids=32, probes=3,
+        refine=_IPQ_REFINE, assignments=assign, codebooks=books,
+        codes=codes, dim=_DIM, exact=True,
+    ).select(F.lit("ivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
+    return (
+        lsh.unionByName(ivf)
+        .unionByName(qt)
+        .unionByName(pq)
+        .unionByName(ipq)
+    )
 
 
 @register(

@@ -2315,6 +2315,43 @@ def test_ivf_pq_topk_refine_tradeoff(spark):
             codes=spark.createDataFrame([], "vec_id long, codes array<int>"),
         )
 
+    # exact=True (r8, the driver-attested 'ivfpq' suite leg's mode):
+    # covering refine is STILL identical to ivf_topk — the two-pass
+    # exact-decimal shortlist changes rank arithmetic, not membership
+    # semantics — and a tight refine emits exactly k rows per query
+    books_e = pq_train(
+        base, num_subvectors=16, codes_per_subvector=64, vec_col="vdbl",
+        dim=64, exact=True,
+    ).persist()
+    full_e = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                base, query_ids_max=20, k=5, probes=3, centroids=cents,
+                codebooks=books_e, refine=10**6, exact=True,
+            ).collect(),
+        )
+    )
+    assert full_e == exact
+    tight_e = ivf_pq_topk(
+        base, query_ids_max=20, k=5, probes=3, centroids=cents,
+        codebooks=books_e, refine=8, exact=True,
+    ).collect()
+    assert {r.rnk for r in tight_e} == {1, 2, 3, 4, 5}
+    # mode guards: double books refuse exact, exact books refuse
+    # double, and exact+residual is undefined (double cell term)
+    with pytest.raises(ValueError, match="exact"):
+        ivf_pq_topk(
+            base, centroids=cents, codebooks=books, refine=8, exact=True
+        ).collect()
+    with pytest.raises(ValueError, match="exact"):
+        ivf_pq_topk(
+            base, centroids=cents, codebooks=books_e, refine=8
+        ).collect()
+    with pytest.raises(ValueError, match="residual"):
+        ivf_pq_topk(base, centroids=cents, residual=True, exact=True, dim=64)
+    books_e.unpersist()
+
     # non-default id column survives the full path (the exact re-rank
     # stage threads id_col through cosine_for_pairs); prepare the base
     # explicitly so its cache can be released (caller-owned lifecycle)
