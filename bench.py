@@ -184,86 +184,79 @@ def run_scale10() -> int:
                 f"{report['ivf_fixed_c32']['wall_10x']})"
             )
 
-        # incremental-store flatness: stream the 10x corpus through the
-        # hamming store as 10 equal batches; per-batch wall must not
-        # track index size (O(batch + index scan + candidates) design)
+        # incremental-store flatness: stream the 10x corpus through each
+        # gated store member as 10 equal batches; per-batch wall must
+        # not track index size (the O(batch + index scan + candidates)
+        # design claim)
         from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
             incremental_hamming_dedup,
+            incremental_winnowing_dedup,
             simhash_bits,
         )
 
         docs10 = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
         lo, hi = docs10.agg(F.min("doc_id"), F.max("doc_id")).first()
         span = (hi - lo + 1) // 10
-        store = os.path.join(out_dir, "_ham_store")
-        # a reused SPARK_GRAFT_SCALE10_DIR would otherwise hand batch 0
-        # a pre-populated index, inflating its wall and loosening the
-        # last/first gate — the baseline must be an EMPTY store
-        shutil.rmtree(store, ignore_errors=True)
-        batch_walls = []
-        for b in range(10):
-            batch = docs10.filter(
-                (F.col("doc_id") >= lo + b * span)
-                & (F.col("doc_id") < (lo + (b + 1) * span if b < 9 else hi + 1))
-            )
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            incremental_hamming_dedup(simhash_bits(batch), store, b)
-            batch_walls.append(round(time.perf_counter() - t0, 3))
-        store_ratio = round(batch_walls[-1] / max(batch_walls[0], 1e-9), 2)
-        report["hamming_store_batches"] = {
-            "walls": batch_walls,
-            "last_vs_first": store_ratio,
-        }
-        print(
-            f"# hamming_store_batches: {batch_walls} last/first "
-            f"{store_ratio}x",
-            file=sys.stderr,
-        )
-        if store_ratio > SCALE10_STORE_GATE:
-            failures.append(
-                f"hamming store per-batch wall grew {store_ratio}x from "
-                f"batch 1 to 10 (> {SCALE10_STORE_GATE}) — per-batch cost "
-                "is tracking index size"
-            )
 
-        # winnow-store flatness: the same 10-batch stream through the
-        # winnowing member of the store family (r8 — it was the ONE
-        # incremental store whose O(batch + pruned index) claim had no
-        # command-checked number). Per batch the design cost is the
-        # batch's in-row fingerprinting plus the postings join against
-        # the df-capped index — wall must not track index size.
-        from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
-            incremental_winnowing_dedup,
-        )
+        def store_flatness(name: str, store_subdir: str, ingest) -> None:
+            """Time ``ingest(batch_df, store_path, batch_id)`` over 10
+            equal corpus slices against an EMPTY store (a reused
+            SPARK_GRAFT_SCALE10_DIR would otherwise hand batch 0 a
+            pre-populated index, inflating its wall and loosening the
+            gate) and gate last/first wall ≤ SCALE10_STORE_GATE."""
+            store = os.path.join(out_dir, store_subdir)
+            shutil.rmtree(store, ignore_errors=True)
+            walls = []
+            for b in range(10):
+                batch = docs10.filter(
+                    (F.col("doc_id") >= lo + b * span)
+                    & (
+                        F.col("doc_id")
+                        < (lo + (b + 1) * span if b < 9 else hi + 1)
+                    )
+                )
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                ingest(batch, store, b)
+                walls.append(round(time.perf_counter() - t0, 3))
+            ratio = round(walls[-1] / max(walls[0], 1e-9), 2)
+            report[f"{name}_store_batches"] = {
+                "walls": walls,
+                "last_vs_first": ratio,
+            }
+            print(
+                f"# {name}_store_batches: {walls} last/first {ratio}x",
+                file=sys.stderr,
+            )
+            if ratio > SCALE10_STORE_GATE:
+                failures.append(
+                    f"{name} store per-batch wall grew {ratio}x from "
+                    f"batch 1 to 10 (> {SCALE10_STORE_GATE}) — per-batch "
+                    "cost is tracking index size"
+                )
 
-        wstore = os.path.join(out_dir, "_winnow_store")
-        shutil.rmtree(wstore, ignore_errors=True)
-        wn_walls = []
-        for b in range(10):
-            batch = docs10.filter(
-                (F.col("doc_id") >= lo + b * span)
-                & (F.col("doc_id") < (lo + (b + 1) * span if b < 9 else hi + 1))
-            )
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            incremental_winnowing_dedup(batch, wstore, b)
-            wn_walls.append(round(time.perf_counter() - t0, 3))
-        wn_ratio = round(wn_walls[-1] / max(wn_walls[0], 1e-9), 2)
-        report["winnow_store_batches"] = {
-            "walls": wn_walls,
-            "last_vs_first": wn_ratio,
-        }
-        print(
-            f"# winnow_store_batches: {wn_walls} last/first {wn_ratio}x",
-            file=sys.stderr,
+        store_flatness(
+            "hamming",
+            "_ham_store",
+            lambda batch, st, b: incremental_hamming_dedup(
+                simhash_bits(batch), st, b
+            ),
         )
-        if wn_ratio > SCALE10_STORE_GATE:
-            failures.append(
-                f"winnow store per-batch wall grew {wn_ratio}x from "
-                f"batch 1 to 10 (> {SCALE10_STORE_GATE}) — per-batch cost "
-                "is tracking index size"
-            )
+        # winnow member (r8 — it was the ONE incremental store whose
+        # O(batch + pruned index) claim had no command-checked number).
+        # These tenth-of-10x-corpus batches are RUN-sized, not
+        # micro-batch-sized, so the streaming contract's forced batch
+        # broadcast is the wrong plan here — broadcast_batch=False
+        # (AQE decides), the same reasoning as the curate_corpus call
+        # site; the gate then times the plan shape a run-sized caller
+        # actually executes.
+        store_flatness(
+            "winnow",
+            "_winnow_store",
+            lambda batch, st, b: incremental_winnowing_dedup(
+                batch, st, b, broadcast_batch=False
+            ),
+        )
 
         # store-retrain linearity: build a PQ-coded incremental IVF
         # store (5 batches) at 1x and 10x, then time the geometry

@@ -488,7 +488,7 @@ def curate_corpus(
     # pair via the shared hamming machinery (one-shot in-batch, or
     # against the persisted cross-run store), keep each cluster's min id
     def _modality_gate(flagged, alive_expr, rel, hash_fn, max_h,
-                       store_dir, batch_id, keep_name):
+                       store_dir, batch_id, keep_name, algo):
         from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
             incremental_hamming_dedup,
             simhash_pairs,
@@ -507,8 +507,12 @@ def curate_corpus(
             hashed = hashed.withColumnRenamed("doc_id", id_col)
         hashed = hashed.persist()
         if store_dir is not None:
+            # algo stamps the hasher era so a bit-rule upgrade (e.g.
+            # the r8 audio silence-trim) refuses against a store of
+            # old-rule fingerprints instead of silently missing dups
             dups = incremental_hamming_dedup(
-                hashed, store_dir, batch_id, id_col=id_col, max_hamming=max_h
+                hashed, store_dir, batch_id, id_col=id_col,
+                max_hamming=max_h, algo=algo,
             ).select(did)
         else:
             pairs = simhash_pairs(hashed, id_col=id_col, max_hamming=max_h)
@@ -526,13 +530,14 @@ def curate_corpus(
     image_caches: tuple = ()
     if images is not None:
         from crypto_data_pipeline_with_kafka_spark.multimodal import (
+            IMAGE_AHASH_ALGO,
             perceptual_hash_images,
         )
 
         flagged, img_hashed = _modality_gate(
             flagged, keep_dense, images, perceptual_hash_images,
             image_max_hamming, image_store_dir, image_batch_id,
-            "_image_keep",
+            "_image_keep", IMAGE_AHASH_ALGO,
         )
         image_caches = (img_hashed,)
     else:
@@ -542,13 +547,14 @@ def curate_corpus(
     audio_caches: tuple = ()
     if audio is not None:
         from crypto_data_pipeline_with_kafka_spark.multimodal import (
+            AUDIO_FP_ALGO,
             perceptual_hash_audio,
         )
 
         flagged, aud_hashed = _modality_gate(
             flagged, keep_img, audio, perceptual_hash_audio,
             audio_max_hamming, audio_store_dir, audio_batch_id,
-            "_audio_keep",
+            "_audio_keep", AUDIO_FP_ALGO,
         )
         audio_caches = (aud_hashed,)
     else:
@@ -558,6 +564,7 @@ def curate_corpus(
     video_caches: tuple = ()
     if video is not None:
         from crypto_data_pipeline_with_kafka_spark.multimodal import (
+            VIDEO_FP_ALGO,
             perceptual_hash_video,
         )
 
@@ -572,6 +579,9 @@ def curate_corpus(
             video_store_dir,
             video_batch_id,
             "_video_keep",
+            # every_nth shapes which frames feed the majority fold, so
+            # it is part of the fingerprint era
+            f"{VIDEO_FP_ALGO}/n={video_every_nth}",
         )
         video_caches = (vid_hashed,)
     else:

@@ -665,6 +665,15 @@ def perceptual_hash_images(
     )
 
 
+# fingerprint-algorithm era stamps for the cross-run hamming store
+# (operators.dedup.check_store_algo): bump whenever the bit rule
+# changes — stored fingerprints of the old rule hash the SAME content
+# differently, so a mixed-era store silently misses near-dups. The
+# audio tag is at v2 since the r8 leading/trailing near-silence trim.
+IMAGE_AHASH_ALGO = "image/ahash/v1"
+AUDIO_FP_ALGO = "audio/energy-contour/v2-silence-trim"
+VIDEO_FP_ALGO = "video/temporal-majority-ahash/v1"
+
 AUDIO_FP_SCHEMA = "doc_id long, sample_rate int, n_samples long, simhash string"
 
 
@@ -688,7 +697,12 @@ def perceptual_hash_audio(
     would otherwise shift every absolute frame boundary, the classic
     temporal-offset failure; with the trim a pure pad is an exact
     no-op. (The Haitsma–Kalker adjacent-delta bit rule was measured
-    and rejected for this — see the inline note.)
+    and rejected for this — see the inline note.) The trim changed the
+    bit rule, so ``AUDIO_FP_ALGO`` is at v2: cross-run stores stamped
+    by ``curate_corpus`` refuse old-era fingerprints instead of
+    silently missing near-dups (``operators.dedup.check_store_algo``);
+    unstamped direct-call stores built before the change must be
+    rebuilt.
 
     Decodes the engine's real codec-free audio (RIFF/WAVE, the same
     chunk walk as :func:`decode_audio`): PCM 8/16/32-bit and IEEE

@@ -1041,6 +1041,7 @@ def incremental_hamming_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     n_chunks: int = 4,
+    algo: str | None = None,
 ) -> DataFrame:
     """Modality-agnostic incremental near-dup gate over 64-bit hashes:
     an arriving batch of ``(id, simhash)`` rows — text SimHash
@@ -1073,11 +1074,22 @@ def incremental_hamming_dedup(
     blocking is derived per call, so the knob can be raised for later
     batches without rebuilding anything — a batch processed at
     ``n_chunks=8`` is guaranteed to catch every earlier item within
-    hamming 7, whatever blocking earlier batches used."""
+    hamming 7, whatever blocking earlier batches used.
+
+    ``algo`` (r8) stamps the HASHER era the batch's bits came from
+    (e.g. ``multimodal.AUDIO_FP_ALGO``) — the store is modality- and
+    hasher-agnostic, so it cannot detect that an upstream bit-rule
+    change made stored and arriving hashes incomparable (same content,
+    different bits, near-dups silently missed); the stamp refuses the
+    mix instead (:func:`check_store_algo`). ``curate_corpus`` and the
+    streaming runner always stamp; direct callers that skip it keep
+    the unstamped contract and own the era risk."""
     spark = new_hashed.sparkSession
     from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
 
     hashes_path = f"{store_dir}/hashes"
+    if algo is not None:
+        check_store_algo(spark, store_dir, hashes_path, algo)
     hashes_new = new_hashed.select(F.col(id_col), "simhash").persist()
 
     def read_earlier(keep_batch: bool = False) -> DataFrame:
@@ -1304,6 +1316,50 @@ def check_store_batch_monotonic(spark, table_path: str, batch_id: int) -> None:
         )
 
 
+def check_store_algo(
+    spark, store_dir: str, table_path: str, algo: str
+) -> None:
+    """Refuse a fingerprint-ALGORITHM era mix against an incremental
+    store (the manifest ``digest_algo`` idiom applied to the store
+    family): a store's indexed fingerprints are only comparable to a
+    batch's if both came from the same bit rule with the same
+    fingerprint-shaping parameters — after an algorithm change (e.g.
+    the r8 audio silence-trim) the identical content hashes
+    differently, so near-dups are silently MISSED rather than erroring.
+    The stamp is a one-row parquet marker at ``store_dir/algo``:
+    written on the store's first stamped batch, required equal on
+    every later one. A NON-EMPTY index with no marker is a
+    pre-versioning-era store — refused too (its era is unknowable;
+    rebuild it, or keep calling without a stamp and own the risk).
+    ``table_path`` is the store's index table (existence = non-empty
+    store)."""
+    from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
+
+    marker = f"{store_dir}/algo"
+    if target_exists(spark, marker):
+        stored = spark.read.parquet(marker).first()[0]
+        if stored != algo:
+            raise ValueError(
+                f"store at {store_dir} holds fingerprints of algorithm "
+                f"era {stored!r} but this batch was hashed with "
+                f"{algo!r}: mixed eras silently MISS near-dups (same "
+                "content, different bits) — rebuild the store under the "
+                "new algorithm, or hash with the stored era's rule"
+            )
+        return
+    if target_exists(spark, table_path):
+        raise ValueError(
+            f"store at {store_dir} has an index but no algorithm stamp "
+            f"(pre-versioning era) while this batch declares {algo!r}: "
+            "the stored fingerprints' era is unknowable — rebuild the "
+            "store (or call without algo= to keep the unstamped "
+            "contract and own the era risk)"
+        )
+    spark.createDataFrame([(algo,)], "algo string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(marker)
+
+
 def incremental_winnowing_dedup(
     new_docs: DataFrame,
     store_dir: str,
@@ -1373,6 +1429,14 @@ def incremental_winnowing_dedup(
     # curate_corpus): a decreasing id is partition corruption, and the
     # check is metadata-only — see check_store_batch_monotonic
     check_store_batch_monotonic(spark, fps_path, batch_id)
+    # SELF-stamped fingerprint era (r8): k/window shape the
+    # fingerprints themselves, so a store built at one (k, window) is
+    # silently incomparable to batches fingerprinted at another —
+    # near-dups would be missed, not erred; min_shared/max_doc_freq
+    # are read-side knobs and stay free per batch
+    check_store_algo(
+        spark, store_dir, fps_path, f"winnow/k={k}/window={window}"
+    )
     fps_new = winnowing_fingerprints(
         new_docs, k=k, window=window, text_col=text_col, id_col=id_col,
         widen=widen,

@@ -618,10 +618,15 @@ def run_incremental_hamming_stream(
     (same file source, same epoch_id-as-batch_id exactly-once
     contract): each micro-batch of documents is SimHash-hashed and
     flagged against the persisted hash index of every earlier batch
-    (:func:`...operators.dedup.incremental_hamming_dedup`). The same
-    store also accepts image-aHash batches
-    (``multimodal.perceptual_hash_images`` output) — hash the batch in
-    the handler of a parallel stream to gate a mixed-modality feed."""
+    (:func:`...operators.dedup.incremental_hamming_dedup`). The store
+    ENGINE is modality-agnostic (image aHash / audio / video
+    fingerprints flow through the same machinery), but each store DIR
+    holds ONE hasher era — enforced by the algo stamp (r8,
+    ``check_store_algo``): hashes from different bit rules land in the
+    same 64-bit space, so a mixed store would emit chance cross-rule
+    collisions as dup flags and miss real same-rule pairs after an
+    upgrade. Gate a mixed-modality feed with one store per modality,
+    the ``curate_corpus`` layout."""
     stream = documents_stream_reader(spark, source_path, max_files_per_trigger=1)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -633,6 +638,10 @@ def run_incremental_hamming_stream(
             int(epoch_id),
             max_hamming=max_hamming,
             n_chunks=n_chunks,
+            # era stamp: this runner's bits are text SimHash — a store
+            # shared with another hasher (or a future bit-rule change)
+            # must refuse, not silently miss (check_store_algo)
+            algo="text/simhash-64/v1",
         )
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()

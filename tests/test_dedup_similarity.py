@@ -1319,6 +1319,58 @@ def test_audio_fingerprint_shift_tolerance(spark, tmp_path):
     ]
 
 
+def test_store_algo_stamp_refuses_era_mix(spark, tmp_path):
+    """check_store_algo (r8, the manifest digest_algo idiom for the
+    store family): a hamming store stamped with one hasher era refuses
+    batches stamped with another; redelivery under the same stamp is
+    fine; an unstamped pre-versioning store with an index refuses a
+    stamped call; unstamped calls keep the old contract. The winnow
+    store SELF-stamps its (k, window) — changing either against an
+    existing store refuses instead of silently missing overlaps."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+        incremental_winnowing_dedup,
+        simhash_bits,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    b0 = simhash_bits(docs.filter("doc_id < 20"))
+    b1 = simhash_bits(docs.filter("doc_id >= 20 and doc_id < 40"))
+
+    store = str(tmp_path / "stamped")
+    incremental_hamming_dedup(b0, store, 0, algo="text/simhash-64/v1")
+    # same era: fine (including a redelivery rewrite of the same batch)
+    incremental_hamming_dedup(b1, store, 1, algo="text/simhash-64/v1")
+    incremental_hamming_dedup(b1, store, 1, algo="text/simhash-64/v1")
+    # different era: refused, naming both eras
+    with pytest.raises(ValueError, match="v1.*v2|era"):
+        incremental_hamming_dedup(b1, store, 2, algo="text/simhash-64/v2")
+
+    # pre-versioning store (index, no marker) + stamped call: refused
+    old = str(tmp_path / "unstamped")
+    incremental_hamming_dedup(b0, old, 0)
+    with pytest.raises(ValueError, match="no algorithm stamp"):
+        incremental_hamming_dedup(b1, old, 1, algo="text/simhash-64/v1")
+    # unstamped call on the unstamped store: the old contract holds
+    incremental_hamming_dedup(b1, old, 1)
+
+    # winnow self-stamp: k/window shape the fingerprints themselves
+    wstore = str(tmp_path / "wn")
+    d0 = docs.filter("doc_id < 20")
+    incremental_winnowing_dedup(d0, wstore, 0, k=5, window=4)
+    incremental_winnowing_dedup(
+        docs.filter("doc_id >= 20 and doc_id < 40"), wstore, 1, k=5, window=4
+    )
+    with pytest.raises(ValueError, match="winnow/k=5/window=4"):
+        incremental_winnowing_dedup(d0, wstore, 2, k=8, window=4)
+    with pytest.raises(ValueError, match="winnow/k=5/window=4"):
+        incremental_winnowing_dedup(d0, wstore, 2, k=5, window=6)
+
+
 def test_video_hash_non_default_columns(spark):
     """perceptual_hash_video under non-default id_col/payload_col:
     identical output to the default names (r8 advice fix — the
