@@ -1336,8 +1336,18 @@ def check_store_algo(
     from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
 
     marker = f"{store_dir}/algo"
+    stored = None
     if target_exists(spark, marker):
-        stored = spark.read.parquet(marker).first()[0]
+        # a marker dir with no committed rows is a crashed first-stamp
+        # write (only the first stamped batch ever writes it; both
+        # pre-versioning-index paths raise BEFORE writing) — treat as
+        # absent so redelivery self-heals instead of bricking the store
+        try:
+            row = spark.read.parquet(marker).first()
+        except Exception:
+            row = None
+        stored = row[0] if row is not None else None
+    if stored is not None:
         if stored != algo:
             raise ValueError(
                 f"store at {store_dir} holds fingerprints of algorithm "
@@ -1352,8 +1362,10 @@ def check_store_algo(
             f"store at {store_dir} has an index but no algorithm stamp "
             f"(pre-versioning era) while this batch declares {algo!r}: "
             "the stored fingerprints' era is unknowable — rebuild the "
-            "store (or call without algo= to keep the unstamped "
-            "contract and own the era risk)"
+            "store under the new stamp (only direct hamming callers, "
+            "which expose algo=, can instead keep the unstamped "
+            "contract; the winnow store and curate_corpus gates always "
+            "stamp)"
         )
     spark.createDataFrame([(algo,)], "algo string").coalesce(1).write.mode(
         "overwrite"

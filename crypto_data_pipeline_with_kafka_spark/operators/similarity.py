@@ -2252,18 +2252,11 @@ def pq_topk(
     cosine_pq is then bitwise-reproducible by a SQL oracle (same
     IEEE division tree over identical correctly-rounded doubles).
 
-    Two-pass exactness in exact mode (the ``brute_force_topk`` trick):
-    a primitive-double ADC pass ranks ALL pairs — each decimal LUT
-    entry cast to double ONCE per query row, the per-pair fold then m
-    primitive adds — and the interpreted exact-decimal fold runs only
-    on pairs within 1e-6 of each query's k-th approximate score. Both
-    passes sum the SAME m entries over the SAME denominator (_qn·_xn),
-    so the approx→exact gap is one decimal→double cast (≤ 1 ulp per
-    entry) plus m-term double-summation error — ≤ ~1e-14 in cosine
-    units, ≥ 10⁷ inside the margin — hence any excluded pair is
-    provably below ≥ k kept pairs in the EXACT score too: emitted
-    values and membership are identical to the all-exact computation,
-    with decimal folds at O(queries·k) instead of pair cardinality."""
+    Exact mode ranks via the shared two-pass :func:`_exact_adc_topk`
+    (primitive-double prefilter, exact-decimal folds only inside the
+    k-th score's margin) — output provably identical to the all-exact
+    computation, with decimal folds at O(queries·k) instead of pair
+    cardinality; the margin/error proof lives on the helper."""
     _check_residual_tag(codebooks, False, "pq_topk")
     queries = _pq_query_luts(
         emb.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
@@ -2440,6 +2433,16 @@ def ivf_pq_topk(
         .select("id_a", "id_b")
         .distinct()
     )
+    def _double_adc_shortlist(adc: DataFrame) -> DataFrame:
+        wa = Window.partitionBy("id_a").orderBy(
+            F.col("_adc").desc(), F.col("id_b")
+        )
+        return (
+            adc.withColumn("_ar", F.row_number().over(wa))
+            .filter(F.col("_ar") <= refine)
+            .select("id_a", "id_b")
+        )
+
     if residual:
         if assignments is not None:
             raise ValueError(
@@ -2532,6 +2535,7 @@ def ivf_pq_topk(
                 ).alias("_adc"),
             )
         )
+        shortlist = _double_adc_shortlist(adc)
     else:
         if codebooks is None:
             # trained on the whole corpus, pinned for the three packers
@@ -2580,13 +2584,7 @@ def ivf_pq_topk(
                     "id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc")
                 )
             )
-    if residual or not exact:
-        wa = Window.partitionBy("id_a").orderBy(F.col("_adc").desc(), F.col("id_b"))
-        shortlist = (
-            adc.withColumn("_ar", F.row_number().over(wa))
-            .filter(F.col("_ar") <= refine)
-            .select("id_a", "id_b")
-        )
+            shortlist = _double_adc_shortlist(adc)
     scored = cosine_for_pairs(base, shortlist, exact_norms_in_base=False, id_col=id_col)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (

@@ -1358,6 +1358,17 @@ def test_store_algo_stamp_refuses_era_mix(spark, tmp_path):
     # unstamped call on the unstamped store: the old contract holds
     incremental_hamming_dedup(b1, old, 1)
 
+    # crashed first-stamp write (marker dir exists, no committed rows):
+    # treated as absent, so redelivery self-heals instead of bricking
+    import os
+
+    crashed = str(tmp_path / "crashed")
+    os.makedirs(f"{crashed}/algo/_temporary")
+    incremental_hamming_dedup(b0, crashed, 0, algo="text/simhash-64/v1")
+    incremental_hamming_dedup(b1, crashed, 1, algo="text/simhash-64/v1")
+    with pytest.raises(ValueError, match="era"):
+        incremental_hamming_dedup(b1, crashed, 2, algo="other/v9")
+
     # winnow self-stamp: k/window shape the fingerprints themselves
     wstore = str(tmp_path / "wn")
     d0 = docs.filter("doc_id < 20")
