@@ -1333,20 +1333,38 @@ def check_store_algo(
     rebuild it, or keep calling without a stamp and own the risk).
     ``table_path`` is the store's index table (existence = non-empty
     store)."""
+    from pyspark.errors import AnalysisException
+
     from crypto_data_pipeline_with_kafka_spark.sources.sinks import target_exists
 
     marker = f"{store_dir}/algo"
+    # read the marker DIRECTLY and classify the failure (no existence
+    # probe first: under Spark Connect target_exists itself raises on
+    # a crashed-marker dir, before any healing code could run). Absent
+    # path and a dir with no committed rows — the crashed first-stamp
+    # write (only the first stamped batch ever writes it; both
+    # pre-versioning-index paths raise BEFORE writing) — both read as
+    # "no stamp", so redelivery self-heals; anything else (transient
+    # IO, permissions, corrupt footer) PROPAGATES, the target_exists
+    # rule — swallowing it would misread a healthy stamped store as
+    # pre-versioning and tell the operator to rebuild it
     stored = None
-    if target_exists(spark, marker):
-        # a marker dir with no committed rows is a crashed first-stamp
-        # write (only the first stamped batch ever writes it; both
-        # pre-versioning-index paths raise BEFORE writing) — treat as
-        # absent so redelivery self-heals instead of bricking the store
-        try:
-            row = spark.read.parquet(marker).first()
-        except Exception:
-            row = None
+    try:
+        row = spark.read.parquet(marker).first()
         stored = row[0] if row is not None else None
+    except AnalysisException as e:
+        # getCondition is the 4.x name; older sessions spell it
+        # getErrorClass (deprecated, warns on 4.x)
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        klass = getter() if getter is not None else None
+        text = str(e)
+        absent = klass in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+            "PATH_NOT_FOUND" in text or "UNABLE_TO_INFER_SCHEMA" in text
+        )
+        if not absent:
+            raise
     if stored is not None:
         if stored != algo:
             raise ValueError(

@@ -42,7 +42,12 @@ def target_exists(spark: SparkSession, path: str) -> bool:
         spark.read.format("parquet").load(path).schema
         return True
     except AnalysisException as e:
-        klass = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        # getCondition is the 4.x name; getErrorClass is the deprecated
+        # older spelling (warns on 4.x)
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        klass = getter() if getter is not None else None
         if klass == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
             return False
         raise
