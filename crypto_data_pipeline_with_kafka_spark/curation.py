@@ -85,6 +85,7 @@ def curate_corpus(
     chunk_dedup: bool = False,
     words_per_chunk: int = 8,
     chunk_min_docs: int = 2,
+    chunk_boundaries: str = "fixed",
     split_weights: dict[str, float] | None = None,
     export_path: str | None = None,
     n_shards: int = 8,
@@ -177,7 +178,12 @@ def curate_corpus(
       ``chunkdedup_docs_dropped`` and the
       ``chunkdedup_chunks_kept``/``chunkdedup_chunks_total`` ratio over
       the surviving docs). Runs last because it REWRITES text — every
-      upstream verdict keeps reading the original bytes."""
+      upstream verdict keeps reading the original bytes.
+      ``chunk_boundaries="content"`` (r8) switches the chunking to the
+      content-defined (CDC) discipline — boundaries anchor to the
+      text, so boilerplate is caught even when a leading edit
+      misaligns it against the fixed grid (see
+      :func:`...operators.dedup.chunk_level_dedup`)."""
     txt, did = F.col(text_col), F.col(id_col)
 
     # stage 1: exact dedup — canonical (min id) per content hash
@@ -638,6 +644,7 @@ def curate_corpus(
             min_docs=chunk_min_docs,
             widen=False,
             caches=chunk_caches,
+            boundaries=chunk_boundaries,
         ).persist()
         chunk_caches.append(cleaned)
         crow = cleaned.agg(

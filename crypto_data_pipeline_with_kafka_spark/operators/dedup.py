@@ -773,28 +773,47 @@ def chunk_level_dedup(
     min_docs: int = 2,
     widen: bool = True,
     caches: list | None = None,
+    boundaries: str = "fixed",
+    cdc_window: int = 4,
+    cdc_divisor: int = 8,
+    cdc_min_words: int = 4,
+    cdc_max_words: int = 32,
 ) -> DataFrame:
     """Sub-document dedup, CCNet/RefinedWeb line-dedup style: drop the
     SPANS shared across documents while keeping the documents — the
     boilerplate remedy (headers, navigation, license blocks) that
     document-level dedup (exact / MinHash) cannot express. Real
     pipelines split on newlines; the fixture corpus is single-line, so
-    the unit here is an ALIGNED ``words_per_chunk``-word chunk —
-    cross-doc repeats are only caught when they land on the same chunk
-    boundaries, the documented trade of fixed chunking vs the quadratic
-    alternative of arbitrary-offset span matching.
+    the unit here is a word chunk, with TWO boundary disciplines:
 
-    Pipeline: per-row chunking (sequence + transform + posexplode, no
-    shuffle — same shape as :func:`chunk_documents`) → corpus-wide
-    chunk frequency ``count_distinct(doc)`` grouped on **md5(chunk)**
-    (map-side combined; hashing first keeps the shuffle rows at 32
-    bytes of key instead of the chunk text, and md5 is engine-identical
-    so the DuckDB oracle stays value-exact) → join instances to
-    frequencies (a hyper-repeated boilerplate chunk is ONE freq row;
-    instance-side skew is AQE skew-join territory) → keep chunks seen
-    in fewer than ``min_docs`` docs → reassemble per doc in chunk
-    order. Three shuffles total (freq agg, freq join, reassembly), each
-    keyed well-spread — no all-pairs stage anywhere.
+    * ``boundaries="fixed"`` — ALIGNED ``words_per_chunk``-word
+      chunks. Cross-doc repeats are only caught when they land on the
+      same chunk offsets, so ONE inserted leading word shifts every
+      boundary and hides an otherwise-identical tail.
+    * ``boundaries="content"`` (r8) — content-defined chunking (the
+      LBFS/CDC construction, standard in large-scale dedup): a
+      boundary falls after token b iff the 52-bit md5 fraction of the
+      ``cdc_window``-gram ending at b ≡ 0 (mod ``cdc_divisor``).
+      Boundary positions are anchored to the CONTENT, not the offset,
+      so an edit only re-chunks its own neighborhood and the shared
+      tail still dedups — expected chunk length ≈ ``cdc_min_words`` +
+      ``cdc_divisor``; a greedy in-row fold enforces the min, and
+      oversize segments post-split at ``cdc_max_words`` (the standard
+      min/max regularization).
+
+    Pipeline (both modes): per-row chunking (sequence + transform +
+    posexplode, no shuffle — same shape as :func:`chunk_documents`) →
+    corpus-wide chunk frequency ``count_distinct(doc)`` grouped on
+    **md5(chunk)** (map-side combined; hashing first keeps the shuffle
+    rows at 32 bytes of key instead of the chunk text, and md5 is
+    engine-identical so the DuckDB oracle stays value-exact) → join
+    instances to frequencies (a hyper-repeated boilerplate chunk is
+    ONE freq row; instance-side skew is AQE skew-join territory) →
+    keep chunks seen in fewer than ``min_docs`` docs → reassemble per
+    doc in chunk order. Three shuffles total (freq agg, freq join,
+    reassembly), each keyed well-spread — no all-pairs stage anywhere;
+    the CDC boundary derivation is pure in-row array math (one md5 per
+    token position).
 
     Returns (id, clean_text, n_kept, n_total); a doc whose every chunk
     is boilerplate drops out entirely (exact duplicates therefore
@@ -803,23 +822,34 @@ def chunk_level_dedup(
     inputs (the widen_if_narrow caller contract); pass ``caches`` (a
     list) to receive the internally persisted chunk relation so the
     caller can release it after materializing the result."""
+    if boundaries not in ("fixed", "content"):
+        raise ValueError(
+            f"boundaries must be 'fixed' or 'content', got {boundaries!r}"
+        )
     toked = (
         (widen_if_narrow(df, id_col) if widen else df)
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(text_col).alias("_ws"))
     )
-    n_chunks = F.ceil(F.size("_ws") / F.lit(float(words_per_chunk))).cast("int")
-    chunked = toked.select(
+    if boundaries == "fixed":
+        n_chunks = F.ceil(
+            F.size("_ws") / F.lit(float(words_per_chunk))
+        ).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("_ws", i * words_per_chunk + 1, words_per_chunk)
+            ),
+        )
+    else:
+        chunks = _cdc_chunks(
+            F.col("_ws"), cdc_window, cdc_divisor, cdc_min_words,
+            cdc_max_words,
+        )
+    chunked = toked.filter(F.size("_ws") > 0).select(
         F.col(id_col),
-        n_chunks.cast("long").alias("n_total"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice("_ws", i * words_per_chunk + 1, words_per_chunk)
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.size(chunks).cast("long").alias("n_total"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
     ).withColumn("_ch", F.md5("chunk"))
     # chunked feeds BOTH the frequency agg and the instance side of the
     # join; without a persist the tokenize+posexplode+md5 pipeline runs
@@ -843,6 +873,71 @@ def chunk_level_dedup(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
         F.first("n_total").alias("n_total"),
+    )
+
+
+def _cdc_chunks(
+    ws, window: int, divisor: int, min_words: int, max_words: int
+):
+    """Content-defined chunk texts from a token-array column — pure
+    in-row array math (one md5 per eligible position, each evaluated
+    once): candidate boundaries where the window-gram hash ≡ 0 (mod
+    divisor), a greedy left fold keeping only candidates ≥ min_words
+    past the previous accepted boundary, a forced boundary at n, and a
+    fixed-stride post-split of any segment longer than max_words (its
+    LEADING edge stays content-anchored, so only genuinely boundary-
+    free runs degrade toward fixed behavior)."""
+    n = F.size(ws)
+    gram_at = lambda b: F.concat_ws(  # noqa: E731 — gram ENDING at token b
+        " ", F.slice(ws, b - window + 1, window)
+    )
+    cand = F.when(
+        n >= F.lit(window),
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda b: (
+                F.conv(F.substring(F.md5(gram_at(b)), 1, 13), 16, 10)
+                .cast("long") % divisor
+                == 0
+            )
+            & (b < n),
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bnds = F.aggregate(
+        cand,
+        F.expr("array()").cast("array<int>"),
+        # try_element_at: -1 on the still-empty accumulator is NULL
+        # (plain element_at raises), coalesced to the start-of-doc
+        # boundary 0
+        lambda acc, b: F.when(
+            b - F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0))
+            >= min_words,
+            F.concat(acc, F.array(b)),
+        ).otherwise(acc),
+    )
+    all_b = F.concat(F.array(F.lit(0)), bnds, F.array(n))
+
+    def seg_chunks(s, e):
+        pieces = F.ceil((e - s).cast("double") / max_words).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), pieces - 1),
+            lambda p: F.concat_ws(
+                " ",
+                F.slice(
+                    ws,
+                    s + p * max_words + 1,
+                    F.least(F.lit(max_words), e - s - p * max_words),
+                ),
+            ),
+        )
+
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(all_b) - 1),
+            lambda j: seg_chunks(
+                F.element_at(all_b, j), F.element_at(all_b, j + 1)
+            ),
+        )
     )
 
 

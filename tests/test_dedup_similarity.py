@@ -262,6 +262,101 @@ def test_chunk_level_dedup_semantics(spark):
     assert got[4].n_kept == got[4].n_total == 2
 
 
+def test_chunk_level_dedup_content_defined_boundaries(spark):
+    """boundaries='content' (r8, the LBFS/CDC construction): chunk
+    boundaries anchor to CONTENT, so the shared tail the fixed-chunk
+    trade misses under a misaligned head IS caught; boundary positions
+    match a sequential reference (md5-fraction mod rule + greedy min +
+    max post-split); unique docs pass through verbatim; an edit only
+    re-chunks its own neighborhood (chunks after the edit are
+    position-independent)."""
+    import hashlib
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_level_dedup,
+    )
+
+    W, DIV, MIN, MAX = 4, 8, 4, 32
+
+    def ref_chunks(text):
+        ws = text.split()
+        n = len(ws)
+        cand = []
+        for b in range(W, n):  # boundary after token b; b == n forced later
+            gram = " ".join(ws[b - W:b])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:13], 16)
+            if h % DIV == 0:
+                cand.append(b)
+        bnds, last = [], 0
+        for b in cand:
+            if b - last >= MIN:
+                bnds.append(b)
+                last = b
+        allb = [0] + bnds + [n]
+        out = []
+        for s, e in zip(allb, allb[1:]):
+            p = s
+            while p < e:
+                out.append(" ".join(ws[p:min(p + MAX, e)]))
+                p += MAX
+        return out
+
+    tail = " ".join(f"cdt{j}" for j in range(60))
+    d1 = " ".join(f"cda{j}" for j in range(17)) + " " + tail
+    d2 = " ".join(f"cdb{j}" for j in range(3)) + " " + tail
+    d3 = " ".join(f"cdu{j}" for j in range(45))
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in chunk_level_dedup(
+            df, min_docs=2, boundaries="content", cdc_window=W,
+            cdc_divisor=DIV, cdc_min_words=MIN, cdc_max_words=MAX,
+        ).collect()
+    }
+    # the misaligned shared tail is dropped from BOTH docs (fixed
+    # chunking keeps it in both — pinned by the semantics test above);
+    # the unique heads survive
+    assert "cdt30" not in got[1].clean_text and "cda5" in got[1].clean_text
+    assert "cdt30" not in got[2].clean_text and "cdb1" in got[2].clean_text
+    # unique doc passes through verbatim, with reference chunk counts
+    assert got[3].clean_text == d3
+    assert got[3].n_total == len(ref_chunks(d3))
+    # per-doc chunking matches the sequential reference exactly
+    for doc_id, text in ((1, d1), (2, d2), (3, d3)):
+        ref = ref_chunks(text)
+        shared = set(ref_chunks(d1)) & set(ref_chunks(d2))
+        kept_ref = [c for c in ref if c not in shared]
+        assert got[doc_id].clean_text == " ".join(kept_ref)
+        assert (got[doc_id].n_kept, got[doc_id].n_total) == (
+            len(kept_ref), len(ref),
+        )
+    # shift independence: every chunk strictly after the edited head is
+    # identical between the two tail-sharing docs
+    c1, c2 = ref_chunks(d1), ref_chunks(d2)
+    assert set(c1) & set(c2)  # the construction actually shares chunks
+
+    # mode guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fixed.*content|content.*fixed"):
+        chunk_level_dedup(df, boundaries="rolling")
+
+    # threaded through curation: the same misaligned tail is stripped
+    # by chunk_boundaries="content" (fixed keeps it — the trade the
+    # operator-level assertions above pin)
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    cur, st = curate_corpus(
+        spark, df, chunk_dedup=True, chunk_boundaries="content",
+        words_per_chunk=W, chunk_min_docs=2,
+    )
+    texts = {r.doc_id: r.text for r in cur.collect()}
+    assert "cdt30" not in texts[1] and "cdt30" not in texts[2]
+    assert st["chunkdedup_chunks_kept"] < st["chunkdedup_chunks_total"]
+
+
 def test_jaccard_doc_freq_cap_is_precision_preserving(spark):
     """The max_doc_freq scale guard may lose pairs (recall) but must
     never invent them, and jaccard only under-estimates."""
