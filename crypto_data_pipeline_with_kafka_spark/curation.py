@@ -86,6 +86,10 @@ def curate_corpus(
     words_per_chunk: int = 8,
     chunk_min_docs: int = 2,
     chunk_boundaries: str = "fixed",
+    cdc_window: int = 4,
+    cdc_divisor: int = 8,
+    cdc_min_words: int = 4,
+    cdc_max_words: int = 32,
     split_weights: dict[str, float] | None = None,
     export_path: str | None = None,
     n_shards: int = 8,
@@ -183,7 +187,20 @@ def curate_corpus(
       content-defined (CDC) discipline — boundaries anchor to the
       text, so boilerplate is caught even when a leading edit
       misaligns it against the fixed grid (see
-      :func:`...operators.dedup.chunk_level_dedup`)."""
+      :func:`...operators.dedup.chunk_level_dedup`). In content mode
+      ``words_per_chunk`` is NOT the size knob — expected chunk length
+      is ``cdc_min_words + cdc_divisor``, bounded by
+      ``cdc_max_words``."""
+    # validate the LAST stage's mode FIRST: the chunk stage runs after
+    # the whole pipeline has materialized (and after the eager winnow
+    # store write has committed this run's fingerprints) — a typo'd
+    # mode must not cost hours of upstream compute before erroring
+    if chunk_boundaries not in ("fixed", "content"):
+        raise ValueError(
+            "chunk_boundaries must be 'fixed' or 'content', got "
+            f"{chunk_boundaries!r}"
+        )
+
     txt, did = F.col(text_col), F.col(id_col)
 
     # stage 1: exact dedup — canonical (min id) per content hash
@@ -645,6 +662,10 @@ def curate_corpus(
             widen=False,
             caches=chunk_caches,
             boundaries=chunk_boundaries,
+            cdc_window=cdc_window,
+            cdc_divisor=cdc_divisor,
+            cdc_min_words=cdc_min_words,
+            cdc_max_words=cdc_max_words,
         ).persist()
         chunk_caches.append(cleaned)
         crow = cleaned.agg(

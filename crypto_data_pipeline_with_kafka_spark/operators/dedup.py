@@ -841,15 +841,26 @@ def chunk_level_dedup(
                 " ", F.slice("_ws", i * words_per_chunk + 1, words_per_chunk)
             ),
         )
+        staged = toked.select(F.col(id_col), chunks.alias("_chunks"))
     else:
-        chunks = _cdc_chunks(
-            F.col("_ws"), cdc_window, cdc_divisor, cdc_min_words,
-            cdc_max_words,
+        staged = _cdc_chunks(
+            toked, cdc_window, cdc_divisor, cdc_min_words, cdc_max_words,
         )
-    chunked = toked.filter(F.size("_ws") > 0).select(
+    # PERSIST the chunk-array frame before the size+posexplode select:
+    # a Project boundary is NOT enough here — the generator rewrite
+    # inlines the _chunks expression into every consumer position
+    # (measured: 14 copies of the CDC md5 subtree in the optimized
+    # plan, turning one 2000-word doc into a 4-minute row), and only
+    # the InMemoryRelation is a hard optimizer barrier. The cache
+    # holds one (id, chunks) row per doc — same order as the exploded
+    # cache below — and follows the module's cache-lifecycle contract.
+    staged = staged.persist()
+    if caches is not None:
+        caches.append(staged)
+    chunked = staged.select(
         F.col(id_col),
-        F.size(chunks).cast("long").alias("n_total"),
-        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+        F.size("_chunks").cast("long").alias("n_total"),
+        F.posexplode("_chunks").alias("chunk_idx", "chunk"),
     ).withColumn("_ch", F.md5("chunk"))
     # chunked feeds BOTH the frequency agg and the instance side of the
     # join; without a persist the tokenize+posexplode+md5 pipeline runs
@@ -877,16 +888,28 @@ def chunk_level_dedup(
 
 
 def _cdc_chunks(
-    ws, window: int, divisor: int, min_words: int, max_words: int
+    toked: DataFrame, window: int, divisor: int, min_words: int,
+    max_words: int,
 ):
-    """Content-defined chunk texts from a token-array column — pure
-    in-row array math (one md5 per eligible position, each evaluated
-    once): candidate boundaries where the window-gram hash ≡ 0 (mod
-    divisor), a greedy left fold keeping only candidates ≥ min_words
-    past the previous accepted boundary, a forced boundary at n, and a
-    fixed-stride post-split of any segment longer than max_words (its
-    LEADING edge stays content-anchored, so only genuinely boundary-
-    free runs degrade toward fixed behavior)."""
+    """Content-defined chunking over a ``(…, _ws)`` tokenized frame:
+    returns the frame with ``_ws`` replaced by a ``_chunks`` text
+    array. Candidate boundaries fall where the window-gram hash ≡ 0
+    (mod divisor), a greedy left fold keeps only candidates ≥
+    min_words past the previous accepted boundary, a boundary is
+    forced at n, and oversize segments post-split at max_words (their
+    LEADING edge stays content-anchored, so only genuinely
+    boundary-free runs degrade toward fixed behavior).
+
+    STAGED as two selects, not one expression: the accepted-boundary
+    array ``_allb`` is referenced from INSIDE the segment transform's
+    lambdas (element_at per segment and per post-split piece), and
+    interpreted higher-order functions re-evaluate outer subtrees per
+    lambda invocation — inlining the whole candidate+fold derivation
+    there made a single 1000-word doc cost ~90 s (measured; O(n·md5)
+    re-run per segment). As a materialized column (>1 reference, so
+    CollapseProject keeps the boundary) each lambda access is an O(1)
+    array lookup and the md5s run once per position."""
+    ws = F.col("_ws")
     n = F.size(ws)
     gram_at = lambda b: F.concat_ws(  # noqa: E731 — gram ENDING at token b
         " ", F.slice(ws, b - window + 1, window)
@@ -916,6 +939,9 @@ def _cdc_chunks(
         ).otherwise(acc),
     )
     all_b = F.concat(F.array(F.lit(0)), bnds, F.array(n))
+    staged = toked.withColumn("_allb", all_b)
+
+    allb = F.col("_allb")
 
     def seg_chunks(s, e):
         pieces = F.ceil((e - s).cast("double") / max_words).cast("int")
@@ -931,14 +957,16 @@ def _cdc_chunks(
             ),
         )
 
-    return F.flatten(
+    chunks = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.size(all_b) - 1),
+            F.sequence(F.lit(1), F.size(allb) - 1),
             lambda j: seg_chunks(
-                F.element_at(all_b, j), F.element_at(all_b, j + 1)
+                F.element_at(allb, j), F.element_at(allb, j + 1)
             ),
         )
     )
+    keep = [c for c in toked.columns if c != "_ws"]
+    return staged.select(*keep, chunks.alias("_chunks"))
 
 
 # --------------------------------------------------------------- SimHash
@@ -1448,17 +1476,13 @@ def check_store_algo(
         row = spark.read.parquet(marker).first()
         stored = row[0] if row is not None else None
     except AnalysisException as e:
-        # getCondition is the 4.x name; older sessions spell it
-        # getErrorClass (deprecated, warns on 4.x)
-        getter = getattr(e, "getCondition", None) or getattr(
-            e, "getErrorClass", None
+        from crypto_data_pipeline_with_kafka_spark.sources.sinks import (
+            analysis_error_matches,
         )
-        klass = getter() if getter is not None else None
-        text = str(e)
-        absent = klass in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
-            "PATH_NOT_FOUND" in text or "UNABLE_TO_INFER_SCHEMA" in text
-        )
-        if not absent:
+
+        if not analysis_error_matches(
+            e, "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+        ):
             raise
     if stored is not None:
         if stored != algo:

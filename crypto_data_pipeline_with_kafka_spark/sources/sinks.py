@@ -42,15 +42,28 @@ def target_exists(spark: SparkSession, path: str) -> bool:
         spark.read.format("parquet").load(path).schema
         return True
     except AnalysisException as e:
-        # getCondition is the 4.x name; getErrorClass is the deprecated
-        # older spelling (warns on 4.x)
-        getter = getattr(e, "getCondition", None) or getattr(
-            e, "getErrorClass", None
-        )
-        klass = getter() if getter is not None else None
-        if klass == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+        if analysis_error_matches(e, "PATH_NOT_FOUND"):
             return False
         raise
+
+
+def analysis_error_matches(e, *classes: str) -> bool:
+    """True iff the AnalysisException's error class is one of
+    ``classes``. Uses the 4.x ``getCondition`` (falling back to the
+    deprecated ``getErrorClass`` spelling); the message-TEXT fallback
+    applies ONLY when no error-class accessor exists at all — a
+    definitive non-matching class must stay definitive, or a wrapped
+    error whose nested message merely mentions the class name (e.g.
+    FAILED_READ_FILE wrapping a vanished-file path) would be
+    misclassified as the benign case."""
+    getter = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None
+    )
+    klass = getter() if getter is not None else None
+    if klass is not None:
+        return klass in classes
+    text = str(e)
+    return any(c in text for c in classes)
 
 
 def write_idempotent_append(
