@@ -832,6 +832,9 @@ def chunk_level_dedup(
         .select(F.col(id_col), tokens(text_col).alias("_ws"))
     )
     if boundaries == "fixed":
+        # n_total from the cheap SCALAR (not size(chunks)): the chunk
+        # array inlines into the generator, and a second reference
+        # would re-derive it per consumer position
         n_chunks = F.ceil(
             F.size("_ws") / F.lit(float(words_per_chunk))
         ).cast("int")
@@ -841,27 +844,31 @@ def chunk_level_dedup(
                 " ", F.slice("_ws", i * words_per_chunk + 1, words_per_chunk)
             ),
         )
-        staged = toked.select(F.col(id_col), chunks.alias("_chunks"))
+        chunked = toked.select(
+            F.col(id_col),
+            n_chunks.cast("long").alias("n_total"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk"),
+        )
     else:
+        # PERSIST the chunk-array frame before the size+posexplode
+        # select: a Project boundary is NOT enough — the generator
+        # rewrite inlines the _chunks expression into every consumer
+        # position (measured: 14 copies of the CDC md5 subtree in the
+        # optimized plan, turning one 2000-word doc into a 4-minute
+        # row), and only the InMemoryRelation is a hard optimizer
+        # barrier. One (id, chunks) row per doc, released under the
+        # module's cache-lifecycle contract (the caches out-param).
         staged = _cdc_chunks(
             toked, cdc_window, cdc_divisor, cdc_min_words, cdc_max_words,
+        ).persist()
+        if caches is not None:
+            caches.append(staged)
+        chunked = staged.select(
+            F.col(id_col),
+            F.size("_chunks").cast("long").alias("n_total"),
+            F.posexplode("_chunks").alias("chunk_idx", "chunk"),
         )
-    # PERSIST the chunk-array frame before the size+posexplode select:
-    # a Project boundary is NOT enough here — the generator rewrite
-    # inlines the _chunks expression into every consumer position
-    # (measured: 14 copies of the CDC md5 subtree in the optimized
-    # plan, turning one 2000-word doc into a 4-minute row), and only
-    # the InMemoryRelation is a hard optimizer barrier. The cache
-    # holds one (id, chunks) row per doc — same order as the exploded
-    # cache below — and follows the module's cache-lifecycle contract.
-    staged = staged.persist()
-    if caches is not None:
-        caches.append(staged)
-    chunked = staged.select(
-        F.col(id_col),
-        F.size("_chunks").cast("long").alias("n_total"),
-        F.posexplode("_chunks").alias("chunk_idx", "chunk"),
-    ).withColumn("_ch", F.md5("chunk"))
+    chunked = chunked.withColumn("_ch", F.md5("chunk"))
     # chunked feeds BOTH the frequency agg and the instance side of the
     # join; without a persist the tokenize+posexplode+md5 pipeline runs
     # twice over the corpus (the agg exchange can't be reused). Module
