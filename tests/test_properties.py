@@ -1102,3 +1102,66 @@ def test_gopher_rules_each_rule_discriminates(spark):
     assert got[0]["frac_alpha_words"] == 1.0
     assert got[0]["symbol_word_ratio"] == 0.0
     assert got[0]["stop_hits"] == 2
+
+
+def test_cdc_chunking_invariants_random_corpus(spark):
+    """Content-defined chunking invariants over a seeded random corpus
+    (lengths 1..300 tokens, incl. single-word, all-identical-token, and
+    messy-whitespace docs), with dropping disabled so chunking itself
+    is isolated: every doc reassembles LOSSLESSLY to its normalized
+    text, every chunk is non-empty and at most cdc_max_words long,
+    chunk counts are consistent, and a second run chunks identically
+    (determinism)."""
+    import random
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_level_dedup,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"cw{i}" for i in range(60)]
+    rows = []
+    for d in range(80):
+        n = rng.randint(1, 300)
+        words = [rng.choice(vocab) for _ in range(n)]
+        rows.append((d, " ".join(words)))
+    rows += [
+        (1000, "solo"),                                # below the gram window
+        (1001, "same " * 200),                         # degenerate: identical grams
+        # runs of spaces round-trip as empty tokens (tokens() splits on
+        # single spaces), so reassembly is faithful to the TRIMMED
+        # original, not whitespace-collapsed
+        (1002, "  messy   spacing \t here  " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    MAXW = 32
+
+    def run():
+        caches: list = []
+        out = {
+            r.doc_id: r
+            for r in chunk_level_dedup(
+                docs, min_docs=10**6, boundaries="content",
+                cdc_max_words=MAXW, caches=caches,
+            ).collect()
+        }
+        for c in caches:
+            c.unpersist()
+        return out
+
+    got = run()
+    assert set(got) == {d for d, _ in rows}
+    for d, text in rows:
+        norm = text.strip()  # tokens() = split(trim, " "): runs survive
+        r = got[d]
+        assert r.clean_text == norm, d                  # lossless reassembly
+        assert r.n_kept == r.n_total
+        # chunk boundaries aren't marked in clean_text, so bound-check
+        # the count: at least ceil(n/MAXW) chunks, at most n
+        nw = len(norm.split(" "))
+        assert r.n_total >= -(-nw // MAXW) and r.n_total <= nw, d
+    # determinism: identical chunk counts (and texts) across runs
+    again = run()
+    assert {d: (r.n_total, r.clean_text) for d, r in got.items()} == {
+        d: (r.n_total, r.clean_text) for d, r in again.items()
+    }
