@@ -395,7 +395,21 @@ def incremental_minhash_dedup(
     ``tests/test_dedup_similarity.py`` check.
 
     Returns the flagged rows (id, dup_of, jaccard) read back from the
-    flag store; do not delete ``store_dir`` while holding it."""
+    flag store; do not delete ``store_dir`` while holding it.
+
+    SELF-stamped fingerprint era (r8, like the winnow store): (k,
+    num_hashes, bands) shape the stored shingles and band keys, so a
+    store built at one geometry queried with another silently
+    mis-candidates (band keys never collide correctly) instead of
+    erroring; ``min_jaccard`` is a read-side knob and stays free per
+    batch. The stamp check is metadata-plus-one-tiny-read, here in the
+    WRITING wrapper so the side-effect-free plan builder stays usable
+    for plan-shape tests."""
+    spark = new_docs.sparkSession
+    check_store_algo(
+        spark, store_dir, f"{store_dir}/bands",
+        f"minhash/k={k}/h={num_hashes}/bands={bands}",
+    )
     flagged, to_unpersist = _incremental_flag_plan(
         new_docs,
         store_dir,
@@ -407,7 +421,6 @@ def incremental_minhash_dedup(
         bands=bands,
         min_jaccard=min_jaccard,
     )
-    spark = new_docs.sparkSession
     bands_new, sh_new, _ = to_unpersist
     flagged_path = f"{store_dir}/flagged/batch_id={batch_id}"
     flagged.write.mode("overwrite").parquet(flagged_path)

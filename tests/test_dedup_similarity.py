@@ -1476,6 +1476,23 @@ def test_store_algo_stamp_refuses_era_mix(spark, tmp_path):
     with pytest.raises(ValueError, match="winnow/k=5/window=4"):
         incremental_winnowing_dedup(d0, wstore, 2, k=5, window=6)
 
+    # minhash self-stamp: (k, num_hashes, bands) shape the stored
+    # shingles and band keys; min_jaccard stays a free read-side knob
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    mstore = str(tmp_path / "mh")
+    incremental_minhash_dedup(d0, mstore, 0)
+    incremental_minhash_dedup(
+        docs.filter("doc_id >= 20 and doc_id < 40"), mstore, 1,
+        min_jaccard=0.5,  # read-side: fine under the same stamp
+    )
+    with pytest.raises(ValueError, match="minhash/k=3/h=12/bands=4"):
+        incremental_minhash_dedup(d0, mstore, 2, num_hashes=16)
+    with pytest.raises(ValueError, match="minhash/k=3/h=12/bands=4"):
+        incremental_minhash_dedup(d0, mstore, 2, k=5)
+
 
 def test_video_hash_non_default_columns(spark):
     """perceptual_hash_video under non-default id_col/payload_col:
