@@ -91,6 +91,15 @@ _NGRAM_MAX_DF = 50
 # Aligned chunk length for the 'chunk' (sub-document dedup) leg.
 _CHUNK_WORDS = 8
 
+# CDC parameters for the 'cdc' leg — MUST match chunk_level_dedup's
+# boundaries="content" defaults (operators/dedup.py): boundary after
+# token b iff the 52-bit md5 fraction of the _CDC_W-gram ending at b
+# ≡ 0 (mod _CDC_DIV); greedy ≥ _CDC_MIN fold; post-split at _CDC_MAX.
+_CDC_W = 4
+_CDC_DIV = 8
+_CDC_MIN = 4
+_CDC_MAX = 32
+
 _CAPPED_JACCARD_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
 sh AS (
@@ -152,6 +161,61 @@ creass AS (
   FROM cchunks c JOIN cfreq f ON md5(c.chunk) = f.ch
   WHERE f.nd < 2
   GROUP BY doc_id
+),
+cdcb AS (
+  -- content-defined boundaries: candidates (interior positions whose
+  -- window-gram hash ≡ 0 mod divisor) folded greedily left-to-right,
+  -- keeping those ≥ min_words past the previous accepted boundary.
+  -- list_reduce quirk (DuckDB 1.0): CASE WHEN <acc ref> THEN
+  -- list_concat(acc,x) ELSE acc END mis-folds — concat with a
+  -- conditionally-empty list instead. Seed [0] = start-of-doc.
+  SELECT doc_id, ws, len(ws) AS n,
+         list_reduce(
+           list_prepend([0],
+             [[b] for b in range({_CDC_W}, len(ws) + 1)
+                  if b < len(ws)
+                  AND CAST(('0x' || substr(md5(
+                        array_to_string(ws[(b - {_CDC_W} + 1):b], ' ')
+                      ), 1, 13)) AS BIGINT) % {_CDC_DIV} = 0]
+           ),
+           (acc, x) -> list_concat(acc,
+             CASE WHEN x[1] - acc[-1] >= {_CDC_MIN} THEN x ELSE [] END)
+         ) AS accb
+  FROM toks WHERE ws IS NOT NULL
+),
+cdcseg AS (
+  SELECT doc_id, ws, list_append(accb, n) AS allb,
+         unnest(range(1, len(accb) + 1)) AS j
+  FROM cdcb
+),
+cdcpieces AS (
+  SELECT doc_id, ws, j, allb[j] AS s, allb[j + 1] AS e,
+         unnest(range(0, CAST(ceil((allb[j + 1] - allb[j]) / {_CDC_MAX}.0)
+                              AS BIGINT))) AS p
+  FROM cdcseg
+),
+cdcchunks AS (
+  SELECT doc_id,
+         array_to_string(
+           ws[(s + p * {_CDC_MAX} + 1):least(s + (p + 1) * {_CDC_MAX}, e)],
+           ' ') AS chunk,
+         row_number() OVER (PARTITION BY doc_id ORDER BY j, p) - 1
+           AS chunk_idx,
+         count(*) OVER (PARTITION BY doc_id) AS n_total
+  FROM cdcpieces
+),
+cdcfreq AS (
+  SELECT md5(chunk) AS ch, count(DISTINCT doc_id) AS nd
+  FROM cdcchunks GROUP BY md5(chunk)
+),
+cdcreass AS (
+  SELECT doc_id,
+         string_agg(c.chunk, ' ' ORDER BY c.chunk_idx) AS clean_text,
+         count(*) AS n_kept,
+         any_value(c.n_total) AS n_total
+  FROM cdcchunks c JOIN cdcfreq f ON md5(c.chunk) = f.ch
+  WHERE f.nd < 2
+  GROUP BY doc_id
 )
 SELECT 'pairs' AS method, id_a, id_b, jaccard AS score
 FROM jac WHERE jaccard >= 0.8
@@ -164,6 +228,11 @@ SELECT 'chunk' AS method, doc_id AS id_a,
        CAST(('0x' || substr(md5(clean_text), 1, 13)) AS BIGINT) AS id_b,
        CAST(n_kept AS DOUBLE) / n_total AS score
 FROM creass
+UNION ALL
+SELECT 'cdc' AS method, doc_id AS id_a,
+       CAST(('0x' || substr(md5(clean_text), 1, 13)) AS BIGINT) AS id_b,
+       CAST(n_kept AS DOUBLE) / n_total AS score
+FROM cdcreass
 """
 
 
@@ -190,7 +259,15 @@ FROM creass
     "doc, id_b = 52-bit md5 prefix of the reassembled clean_text (so the "
     "ORDER of surviving chunks is value-checked), score = kept/total "
     "chunk ratio; the rich (clean_text, n_kept, n_total) frame is "
-    "pinned directly by the planted-corpus pytest",
+    "pinned directly by the planted-corpus pytest; 'cdc' (r9) = the SAME "
+    "sub-document dedup under CONTENT-DEFINED boundaries (LBFS/CDC: "
+    f"boundary after token b iff the 52-bit md5 fraction of the {_CDC_W}-"
+    f"gram ending at b ≡ 0 mod {_CDC_DIV}, greedy ≥ {_CDC_MIN}-word fold, "
+    f"post-split at {_CDC_MAX}) — boundaries anchor to content so an "
+    "inserted leading word re-chunks only its own neighborhood and the "
+    "shared tail still dedups; the oracle replicates the greedy fold "
+    "with DuckDB list_reduce (same md5 bit-rule, so value-exact), same "
+    "leg encoding as 'chunk'",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +301,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("id_b"),
         (F.col("n_kept").cast("double") / F.col("n_total")).alias("score"),
     )
-    return pairs.unionByName(dec).unionByName(chunk)
+    # 'cdc' (r9): the content-defined boundary discipline of the SAME
+    # operator, driver-attested — edit-shifted boilerplate still dedups
+    # because boundaries anchor to content, not offsets.
+    cdc = chunk_level_dedup(
+        docs,
+        boundaries="content",
+        cdc_window=_CDC_W,
+        cdc_divisor=_CDC_DIV,
+        cdc_min_words=_CDC_MIN,
+        cdc_max_words=_CDC_MAX,
+    ).select(
+        F.lit("cdc").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 13), 16, 10)
+        .cast("long")
+        .alias("id_b"),
+        (F.col("n_kept").cast("double") / F.col("n_total")).alias("score"),
+    )
+    return pairs.unionByName(dec).unionByName(chunk).unionByName(cdc)
 
 
 @register(
