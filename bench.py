@@ -87,6 +87,72 @@ def _synthesize_scale10(spark, sf_dir: str, out_dir: str) -> None:
     ).parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+def _synth_multimodal(docs):
+    """Deterministic per-doc image/audio/video payloads for the curate
+    scale gate, synthesized DISTRIBUTED (md5-derived bytes through the
+    repo's real codec-free formats: 8×8 P5 PGM, PCM16 mono WAV, mono
+    y4m) so the modality gates scale with the corpus instead of
+    riding a fixed side input. Unique random-looking payloads ⇒ no
+    near-dups drop; the gate times hash + banding + join cost."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    def md5_bytes(tag: str, n16: int):
+        # n16 16-byte blocks, folded once per row (interpreted lambda,
+        # but O(n16) per row with no outer-subtree re-evaluation)
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(n16)),
+            F.lit(b""),
+            lambda acc, i: F.concat(
+                acc,
+                F.unhex(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(tag), F.col("doc_id"), i
+                        )
+                    )
+                ),
+            ),
+        )
+
+    images = docs.select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n8 8\n255\n"), md5_bytes("img", 4)).alias(
+            "payload"
+        ),
+    )
+    n_samples, data_len = 512, 1024
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body_prefix = (
+        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", data_len)
+    )
+    wav_hdr = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + len(body_prefix) + data_len)
+        + b"WAVE"
+        + body_prefix
+    )
+    audio = docs.select(
+        "doc_id",
+        F.concat(F.lit(wav_hdr), md5_bytes("aud", data_len // 16)).alias(
+            "payload"
+        ),
+    )
+    y4m_hdr = b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n"
+    video = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(y4m_hdr),
+            F.lit(b"FRAME\n"), md5_bytes("vf0", 4),
+            F.lit(b"FRAME\n"), md5_bytes("vf1", 4),
+            F.lit(b"FRAME\n"), md5_bytes("vf2", 4),
+        ).alias("payload"),
+    )
+    return images, audio, video
+
+
 # Wall-clock at 10× data must stay under this multiple for the
 # sub-linear dedup family — the regression gate that keeps a future leg
 # from going accidentally quadratic (SCALE.md 'Measured 10× scale-up').
@@ -106,6 +172,12 @@ SCALE10_STORE_GATE = 3.0
 # corpus×corpus join or per-row driver sync would blow straight
 # through).
 SCALE10_PQ_GATE = 4.0
+# curate_corpus everything-on linearity gate: the composed pipeline is
+# a chain of per-stage linear passes over the shrinking survivor set
+# (flag-column staging, ONE stats aggregation), so 10× data must stay
+# under 4× wall — an accidental double-execution of the staged frame
+# or a quadratic stage interaction trends well past it.
+SCALE10_CURATE_GATE = 4.0
 
 
 def run_scale10() -> int:
@@ -147,10 +219,27 @@ def run_scale10() -> int:
         books = pq_train(emb, num_subvectors=8, codes_per_subvector=16, dim=64)
         return pq_encode(emb, books)
 
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_level_dedup,
+    )
+
+    def chunk_cdc(d):
+        # CDC mode standalone (the registered dedup_ngram_jaccard leg
+        # covers value-correctness; THIS gates corpus-level linearity —
+        # the optimizer-rewrite class that inlined the md5 subtree 14×
+        # mid-r8 would blow straight through 4×). Internal persists are
+        # handed back via caches= and released by the caller loop's
+        # clearCache between runs.
+        return chunk_level_dedup(
+            spark.read.parquet(os.path.join(d, "documents.parquet")),
+            boundaries="content",
+        )
+
     OPS = {
         "dedup_minhash_lsh": lambda d: qs["dedup_minhash_lsh"](spark, d),
         "dedup_ngram_jaccard": lambda d: qs["dedup_ngram_jaccard"](spark, d),
         "dedup_simhash": lambda d: qs["dedup_simhash"](spark, d),
+        "dedup_chunk_cdc": chunk_cdc,
         "ivf_fixed_c32": lambda d: ivf_at(d, 32),
         "ivf_sqrt_auto": lambda d: ivf_at(d, "auto"),
         "pq_train_encode": pq_train_encode,
@@ -327,6 +416,66 @@ def run_scale10() -> int:
             print(f"# {key}: {rt}", file=sys.stderr)
             if rt["ratio"] > SCALE10_PQ_GATE:
                 failures.append(f"{key} ratio {rt['ratio']} > {SCALE10_PQ_GATE}")
+
+        # curate_corpus everything-on wall (r9): the product-level entry
+        # point composed — quality + repetition + decontam (the %97 doc
+        # slice as the benchmark, scaling with the corpus) + MinHash +
+        # winnow STORE + dense-embedding gate + all three modality
+        # hamming gates over corpus-scaled synthesized payloads +
+        # CDC chunk dedup + splits. One timed pass per scale; the
+        # flag-column staging and eager stats aggregation is exactly
+        # where an accidental double-execution would hide.
+        from crypto_data_pipeline_with_kafka_spark.curation import (
+            curate_corpus,
+        )
+
+        def curate_wall(d, tag):
+            docs_c = spark.read.parquet(
+                os.path.join(d, "documents.parquet")
+            ).select("doc_id", "text")
+            emb_c = spark.read.parquet(
+                os.path.join(d, "embeddings.parquet")
+            ).withColumnRenamed("vec_id", "doc_id")
+            images, audio, video = _synth_multimodal(docs_c)
+            store = os.path.join(out_dir, f"_curate_wn_{tag}")
+            shutil.rmtree(store, ignore_errors=True)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            curated, stats = curate_corpus(
+                spark,
+                docs_c,
+                benchmark=docs_c.filter(F.col("doc_id") % 97 == 0),
+                winnow_store_dir=store,
+                winnow_batch_id=0,
+                embeddings=emb_c,
+                images=images,
+                audio=audio,
+                video=video,
+                video_every_nth=1,
+                chunk_dedup=True,
+                chunk_boundaries="content",
+                split_weights={"train": 0.9, "val": 0.1},
+            )
+            n = curated.count()
+            wall = round(time.perf_counter() - t0, 3)
+            print(
+                f"# curate_{tag}: {wall}s ({n} rows, "
+                f"{stats['input_rows']} in)",
+                file=sys.stderr,
+            )
+            return wall
+
+        cw = {
+            "wall_1x": curate_wall(sf_dir, "1x"),
+            "wall_10x": curate_wall(out_dir, "10x"),
+        }
+        cw["ratio"] = round(cw["wall_10x"] / max(cw["wall_1x"], 1e-9), 2)
+        report["curate_corpus"] = cw
+        print(f"# curate_corpus: {cw}", file=sys.stderr)
+        if cw["ratio"] > SCALE10_CURATE_GATE:
+            failures.append(
+                f"curate_corpus ratio {cw['ratio']} > {SCALE10_CURATE_GATE}"
+            )
         print(
             json.dumps(
                 {
@@ -341,6 +490,7 @@ def run_scale10() -> int:
                         "dedup_max_ratio": SCALE10_DEDUP_GATE,
                         "store_last_vs_first_max": SCALE10_STORE_GATE,
                         "pq_max_ratio": SCALE10_PQ_GATE,
+                        "curate_max_ratio": SCALE10_CURATE_GATE,
                         "failures": failures,
                     },
                     "sf_dir": sf_dir,
