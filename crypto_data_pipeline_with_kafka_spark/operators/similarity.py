@@ -884,8 +884,13 @@ def ivf_topk(
             "centroid_id",
         )
         .filter(F.col("id_a") != F.col("id_b"))
+        # NO distinct: corpus side is one probes=1 / rank-1 row per id
+        # and the query side one row per (id, probed centroid), so each
+        # (id_a, id_b) arises from at most one shared cell — a dedup
+        # here is a pure fixed-cost exchange + two aggregates (r9 job
+        # audit: it was one of the ivfpq leg's ~7 size-independent
+        # shuffle stages; same structure here)
         .select("id_a", "id_b")
-        .distinct()
     )
     scored = cosine_for_pairs(base, cand, exact_norms_in_base=False, id_col=id_col)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
@@ -2056,6 +2061,27 @@ def _codes_adc_side(
     return staged.select("id_b", "_idx", xn.alias("_xn"))
 
 
+def pq_adc_side(
+    codes: DataFrame | None,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    exact: bool = False,
+    emb: DataFrame | None = None,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """The per-corpus-row half of an ADC scan — (id_b, _idx, _xn):
+    code positions in the packed codebook plus the reconstructed norm
+    |x̂| — as a FIRST-CLASS relation. This is the persistable serving
+    index of a PQ deployment (codes + norms is exactly what an IVFPQ
+    cell store scans); compute it once, persist/localCheckpoint it,
+    and pass it to :func:`pq_topk` and :func:`ivf_pq_topk` via
+    ``adc_side=`` so a suite running both query paths folds the
+    corpus-wide (in exact mode, interpreted-decimal) norm pass ONCE.
+    Contract mirrors ``codes=``: the relation is only meaningful with
+    the codebooks (and exact mode) that produced it."""
+    return _codes_adc_side(codes, codebooks, id_col, exact, emb, vec_col)
+
+
 def _kmax_plus_one() -> Column:
     """kmax+1 (the positional-addressing stride) from a row's ``_cb``
     pack — BIND this as a column before use: interpreted lambdas are
@@ -2228,6 +2254,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    adc_side: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: queries stay
     full-precision, the corpus is its 8-byte codes. Per query, a
@@ -2275,9 +2302,13 @@ def pq_topk(
     # the same pass), then fan out across the broadcast queries — a
     # non-equi join the other way round would re-derive the encode
     # expressions at pair cardinality
+    side = (
+        adc_side
+        if adc_side is not None
+        else _codes_adc_side(codes, codebooks, id_col, exact, emb, vec_col)
+    )
     paired = (
-        _codes_adc_side(codes, codebooks, id_col, exact, emb, vec_col)
-        .crossJoin(F.broadcast(queries))
+        side.crossJoin(F.broadcast(queries))
         .filter(F.col("id_a") != F.col("id_b"))
     )
     if exact:
@@ -2311,6 +2342,7 @@ def ivf_pq_topk(
     dim: int | None = None,
     residual: bool = False,
     exact: bool = False,
+    adc_side: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking — the memory-bounded serve tier
     (Jégou et al. 2011, the FAISS IVFPQ layout): ``ivf_topk`` prunes
@@ -2380,6 +2412,12 @@ def ivf_pq_topk(
     refine = 4 * k if refine is None else refine
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
+    if adc_side is not None and residual:
+        raise ValueError(
+            "adc_side= carries raw-layout reconstructed norms — the "
+            "residual branch rebuilds x\u0302 = c + r\u0302 per cell and must "
+            "derive its own side"
+        )
     if exact and residual:
         raise ValueError(
             "exact=True with residual=True: the residual decomposition's "
@@ -2394,6 +2432,13 @@ def ivf_pq_topk(
             "entries while scores stay plausible-looking"
         )
     base = _ensure_ann_base(emb, id_col)
+    # uniqueness of the candidate pairs is structural when WE derive
+    # the cells: corpus side is one rank-1 (or probes=1) row per id,
+    # query side one row per (id, probed centroid) — each (id_a, id_b)
+    # arises from at most one shared cell, so the pair distinct is a
+    # pure fixed-cost exchange + aggregate. Only EXTERNAL corpus_cells
+    # (no such contract) still dedup.
+    cells_external = corpus_cells is not None and assignments is None
     if assignments is not None:
         corpus_cells = assignments.filter(F.col("probe_rank") == 1).select(
             F.col(id_col), "centroid_id"
@@ -2431,8 +2476,10 @@ def ivf_pq_topk(
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if cells_external:
+        cand = cand.distinct()
+
     def _double_adc_shortlist(adc: DataFrame) -> DataFrame:
         wa = Window.partitionBy("id_a").orderBy(
             F.col("_adc").desc(), F.col("id_b")
@@ -2495,14 +2542,17 @@ def ivf_pq_topk(
         # encode/ADC-precompute only rows some query actually probes —
         # the equi-join on id_b would discard the rest anyway, but only
         # AFTER their in-row encode/norm folds had run
-        cand_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+        # semi-join right side needs no distinct: LeftSemi is
+        # duplicate-agnostic, and the dedup was another fixed-cost
+        # exchange + aggregate pair (r9 job audit)
+        cand_ids = cand.select(F.col("id_b").alias(id_col))
         if codes is None:
             codes = pq_encode(
-                res.join(cand_ids, id_col, "left_semi"), codebooks,
-                id_col=id_col, vec_col="_rvec",
+                res.join(F.broadcast(cand_ids), id_col, "left_semi"),
+                codebooks, id_col=id_col, vec_col="_rvec",
             )
         else:
-            codes = codes.join(cand_ids, id_col, "left_semi")
+            codes = codes.join(F.broadcast(cand_ids), id_col, "left_semi")
         queries = _pq_query_luts(
             base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
             "vdbl", exact=False,
@@ -2522,7 +2572,11 @@ def ivf_pq_topk(
         adc = (
             cand.join(F.broadcast(queries), "id_a")
             .join(
-                _residual_adc_side(codes, codebooks, corpus_cells, cents, id_col),
+                F.broadcast(
+                    _residual_adc_side(
+                        codes, codebooks, corpus_cells, cents, id_col
+                    )
+                ),
                 "id_b",
             )
             .join(F.broadcast(qc), ["id_a", "centroid_id"])
@@ -2545,15 +2599,24 @@ def ivf_pq_topk(
             ).localCheckpoint()
         else:
             _check_residual_tag(codebooks, False, "ivf_pq_topk")
-        # encode/ADC-precompute candidates only (see residual branch)
-        cand_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
-        if codes is None:
-            codes = pq_encode(
-                base.join(cand_ids, id_col, "left_semi"), codebooks,
-                id_col=id_col, vec_col="vdbl", exact=exact,
-            )
-        else:
-            codes = codes.join(cand_ids, id_col, "left_semi")
+        if adc_side is None:
+            # encode/ADC-precompute candidates only (see residual
+            # branch). Semi-join right side needs no distinct: LeftSemi
+            # is duplicate-agnostic, and the dedup was a fixed-cost
+            # exchange + aggregate pair (r9 job audit). The id list
+            # broadcasts by construction: it is cardinality-equal to
+            # the pair frame the shortlist shuffles anyway, at 8 bytes
+            # a row instead of LUT-wide rows — a scale where this
+            # broadcast breaks was already broken by that shuffle;
+            # forcing it skips two AQE shuffle-stage materializations.
+            cand_ids = cand.select(F.col("id_b").alias(id_col))
+            if codes is None:
+                codes = pq_encode(
+                    base.join(F.broadcast(cand_ids), id_col, "left_semi"),
+                    codebooks, id_col=id_col, vec_col="vdbl", exact=exact,
+                )
+            else:
+                codes = codes.join(F.broadcast(cand_ids), id_col, "left_semi")
         queries = _pq_query_luts(
             base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
             "vdbl", exact=exact,
@@ -2567,22 +2630,42 @@ def ivf_pq_topk(
                 "_lutd",
                 F.transform(F.col("_lut"), lambda x: x.cast("double")),
             )
-            paired = cand.join(F.broadcast(queries), "id_a").join(
-                _codes_adc_side(codes, codebooks, id_col, exact=True), "id_b"
-            )
+            # candidate-filtered ADC side broadcasts for the same
+            # reason the id list does: candidate-bounded slim rows
+            # (_idx m ints + _xn) vs the LUT-wide pair frame this join
+            # produces — its shuffle breaks first. Probe side then
+            # reaches the shortlist window with ZERO pre-window
+            # exchanges. A precomputed adc_side= is CORPUS-wide, so it
+            # streams instead and the (id_a, id_b) pair list broadcasts
+            # into it — the candidate filter IS that equi-join.
+            if adc_side is None:
+                paired = cand.join(F.broadcast(queries), "id_a").join(
+                    F.broadcast(
+                        _codes_adc_side(codes, codebooks, id_col, exact=True)
+                    ),
+                    "id_b",
+                )
+            else:
+                paired = adc_side.join(F.broadcast(cand), "id_b").join(
+                    F.broadcast(queries), "id_a"
+                )
             shortlist = _exact_adc_topk(paired, queries, refine).select(
                 "id_a", "id_b"
             )
         else:
-            adc = (
-                cand.join(F.broadcast(queries), "id_a")
-                .join(
-                    _codes_adc_side(codes, codebooks, id_col, exact=False),
-                    "id_b",
+            if adc_side is None:
+                adc_rel = F.broadcast(
+                    _codes_adc_side(codes, codebooks, id_col, exact=False)
                 )
-                .select(
-                    "id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc")
+                adc = cand.join(F.broadcast(queries), "id_a").join(
+                    adc_rel, "id_b"
                 )
+            else:
+                adc = adc_side.join(F.broadcast(cand), "id_b").join(
+                    F.broadcast(queries), "id_a"
+                )
+            adc = adc.select(
+                "id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc")
             )
             shortlist = _double_adc_shortlist(adc)
     scored = cosine_for_pairs(base, shortlist, exact_norms_in_base=False, id_col=id_col)

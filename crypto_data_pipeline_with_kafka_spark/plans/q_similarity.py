@@ -391,6 +391,11 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(
         base, books, vec_col="vdbl", exact=True
     ).localCheckpoint()
+    # (r9 note: sharing ONE persisted pq_adc_side relation between the
+    # two PQ query paths was measured SLOWER here — the materialization
+    # barrier serializes stages the fused per-leg sides overlap; the
+    # adc_side= hook remains the right call for a persisted serving
+    # deployment, where the relation already exists on disk.)
     pq = pq_topk(
         base, books, codes=codes, query_ids_max=20, k=3, vec_col="vdbl",
         exact=True,

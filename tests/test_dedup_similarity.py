@@ -2914,3 +2914,61 @@ def test_packed_codebooks_reject_ragged_or_sparse(spark):
     missing = [(1, 0, v, 0.0), (1, 1, v, 0.0)]
     with pytest.raises((Py4JJavaError, PySparkException), match="uniform and dense"):
         run(missing)
+
+
+def test_pq_adc_side_hook_matches_inline(spark):
+    """pq_adc_side (r9): the (id, positions, reconstructed-norm)
+    relation as a first-class persistable serving index. Passing it
+    via adc_side= to BOTH query paths must reproduce the inline
+    computation exactly (rows, ranks, scores) in double AND exact
+    modes, and the residual branch refuses it (raw-layout norms)."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        ivf_pq_topk,
+        pq_adc_side,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 16, "vec_id").localCheckpoint()
+    for exact in (False, True):
+        books = pq_train(
+            base, num_subvectors=8, codes_per_subvector=16, vec_col="vdbl",
+            dim=64, exact=exact,
+        ).persist()
+        codes = pq_encode(base, books, vec_col="vdbl", exact=exact).persist()
+        side = pq_adc_side(codes, books, exact=exact).persist()
+        inline_pq = sorted(map(tuple, pq_topk(
+            base, books, codes=codes, query_ids_max=10, k=3, vec_col="vdbl",
+            exact=exact,
+        ).collect()))
+        hooked_pq = sorted(map(tuple, pq_topk(
+            base, books, codes=codes, query_ids_max=10, k=3, vec_col="vdbl",
+            exact=exact, adc_side=side,
+        ).collect()))
+        assert hooked_pq == inline_pq and len(hooked_pq) > 0, exact
+        inline_ipq = sorted(map(tuple, ivf_pq_topk(
+            base, query_ids_max=10, k=3, probes=3, centroids=cents,
+            codebooks=books, codes=codes, refine=6, exact=exact,
+        ).collect()))
+        hooked_ipq = sorted(map(tuple, ivf_pq_topk(
+            base, query_ids_max=10, k=3, probes=3, centroids=cents,
+            codebooks=books, codes=codes, refine=6, exact=exact,
+            adc_side=side,
+        ).collect()))
+        assert hooked_ipq == inline_ipq and len(hooked_ipq) > 0, exact
+        for df in (books, codes, side):
+            df.unpersist()
+    with pytest.raises(ValueError, match="adc_side"):
+        ivf_pq_topk(
+            base, centroids=cents, residual=True, dim=64,
+            adc_side=spark.createDataFrame(
+                [], "id_b long, _idx array<int>, _xn double"
+            ),
+        )
