@@ -671,7 +671,7 @@ def perceptual_hash_images(
 # differently, so a mixed-era store silently misses near-dups. The
 # audio tag is at v2 since the r8 leading/trailing near-silence trim.
 IMAGE_AHASH_ALGO = "image/ahash/v1"
-AUDIO_FP_ALGO = "audio/energy-contour/v2-silence-trim"
+AUDIO_FP_ALGO = "audio/energy-contour/v3-overlap4"
 VIDEO_FP_ALGO = "video/temporal-majority-ahash/v1"
 
 AUDIO_FP_SCHEMA = "doc_id long, sample_rate int, n_samples long, simhash string"
@@ -697,12 +697,14 @@ def perceptual_hash_audio(
     would otherwise shift every absolute frame boundary, the classic
     temporal-offset failure; with the trim a pure pad is an exact
     no-op. (The Haitsma–Kalker adjacent-delta bit rule was measured
-    and rejected for this — see the inline note.) The trim changed the
-    bit rule, so ``AUDIO_FP_ALGO`` is at v2: cross-run stores stamped
-    by ``curate_corpus`` refuse old-era fingerprints instead of
-    silently missing near-dups (``operators.dedup.check_store_algo``);
-    unstamped direct-call stores built before the change must be
-    rebuilt.
+    and rejected for this — see the inline note; the trim only fixes
+    PAD shifts, and v3's frame overlap is what absorbs the boundary
+    drift a NON-silent prefix introduces.) Each bit-rule change bumps
+    ``AUDIO_FP_ALGO`` (v2 silence trim, v3 overlapped frames):
+    cross-run stores stamped by ``curate_corpus`` refuse old-era
+    fingerprints instead of silently missing near-dups
+    (``operators.dedup.check_store_algo``); unstamped direct-call
+    stores built before the change must be rebuilt.
 
     Decodes the engine's real codec-free audio (RIFF/WAVE, the same
     chunk walk as :func:`decode_audio`): PCM 8/16/32-bit and IEEE
@@ -816,18 +818,43 @@ def perceptual_hash_audio(
                 if hi_i - lo_i >= 64:
                     mono = mono[lo_i:hi_i]
                     n = hi_i - lo_i
+            # OVERLAPPED frames (r9, v3): 256 hop-grid frames, each
+            # 4 hops long (same n/64 frame duration as v2, started 4x
+            # as densely — the Haitsma-Kalker robustness mechanism is
+            # exactly this frame overlap, measured in r8 when their
+            # delta rule was rejected). A small temporal offset (a
+            # prepended NON-silent jingle the silence trim cannot
+            # remove) drifts every boundary; with 4x overlap the
+            # strict-majority 4:1 fold votes out the individual
+            # boundary-crossing flips that v2's single estimate per
+            # bit position had to eat. Trailing frames clamp at n
+            # (deterministic, the aHash grid rule). Integer energy
+            # sums; the only floats are the per-frame mean and the
+            # global threshold, exactly as v1/v2.
+            flen = max(1, 4 * n // 256)
             means = []
-            for s in range(64):
-                i0, i1 = s * n // 64, (s + 1) * n // 64
+            for s in range(256):
+                i0 = s * n // 256
+                i1 = min(n, i0 + flen)
+                if i1 <= i0:
+                    i1 = i0 + 1
                 acc = 0
                 for v in mono[i0:i1]:
                     acc += v if v >= 0 else -v
                 means.append(acc / (i1 - i0))
-            mu = sum(means) / 64.0
+            mu = sum(means) / 256.0
+            bits = [1 if m > mu else 0 for m in means]
+            # strict majority of the 4 overlapped estimates per output
+            # bit (>= 3 of 4; ties -> 0, the v1 tie convention)
+            fp64 = [
+                1 if bits[4 * k] + bits[4 * k + 1] + bits[4 * k + 2]
+                + bits[4 * k + 3] >= 3 else 0
+                for k in range(64)
+            ]
             # n_samples reports the DECODED count (the parse result),
             # not the trimmed framing window
             return rate, n_decoded, "".join(
-                "1" if m > mu else "0" for m in means
+                "1" if b else "0" for b in fp64
             )
 
         for pdf in it:

@@ -344,24 +344,34 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS INTEGER) AS channels
     FROM pay
     UNION ALL
-    SELECT 'afp' AS method, g.doc_id, CAST(556 AS BIGINT) AS n_bytes,
-           string_agg(CASE WHEN 64*g.sabs > t.total THEN '1' ELSE '0' END,
-                      '' ORDER BY g.s) AS content_hash,
+    SELECT 'afp' AS method, doc_id, CAST(556 AS BIGINT) AS n_bytes,
+           string_agg(CASE WHEN votes >= 3 THEN '1' ELSE '0' END,
+                      '' ORDER BY k) AS content_hash,
            'wav_fp' AS format, CAST(8000 AS INTEGER) AS width,
            CAST(512 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels
     FROM (
-      SELECT d.doc_id, CAST(t.s AS INT) AS s,
-             sum(128 - ((d.doc_id*7 + (t.s*8 + u.j)*13) % 128)) AS sabs
-      FROM documents d, range(0, 64) t(s), range(0, 8) u(j)
+      SELECT doc_id, s // 4 AS k, sum(bit) AS votes
+      FROM (
+        SELECT doc_id, s,
+               CASE WHEN 256 * w * sabs
+                         > sum(w * sabs) OVER (PARTITION BY doc_id)
+                    THEN 1 ELSE 0 END AS bit
+        FROM (
+          SELECT d.doc_id, CAST(t.s AS INT) AS s,
+                 24 // (least(512, 2*CAST(t.s AS INT) + 8)
+                        - 2*CAST(t.s AS INT)) AS w,
+                 sum(128 - ((d.doc_id*7
+                             + (2*CAST(t.s AS INT) + CAST(u.j AS INT))*13)
+                            % 128)) AS sabs
+          FROM documents d, range(0, 256) t(s), range(0, 8) u(j)
+          WHERE 2*CAST(t.s AS INT) + CAST(u.j AS INT)
+                < least(512, 2*CAST(t.s AS INT) + 8)
+          GROUP BY 1, 2
+        ) g
+      ) b
       GROUP BY 1, 2
-    ) g
-    JOIN (
-      SELECT doc_id,
-             sum(128 - ((doc_id*7 + CAST(i AS INT)*13) % 128)) AS total
-      FROM documents, range(0, 512) t(i)
-      GROUP BY 1
-    ) t USING (doc_id)
-    GROUP BY g.doc_id
+    ) f
+    GROUP BY doc_id
     """,
     doc="Multimodal decode, tagged union of the decoder paths through "
     "the SAME Arrow mapInPandas stage: 'stub' = opaque binary payload "
@@ -372,14 +382,18 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "header with per-row planted dimensions, text bytes as the raster — "
     "all-ASCII fixture, so chars = bytes) and decode_images("
     "decoder='real') — the pure-Python Netpbm parser — decodes it back; "
-    "'afp' (r7) = per-doc GENUINE RIFF/WAVE payloads (8-bit PCM mono, "
-    "512 samples derived arithmetically from doc_id; every byte < 128 "
-    "so the UTF-8 hop is byte-exact) fingerprinted by "
-    "multimodal.perceptual_hash_audio — the frame count (8 = 2^3 "
-    "samples/frame) makes every frame mean and the global mean EXACT "
-    "doubles, so the sign-contour bits reduce to the integer rule "
-    "64·S_s > ΣS the oracle replays; content_hash carries the 64-bit "
-    "fingerprint, width/height the parsed rate/sample count. The "
+    "'afp' (r7, v3 rule since r9) = per-doc GENUINE RIFF/WAVE payloads "
+    "(8-bit PCM mono, 512 samples derived arithmetically from doc_id; "
+    "every byte < 128 so the UTF-8 hop is byte-exact) fingerprinted by "
+    "multimodal.perceptual_hash_audio — 256 overlapped frames on the "
+    "2-sample hop grid (tail frames clamp to lengths 6/4/2), "
+    "global-mean threshold, strict-majority 4:1 fold to 64 bits. "
+    "Scaling each frame by w = 24/len makes the threshold comparison "
+    "the exact INTEGER rule 256·w_s·S_s > Σ w_t·S_t the oracle "
+    "replays; float-vs-integer agreement and tie absence were swept "
+    "across all 128 doc_id residue classes (the fixture's full "
+    "period). content_hash carries the 64-bit fingerprint, "
+    "width/height the parsed rate/sample count. The "
     "oracle derives all legs' columns purely arithmetically, so a "
     "header-parse, raster-validation, or WAV chunk-walk bug breaks "
     "the hash match",

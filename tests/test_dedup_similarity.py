@@ -1200,15 +1200,25 @@ def test_audio_fingerprint_near_dup_pairs(spark, tmp_path):
     assert got[1].sample_rate == 8000 and got[1].n_samples == 64 * 128
 
     # independent sequential recomputation of the base fingerprint
+    # (the v3 rule: 256 hop-grid frames of 4-hop length, global-mean
+    # threshold, strict-majority 4:1 fold)
     def ref_fp(samples):
         n = len(samples)
+        flen = max(1, 4 * n // 256)
         means = []
-        for s in range(64):
-            i0, i1 = s * n // 64, (s + 1) * n // 64
+        for s in range(256):
+            i0 = s * n // 256
+            i1 = min(n, i0 + flen)
+            if i1 <= i0:
+                i1 = i0 + 1
             seg = samples[i0:i1]
             means.append(sum(abs(v) for v in seg) / len(seg))
-        mu = sum(means) / 64.0
-        return "".join("1" if m > mu else "0" for m in means)
+        mu = sum(means) / 256.0
+        bits = [1 if m > mu else 0 for m in means]
+        return "".join(
+            "1" if sum(bits[4 * k : 4 * k + 4]) >= 3 else "0"
+            for k in range(64)
+        )
 
     assert got[1].simhash == ref_fp(base)
     assert got[3].simhash == ref_fp(different)
@@ -2971,4 +2981,87 @@ def test_pq_adc_side_hook_matches_inline(spark):
             adc_side=spark.createDataFrame(
                 [], "id_b long, _idx array<int>, _xn double"
             ),
+        )
+
+
+def test_audio_fingerprint_nonsilent_prefix_tolerance(spark, tmp_path):
+    """NON-silent prefix robustness (r9, AUDIO_FP_ALGO v3): a prepended
+    jingle the near-silence trim cannot remove drifts every frame
+    boundary; v3's 4x-overlapped frames + strict-majority fold absorb
+    it. The hard case is a frame-aligned loud/quiet block pattern
+    (boundary crossings flip v2 bits decisively — the smooth envelope
+    of the r8 test barely moves either rule): measured here, the v2
+    single-estimate rule flips 14/64 bits for a 1.2% jingle (missed at
+    max_hamming=6) while v3 flips 0; at 1.6% v3 reads 4, still inside
+    the gate. The pair flags through the in-batch join AND the
+    v3-stamped cross-run store, and a v2-era stamped call refuses."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        AUDIO_FP_ALGO,
+        audio_near_dup_pairs,
+        perceptual_hash_audio,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+
+    loud = {s for s in range(64) if s % 3 == 0}
+    base = []
+    for s in range(64):
+        amp = 1000 if s in loud else 10
+        base.extend(amp if i % 2 == 0 else -amp for i in range(128))
+    jingle = lambda k: [500 if i % 2 == 0 else -500 for i in range(k)]
+    rows = [
+        (1, _wav16(base)),
+        (2, _wav16(jingle(96) + base)),   # 1.2% non-silent prefix
+        (3, _wav16(jingle(128) + base)),  # 1.6%
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.simhash for r in perceptual_hash_audio(df).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(got[1], got[2]) == 0
+    assert ham(got[1], got[3]) <= 6
+
+    # the v2 rule (64 non-overlapped frames, single estimate per bit)
+    # recomputed inline on the SAME samples: the 1.2% prefix flips it
+    # past the gate — the measured regression v3 exists to close
+    def v2_fp(samples):
+        n = len(samples)
+        means = []
+        for s in range(64):
+            i0, i1 = s * n // 64, (s + 1) * n // 64
+            seg = samples[i0:i1]
+            means.append(sum(abs(v) for v in seg) / len(seg))
+        mu = sum(means) / 64.0
+        return [1 if m > mu else 0 for m in means]
+
+    v2_base, v2_pref = v2_fp(base), v2_fp(jingle(96) + base)
+    assert sum(a != b for a, b in zip(v2_base, v2_pref)) > 6
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in audio_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert {(1, 2), (1, 3)} <= pairs
+
+    # v3-stamped cross-run store: prefixed re-take flags against the
+    # indexed original; a stale v2-era caller refuses instead of
+    # silently missing post-upgrade near-dups
+    store = str(tmp_path / "audio_prefix_store")
+    assert incremental_hamming_dedup(
+        perceptual_hash_audio(df.filter("doc_id = 1")), store, 0,
+        algo=AUDIO_FP_ALGO,
+    ).isEmpty()
+    flagged = incremental_hamming_dedup(
+        perceptual_hash_audio(df.filter("doc_id = 2")), store, 1,
+        algo=AUDIO_FP_ALGO,
+    )
+    assert [(r.doc_id, r.dup_of, r.hamming) for r in flagged.collect()] == [
+        (2, 1, 0)
+    ]
+    with pytest.raises(ValueError, match="era|v2|v3"):
+        incremental_hamming_dedup(
+            perceptual_hash_audio(df.filter("doc_id = 3")), store, 2,
+            algo="audio/energy-contour/v2-silence-trim",
         )
