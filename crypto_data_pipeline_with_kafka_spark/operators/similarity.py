@@ -818,6 +818,42 @@ def ivf_ann_pairs(
 _ALL_PAIRS_MAX_ROWS = 100_000
 
 
+def ivf_candidate_pairs(
+    assignments: DataFrame,
+    query_ids_max: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b): each query's probed-cell candidate list from ONE
+    ranked ``ivf_assignments(..., with_rank=True)`` relation — the
+    corpus index is the ``probe_rank == 1`` slice, the query side its
+    ``id < query_ids_max`` rows, and a pair is a query meeting a
+    corpus row in a shared cell (self excluded). This is the SHARED
+    first stage of every IVF serve path: pass it (ideally
+    ``localCheckpoint``-ed) as ``cand=`` to :func:`ivf_topk` and
+    :func:`ivf_pq_topk` so a suite running the exact, raw-PQ, and
+    residual-PQ query paths derives the candidate join ONCE instead
+    of once per leg (r9 job audit: each un-shared derivation is 2-3
+    AQE stage materializations of size-independent overhead). No
+    distinct needed: the corpus side is one rank-1 row per id and the
+    query side one row per (id, probed centroid), so each (id_a, id_b)
+    arises from at most one shared cell."""
+    corpus_cells = assignments.filter(F.col("probe_rank") == 1).select(
+        F.col(id_col), "centroid_id"
+    )
+    query_cells = assignments.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col), "centroid_id"
+    )
+    return (
+        query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+        .join(
+            corpus_cells.select(F.col(id_col).alias("id_b"), "centroid_id"),
+            "centroid_id",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids_max: int = 20,
@@ -827,6 +863,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     assignments: DataFrame | None = None,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN top-k — the QUERY-path scale twin of
     ``brute_force_topk`` (same API: query vectors are the corpus rows
@@ -850,48 +887,47 @@ def ivf_topk(
     relation over the same base: the corpus index is its
     ``probe_rank == 1`` slice and the query probes its ``id <
     query_ids_max`` rows — a suite running both the pair path and the
-    query path then scores the corpus against the centroids ONCE."""
+    query path then scores the corpus against the centroids ONCE.
+    ``cand`` supplies the (id_a, id_b) candidate list directly (an
+    :func:`ivf_candidate_pairs` output, ideally pinned) — a suite
+    running several serve paths then derives the candidate join once."""
     base = _ensure_ann_base(emb, id_col)
-    if assignments is not None:
-        corpus_cells = assignments.filter(F.col("probe_rank") == 1).select(
-            F.col(id_col), "centroid_id"
-        )
-        query_cells = assignments.filter(F.col(id_col) < query_ids_max).select(
-            F.col(id_col), "centroid_id"
-        )
-    else:
-        if centroids is None:
-            # resolve only when actually seeding — 'auto' with supplied
-            # centroids (the load_ivf_index serve path) must not spend
-            # a corpus count whose result is discarded
-            num_centroids = resolve_num_centroids(base, num_centroids)
-            cents = _seed_centroids(base, num_centroids, id_col)
+    if cand is None:
+        if assignments is not None:
+            cand = ivf_candidate_pairs(assignments, query_ids_max, id_col)
         else:
-            cents = centroids
-        corpus_cells = ivf_assignments(
-            base, num_centroids, probes=1, id_col=id_col, vec_col="vdbl",
-            centroids=cents,
-        )
-        qbase = base.filter(F.col(id_col) < query_ids_max)
-        query_cells = ivf_assignments(
-            qbase, num_centroids, probes=probes, id_col=id_col, vec_col="vdbl",
-            centroids=cents,
-        )
-    cand = (
-        query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
-        .join(
-            corpus_cells.select(F.col(id_col).alias("id_b"), "centroid_id"),
-            "centroid_id",
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        # NO distinct: corpus side is one probes=1 / rank-1 row per id
-        # and the query side one row per (id, probed centroid), so each
-        # (id_a, id_b) arises from at most one shared cell — a dedup
-        # here is a pure fixed-cost exchange + two aggregates (r9 job
-        # audit: it was one of the ivfpq leg's ~7 size-independent
-        # shuffle stages; same structure here)
-        .select("id_a", "id_b")
-    )
+            if centroids is None:
+                # resolve only when actually seeding — 'auto' with
+                # supplied centroids (the load_ivf_index serve path)
+                # must not spend a corpus count whose result is
+                # discarded
+                num_centroids = resolve_num_centroids(base, num_centroids)
+                cents = _seed_centroids(base, num_centroids, id_col)
+            else:
+                cents = centroids
+            corpus_cells = ivf_assignments(
+                base, num_centroids, probes=1, id_col=id_col, vec_col="vdbl",
+                centroids=cents,
+            )
+            qbase = base.filter(F.col(id_col) < query_ids_max)
+            query_cells = ivf_assignments(
+                qbase, num_centroids, probes=probes, id_col=id_col,
+                vec_col="vdbl", centroids=cents,
+            )
+            # NO distinct (see ivf_candidate_pairs — same structural
+            # uniqueness; a dedup here was one of the ivfpq leg's ~7
+            # size-independent shuffle stages, r9 job audit)
+            cand = (
+                query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+                .join(
+                    corpus_cells.select(
+                        F.col(id_col).alias("id_b"), "centroid_id"
+                    ),
+                    "centroid_id",
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .select("id_a", "id_b")
+            )
     scored = cosine_for_pairs(base, cand, exact_norms_in_base=False, id_col=id_col)
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (
@@ -1594,6 +1630,7 @@ def pq_train(
     dim: int | None = None,
     lloyd_rounds: int = 0,
     exact: bool = False,
+    prequantized: bool = False,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011) — the memory
     side of the ANN story: each vector splits into ``num_subvectors``
@@ -1625,7 +1662,20 @@ def pq_train(
     distance/score is then an exact integer a SQL twin reproduces
     bitwise. Same picks, same plan shape; the double mode stays the
     fast production path. Pass ``dim`` to skip the one-row inference
-    job (same threading contract as ``num_centroids``)."""
+    job (same threading contract as ``num_centroids``).
+
+    ``prequantized=True`` (exact mode only): ``vec_col`` ALREADY holds
+    trunc-quantized longs at the module scale — skip the quantization
+    step. This is how residual training stays an exact integer
+    pipeline: :func:`pq_train_residual` quantizes x and c separately
+    and subtracts in integer space (quantizing the double difference
+    instead would re-truncate an already-rounded value, and the
+    off-by-one-ulp cases diverge between engines)."""
+    if prequantized and not exact:
+        raise ValueError(
+            "prequantized=True only pairs with exact=True: the double "
+            "path consumes raw components directly"
+        )
     if exact and lloyd_rounds > 0:
         raise ValueError(
             "exact=True requires lloyd_rounds=0: Lloyd means are "
@@ -1672,7 +1722,10 @@ def pq_train(
     # 2·m TakeOrdered jobs — and no single hot key: the first shuffle
     # spreads over m × input-partition-count groups, each bounded by
     # one input partition's rows
-    full = quantized_vector(vec_col) if exact else dbl_vector(vec_col)
+    if prequantized:
+        full = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    else:
+        full = quantized_vector(vec_col) if exact else dbl_vector(vec_col)
     exploded = (
         emb.select(F.col(id_col), full.alias("_v"))
         .select(
@@ -1728,6 +1781,7 @@ def pq_train_residual(
     vec_col: str = "embedding",
     dim: int | None = None,
     lloyd_rounds: int = 0,
+    exact: bool = False,
 ) -> DataFrame:
     """PQ codebooks over RESIDUALS x − c(x) against a FIXED cell
     geometry (the IVFADC training step): assign each vector its primary
@@ -1744,7 +1798,48 @@ def pq_train_residual(
     against its assigned cells, and ``retrain_ivf_store`` RE-ENCODES
     the codes against the new geometry in its re-assignment pass
     (residual codes die with their geometry; the retrain pass is
-    exactly where the new geometry and every stored vector meet)."""
+    exactly where the new geometry and every stored vector meet).
+
+    ``exact=True`` (r9): the ORACLE-CHECKABLE residual layout. x and c
+    are trunc-quantized to longs SEPARATELY and subtracted in INTEGER
+    space — rq_i = trunc(x_i·s) − trunc(c_i·s) — so the residual
+    relation is exact integers a SQL twin re-derives (quantizing the
+    double difference would re-truncate a rounded value; the
+    off-by-one cases diverge). The returned books hold long components
+    at the module scale and pass straight to the exact encode / LUT /
+    ADC machinery."""
+    if exact:
+        if lloyd_rounds > 0:
+            raise ValueError(
+                "exact=True requires lloyd_rounds=0 (see pq_train)"
+            )
+        base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("_vd"))
+        assign = ivf_assignments(
+            base, probes=1, id_col=id_col, vec_col="_vd", centroids=centroids
+        )
+        res = (
+            base.join(assign, id_col)
+            .join(
+                F.broadcast(
+                    centroids.select(
+                        "centroid_id", F.col("cvec").alias("_cvec")
+                    )
+                ),
+                "centroid_id",
+            )
+            .select(
+                F.col(id_col),
+                F.zip_with(
+                    quantized_vector("_vd"),
+                    quantized_vector("_cvec"),
+                    lambda a, b: a - b,
+                ).alias("_rvec"),
+            )
+        )
+        return pq_train(
+            res, num_subvectors, codes_per_subvector, id_col=id_col,
+            vec_col="_rvec", dim=dim, exact=True, prequantized=True,
+        ).withColumn("residual", F.lit(True))
     base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("_vd"))
     assign = ivf_assignments(
         base, probes=1, id_col=id_col, vec_col="_vd", centroids=centroids
@@ -1873,6 +1968,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    prequantized: bool = False,
 ) -> DataFrame:
     """(id, codes array<int>): each sub-vector replaced by its nearest
     codebook entry (squared L2, left-to-right fold — the order a
@@ -1883,16 +1979,25 @@ def pq_encode(
     ``exact=True`` pairs with an ``exact`` codebook: distances are
     exact integer decimals over trunc-quantized components, so the
     argmin (ties to the smaller code) is engine-independent and a SQL
-    oracle re-derives every code bitwise."""
+    oracle re-derives every code bitwise. ``prequantized=True``:
+    ``vec_col`` already holds quantized longs (the exact-residual
+    convention — see :func:`pq_train`)."""
+    if prequantized and not exact:
+        raise ValueError("prequantized=True only pairs with exact=True")
     _check_codebook_mode(codebooks, exact, "pq_encode")
     packed = _packed_codebooks(codebooks)
     return (
         emb.crossJoin(F.broadcast(packed))
-        .select(F.col(id_col), _codes_expr(vec_col, exact).alias("codes"))
+        .select(
+            F.col(id_col),
+            _codes_expr(vec_col, exact, prequantized).alias("codes"),
+        )
     )
 
 
-def _codes_expr(vec_col: Column | str, exact: bool) -> Column:
+def _codes_expr(
+    vec_col: Column | str, exact: bool, prequantized: bool = False
+) -> Column:
     """The nearest-code assignment as an expression over a row holding
     the packed ``_cb`` codebook array — shared by :func:`pq_encode`
     and the fused encode+ADC path in :func:`_codes_adc_side`."""
@@ -1903,7 +2008,14 @@ def _codes_expr(vec_col: Column | str, exact: bool) -> Column:
     ) + 1
     # dim of each sub-space from the first entry's cvec
     d = F.size(F.element_at(F.col("_cb"), 1)["cvec"])
-    vq = quantized_vector(vec_col) if exact else None
+    if exact:
+        vq = (
+            (F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+            if prequantized
+            else quantized_vector(vec_col)
+        )
+    else:
+        vq = None
 
     def best_code(j):
         def dist2(c):
@@ -1960,6 +2072,7 @@ def _pq_query_luts(
     id_col: str,
     vec_col: str,
     exact: bool,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, _qn, _lut) for a (small) query frame against the
     broadcast packed codebooks — the per-query ADC lookup table: for
@@ -1967,7 +2080,14 @@ def _pq_query_luts(
     the corpus-side columns (positions, reconstructed norm) live in
     :func:`_codes_adc_side`. ``exact`` switches the kernels between
     primitive doubles (fast path) and the module's exact-decimal
-    convention (oracle path)."""
+    convention (oracle path).
+
+    ``cents`` (residual decomposition): also emit ``_qcm``, a
+    centroid_id → dot(q, c) map over the broadcast cell geometry —
+    the per-(query, cell) half of the decomposed IVFADC score, fused
+    into this one projection so the serve path needs no separate
+    qc relation or join (exact mode: decimal values at the LUT
+    scale; double mode: primitive doubles)."""
     _check_codebook_mode(codebooks, exact, "_pq_query_luts")
     packed = _packed_codebooks(codebooks)
     d = F.size(F.element_at(F.col("_cb"), 1)["cvec"])
@@ -1976,6 +2096,9 @@ def _pq_query_luts(
         qnorm = F.sqrt(dot_exact(F.col("_q"), F.col("_q")))
         lut_entry = lambda c: _dot_exact_decimal(  # noqa: E731
             F.slice(F.col("_q"), c["sub_id"] * d + 1, d), c["cvec"]
+        )
+        qc_dot = lambda c: _dot_exact_decimal(  # noqa: E731
+            F.col("_q"), quantized_vector(c["cvec"])
         )
     else:
         qvec = dbl_vector(vec_col)
@@ -1989,14 +2112,36 @@ def _pq_query_luts(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    return (
-        queries.select(F.col(id_col).alias("id_a"), qvec.alias("_q"))
-        .crossJoin(F.broadcast(packed))
-        .select(
-            "id_a",
-            qnorm.alias("_qn"),
-            F.transform(F.col("_cb"), lut_entry).alias("_lut"),
+        qc_dot = lambda c: dot_double(F.col("_q"), c["cvec"])  # noqa: E731
+    src = queries.select(
+        F.col(id_col).alias("id_a"), qvec.alias("_q")
+    ).crossJoin(F.broadcast(packed))
+    extra = []
+    if cents is not None:
+        # ONE row holding the whole O(C) geometry, sorted by id (the
+        # struct sort key) — safe for sparse/non-dense centroid ids
+        # because the lookup is a MAP, not positional
+        cpack = F.broadcast(
+            cents.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("centroid_id", "cvec"))
+                ).alias("_ccb")
+            )
         )
+        src = src.crossJoin(cpack)
+        extra.append(
+            F.map_from_entries(
+                F.transform(
+                    F.col("_ccb"),
+                    lambda c: F.struct(c["centroid_id"], qc_dot(c)),
+                )
+            ).alias("_qcm")
+        )
+    return src.select(
+        "id_a",
+        qnorm.alias("_qn"),
+        F.transform(F.col("_cb"), lut_entry).alias("_lut"),
+        *extra,
     )
 
 
@@ -2102,31 +2247,44 @@ def _adc_positions(kk: Column) -> Column:
     return F.transform(F.col("codes"), lambda c, j: j * kk + c + 1)
 
 
-def _adc_lut_sum(exact: bool) -> Column:
+def _adc_lut_sum(exact: bool, init: Column | None = None) -> Column:
     """The m-lookup ADC dot over a joined row: sum of the query LUT
-    entries selected by the corpus row's precomputed positions."""
+    entries selected by the corpus row's precomputed positions.
+    ``init`` seeds the fold with an additive term of the SAME kind
+    (exact: a decimal; double: a double) — the residual decomposition's
+    dot(q, centroid), summed INSIDE the decimal accumulation so the
+    one double conversion happens after the full exact sum (exact
+    decimal addition is associative, so the combined value is
+    engine-independent regardless of term order)."""
     if exact:
         return F.aggregate(
             F.col("_idx"),
-            F.lit(0).cast(_ACC),
+            (F.lit(0) if init is None else init).cast(_ACC),
             lambda acc, i: (acc + F.element_at("_lut", i)).cast(_ACC),
         ).cast("string").cast("double")
     return F.aggregate(
         F.col("_idx"),
-        F.lit(0.0),
+        F.lit(0.0) if init is None else init,
         lambda acc, i: acc + F.element_at("_lut", i),
     )
 
 
-def _adc_pair_cosine(exact: bool) -> Column:
+def _adc_pair_cosine(exact: bool, init: Column | None = None) -> Column:
     """The asymmetric-distance cosine over a joined row holding a
     query's LUT (``_pq_query_luts``) and a corpus row's precomputed
     ADC columns (``_codes_adc_side``): m table lookups for the dot,
-    divided by the query norm × the precomputed reconstructed norm."""
-    return _adc_lut_sum(exact) / (F.col("_qn") * F.col("_xn"))
+    divided by the query norm × the precomputed reconstructed norm.
+    ``init`` threads the residual decomposition's centroid term into
+    the numerator fold (see :func:`_adc_lut_sum`)."""
+    return _adc_lut_sum(exact, init) / (F.col("_qn") * F.col("_xn"))
 
 
-def _exact_adc_topk(paired: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+def _exact_adc_topk(
+    paired: DataFrame,
+    queries: DataFrame,
+    k: int,
+    qc_col: str | None = None,
+) -> DataFrame:
     """Two-pass exact-decimal ADC top-k over a pair frame (the
     ``brute_force_topk`` trick, shared by :func:`pq_topk` exact mode
     and :func:`ivf_pq_topk`'s exact shortlist): ``paired`` carries
@@ -2146,10 +2304,16 @@ def _exact_adc_topk(paired: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     partitioning (unbounded frame) — it rides the row_number's
     exchange/sort, so the encode+pair upstream executes ONCE; a
     separate kth frame joined back would re-execute that whole plan a
-    second time (measured ~2× the leg's wall at sf0.1)."""
+    second time (measured ~2× the leg's wall at sf0.1).
+
+    ``qc_col`` names an exact-decimal additive term carried on
+    ``paired`` (the residual decomposition's per-(query, cell)
+    dot(q, c)): the prefilter adds its double cast, the exact fold
+    seeds its decimal accumulator with it — one extra correctly-
+    rounded addition on each side, absorbed by the same 1e-6 margin."""
     apx = F.aggregate(
         F.col("_idx"),
-        F.lit(0.0),
+        F.lit(0.0) if qc_col is None else F.col(qc_col).cast("double"),
         lambda acc, i: acc + F.element_at("_lutd", i),
     ) / (F.col("_qn") * F.col("_xn"))
     # slim the pair frame BEFORE the rank shuffle: _idx (m ints),
@@ -2157,7 +2321,8 @@ def _exact_adc_topk(paired: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     # re-joined from the broadcast query frame only for margin
     # survivors
     slim = paired.select(
-        "id_a", "id_b", "_idx", "_qn", "_xn", apx.alias("_apx")
+        "id_a", "id_b", "_idx", "_qn", "_xn", apx.alias("_apx"),
+        *([qc_col] if qc_col is not None else []),
     )
     w_apx = Window.partitionBy("id_a").orderBy(
         F.col("_apx").desc(), F.col("id_b")
@@ -2175,7 +2340,11 @@ def _exact_adc_topk(paired: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         | (F.col("_apx") >= F.col("_kth_apx") - 1e-6)
     ).join(F.broadcast(queries.select("id_a", "_lut")), "id_a")
     scored = cand.select(
-        "id_a", "id_b", _adc_pair_cosine(True).alias("cosine_pq")
+        "id_a",
+        "id_b",
+        _adc_pair_cosine(
+            True, None if qc_col is None else F.col(qc_col)
+        ).alias("cosine_pq"),
     )
     w = Window.partitionBy("id_a").orderBy(
         F.col("cosine_pq").desc(), F.col("id_b")
@@ -2188,37 +2357,63 @@ def _exact_adc_topk(paired: DataFrame, queries: DataFrame, k: int) -> DataFrame:
 
 
 def _residual_adc_side(
-    codes: DataFrame,
+    codes: DataFrame | None,
     codebooks: DataFrame,
-    corpus_cells: DataFrame,
-    cents: DataFrame,
+    corpus_cells: DataFrame | None,
+    cents: DataFrame | None,
     id_col: str,
+    exact: bool = False,
+    res: DataFrame | None = None,
 ) -> DataFrame:
     """(id_b, centroid_id, _idx, _xn) for RESIDUAL codes: like
     :func:`_codes_adc_side`, but the reconstructed vector is
     x̂ = c + r̂ (primary centroid plus the decoded residual), so the
     norm is rebuilt in-row from the broadcast centroid vectors and the
     selected codebook entries — still once per corpus row, never per
-    pair, and still query-independent."""
+    pair, and still query-independent.
+
+    ``exact=True``: the centroid quantizes to longs in-row, x̂ = cq +
+    r̂q stays integer (the books already hold quantized residuals),
+    and |x̂| is the decimal norm with the module's ONE string-hopped
+    double conversion — so the norm, and with it every residual ADC
+    score downstream, is engine-independent.
+
+    Pass ``res`` (an (id, centroid_id, _cvec, _rvec) relation — the
+    residual derivation already holds all three) to FUSE the encode
+    into this same packed-codebook projection: one in-row pass
+    computes codes + positions + reconstructed norm with ZERO joins
+    (the ``_codes_adc_side`` codes=None fusion, residual flavor).
+    ``codes``/``corpus_cells``/``cents`` are the persisted-codes path:
+    a stored codes relation re-joins its cells and geometry."""
     packed = _packed_codebooks(codebooks)
-    staged = (
-        codes.join(corpus_cells.select(F.col(id_col), "centroid_id"), id_col)
-        .join(
-            F.broadcast(
-                cents.select("centroid_id", F.col("cvec").alias("_cvec"))
-            ),
-            "centroid_id",
-        )
-        .crossJoin(F.broadcast(packed))
-        .select(
+    if res is not None:
+        staged = res.crossJoin(F.broadcast(packed)).select(
             F.col(id_col).alias("id_b"),
             "centroid_id",
-            "codes",
+            _codes_expr("_rvec", exact, prequantized=exact).alias("codes"),
             "_cvec",
             F.col("_cb"),
             _kmax_plus_one().alias("_kk"),
         )
-    )
+    else:
+        staged = (
+            codes.join(corpus_cells.select(F.col(id_col), "centroid_id"), id_col)
+            .join(
+                F.broadcast(
+                    cents.select("centroid_id", F.col("cvec").alias("_cvec"))
+                ),
+                "centroid_id",
+            )
+            .crossJoin(F.broadcast(packed))
+            .select(
+                F.col(id_col).alias("id_b"),
+                "centroid_id",
+                "codes",
+                "_cvec",
+                F.col("_cb"),
+                _kmax_plus_one().alias("_kk"),
+            )
+        )
     staged = staged.select(
         "id_b",
         "centroid_id",
@@ -2231,18 +2426,22 @@ def _residual_adc_side(
             F.col("_idx"), lambda i: F.element_at(F.col("_cb"), i)["cvec"]
         )
     )
+    cvec = quantized_vector(F.col("_cvec")) if exact else F.col("_cvec")
     staged = staged.select(
         "id_b",
         "centroid_id",
         "_idx",
-        F.zip_with(F.col("_cvec"), rhat, lambda a, b: a + b).alias("_xhat"),
+        F.zip_with(cvec, rhat, lambda a, b: a + b).alias("_xhat"),
     )
-    return staged.select(
-        "id_b",
-        "centroid_id",
-        "_idx",
-        F.sqrt(dot_double(F.col("_xhat"), F.col("_xhat"))).alias("_xn"),
-    )
+    if exact:
+        xn = F.sqrt(
+            _dot_exact_decimal(F.col("_xhat"), F.col("_xhat"))
+            .cast("string")
+            .cast("double")
+        )
+    else:
+        xn = F.sqrt(dot_double(F.col("_xhat"), F.col("_xhat")))
+    return staged.select("id_b", "centroid_id", "_idx", xn.alias("_xn"))
 
 
 def pq_topk(
@@ -2343,6 +2542,7 @@ def ivf_pq_topk(
     residual: bool = False,
     exact: bool = False,
     adc_side: DataFrame | None = None,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking — the memory-bounded serve tier
     (Jégou et al. 2011, the FAISS IVFPQ layout): ``ivf_topk`` prunes
@@ -2370,7 +2570,10 @@ def ivf_pq_topk(
     corpus entirely: :func:`read_ivf_pq_store` supplies all four
     store-side pieces), ``codebooks``/``codes`` for a persisted PQ
     layout (an :func:`incremental_ivf_update` store written with
-    ``pq_codebooks=``), and ``dim`` to keep training probe-free.
+    ``pq_codebooks=``), ``cand`` for a shared candidate-pair list
+    (:func:`ivf_candidate_pairs`, ideally pinned — a suite running
+    exact/raw-PQ/residual-PQ serve legs then derives the cells join
+    once), and ``dim`` to keep training probe-free.
 
     Scale shape: queries (with their O(m·k) LUT arrays) broadcast into
     the candidate join; codes join shuffles only the candidate list;
@@ -2399,16 +2602,23 @@ def ivf_pq_topk(
     codes that ``retrain_ivf_store`` re-encodes against the new
     geometry inside its re-assignment pass.
 
-    ``exact=True`` (raw mode, with ``exact`` codebooks/codes): the ADC
-    SHORTLIST itself becomes engine-independent — codes, LUTs, and the
-    refine ranking run in the module's exact integer decimals (via the
-    shared :func:`_exact_adc_topk` two-pass, so the decimal folds stay
+    ``exact=True`` (with ``exact`` codebooks/codes): the ADC SHORTLIST
+    itself becomes engine-independent — codes, LUTs, and the refine
+    ranking run in the module's exact integer decimals (via the shared
+    :func:`_exact_adc_topk` two-pass, so the decimal folds stay
     O(queries·refine)), and the final top-k re-ranks on the exact-
     decimal cosine like every other query path. A SQL oracle can then
     replay the ENTIRE pipeline bitwise, shortlist membership included
     (the double-mode shortlist is rank-stable only up to float
-    summation order). Refused with ``residual=True``: the decomposed
-    dot(q,c) cell term is primitive-double by design."""
+    summation order). Composes with ``residual=True`` (r9): residuals
+    are taken in INTEGER space (quantize x and c separately, subtract
+    — the ``pq_train_residual(exact=True)`` convention), the dot(q,c)
+    cell term is an exact decimal at the same scale as the LUT
+    entries and sums INTO the shortlist fold's decimal accumulator
+    before the one string-hopped double conversion (decimal addition
+    is associative, so term order cannot split engines), and |x̂| =
+    |cq + r̂q| is the decimal norm — the full IVFADC serve path,
+    shortlist membership included, checks bitwise."""
     refine = 4 * k if refine is None else refine
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
@@ -2418,12 +2628,13 @@ def ivf_pq_topk(
             "residual branch rebuilds x\u0302 = c + r\u0302 per cell and must "
             "derive its own side"
         )
-    if exact and residual:
-        raise ValueError(
-            "exact=True with residual=True: the residual decomposition's "
-            "dot(q, centroid) term is primitive-double — an exact-decimal "
-            "shortlist is only defined for the raw-code layout"
-        )
+    # exact=True with residual=True (r9): the decomposed score is
+    # order-stable after all — dot(q, c) and the residual LUT entries
+    # are each exact decimals, and decimal addition is associative, so
+    # summing the centroid term INTO the LUT fold before the module's
+    # one string-hopped double conversion pins the combined numerator
+    # bitwise (the refusal this replaces cited summation order; the
+    # two-LUT decomposition closes it)
     if codes is not None and codebooks is None:
         raise ValueError(
             "codes= without codebooks=: persisted codes are POSITIONAL "
@@ -2468,17 +2679,19 @@ def ivf_pq_topk(
             qbase, num_centroids, probes=probes, id_col=id_col, vec_col="vdbl",
             centroids=cents,
         )
-    cand = (
-        query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
-        .join(
-            corpus_cells.select(F.col(id_col).alias("id_b"), "centroid_id"),
-            "centroid_id",
+    cand_supplied = cand is not None
+    if cand is None:
+        cand = (
+            query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+            .join(
+                corpus_cells.select(F.col(id_col).alias("id_b"), "centroid_id"),
+                "centroid_id",
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
         )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if cells_external:
-        cand = cand.distinct()
+        if cells_external:
+            cand = cand.distinct()
 
     def _double_adc_shortlist(adc: DataFrame) -> DataFrame:
         wa = Window.partitionBy("id_a").orderBy(
@@ -2492,12 +2705,27 @@ def ivf_pq_topk(
 
     if residual:
         if assignments is not None:
-            raise ValueError(
-                "residual=True cannot run from assignments=: residuals "
-                "are taken against the cell geometry's centroid VECTORS, "
-                "which the assignments relation does not carry — pass "
-                "centroids= (or let the seeded pick derive them)"
-            )
+            if centroids is None:
+                raise ValueError(
+                    "residual=True cannot run from assignments= alone: "
+                    "residuals are taken against the cell geometry's "
+                    "centroid VECTORS, which the assignments relation "
+                    "does not carry — pass centroids= alongside (the "
+                    "relation the assignments were ranked against) or "
+                    "drop assignments="
+                )
+            # assignments supply the cells, centroids the vectors — the
+            # caller asserts they describe the SAME geometry (a suite
+            # sharing one ranked corpus-vs-centroids pass)
+            cents = centroids
+        # the pair list is consumed TWICE (the encode semi-join's id
+        # list and the probe side of the shortlist join): un-pinned,
+        # each reference re-runs the cells join with its own AQE stage
+        # materializations — candidate volume is O(queries · cell), so
+        # the pin is small by construction (r9 job audit). A supplied
+        # cand= is the caller's to pin.
+        if not cand_supplied:
+            cand = cand.localCheckpoint()
         if (codebooks is not None or codes is not None) and centroids is None:
             # residual codebooks/codes are meaningless against any
             # geometry but the one that produced them; a re-derived
@@ -2518,26 +2746,37 @@ def ivf_pq_topk(
         cvecs = F.broadcast(
             cents.select("centroid_id", F.col("cvec").alias("_cvec"))
         )
+        # exact mode quantizes x and c SEPARATELY and subtracts in
+        # integer space (the pq_train_residual convention): the
+        # residual relation is then exact longs a SQL twin re-derives
+        rsub = (
+            F.zip_with(
+                quantized_vector("vdbl"),
+                quantized_vector("_cvec"),
+                lambda a, b: a - b,
+            )
+            if exact
+            else F.zip_with("vdbl", "_cvec", lambda a, b: a - b)
+        )
         res = (
             base.join(corpus_cells.select(F.col(id_col), "centroid_id"), id_col)
             .join(cvecs, "centroid_id")
             .select(
-                F.col(id_col),
-                F.zip_with("vdbl", "_cvec", lambda a, b: a - b).alias("_rvec"),
+                F.col(id_col), "centroid_id", "_cvec", rsub.alias("_rvec")
             )
         )
         if codebooks is None:
             # training sees the WHOLE corpus (codebooks are the
-            # geometry). Pin the residual relation FIRST: the m
-            # per-sub-space pick branches plus the encode pass would
-            # otherwise each re-run the assignment join + subtraction
-            # corpus-wide; then pin the O(m·k) books so the three
+            # geometry). Pin the residual relation FIRST: the seeded
+            # pick and the fused encode+norm side each consume it, and
+            # un-pinned both would re-run the corpus-wide assignment
+            # join + subtraction; then pin the O(m·k) books so the
             # downstream packers don't re-run the picks. (A deployment
             # passes persisted codebooks/codes and never pays either.)
             res = res.localCheckpoint()
             codebooks = pq_train(
                 res, num_subvectors, codes_per_subvector, id_col=id_col,
-                vec_col="_rvec", dim=dim,
+                vec_col="_rvec", dim=dim, exact=exact, prequantized=exact,
             ).localCheckpoint()
         # encode/ADC-precompute only rows some query actually probes —
         # the equi-join on id_b would discard the rest anyway, but only
@@ -2547,49 +2786,65 @@ def ivf_pq_topk(
         # exchange + aggregate pair (r9 job audit)
         cand_ids = cand.select(F.col("id_b").alias(id_col))
         if codes is None:
-            codes = pq_encode(
-                res.join(F.broadcast(cand_ids), id_col, "left_semi"),
-                codebooks, id_col=id_col, vec_col="_rvec",
+            # FUSED encode + ADC side: res already carries the cell id
+            # and centroid vector, so one in-row projection computes
+            # codes + positions + reconstructed norm with zero joins —
+            # the separate encode pass, its codes↔cells re-join, and
+            # the geometry re-join were each an AQE stage
+            # materialization of size-independent overhead (r9 job
+            # audit: 28 jobs → the fused leg's count)
+            rside_rel = _residual_adc_side(
+                None, codebooks, None, None, id_col, exact=exact,
+                res=res.join(F.broadcast(cand_ids), id_col, "left_semi"),
             )
         else:
-            codes = codes.join(F.broadcast(cand_ids), id_col, "left_semi")
+            rside_rel = _residual_adc_side(
+                codes.join(F.broadcast(cand_ids), id_col, "left_semi"),
+                codebooks, corpus_cells, cents, id_col, exact=exact,
+            )
+        # the per-(query, cell) dot(q, c) term rides the query LUT
+        # projection as a centroid_id → dot MAP (cents= hook): no
+        # separate qc relation, no third pair-frame join. Exact mode
+        # keeps the values WIDE DECIMALS (the LUT scale) so the
+        # shortlist fold sums them into the decimal accumulator before
+        # the one double conversion
         queries = _pq_query_luts(
             base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
-            "vdbl", exact=False,
+            "vdbl", exact=exact, cents=cents,
         )
-        # dot(q, c) per (query, cell): the cell half of the decomposed
-        # score — O(queries·C), broadcastable by construction
-        qc = (
-            base.filter(F.col(id_col) < query_ids_max)
-            .select(F.col(id_col).alias("id_a"), "vdbl")
-            .crossJoin(cvecs)
-            .select(
-                "id_a",
-                "centroid_id",
-                dot_double(F.col("vdbl"), F.col("_cvec")).alias("_qc"),
+        rside = F.broadcast(rside_rel)
+        qc_val = F.element_at(F.col("_qcm"), F.col("centroid_id"))
+        if exact:
+            # ≤ query_ids_max rows; pinned because the two-pass
+            # shortlist broadcasts this frame twice (pair join + margin
+            # re-join) and each un-pinned broadcast re-runs the packed/
+            # geometry aggregations upstream
+            queries = queries.withColumn(
+                "_lutd",
+                F.transform(F.col("_lut"), lambda x: x.cast("double")),
+            ).localCheckpoint()
+            paired = (
+                cand.join(F.broadcast(queries), "id_a")
+                .join(rside, "id_b")
+                .withColumn("_qc", qc_val)
             )
-        )
-        adc = (
-            cand.join(F.broadcast(queries), "id_a")
-            .join(
-                F.broadcast(
-                    _residual_adc_side(
-                        codes, codebooks, corpus_cells, cents, id_col
-                    )
-                ),
-                "id_b",
+            shortlist = _exact_adc_topk(
+                paired, queries, refine, qc_col="_qc"
+            ).select("id_a", "id_b")
+        else:
+            adc = (
+                cand.join(F.broadcast(queries), "id_a")
+                .join(rside, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    (
+                        (qc_val + _adc_lut_sum(False))
+                        / (F.col("_qn") * F.col("_xn"))
+                    ).alias("_adc"),
+                )
             )
-            .join(F.broadcast(qc), ["id_a", "centroid_id"])
-            .select(
-                "id_a",
-                "id_b",
-                (
-                    (F.col("_qc") + _adc_lut_sum(False))
-                    / (F.col("_qn") * F.col("_xn"))
-                ).alias("_adc"),
-            )
-        )
-        shortlist = _double_adc_shortlist(adc)
+            shortlist = _double_adc_shortlist(adc)
     else:
         if codebooks is None:
             # trained on the whole corpus, pinned for the three packers

@@ -11,10 +11,12 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+    _seed_centroids,
     all_pairs_cosine,
     brute_force_topk,
     ivf_ann_pairs,
     ivf_assignments,
+    ivf_candidate_pairs,
     ivf_pq_topk,
     ivf_topk,
     lsh_ann_pairs,
@@ -311,6 +313,96 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ipq_short s
         JOIN qcos q ON q.id_a = s.id_a AND q.id_b = s.id_b
       ) WHERE rnk <= 3
+    ),
+    ccomp AS (
+      SELECT c.centroid_id, k.pos, k.v
+      FROM cents c JOIN comp k ON k.vec_id = c.cent_vid
+    ),
+    rescomp AS (
+      SELECT x.vec_id, x.pos, x.v - cc.v AS v
+      FROM comp x
+      JOIN cell1 cl ON cl.vec_id = x.vec_id
+      JOIN ccomp cc ON cc.centroid_id = cl.centroid_id AND cc.pos = x.pos
+    ),
+    rcb_ent AS (
+      SELECT p.j, p.code, CAST(r.pos - p.j*{_PQ_D} AS INT) AS i,
+             CAST(r.v AS HUGEINT) AS v
+      FROM pq_picks p JOIN rescomp r ON r.vec_id = p.cb_vid
+       AND r.pos > p.j*{_PQ_D} AND r.pos <= (p.j+1)*{_PQ_D}
+    ),
+    r_dist AS (
+      SELECT r.vec_id, e.j, e.code,
+             sum((CAST(r.v AS HUGEINT) - e.v) *
+                 (CAST(r.v AS HUGEINT) - e.v)) AS d2
+      FROM rescomp r JOIN rcb_ent e ON r.pos = e.j*{_PQ_D} + e.i
+      GROUP BY 1, 2, 3
+    ),
+    r_codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, code) AS rn
+        FROM r_dist) WHERE rn = 1
+    ),
+    r_lut AS (
+      SELECT q.vec_id AS id_a, e.j, e.code,
+             sum(CAST(q.v AS HUGEINT) * e.v) AS dotp
+      FROM comp q JOIN rcb_ent e ON q.pos = e.j*{_PQ_D} + e.i
+      WHERE q.vec_id < 20
+      GROUP BY 1, 2, 3
+    ),
+    qcdot AS (
+      SELECT q.vec_id AS id_a, cc.centroid_id,
+             sum(CAST(q.v AS HUGEINT) * CAST(cc.v AS HUGEINT)) AS dotv
+      FROM comp q JOIN ccomp cc ON cc.pos = q.pos
+      WHERE q.vec_id < 20
+      GROUP BY 1, 2
+    ),
+    rxn AS (
+      SELECT cd.vec_id,
+             CAST(CAST(sum((CAST(cc.v AS HUGEINT) + e.v) *
+                           (CAST(cc.v AS HUGEINT) + e.v)) AS VARCHAR)
+                  AS DOUBLE) AS xn
+      FROM r_codes cd
+      JOIN rcb_ent e ON e.j = cd.j AND e.code = cd.code
+      JOIN cell1 cl ON cl.vec_id = cd.vec_id
+      JOIN ccomp cc ON cc.centroid_id = cl.centroid_id
+       AND cc.pos = cd.j*{_PQ_D} + e.i
+      GROUP BY 1
+    ),
+    radc_lut AS (
+      SELECT qc.id_a, qc.id_b, sum(l.dotp) AS lutsum
+      FROM qcand qc
+      JOIN r_codes cd ON cd.vec_id = qc.id_b
+      JOIN r_lut l ON l.id_a = qc.id_a AND l.j = cd.j AND l.code = cd.code
+      GROUP BY 1, 2
+    ),
+    radc AS (
+      SELECT a.id_a, a.id_b,
+             CAST(CAST(a.lutsum + qd.dotv AS VARCHAR) AS DOUBLE) AS sc
+      FROM radc_lut a
+      JOIN cell1 cl ON cl.vec_id = a.id_b
+      JOIN qcdot qd ON qd.id_a = a.id_a AND qd.centroid_id = cl.centroid_id
+    ),
+    r_short AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id_a, a.id_b,
+               row_number() OVER (PARTITION BY a.id_a
+                 ORDER BY a.sc / (sqrt(n.norm_sq) * sqrt(x.xn)) DESC,
+                          a.id_b) AS ar
+        FROM radc a
+        JOIN nrm n ON n.vec_id = a.id_a
+        JOIN rxn x ON x.vec_id = a.id_b
+      ) WHERE ar <= {_IPQ_REFINE}
+    ),
+    rtopk AS (
+      SELECT id_a, id_b, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT s.id_a, s.id_b, q.cosine,
+               row_number() OVER (PARTITION BY s.id_a
+                                  ORDER BY q.cosine DESC, s.id_b) AS rnk
+        FROM r_short s
+        JOIN qcos q ON q.id_a = s.id_a AND q.id_b = s.id_b
+      ) WHERE rnk <= 3
     )
     SELECT 'lsh' AS method, id_a, id_b, cosine,
            CAST(NULL AS INTEGER) AS rnk FROM lsh_out
@@ -323,6 +415,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'pq' AS method, id_a, id_b, cosine, rnk FROM pqtopk
     UNION ALL
     SELECT 'ivfpq' AS method, id_a, id_b, cosine, rnk FROM ipqtopk
+    UNION ALL
+    SELECT 'rivfpq' AS method, id_a, id_b, cosine, rnk FROM rtopk
     """,
     doc="ANN suite, ALL FIVE scale paths in one checked plan (tagged "
     "union, the grouping-suite pattern): 'lsh' = 16 deterministic "
@@ -344,12 +438,21 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ADC top-6 shortlist per query in exact decimals (shortlist "
     "MEMBERSHIP is engine-independent, not just scores), exact-cosine "
     "re-rank to top-3 — code-level pruning is load-bearing in the "
-    "checked output since refine=6 is far below candidate volume. "
+    "checked output since refine=6 is far below candidate volume; "
+    "'rivfpq' (r9) = the residual IVFADC layout (Jégou's full "
+    "construction) in the SAME exact mode: residuals x − c(x) taken "
+    "in INTEGER space against the shared cell geometry, residual "
+    "books seeded by the identical md5 picks, and the decomposed "
+    "score dot(q,c) + Σ LUT[code] summed as exact decimals BEFORE the "
+    "one double conversion (decimal addition is associative, so the "
+    "split numerator cannot diverge engines) with |x̂| = |cq + r̂q| "
+    "the decimal reconstructed norm — shortlist membership, scores, "
+    "and ranks all hash-checked. "
     "Exact-decimal scoring everywhere (even probe ASSIGNMENT), so the "
     "whole suite is value-checked. Cost ~ collisions, never corpus²; "
     "measured recall at sf0.1: lsh 0.53, ivf 0.67, precision 1.0 (see "
     "operator docstrings)",
-    tags=("similarity", "lsh", "ivf", "pq", "ivfpq"),
+    tags=("similarity", "lsh", "ivf", "pq", "ivfpq", "residual"),
 )
 def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one (id, vdbl, approx-norm) base — a single scan of embeddings —
@@ -360,18 +463,29 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_ann_pairs(base, num_planes=16, bands=4, min_cosine=0.4).select(
         F.lit("lsh").alias("method"), "id_a", "id_b", "cosine", null_rnk
     )
-    # ONE ranked corpus-vs-centroids scoring pass serves both IVF legs:
+    # ONE ranked corpus-vs-centroids scoring pass serves ALL IVF legs:
     # the pair leg uses all 3 probes, the query leg's corpus index is
-    # the probe_rank==1 slice and its query probes the id<20 rows
+    # the probe_rank==1 slice and its query probes the id<20 rows; the
+    # cell geometry is materialized explicitly (the same seeded pick
+    # ivf_assignments would derive) because the residual leg needs the
+    # centroid VECTORS, not just the cell ids — localCheckpoint pins
+    # the O(C) rows so its three consumers don't re-run the pick
+    cents = _seed_centroids(base, 32, "vec_id").localCheckpoint()
     assign = ivf_assignments(
-        base, num_centroids=32, probes=3, vec_col="vdbl", with_rank=True
+        base, num_centroids=32, probes=3, vec_col="vdbl", with_rank=True,
+        centroids=cents,
     ).persist()
     ivf = ivf_ann_pairs(
         base, num_centroids=32, probes=3, min_cosine=0.4, assignments=assign
     ).select(F.lit("ivf").alias("method"), "id_a", "id_b", "cosine", null_rnk)
+    # ONE pinned candidate-pair list serves all three query-path legs
+    # (qtopk re-ranks it whole, ivfpq/rivfpq shortlist it): un-shared,
+    # each leg re-derived the same cells join with its own AQE stage
+    # materializations (r9 job audit)
+    cand = ivf_candidate_pairs(assign, query_ids_max=20).localCheckpoint()
     qt = ivf_topk(
         base, query_ids_max=20, k=3, num_centroids=32, probes=3,
-        assignments=assign,
+        assignments=assign, cand=cand,
     ).select(F.lit("qtopk").alias("method"), "id_a", "id_b", "cosine", "rnk")
     # pq leg rides the same persisted base (vec_col="vdbl" — the
     # quantization inside exact mode truncates identically from the
@@ -411,13 +525,26 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ipq = ivf_pq_topk(
         base, query_ids_max=20, k=3, num_centroids=32, probes=3,
         refine=_IPQ_REFINE, assignments=assign, codebooks=books,
-        codes=codes, dim=_DIM, exact=True,
+        codes=codes, dim=_DIM, exact=True, cand=cand,
     ).select(F.lit("ivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
+    # sixth leg (r9): residual IVFADC in exact mode — same shared
+    # cells/probes (assignments) with the pinned centroid VECTORS for
+    # the residual subtraction; residual books/codes train inline
+    # (integer-space residuals are a different code space, so the raw
+    # legs' books/codes cannot be shared), and the decomposed
+    # dot(q,c) + LUT score folds as one exact decimal — the oracle
+    # replays shortlist membership, scores, and ranks bitwise
+    ripq = ivf_pq_topk(
+        base, query_ids_max=20, k=3, probes=3, refine=_IPQ_REFINE,
+        assignments=assign, centroids=cents, dim=_DIM,
+        residual=True, exact=True, cand=cand,
+    ).select(F.lit("rivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
     return (
         lsh.unionByName(ivf)
         .unionByName(qt)
         .unionByName(pq)
         .unionByName(ipq)
+        .unionByName(ripq)
     )
 
 

@@ -2524,7 +2524,9 @@ def test_ivf_pq_topk_refine_tradeoff(spark):
     ).collect()
     assert {r.rnk for r in tight_e} == {1, 2, 3, 4, 5}
     # mode guards: double books refuse exact, exact books refuse
-    # double, and exact+residual is undefined (double cell term)
+    # double (exact+residual COMPOSES since r9 — pinned in
+    # test_ivf_pq_residual_exact_mode; the refusal this replaced
+    # cited summation order, closed by the decimal two-LUT fold)
     with pytest.raises(ValueError, match="exact"):
         ivf_pq_topk(
             base, centroids=cents, codebooks=books, refine=8, exact=True
@@ -2533,8 +2535,6 @@ def test_ivf_pq_topk_refine_tradeoff(spark):
         ivf_pq_topk(
             base, centroids=cents, codebooks=books_e, refine=8
         ).collect()
-    with pytest.raises(ValueError, match="residual"):
-        ivf_pq_topk(base, centroids=cents, residual=True, exact=True, dim=64)
     books_e.unpersist()
 
     # non-default id column survives the full path (the exact re-rank
@@ -3065,3 +3065,125 @@ def test_audio_fingerprint_nonsilent_prefix_tolerance(spark, tmp_path):
             perceptual_hash_audio(df.filter("doc_id = 3")), store, 2,
             algo="audio/energy-contour/v2-silence-trim",
         )
+
+
+def test_ivf_pq_residual_exact_mode(spark):
+    """exact=True now composes with residual=True (r9): the decomposed
+    dot(q,c) + LUT numerator folds as ONE exact decimal before the
+    module's single double conversion, so the full IVFADC serve path —
+    shortlist membership included — is engine-independent (the suite
+    oracle replays it bitwise; this pins the Spark-side contracts).
+    Covering refine reproduces ivf_topk exactly; persisted
+    pq_train_residual(exact=True) books serve identically to inline
+    training; the integer-space residual convention (quantize x and c
+    SEPARATELY, subtract longs) is pinned against a sequential
+    recompute of one codebook entry."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        ivf_pq_topk,
+        ivf_topk,
+        pq_train_residual,
+    )
+
+    G, PER, DIM = 8, 30, 64
+    rows = []
+    for g in range(G):
+        center = [((g * 31 + i * 7) % 17 - 8) / 4.0 for i in range(DIM)]
+        for j in range(PER):
+            p = g * PER + j
+            delta = [((p * 13 + i * 5) % 9 - 4) / 40.0 for i in range(DIM)]
+            rows.append((p, [center[i] + delta[i] for i in range(DIM)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+
+    # covering refine: exact residual == ivf_topk, values bitwise
+    full = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                base, query_ids_max=12, k=4, probes=3, centroids=cents,
+                refine=10**6, dim=DIM, residual=True, exact=True,
+            ).collect(),
+        )
+    )
+    exact_ref = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                base, query_ids_max=12, k=4, probes=3, centroids=cents
+            ).collect(),
+        )
+    )
+    assert full == exact_ref and len(full) > 0
+
+    # tight refine: code-level pruning load-bearing, runs green, and
+    # persisted exact residual books serve bitwise-identically to the
+    # inline-trained path (same geometry, same picks)
+    inline = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                base, query_ids_max=12, k=4, probes=3, centroids=cents,
+                refine=6, dim=DIM, residual=True, exact=True,
+            ).collect(),
+        )
+    )
+    books = pq_train_residual(
+        base, cents, 8, 16, vec_col="vdbl", dim=DIM, exact=True
+    ).localCheckpoint()
+    assert dict(books.dtypes)["cvec"] == "array<bigint>"
+    assert "residual" in books.columns
+    served = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                base, query_ids_max=12, k=4, probes=3, centroids=cents,
+                refine=6, dim=DIM, residual=True, exact=True,
+                codebooks=books,
+            ).collect(),
+        )
+    )
+    assert served == inline and len(inline) > 0
+
+    # integer-space residual convention: one entry recomputed
+    # sequentially — trunc-quantize x and its primary centroid
+    # SEPARATELY, subtract in integer space
+    import math
+
+    ent = books.filter((F.col("sub_id") == 0) & (F.col("code") == 0)).first()
+    # which corpus vector seeded (0, 0)? the md5('0|id') minimum —
+    # replicate the pick, then its primary cell by exact-cosine rank
+    import hashlib
+
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    pick = min(ids, key=lambda i: (hashlib.md5(f"0|{i}".encode()).hexdigest(), i))
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    cvecs = {r.centroid_id: r.cvec for r in cents.collect()}
+    q = lambda x: math.trunc(float(x) * 1e12)
+
+    def cell_of(vid):
+        xq = [q(v) for v in (float(x) for x in vecs[vid])]
+        best = None
+        for cid in sorted(cvecs):
+            cq = [q(v) for v in cvecs[cid]]
+            dot = sum(a * b for a, b in zip(xq, cq))
+            nn = math.sqrt(sum(a * a for a in cq)) * math.sqrt(
+                sum(a * a for a in xq)
+            )
+            score = dot / nn
+            if best is None or score > best[0] or (
+                score == best[0] and cid < best[1]
+            ):
+                best = (score, cid)
+        return best[1]
+
+    cid = cell_of(pick)
+    want = [
+        q(float(vecs[pick][i])) - q(cvecs[cid][i]) for i in range(8)
+    ]
+    assert list(ent.cvec) == want
+    base.unpersist()
