@@ -1807,7 +1807,11 @@ def pq_train_residual(
     double difference would re-truncate a rounded value; the
     off-by-one cases diverge). The returned books hold long components
     at the module scale and pass straight to the exact encode / LUT /
-    ADC machinery."""
+    ADC machinery. Exact books are a QUERY-path artifact: the
+    incremental store encodes batches in the production double mode
+    and refuses exact books loudly at plan-build
+    (``_check_codebook_mode`` — pytest-pinned), the same idiom as
+    every other mode mismatch in this module."""
     if exact:
         if lloyd_rounds > 0:
             raise ValueError(

@@ -3187,3 +3187,39 @@ def test_ivf_pq_residual_exact_mode(spark):
     ]
     assert list(ent.cvec) == want
     base.unpersist()
+
+
+def test_ivf_store_refuses_exact_residual_books(spark, tmp_path):
+    """The incremental IVF store is the production DOUBLE path; exact
+    (quantized-long) residual books are a query-path oracle artifact.
+    Feeding them to the store's batch encode must refuse at plan-build
+    (_check_codebook_mode) instead of silently mis-encoding raw-scale
+    sub-vectors against 1e12-scale entries."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        incremental_ivf_update,
+        pq_train_residual,
+    )
+
+    rows = [
+        (i, [((i * 13 + j * 5) % 9 - 4) / 8.0 for j in range(64)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 4, "vec_id").localCheckpoint()
+    books_exact = pq_train_residual(
+        base, cents, 8, 8, vec_col="vdbl", dim=64, exact=True
+    ).localCheckpoint()
+    with pytest.raises(ValueError, match="exact"):
+        incremental_ivf_update(
+            emb,
+            str(tmp_path / "store"),
+            batch_id=0,
+            centroids=cents,
+            pq_codebooks=books_exact,
+        )
+    base.unpersist()
