@@ -122,7 +122,7 @@ def _synth_multimodal(docs):
             "payload"
         ),
     )
-    n_samples, data_len = 512, 1024
+    data_len = 1024
     fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
     body_prefix = (
         b"fmt " + _struct.pack("<I", len(fmt)) + fmt
@@ -227,9 +227,11 @@ def run_scale10() -> int:
         # CDC mode standalone (the registered dedup_ngram_jaccard leg
         # covers value-correctness; THIS gates corpus-level linearity —
         # the optimizer-rewrite class that inlined the md5 subtree 14×
-        # mid-r8 would blow straight through 4×). Internal persists are
-        # handed back via caches= and released by the caller loop's
-        # clearCache between runs.
+        # mid-r8 would blow straight through 4×). chunk_level_dedup's
+        # internal persists are released by the caller loop's
+        # spark.catalog.clearCache() between runs — if this leg ever
+        # moves out of that loop, clear the cache explicitly or two
+        # corpus-wide frames leak per run.
         return chunk_level_dedup(
             spark.read.parquet(os.path.join(d, "documents.parquet")),
             boundaries="content",

@@ -832,15 +832,32 @@ def perceptual_hash_audio(
             # sums; the only floats are the per-frame mean and the
             # global threshold, exactly as v1/v2.
             flen = max(1, 4 * n // 256)
+            # overlapped frames re-read each sample ~4×: for INTEGER
+            # PCM a prefix-sum makes every frame sum an O(1) subtraction
+            # (bit-identical — integer addition is associative), keeping
+            # the per-row work O(n) instead of 4n. Float samples (IEEE
+            # WAV) keep the direct per-frame loop: a cumsum difference
+            # is a DIFFERENT float rounding than the sequential segment
+            # sum, and the bit rule is pinned to the latter.
+            cum = None
+            if isinstance(mono[0], int):
+                cum = [0] * (n + 1)
+                acc0 = 0
+                for i, v in enumerate(mono):
+                    acc0 += v if v >= 0 else -v
+                    cum[i + 1] = acc0
             means = []
             for s in range(256):
                 i0 = s * n // 256
                 i1 = min(n, i0 + flen)
                 if i1 <= i0:
                     i1 = i0 + 1
-                acc = 0
-                for v in mono[i0:i1]:
-                    acc += v if v >= 0 else -v
+                if cum is not None:
+                    acc = cum[i1] - cum[i0]
+                else:
+                    acc = 0
+                    for v in mono[i0:i1]:
+                        acc += v if v >= 0 else -v
                 means.append(acc / (i1 - i0))
             mu = sum(means) / 256.0
             bits = [1 if m > mu else 0 for m in means]

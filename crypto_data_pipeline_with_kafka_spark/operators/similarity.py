@@ -2646,6 +2646,14 @@ def ivf_pq_topk(
             "trained books would decode every code against the wrong "
             "entries while scores stay plausible-looking"
         )
+    if adc_side is not None and codebooks is None:
+        raise ValueError(
+            "adc_side= without codebooks=: the side's _idx positions are "
+            "POSITIONAL references into the codebooks that produced it — "
+            "freshly trained books would build query LUTs whose entries "
+            "the side's positions mis-address, collapsing recall while "
+            "scores stay plausible-looking (same contract as codes=)"
+        )
     base = _ensure_ann_base(emb, id_col)
     # uniqueness of the candidate pairs is structural when WE derive
     # the cells: corpus side is one rank-1 (or probes=1) row per id,
@@ -2722,14 +2730,6 @@ def ivf_pq_topk(
             # caller asserts they describe the SAME geometry (a suite
             # sharing one ranked corpus-vs-centroids pass)
             cents = centroids
-        # the pair list is consumed TWICE (the encode semi-join's id
-        # list and the probe side of the shortlist join): un-pinned,
-        # each reference re-runs the cells join with its own AQE stage
-        # materializations — candidate volume is O(queries · cell), so
-        # the pin is small by construction (r9 job audit). A supplied
-        # cand= is the caller's to pin.
-        if not cand_supplied:
-            cand = cand.localCheckpoint()
         if (codebooks is not None or codes is not None) and centroids is None:
             # residual codebooks/codes are meaningless against any
             # geometry but the one that produced them; a re-derived
@@ -2747,6 +2747,17 @@ def ivf_pq_topk(
             # entries: a raw-layout store's (books, cents) pair passes
             # the geometry guard above — the tag is what refuses it
             _check_residual_tag(codebooks, True, "ivf_pq_topk")
+        # the pair list is consumed TWICE (the encode semi-join's id
+        # list and the probe side of the shortlist join): un-pinned,
+        # each reference re-runs the cells join with its own AQE stage
+        # materializations — candidate volume is O(queries · cell), so
+        # the pin is small by construction (r9 job audit). A supplied
+        # cand= is the caller's to pin. Pinned AFTER every refusal
+        # above: the eager checkpoint runs real jobs, and a call that
+        # is going to be refused must refuse at plan-build, not after
+        # materializing the candidate join.
+        if not cand_supplied:
+            cand = cand.localCheckpoint()
         cvecs = F.broadcast(
             cents.select("centroid_id", F.col("cvec").alias("_cvec"))
         )
@@ -2862,12 +2873,16 @@ def ivf_pq_topk(
             # encode/ADC-precompute candidates only (see residual
             # branch). Semi-join right side needs no distinct: LeftSemi
             # is duplicate-agnostic, and the dedup was a fixed-cost
-            # exchange + aggregate pair (r9 job audit). The id list
-            # broadcasts by construction: it is cardinality-equal to
-            # the pair frame the shortlist shuffles anyway, at 8 bytes
-            # a row instead of LUT-wide rows — a scale where this
-            # broadcast breaks was already broken by that shuffle;
-            # forcing it skips two AQE shuffle-stage materializations.
+            # exchange + aggregate pair (r9 job audit). Forcing the
+            # broadcast skips two AQE shuffle-stage materializations;
+            # the honest bound (review-corrected): a broadcast hard-
+            # caps at Spark's 8 GB / int-max-rows limit while the
+            # shuffle it replaces is disk-backed, so candidate volume
+            # (queries × probes × cell size) must stay ≲ 10⁸ rows —
+            # the refine-bounded serving contract this whole fused
+            # path assumes. Beyond it, serve from a persisted
+            # adc_side= (which STREAMS the corpus-scale side and lets
+            # AQE pick the pair-list join) instead of this branch.
             cand_ids = cand.select(F.col("id_b").alias(id_col))
             if codes is None:
                 codes = pq_encode(
@@ -2889,14 +2904,15 @@ def ivf_pq_topk(
                 "_lutd",
                 F.transform(F.col("_lut"), lambda x: x.cast("double")),
             )
-            # candidate-filtered ADC side broadcasts for the same
-            # reason the id list does: candidate-bounded slim rows
-            # (_idx m ints + _xn) vs the LUT-wide pair frame this join
-            # produces — its shuffle breaks first. Probe side then
-            # reaches the shortlist window with ZERO pre-window
-            # exchanges. A precomputed adc_side= is CORPUS-wide, so it
-            # streams instead and the (id_a, id_b) pair list broadcasts
-            # into it — the candidate filter IS that equi-join.
+            # candidate-filtered ADC side broadcasts under the same
+            # candidate-volume contract as the id list (slim _idx+_xn
+            # rows, ≲ 10⁸ candidates — see the cand_ids note). Probe
+            # side then reaches the shortlist window with ZERO
+            # pre-window exchanges. A precomputed adc_side= is
+            # CORPUS-wide, so it streams instead and the pair list
+            # joins into it UN-forced — that path is the big-serve
+            # escape hatch, so AQE must stay free to pick a shuffle
+            # when the candidate list outgrows the broadcast cap.
             if adc_side is None:
                 paired = cand.join(F.broadcast(queries), "id_a").join(
                     F.broadcast(
@@ -2905,7 +2921,7 @@ def ivf_pq_topk(
                     "id_b",
                 )
             else:
-                paired = adc_side.join(F.broadcast(cand), "id_b").join(
+                paired = adc_side.join(cand, "id_b").join(
                     F.broadcast(queries), "id_a"
                 )
             shortlist = _exact_adc_topk(paired, queries, refine).select(
@@ -2920,7 +2936,9 @@ def ivf_pq_topk(
                     adc_rel, "id_b"
                 )
             else:
-                adc = adc_side.join(F.broadcast(cand), "id_b").join(
+                # un-forced pair-list join — the big-serve path (see
+                # the exact twin above)
+                adc = adc_side.join(cand, "id_b").join(
                     F.broadcast(queries), "id_a"
                 )
             adc = adc.select(

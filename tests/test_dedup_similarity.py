@@ -2982,6 +2982,17 @@ def test_pq_adc_side_hook_matches_inline(spark):
                 [], "id_b long, _idx array<int>, _xn double"
             ),
         )
+    # adc_side without the codebooks that produced it: the side's _idx
+    # positions would mis-address freshly trained books' LUT entries —
+    # same silent-mis-decode class as codes= without codebooks=, so it
+    # refuses at plan-build (r9 review finding)
+    with pytest.raises(ValueError, match="adc_side= without codebooks"):
+        ivf_pq_topk(
+            base, centroids=cents, dim=64,
+            adc_side=spark.createDataFrame(
+                [], "id_b long, _idx array<int>, _xn double"
+            ),
+        )
 
 
 def test_audio_fingerprint_nonsilent_prefix_tolerance(spark, tmp_path):
