@@ -864,6 +864,7 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     assignments: DataFrame | None = None,
     cand: DataFrame | None = None,
+    pair_scores: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN top-k — the QUERY-path scale twin of
     ``brute_force_topk`` (same API: query vectors are the corpus rows
@@ -890,8 +891,25 @@ def ivf_topk(
     query path then scores the corpus against the centroids ONCE.
     ``cand`` supplies the (id_a, id_b) candidate list directly (an
     :func:`ivf_candidate_pairs` output, ideally pinned) — a suite
-    running several serve paths then derives the candidate join once."""
+    running several serve paths then derives the candidate join once.
+    ``pair_scores`` goes one step further: the EXACT-cosine scored
+    candidate relation itself (``cosine_for_pairs(base, cand, ...)``,
+    pinned), covering exactly this call's candidate pairs — the
+    re-rank fold then runs once per suite instead of once per leg
+    (:func:`ivf_pq_topk` takes the same relation for its shortlist
+    re-rank)."""
     base = _ensure_ann_base(emb, id_col)
+    if pair_scores is not None:
+        w0 = Window.partitionBy("id_a").orderBy(
+            F.col("cosine").desc(), F.col("id_b")
+        )
+        return (
+            pair_scores.withColumn("rnk", F.row_number().over(w0))
+            .filter(F.col("rnk") <= k)
+            .select(
+                "id_a", "id_b", "cosine", F.col("rnk").cast("int").alias("rnk")
+            )
+        )
     if cand is None:
         if assignments is not None:
             cand = ivf_candidate_pairs(assignments, query_ids_max, id_col)
@@ -2547,6 +2565,7 @@ def ivf_pq_topk(
     exact: bool = False,
     adc_side: DataFrame | None = None,
     cand: DataFrame | None = None,
+    pair_scores: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking — the memory-bounded serve tier
     (Jégou et al. 2011, the FAISS IVFPQ layout): ``ivf_topk`` prunes
@@ -2577,7 +2596,12 @@ def ivf_pq_topk(
     ``pq_codebooks=``), ``cand`` for a shared candidate-pair list
     (:func:`ivf_candidate_pairs`, ideally pinned — a suite running
     exact/raw-PQ/residual-PQ serve legs then derives the cells join
-    once), and ``dim`` to keep training probe-free.
+    once), ``pair_scores`` for the shared exact-cosine scored relation
+    over that same cand (the re-rank fold then runs once per suite:
+    the shortlist joins into it instead of re-running
+    ``cosine_for_pairs``; caller contract — it must COVER this call's
+    candidates, i.e. be scored over the same cand), and ``dim`` to
+    keep training probe-free.
 
     Scale shape: queries (with their O(m·k) LUT arrays) broadcast into
     the candidate join; codes join shuffles only the candidate list;
@@ -2945,7 +2969,15 @@ def ivf_pq_topk(
                 "id_a", "id_b", _adc_pair_cosine(exact=False).alias("_adc")
             )
             shortlist = _double_adc_shortlist(adc)
-    scored = cosine_for_pairs(base, shortlist, exact_norms_in_base=False, id_col=id_col)
+    if pair_scores is not None:
+        # shared re-rank relation (suite hook): the shortlist keys into
+        # the already-scored cand pairs — per-pair exact cosine is a
+        # pure function of the pair, so joining ≡ recomputing
+        scored = shortlist.join(pair_scores, ["id_a", "id_b"])
+    else:
+        scored = cosine_for_pairs(
+            base, shortlist, exact_norms_in_base=False, id_col=id_col
+        )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -14,6 +14,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     _seed_centroids,
     all_pairs_cosine,
     brute_force_topk,
+    cosine_for_pairs,
     ivf_ann_pairs,
     ivf_assignments,
     ivf_candidate_pairs,
@@ -479,13 +480,19 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, num_centroids=32, probes=3, min_cosine=0.4, assignments=assign
     ).select(F.lit("ivf").alias("method"), "id_a", "id_b", "cosine", null_rnk)
     # ONE pinned candidate-pair list serves all three query-path legs
-    # (qtopk re-ranks it whole, ivfpq/rivfpq shortlist it): un-shared,
-    # each leg re-derived the same cells join with its own AQE stage
-    # materializations (r9 job audit)
+    # (qtopk re-ranks it whole, ivfpq/rivfpq shortlist it), and ONE
+    # pinned exact-cosine scoring of those pairs serves all three
+    # re-ranks (per-pair cosine is a pure function of the pair, so the
+    # PQ shortlists joining into it ≡ recomputing it): un-shared, each
+    # leg re-derived the same cells join AND re-ran the decimal cosine
+    # fold with its own AQE stage materializations (r9 job audit)
     cand = ivf_candidate_pairs(assign, query_ids_max=20).localCheckpoint()
+    pair_scores = cosine_for_pairs(
+        base, cand, exact_norms_in_base=False
+    ).localCheckpoint()
     qt = ivf_topk(
         base, query_ids_max=20, k=3, num_centroids=32, probes=3,
-        assignments=assign, cand=cand,
+        assignments=assign, cand=cand, pair_scores=pair_scores,
     ).select(F.lit("qtopk").alias("method"), "id_a", "id_b", "cosine", "rnk")
     # pq leg rides the same persisted base (vec_col="vdbl" — the
     # quantization inside exact mode truncates identically from the
@@ -526,6 +533,7 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, query_ids_max=20, k=3, num_centroids=32, probes=3,
         refine=_IPQ_REFINE, assignments=assign, codebooks=books,
         codes=codes, dim=_DIM, exact=True, cand=cand,
+        pair_scores=pair_scores,
     ).select(F.lit("ivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
     # sixth leg (r9): residual IVFADC in exact mode — same shared
     # cells/probes (assignments) with the pinned centroid VECTORS for
@@ -537,7 +545,7 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ripq = ivf_pq_topk(
         base, query_ids_max=20, k=3, probes=3, refine=_IPQ_REFINE,
         assignments=assign, centroids=cents, dim=_DIM,
-        residual=True, exact=True, cand=cand,
+        residual=True, exact=True, cand=cand, pair_scores=pair_scores,
     ).select(F.lit("rivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
     return (
         lsh.unionByName(ivf)
