@@ -897,19 +897,17 @@ def ivf_topk(
     pinned), covering exactly this call's candidate pairs — the
     re-rank fold then runs once per suite instead of once per leg
     (:func:`ivf_pq_topk` takes the same relation for its shortlist
-    re-rank)."""
-    base = _ensure_ann_base(emb, id_col)
+    re-rank). Coverage is the caller's contract: a relation scored
+    over a DIFFERENT cand silently re-ranks the wrong candidate set,
+    exactly like a mismatched ``cand=``."""
     if pair_scores is not None:
-        w0 = Window.partitionBy("id_a").orderBy(
-            F.col("cosine").desc(), F.col("id_b")
-        )
-        return (
-            pair_scores.withColumn("rnk", F.row_number().over(w0))
-            .filter(F.col("rnk") <= k)
-            .select(
-                "id_a", "id_b", "cosine", F.col("rnk").cast("int").alias("rnk")
-            )
-        )
+        # ranks the supplied relation directly — no base derivation
+        # (and no orphaned persist), no candidate join; shares the
+        # ranking tail below so the oracle-pinned tie-break rule has
+        # exactly one definition
+        scored = pair_scores
+        return _rank_topk(scored, k)
+    base = _ensure_ann_base(emb, id_col)
     if cand is None:
         if assignments is not None:
             cand = ivf_candidate_pairs(assignments, query_ids_max, id_col)
@@ -947,6 +945,13 @@ def ivf_topk(
                 .select("id_a", "id_b")
             )
     scored = cosine_for_pairs(base, cand, exact_norms_in_base=False, id_col=id_col)
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """The serve paths' ONE ranking tail over an (id_a, id_b, cosine)
+    relation: (cosine DESC, id_b) deterministic top-k. Oracle-pinned —
+    a tie-break change here changes every query path together."""
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -2893,6 +2898,13 @@ def ivf_pq_topk(
             ).localCheckpoint()
         else:
             _check_residual_tag(codebooks, False, "ivf_pq_topk")
+        # same double-consumption pin as the residual branch (cand
+        # feeds the encode semi-join's id list AND the shortlist pair
+        # join), placed after this branch's plan-build refusals; with
+        # a precomputed adc_side= the pair join is cand's ONLY
+        # consumer, so no pin
+        if not cand_supplied and adc_side is None:
+            cand = cand.localCheckpoint()
         if adc_side is None:
             # encode/ADC-precompute candidates only (see residual
             # branch). Semi-join right side needs no distinct: LeftSemi
@@ -2972,15 +2984,30 @@ def ivf_pq_topk(
     if pair_scores is not None:
         # shared re-rank relation (suite hook): the shortlist keys into
         # the already-scored cand pairs — per-pair exact cosine is a
-        # pure function of the pair, so joining ≡ recomputing
-        scored = shortlist.join(pair_scores, ["id_a", "id_b"])
+        # pure function of the pair, so joining ≡ recomputing. LEFT
+        # join + in-plan raise: a pair_scores that does not cover this
+        # call's candidates (scored under a min_cosine, or pinned from
+        # a stale cand) would otherwise silently DROP shortlist rows —
+        # fewer than k results with plausible scores, the same
+        # silent-mis-serve class the codes=/adc_side= guards refuse
+        scored = shortlist.join(
+            pair_scores, ["id_a", "id_b"], "left"
+        ).select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("cosine").isNull(),
+                F.raise_error(
+                    "pair_scores= does not cover this call's shortlist: "
+                    "score the SAME cand this call serves (no min_cosine "
+                    "filter) or drop the hook"
+                ).cast("double"),
+            )
+            .otherwise(F.col("cosine"))
+            .alias("cosine"),
+        )
     else:
         scored = cosine_for_pairs(
             base, shortlist, exact_norms_in_base=False, id_col=id_col
         )
-    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("id_a", "id_b", "cosine", F.col("rnk").cast("int").alias("rnk"))
-    )
+    return _rank_topk(scored, k)

@@ -3234,3 +3234,70 @@ def test_ivf_store_refuses_exact_residual_books(spark, tmp_path):
             pq_codebooks=books_exact,
         )
     base.unpersist()
+
+
+def test_pair_scores_hook_matches_inline(spark):
+    """pair_scores= (r9): the shared exact-cosine re-rank relation.
+    Hooked output must be bitwise-identical to the inline path on BOTH
+    serve functions and both PQ modes, and a relation that does not
+    COVER the call's shortlist (min_cosine-filtered) must refuse
+    loudly instead of silently dropping rows."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        cosine_for_pairs,
+        ivf_assignments,
+        ivf_candidate_pairs,
+        ivf_pq_topk,
+        ivf_topk,
+    )
+
+    rows = [
+        (i, [((i * 13 + j * 5) % 9 - 4) / 8.0 for j in range(64)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+    assign = ivf_assignments(
+        base, 8, probes=3, vec_col="vdbl", centroids=cents, with_rank=True
+    ).localCheckpoint()
+    cand = ivf_candidate_pairs(assign, query_ids_max=12).localCheckpoint()
+    scores = cosine_for_pairs(
+        base, cand, exact_norms_in_base=False
+    ).localCheckpoint()
+
+    inline_qt = sorted(map(tuple, ivf_topk(
+        base, query_ids_max=12, k=4, probes=3, assignments=assign, cand=cand,
+    ).collect()))
+    hooked_qt = sorted(map(tuple, ivf_topk(
+        base, query_ids_max=12, k=4, probes=3, assignments=assign,
+        cand=cand, pair_scores=scores,
+    ).collect()))
+    assert hooked_qt == inline_qt and len(hooked_qt) > 0
+
+    for kw in ({"exact": False}, {"exact": True},
+               {"residual": True, "exact": True, "centroids": cents}):
+        inline_pq = sorted(map(tuple, ivf_pq_topk(
+            base, query_ids_max=12, k=4, probes=3, refine=6, dim=64,
+            assignments=assign, cand=cand, **kw,
+        ).collect()))
+        hooked_pq = sorted(map(tuple, ivf_pq_topk(
+            base, query_ids_max=12, k=4, probes=3, refine=6, dim=64,
+            assignments=assign, cand=cand, pair_scores=scores, **kw,
+        ).collect()))
+        assert hooked_pq == inline_pq and len(hooked_pq) > 0, kw
+
+    # coverage mismatch refuses in-plan: a relation missing some of the
+    # call's candidate pairs (here: every odd id_b — the stale-cand /
+    # min_cosine-filtered class) — LEFT join + raise, not silent drop
+    partial = scores.filter(F.col("id_b") % 2 == 0).localCheckpoint()
+    with pytest.raises(SparkRuntimeException, match="pair_scores"):
+        ivf_pq_topk(
+            base, query_ids_max=12, k=4, probes=3, refine=6, dim=64,
+            assignments=assign, cand=cand, pair_scores=partial, exact=True,
+        ).collect()
+    base.unpersist()
