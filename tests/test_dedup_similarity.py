@@ -3301,3 +3301,70 @@ def test_pair_scores_hook_matches_inline(spark):
             assignments=assign, cand=cand, pair_scores=partial, exact=True,
         ).collect()
     base.unpersist()
+
+
+def test_ivf_pq_residual_exact_persisted_codes(spark):
+    """The persisted-codes flavor of exact residual serving: residuals
+    encoded ONCE with pq_encode(prequantized exact) and served via
+    codes= must reproduce the inline (fused encode) path bitwise —
+    this exercises _residual_adc_side's codes-join branch in exact
+    mode, where the centroid re-join quantizes in-row."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        ivf_assignments,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train_residual,
+        quantized_vector,
+    )
+
+    rows = [
+        (i, [((i * 13 + j * 5) % 9 - 4) / 8.0 for j in range(64)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+    books = pq_train_residual(
+        base, cents, 8, 16, vec_col="vdbl", dim=64, exact=True
+    ).localCheckpoint()
+    # encode the integer-space residuals exactly as pq_train_residual
+    # derives them (quantize x and c separately, subtract longs)
+    assign1 = ivf_assignments(
+        base, 8, probes=1, vec_col="vdbl", centroids=cents
+    )
+    res = (
+        base.join(assign1, "vec_id")
+        .join(
+            F.broadcast(
+                cents.select("centroid_id", F.col("cvec").alias("_cvec"))
+            ),
+            "centroid_id",
+        )
+        .select(
+            "vec_id",
+            F.zip_with(
+                quantized_vector("vdbl"),
+                quantized_vector("_cvec"),
+                lambda a, b: a - b,
+            ).alias("_rvec"),
+        )
+    )
+    codes = pq_encode(
+        res, books, vec_col="_rvec", exact=True, prequantized=True
+    ).localCheckpoint()
+
+    inline = sorted(map(tuple, ivf_pq_topk(
+        base, query_ids_max=12, k=4, probes=3, refine=6, dim=64,
+        centroids=cents, residual=True, exact=True,
+    ).collect()))
+    served = sorted(map(tuple, ivf_pq_topk(
+        base, query_ids_max=12, k=4, probes=3, refine=6, dim=64,
+        centroids=cents, codebooks=books, codes=codes,
+        residual=True, exact=True,
+    ).collect()))
+    assert served == inline and len(served) > 0
+    base.unpersist()
