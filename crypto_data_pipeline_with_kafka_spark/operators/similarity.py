@@ -897,16 +897,34 @@ def ivf_topk(
     pinned), covering exactly this call's candidate pairs — the
     re-rank fold then runs once per suite instead of once per leg
     (:func:`ivf_pq_topk` takes the same relation for its shortlist
-    re-rank). Coverage is the caller's contract: a relation scored
-    over a DIFFERENT cand silently re-ranks the wrong candidate set,
-    exactly like a mismatched ``cand=``."""
+    re-rank). Pass ``cand`` ALONGSIDE to get the loud coverage guard
+    (every candidate pair must appear in pair_scores — a relation
+    scored under a min_cosine or from a stale cand raises in-plan
+    instead of silently serving the wrong candidate set); with
+    ``pair_scores`` alone there is no reference list to check against,
+    so coverage is purely the caller's contract."""
     if pair_scores is not None:
-        # ranks the supplied relation directly — no base derivation
-        # (and no orphaned persist), no candidate join; shares the
+        # no base derivation (and no orphaned persist); shares the
         # ranking tail below so the oracle-pinned tie-break rule has
-        # exactly one definition
-        scored = pair_scores
-        return _rank_topk(scored, k)
+        # exactly one definition. Duplicate-pair fan-out is refused
+        # in-plan by the tail's uniqueness lag (rides the rank window)
+        if cand is not None:
+            scored = cand.join(pair_scores, ["id_a", "id_b"], "left").select(
+                "id_a",
+                "id_b",
+                F.when(
+                    F.col("cosine").isNull(),
+                    F.raise_error(
+                        "pair_scores= does not cover cand=: score the "
+                        "SAME candidate list (no min_cosine filter)"
+                    ).cast("double"),
+                )
+                .otherwise(F.col("cosine"))
+                .alias("cosine"),
+            )
+        else:
+            scored = pair_scores
+        return _rank_topk(scored, k, check_unique=True)
     base = _ensure_ann_base(emb, id_col)
     if cand is None:
         if assignments is not None:
@@ -948,14 +966,36 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int, check_unique: bool = False) -> DataFrame:
     """The serve paths' ONE ranking tail over an (id_a, id_b, cosine)
     relation: (cosine DESC, id_b) deterministic top-k. Oracle-pinned —
-    a tie-break change here changes every query path together."""
+    a tie-break change here changes every query path together.
+
+    ``check_unique`` (the pair_scores= paths): a DUPLICATED
+    (id_a, id_b) row — a relation scored over a pre-distinct cand, or
+    accidentally unioned twice — would fan the ranking out and
+    silently displace the true k-th neighbor. Equal-score duplicates
+    sort ADJACENT under this exact ordering, so a lag over the SAME
+    window catches the doubled-relation case with zero extra
+    exchanges (a same-pair duplicate carrying two DIFFERENT scores is
+    a deeper contract violation this cheap check does not claim to
+    catch)."""
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if check_unique:
+        dup = F.lag("id_b").over(w) == F.col("id_b")
+        ranked = ranked.withColumn(
+            "rnk",
+            F.when(
+                dup,
+                F.raise_error(
+                    "pair_scores= holds duplicate (id_a, id_b) rows — "
+                    "score a UNIQUE candidate list (distinct cand) once"
+                ).cast("int"),
+            ).otherwise(F.col("rnk")),
+        )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+        ranked.filter(F.col("rnk") <= k)
         .select("id_a", "id_b", "cosine", F.col("rnk").cast("int").alias("rnk"))
     )
 
@@ -2776,6 +2816,11 @@ def ivf_pq_topk(
             # entries: a raw-layout store's (books, cents) pair passes
             # the geometry guard above — the tag is what refuses it
             _check_residual_tag(codebooks, True, "ivf_pq_topk")
+            # mode mismatch (double books with exact=True or vice
+            # versa) would otherwise first surface inside the LUT
+            # builder — AFTER the eager cand pin below has run real
+            # jobs; hoisted here so refusal stays plan-build
+            _check_codebook_mode(codebooks, exact, "ivf_pq_topk")
         # the pair list is consumed TWICE (the encode semi-join's id
         # list and the probe side of the shortlist join): un-pinned,
         # each reference re-runs the cells join with its own AQE stage
@@ -2898,6 +2943,9 @@ def ivf_pq_topk(
             ).localCheckpoint()
         else:
             _check_residual_tag(codebooks, False, "ivf_pq_topk")
+            # hoisted mode check — see the residual branch's twin:
+            # refuse BEFORE the eager pin below runs real jobs
+            _check_codebook_mode(codebooks, exact, "ivf_pq_topk")
         # same double-consumption pin as the residual branch (cand
         # feeds the encode semi-join's id list AND the shortlist pair
         # join), placed after this branch's plan-build refusals; with
@@ -3006,8 +3054,8 @@ def ivf_pq_topk(
             .otherwise(F.col("cosine"))
             .alias("cosine"),
         )
-    else:
-        scored = cosine_for_pairs(
-            base, shortlist, exact_norms_in_base=False, id_col=id_col
-        )
+        return _rank_topk(scored, k, check_unique=True)
+    scored = cosine_for_pairs(
+        base, shortlist, exact_norms_in_base=False, id_col=id_col
+    )
     return _rank_topk(scored, k)

@@ -3293,12 +3293,33 @@ def test_pair_scores_hook_matches_inline(spark):
 
     # coverage mismatch refuses in-plan: a relation missing some of the
     # call's candidate pairs (here: every odd id_b — the stale-cand /
-    # min_cosine-filtered class) — LEFT join + raise, not silent drop
+    # min_cosine-filtered class) — LEFT join + raise, not silent drop.
+    # BOTH serve functions guard (ivf_topk checks when cand= is
+    # alongside; alone there is no reference list)
     partial = scores.filter(F.col("id_b") % 2 == 0).localCheckpoint()
     with pytest.raises(SparkRuntimeException, match="pair_scores"):
         ivf_pq_topk(
             base, query_ids_max=12, k=4, probes=3, refine=6, dim=64,
             assignments=assign, cand=cand, pair_scores=partial, exact=True,
+        ).collect()
+    with pytest.raises(SparkRuntimeException, match="pair_scores"):
+        ivf_topk(
+            base, query_ids_max=12, k=4, probes=3, assignments=assign,
+            cand=cand, pair_scores=partial,
+        ).collect()
+    # duplicate (id_a, id_b) rows fan the ranking out and displace the
+    # true k-th neighbor — the uniqueness lag on the rank window
+    # refuses (equal-score duplicates sort adjacent)
+    doubled = scores.unionByName(scores).localCheckpoint()
+    with pytest.raises(SparkRuntimeException, match="duplicate"):
+        ivf_topk(
+            base, query_ids_max=12, k=4, probes=3, assignments=assign,
+            pair_scores=doubled,
+        ).collect()
+    with pytest.raises(SparkRuntimeException, match="duplicate"):
+        ivf_pq_topk(
+            base, query_ids_max=12, k=4, probes=3, refine=6, dim=64,
+            assignments=assign, cand=cand, pair_scores=doubled, exact=True,
         ).collect()
     base.unpersist()
 
