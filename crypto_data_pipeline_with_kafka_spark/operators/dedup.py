@@ -48,12 +48,33 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def tokenized_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    widen: bool = True,
+) -> DataFrame:
+    """The (id, ``_ws`` token array) base every token-consuming dedup
+    operator derives first — exposed so a multi-leg caller can build it
+    ONCE, persist it, and thread it through the ``toks=`` hooks of
+    :func:`shingle_rows` / :func:`chunk_level_dedup` (the same
+    shared-relation pattern as similarity's ``cand=``): un-shared, each
+    leg re-scans and re-tokenizes the corpus. NULL-text rows dropped
+    (every consumer's contract); caller owns the persist lifecycle."""
+    return (
+        (widen_if_narrow(df, id_col) if widen else df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("_ws"))
+    )
+
+
 def shingle_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     widen: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle) rows — distinct k-shingles per document.
 
@@ -67,9 +88,17 @@ def shingle_rows(
     and a single-split scan would serialize it. Pass ``widen=False``
     for derived (non-scan-rooted) inputs — the widen probe would
     materialize their upstream stages under AQE just to count
-    partitions (the widen_if_narrow caller contract)."""
-    toked = (widen_if_narrow(df, id_col) if widen else df).select(
-        F.col(id_col), tokens(text_col).alias("_ws")
+    partitions (the widen_if_narrow caller contract).
+
+    ``toks``: a pre-tokenized :func:`tokenized_docs` frame (ideally
+    persisted) replaces the scan+tokenize — a suite whose legs all
+    start from tokens then tokenizes the corpus once."""
+    toked = (
+        toks
+        if toks is not None
+        else (widen_if_narrow(df, id_col) if widen else df).select(
+            F.col(id_col), tokens(text_col).alias("_ws")
+        )
     )
     return (
         toked.filter(F.size("_ws") >= k)
@@ -791,6 +820,7 @@ def chunk_level_dedup(
     cdc_divisor: int = 8,
     cdc_min_words: int = 4,
     cdc_max_words: int = 32,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Sub-document dedup, CCNet/RefinedWeb line-dedup style: drop the
     SPANS shared across documents while keeping the documents — the
@@ -834,13 +864,19 @@ def chunk_level_dedup(
     NULL-text rows are skipped. ``widen=False`` for derived (non-scan)
     inputs (the widen_if_narrow caller contract); pass ``caches`` (a
     list) to receive the internally persisted chunk relation so the
-    caller can release it after materializing the result."""
+    caller can release it after materializing the result. ``toks``: a
+    pre-tokenized :func:`tokenized_docs` frame (ideally persisted)
+    replaces the scan+tokenize — the 'chunk' and 'cdc' legs of a suite
+    then share one token base instead of re-tokenizing the corpus
+    each (the r10 ngram-slot fix)."""
     if boundaries not in ("fixed", "content"):
         raise ValueError(
             f"boundaries must be 'fixed' or 'content', got {boundaries!r}"
         )
     toked = (
-        (widen_if_narrow(df, id_col) if widen else df)
+        toks
+        if toks is not None
+        else (widen_if_narrow(df, id_col) if widen else df)
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens(text_col).alias("_ws"))
     )

@@ -20,6 +20,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
     shingle_rows,
     simhash_bits,
     simhash_pairs,
+    tokenized_docs,
 )
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
@@ -272,7 +273,13 @@ FROM cdcreass
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs)
+    # ONE tokenize pass serves every leg (r10): shingles for
+    # pairs/decontam, and both chunk-boundary disciplines — un-shared,
+    # the 'chunk' and 'cdc' legs each re-scanned and re-tokenized the
+    # corpus (the r9 verdict's slot-headroom finding). Module
+    # cache-lifecycle contract: callers clear when done.
+    toked = tokenized_docs(docs).persist()
+    sh = shingle_rows(docs, toks=toked)
     pairs = jaccard_pairs(sh, min_jaccard=0.8, max_doc_freq=_NGRAM_MAX_DF).select(
         F.lit("pairs").alias("method"),
         "id_a",
@@ -293,7 +300,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bench_id").alias("id_b"),
         F.col("containment").alias("score"),
     )
-    chunk = chunk_level_dedup(docs, words_per_chunk=_CHUNK_WORDS).select(
+    chunk = chunk_level_dedup(
+        docs, words_per_chunk=_CHUNK_WORDS, toks=toked
+    ).select(
         F.lit("chunk").alias("method"),
         F.col("doc_id").alias("id_a"),
         F.conv(F.substring(F.md5("clean_text"), 1, 13), 16, 10)
@@ -311,6 +320,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc_divisor=_CDC_DIV,
         cdc_min_words=_CDC_MIN,
         cdc_max_words=_CDC_MAX,
+        toks=toked,
     ).select(
         F.lit("cdc").alias("method"),
         F.col("doc_id").alias("id_a"),
