@@ -897,33 +897,45 @@ def ivf_topk(
     pinned), covering exactly this call's candidate pairs — the
     re-rank fold then runs once per suite instead of once per leg
     (:func:`ivf_pq_topk` takes the same relation for its shortlist
-    re-rank). Pass ``cand`` ALONGSIDE to get the loud coverage guard
-    (every candidate pair must appear in pair_scores — a relation
-    scored under a min_cosine or from a stale cand raises in-plan
-    instead of silently serving the wrong candidate set); with
-    ``pair_scores`` alone there is no reference list to check against,
-    so coverage is purely the caller's contract."""
+    re-rank). ``cand`` is REQUIRED alongside — it is the reference
+    list the coverage guard checks ``pair_scores`` against (every
+    candidate pair must appear — a relation scored under a min_cosine
+    or from a stale cand raises in-plan instead of silently serving
+    the wrong candidate set). Unlike :func:`ivf_pq_topk`, which always
+    derives a shortlist to validate against, this path alone has NO
+    other reference: a bare pair_scores scored over a different probe
+    count or query set would rank verbatim and serve a silently
+    different candidate set, so the bare form is refused (r10, was a
+    documented asymmetry)."""
     if pair_scores is not None:
+        if cand is None:
+            raise ValueError(
+                "pair_scores= without cand=: ivf_topk would rank the "
+                "supplied relation verbatim with no coverage check — a "
+                "relation scored over a different probe count or query "
+                "set serves a silently different candidate set. Pass "
+                "the cand= the relation was scored over (ivf_pq_topk "
+                "validates against its own derived shortlist; this "
+                "path has no other reference list)"
+            )
         # no base derivation (and no orphaned persist); shares the
         # ranking tail below so the oracle-pinned tie-break rule has
         # exactly one definition. Duplicate-pair fan-out is refused
-        # in-plan by the tail's uniqueness lag (rides the rank window)
-        if cand is not None:
-            scored = cand.join(pair_scores, ["id_a", "id_b"], "left").select(
-                "id_a",
-                "id_b",
-                F.when(
-                    F.col("cosine").isNull(),
-                    F.raise_error(
-                        "pair_scores= does not cover cand=: score the "
-                        "SAME candidate list (no min_cosine filter)"
-                    ).cast("double"),
-                )
-                .otherwise(F.col("cosine"))
-                .alias("cosine"),
+        # in-plan by the tail's uniqueness window (rides the rank
+        # exchange)
+        scored = cand.join(pair_scores, ["id_a", "id_b"], "left").select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("cosine").isNull(),
+                F.raise_error(
+                    "pair_scores= does not cover cand=: score the "
+                    "SAME candidate list (no min_cosine filter)"
+                ).cast("double"),
             )
-        else:
-            scored = pair_scores
+            .otherwise(F.col("cosine"))
+            .alias("cosine"),
+        )
         return _rank_topk(scored, k, check_unique=True)
     base = _ensure_ann_base(emb, id_col)
     if cand is None:
@@ -974,16 +986,18 @@ def _rank_topk(scored: DataFrame, k: int, check_unique: bool = False) -> DataFra
     ``check_unique`` (the pair_scores= paths): a DUPLICATED
     (id_a, id_b) row — a relation scored over a pre-distinct cand, or
     accidentally unioned twice — would fan the ranking out and
-    silently displace the true k-th neighbor. Equal-score duplicates
-    sort ADJACENT under this exact ordering, so a lag over the SAME
-    window catches the doubled-relation case with zero extra
-    exchanges (a same-pair duplicate carrying two DIFFERENT scores is
-    a deeper contract violation this cheap check does not claim to
-    catch)."""
+    silently displace the true k-th neighbor. A ``count(*)`` window
+    over (id_a, id_b) catches EVERY same-pair duplicate, including one
+    carrying two different scores (a stale relation unioned with a
+    rescored one — those sort non-adjacent, so the previous lag-based
+    check missed them, r10). Zero extra exchanges: applied ABOVE the
+    rank window, whose hash(id_a) partitioning already satisfies the
+    (id_a, id_b) clustered-distribution requirement — the planner adds
+    only an in-partition sort (plan-asserted in the tests)."""
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     ranked = scored.withColumn("rnk", F.row_number().over(w))
     if check_unique:
-        dup = F.lag("id_b").over(w) == F.col("id_b")
+        dup = F.count(F.lit(1)).over(Window.partitionBy("id_a", "id_b")) > 1
         ranked = ranked.withColumn(
             "rnk",
             F.when(

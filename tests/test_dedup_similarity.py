@@ -3307,20 +3307,59 @@ def test_pair_scores_hook_matches_inline(spark):
             base, query_ids_max=12, k=4, probes=3, assignments=assign,
             cand=cand, pair_scores=partial,
         ).collect()
+    # pair_scores= without cand= is refused at plan-build (r10):
+    # ivf_topk alone has no reference list to coverage-check against,
+    # so a relation scored over a different probe count / query set
+    # would silently serve the wrong candidate set
+    with pytest.raises(ValueError, match="without cand="):
+        ivf_topk(
+            base, query_ids_max=12, k=4, probes=3, assignments=assign,
+            pair_scores=scores,
+        )
     # duplicate (id_a, id_b) rows fan the ranking out and displace the
-    # true k-th neighbor — the uniqueness lag on the rank window
-    # refuses (equal-score duplicates sort adjacent)
+    # true k-th neighbor — the count(*) uniqueness window on the rank
+    # exchange refuses
     doubled = scores.unionByName(scores).localCheckpoint()
     with pytest.raises(SparkRuntimeException, match="duplicate"):
         ivf_topk(
             base, query_ids_max=12, k=4, probes=3, assignments=assign,
-            pair_scores=doubled,
+            cand=cand, pair_scores=doubled,
         ).collect()
     with pytest.raises(SparkRuntimeException, match="duplicate"):
         ivf_pq_topk(
             base, query_ids_max=12, k=4, probes=3, refine=6, dim=64,
             assignments=assign, cand=cand, pair_scores=doubled, exact=True,
         ).collect()
+    # a same-pair duplicate carrying two DIFFERENT scores (a stale
+    # relation unioned with a rescored one) sorts NON-adjacent — the
+    # r9 lag check missed it; the count(*) window catches it (r10)
+    skewed = scores.unionByName(
+        scores.withColumn("cosine", F.col("cosine") - F.lit(1e-3))
+    ).localCheckpoint()
+    with pytest.raises(SparkRuntimeException, match="duplicate"):
+        ivf_topk(
+            base, query_ids_max=12, k=4, probes=3, assignments=assign,
+            cand=cand, pair_scores=skewed,
+        ).collect()
+    # and the uniqueness window must NOT cost an extra exchange: the
+    # rank window's hash(id_a) already satisfies the (id_a, id_b)
+    # clustered distribution, so checked and unchecked ranking tails
+    # plan the same number of exchanges (the count window adds only an
+    # in-partition sort)
+    import re
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _rank_topk,
+    )
+
+    def n_exchanges(df):
+        return len(re.findall(
+            r"Exchange hashpartitioning",
+            df._jdf.queryExecution().executedPlan().toString(),
+        ))
+
+    assert n_exchanges(_rank_topk(scores, 4, check_unique=True)) == \
+        n_exchanges(_rank_topk(scores, 4, check_unique=False))
     base.unpersist()
 
 
