@@ -454,24 +454,48 @@ def decode_video(df: DataFrame) -> DataFrame:
     )
 
 
-def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
-    """REAL in-payload frame sampling: slice every Nth frame out of an
-    uncompressed y4m video and emit each as its own row — the
-    explode-shaped stage a training pipeline runs before image encoding.
-    Each sampled frame's luma (Y) plane is repackaged as a binary PGM
-    payload, so the output rows feed :func:`decode_images`
-    (``decoder="real"``), :func:`resize_images` and
-    :func:`extract_features` unchanged — the video surface composes with
-    the image surface instead of inventing a parallel one. (The Y plane
-    is full-resolution first in every y4m colorspace, so the slice is
-    the same ``w*h`` bytes for 420/422/444/mono.)
+def sample_video_frames(
+    df: DataFrame, every_nth: int = 10, anchor: str = "index"
+) -> DataFrame:
+    """REAL in-payload frame sampling: slice a ~1/``every_nth`` subset
+    of frames out of an uncompressed y4m video and emit each as its own
+    row — the explode-shaped stage a training pipeline runs before
+    image encoding. Each sampled frame's luma (Y) plane is repackaged
+    as a binary PGM payload, so the output rows feed
+    :func:`decode_images` (``decoder="real"``), :func:`resize_images`
+    and :func:`extract_features` unchanged — the video surface composes
+    with the image surface instead of inventing a parallel one. (The Y
+    plane is full-resolution first in every y4m colorspace, so the
+    slice is the same ``w*h`` bytes for 420/422/444/mono.)
 
-    Scale shape: one Arrow pass, output size = n_frames/every_nth per
+    Two sampling disciplines, the chunk-dedup split replayed on the
+    time axis (see ``operators.dedup.chunk_level_dedup``):
+
+    * ``anchor="index"`` — every ``every_nth``-th frame by ABSOLUTE
+      index. Positions are offset-anchored, so prepending or inserting
+      a segment shifts the whole sampling grid and a shifted copy
+      samples a DISJOINT frame set.
+    * ``anchor="content"`` (r10, the VIDEO_FP_ALGO v2 rule) — a frame
+      is sampled iff the 52-bit md5 fraction of its luma plane ≡ 0
+      (mod ``every_nth``): expected rate 1/``every_nth``, but the
+      decision is a pure function of the FRAME CONTENT, so an
+      inserted/prepended segment only adds its own frames to the
+      sample and every originally-sampled frame stays sampled — the
+      same edit-locality argument as CDC chunk boundaries. A video
+      where no frame passes the gate falls back to ALL frames
+      (deterministic; a sampler that returns nothing would undefine
+      the downstream fingerprint).
+
+    Scale shape: one Arrow pass, output size ≈ n_frames/every_nth per
     video; a row explosion, not a shuffle. Frame payloads never
     round-trip through Python row objects — they stay inside the Arrow
-    batch."""
+    batch. (Content anchoring md5s every frame's plane — C-speed over
+    bytes the pass already holds; the expensive downstream per-frame
+    work still runs on the sampled subset only.)"""
     if every_nth < 1:
         raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    if anchor not in ("index", "content"):
+        raise ValueError(f"anchor must be 'index' or 'content', got {anchor!r}")
     _parse = _make_video_parser()
 
     def sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -485,7 +509,22 @@ def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, _fps, offsets, _fb = _parse(payload)
                 header = b"P5 %d %d 255\n" % (w, h)
-                for i in range(0, len(offsets), every_nth):
+                if anchor == "index":
+                    idxs = range(0, len(offsets), every_nth)
+                else:
+                    idxs = [
+                        i
+                        for i, start in enumerate(offsets)
+                        if int(
+                            hashlib.md5(
+                                bytes(payload[start : start + w * h])
+                            ).hexdigest()[:13],
+                            16,
+                        ) % every_nth == 0
+                    ]
+                    if not idxs:  # gate-empty fallback: all frames vote
+                        idxs = range(len(offsets))
+                for i in idxs:
                     start = offsets[i]
                     frame = header + payload[start : start + w * h]
                     out["doc_id"].append(doc_id)
@@ -672,7 +711,12 @@ def perceptual_hash_images(
 # audio tag is at v2 since the r8 leading/trailing near-silence trim.
 IMAGE_AHASH_ALGO = "image/ahash/v1"
 AUDIO_FP_ALGO = "audio/energy-contour/v3-overlap4"
-VIDEO_FP_ALGO = "video/temporal-majority-ahash/v1"
+# v2 (r10): content-anchored frame sampling — v1's every-Nth-by-index
+# grid shifted wholesale under a prepended/inserted segment (the exact
+# failure class audio v2→v3 fixed), so the sampled sets of a video and
+# its shifted near-dup were disjoint; v2 samples by the md5 fraction
+# of each frame's luma plane (see sample_video_frames anchor="content")
+VIDEO_FP_ALGO = "video/temporal-majority-ahash/v2-cdc"
 
 AUDIO_FP_SCHEMA = "doc_id long, sample_rate int, n_samples long, simhash string"
 
@@ -918,18 +962,33 @@ def perceptual_hash_video(
 ) -> DataFrame:
     """64-bit temporal-majority aHash per video — the THIRD modality on
     the shared hamming engine (text SimHash, image aHash, audio
-    frame-energy, now video): sample every ``every_nth`` frame out of
-    the real y4m payload (:func:`sample_video_frames` — the luma plane
-    repackaged as PGM), aHash each sampled frame with the SAME image
-    hash, then set bit k iff a strict MAJORITY of sampled frames have
-    bit k (ties → 0). The majority fold is what makes the hash a VIDEO
-    identity rather than a frame identity: per-frame noise, a few
-    edited frames, or a small temporal shift flip a minority of frames'
-    bits and the majority absorbs them, while different footage flips
-    most frames together. Composition, not new machinery — the frame
-    slice, the image hash, and the downstream pairing/store are all the
-    existing attested stages; only the 64-column majority aggregation
-    (one map-side-combined pass) is new. Output carries the ``simhash``
+    frame-energy, now video): sample a ~1/``every_nth`` frame subset
+    out of the real y4m payload (:func:`sample_video_frames` — the luma
+    plane repackaged as PGM), aHash each sampled frame with the SAME
+    image hash, then set bit k iff a strict MAJORITY of sampled frames
+    have bit k (ties → 0). The majority fold is what makes the hash a
+    VIDEO identity rather than a frame identity: per-frame noise or a
+    few edited frames flip a minority of frames' bits and the majority
+    absorbs them, while different footage flips most frames together.
+
+    v2 (r10): frames are sampled by CONTENT
+    (``sample_video_frames(anchor="content")`` — a frame votes iff the
+    md5 fraction of its luma plane ≡ 0 mod ``every_nth``), not by
+    absolute index. v1's index grid shifted wholesale under a
+    prepended/inserted segment, so a shifted near-dup sampled a
+    DISJOINT frame set and the majority could flip arbitrarily (the
+    failure class the audio v3 overlap fixed, pytest-planted); under
+    content anchoring every originally-sampled frame stays sampled and
+    an inserted segment only adds its own (minority) votes — the CDC
+    edit-locality argument on the time axis. Bit-rule change ⇒
+    ``VIDEO_FP_ALGO`` bumped to v2: era-stamped cross-run stores
+    (``curate_corpus``) refuse v1 fingerprints instead of silently
+    missing near-dups.
+
+    Composition, not new machinery — the frame slice, the image hash,
+    and the downstream pairing/store are all the existing attested
+    stages; only the 64-column majority aggregation (one
+    map-side-combined pass) is new. Output carries the ``simhash``
     column contract for ``operators.dedup.simhash_pairs`` /
     ``incremental_hamming_dedup``."""
     # normalize BOTH names before the frame sampler: sample_video_frames
@@ -942,6 +1001,7 @@ def perceptual_hash_video(
             F.col(payload_col).alias("payload"),
         ),
         every_nth,
+        anchor="content",
     )
     fh = perceptual_hash_images(frames.select("doc_id", "payload"))
     bit_cols = [

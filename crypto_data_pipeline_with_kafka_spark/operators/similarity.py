@@ -1698,6 +1698,58 @@ def recover_ivf_store(spark, store_dir: str) -> None:
 # ----------------------------------------------------- product quantization
 
 
+def pq_pick_ids(
+    emb: DataFrame,
+    num_subvectors: int = 8,
+    codes_per_subvector: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(sub_id, code, id) of :func:`pq_train`'s seeded pick — the pick
+    rule ranks ids by md5(sub_id|id) and never looks at a vector VALUE,
+    so ONE pick relation (O(m·k) rows, pin it) seeds every codebook a
+    suite trains over the same corpus: raw books from the raw vectors,
+    residual books from the residuals (r10 — the rivfpq leg's book
+    training re-ran the whole ranked pick pass the raw leg had already
+    paid). Value-free also means slimmer: the two pick shuffles move
+    (id, sub_id, hash) rows, not m sliced sub-vectors per row. Thread
+    through ``pq_train(picks=)`` / ``pq_train_residual(picks=)`` /
+    ``ivf_pq_topk(pq_picks=)``; identical picks (and therefore
+    identical books) to the in-call pass, pytest-pinned."""
+    exploded = emb.select(F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_subvectors - 1))
+        ).alias("sub_id"),
+        F.spark_partition_id().alias("_pid"),
+    ).withColumn(
+        "_sk",
+        F.md5(
+            F.concat(
+                F.col("sub_id").cast("string"),
+                F.lit("|"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    )
+    w_local = Window.partitionBy("sub_id", "_pid").orderBy(
+        "_sk", F.col(id_col)
+    )
+    pruned = (
+        exploded.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= codes_per_subvector)
+    )
+    w_glob = Window.partitionBy("sub_id").orderBy("_sk", F.col(id_col))
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w_glob))
+        .filter(F.col("_rn") <= codes_per_subvector)
+        .select(
+            F.col("sub_id").cast("int").alias("sub_id"),
+            (F.col("_rn") - 1).cast("int").alias("code"),
+            F.col(id_col),
+        )
+    )
+
+
 def pq_train(
     emb: DataFrame,
     num_subvectors: int = 8,
@@ -1708,6 +1760,7 @@ def pq_train(
     lloyd_rounds: int = 0,
     exact: bool = False,
     prequantized: bool = False,
+    picks: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011) — the memory
     side of the ANN story: each vector splits into ``num_subvectors``
@@ -1758,12 +1811,37 @@ def pq_train(
             "exact=True requires lloyd_rounds=0: Lloyd means are "
             "IEEE-double centroids, not oracle-replayable integers"
         )
+    if picks is not None and lloyd_rounds > 0:
+        raise ValueError(
+            "picks= seeds the md5 draw; Lloyd refinement re-derives "
+            "its own seeds per sub-space — drop one"
+        )
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     if dim % num_subvectors != 0:
         raise ValueError(f"dim {dim} not divisible by {num_subvectors} subvectors")
     d = dim // num_subvectors
     norm_fn = _dot_exact_decimal if exact else dot_double
+    if picks is not None:
+        # shared seeded pick (see pq_pick_ids): fetch the picked rows'
+        # vectors with one broadcast join over the corpus scan and
+        # slice in-row — the ranked pick pass ran ONCE for the suite,
+        # not once per book
+        if prequantized:
+            full = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        else:
+            full = quantized_vector(vec_col) if exact else dbl_vector(vec_col)
+        sub = F.slice(F.col("_v"), F.col("sub_id") * d + 1, F.lit(d))
+        return (
+            emb.select(F.col(id_col), full.alias("_v"))
+            .join(F.broadcast(picks), id_col)
+            .select(
+                F.col("sub_id").cast("int").alias("sub_id"),
+                F.col("code").cast("int").alias("code"),
+                sub.alias("cvec"),
+                norm_fn(sub, sub).alias("cnorm_sq"),
+            )
+        )
     if lloyd_rounds > 0:
         books = []
         for j in range(num_subvectors):
@@ -1859,6 +1937,7 @@ def pq_train_residual(
     dim: int | None = None,
     lloyd_rounds: int = 0,
     exact: bool = False,
+    picks: DataFrame | None = None,
 ) -> DataFrame:
     """PQ codebooks over RESIDUALS x − c(x) against a FIXED cell
     geometry (the IVFADC training step): assign each vector its primary
@@ -1920,6 +1999,7 @@ def pq_train_residual(
         return pq_train(
             res, num_subvectors, codes_per_subvector, id_col=id_col,
             vec_col="_rvec", dim=dim, exact=True, prequantized=True,
+            picks=picks,
         ).withColumn("residual", F.lit(True))
     base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("_vd"))
     assign = ivf_assignments(
@@ -1940,7 +2020,7 @@ def pq_train_residual(
     )
     return pq_train(
         res, num_subvectors, codes_per_subvector, id_col=id_col,
-        vec_col="_rvec", dim=dim, lloyd_rounds=lloyd_rounds,
+        vec_col="_rvec", dim=dim, lloyd_rounds=lloyd_rounds, picks=picks,
     ).withColumn("residual", F.lit(True))
 
 
@@ -2604,6 +2684,140 @@ def pq_topk(
     )
 
 
+# The fused ivf_pq_topk serve paths force-broadcast candidate-bounded
+# relations (the candidate id list and the candidate-filtered ADC
+# side). Spark broadcasts hard-cap at 8 GB / int-max rows, so the
+# force is only safe while the candidate list stays small — this bound
+# is the plan-time auto-gate: ~1e8 (id_a, id_b) pair rows at 16 B each
+# (the ADC side it bounds is ≤ one slim row per distinct id_b).
+_FUSED_BROADCAST_MAX_BYTES = 16 * 100_000_000
+
+
+class _PQServeInputs:
+    """ONE construction site for :func:`ivf_pq_topk`'s pinned-relation
+    hook surface (r10): the serve tier takes up to eight optional
+    relations (centroids / assignments / corpus_cells / codebooks /
+    codes / adc_side / cand / pair_scores) whose pairwise contracts
+    were scattered refusal blocks across the serve branches — a matrix
+    that took three r9 commits to make symmetric. Every PLAN-BUILD
+    refusal now runs here, in one ordered block, BEFORE any eager pin
+    can materialize a job; the serve body consumes validated fields.
+    Adding a hook means adding its guard HERE, next to every guard it
+    must compose with.
+
+    Also owns the fused-path broadcast decision (``should_broadcast``):
+    the forced broadcast of candidate-bounded relations hard-fails past
+    Spark's 8 GB cap where the shuffle it replaces is disk-backed, so
+    ``serve_broadcast=False`` is the explicit big-serve escape (r9
+    ADVICE). A plan-time AUTO gate was built and REJECTED: a
+    localCheckpoint's stats carry the PRE-pin join estimate (measured
+    4.6e14 'bytes' for an actual 3712-row pinned cand), so estimate-
+    gating silently un-forced every suite serve and cost ~2 s of AQE
+    stage materializations per suite run at sf0.1 — an explicit caller
+    contract beats a wrong heuristic."""
+
+    def __init__(
+        self,
+        *,
+        k: int,
+        refine: int | None,
+        residual: bool,
+        exact: bool,
+        centroids,
+        assignments,
+        corpus_cells,
+        codebooks,
+        codes,
+        adc_side,
+        cand,
+        pair_scores,
+        pq_picks,
+        serve_broadcast: bool,
+        caller: str = "ivf_pq_topk",
+    ) -> None:
+        self.refine = 4 * k if refine is None else refine
+        self.serve_broadcast = serve_broadcast
+        if self.refine < k:
+            raise ValueError(
+                f"refine {self.refine} < k {k}: shortlist must cover top-k"
+            )
+        if adc_side is not None and residual:
+            raise ValueError(
+                "adc_side= carries raw-layout reconstructed norms — the "
+                "residual branch rebuilds x̂ = c + r̂ per cell "
+                "and must derive its own side"
+            )
+        if codes is not None and codebooks is None:
+            raise ValueError(
+                "codes= without codebooks=: persisted codes are POSITIONAL "
+                "references into the codebooks that produced them — freshly "
+                "trained books would decode every code against the wrong "
+                "entries while scores stay plausible-looking"
+            )
+        if adc_side is not None and codebooks is None:
+            raise ValueError(
+                "adc_side= without codebooks=: the side's _idx positions are "
+                "POSITIONAL references into the codebooks that produced it — "
+                "freshly trained books would build query LUTs whose entries "
+                "the side's positions mis-address, collapsing recall while "
+                "scores stay plausible-looking (same contract as codes=)"
+            )
+        if pq_picks is not None and codebooks is not None:
+            raise ValueError(
+                "pq_picks= with codebooks=: the picks seed in-call TRAINING "
+                "and the supplied books are already trained — a silently "
+                "ignored hook hides a caller bug, so refuse (drop one)"
+            )
+        if assignments is None and corpus_cells is not None and centroids is None:
+            raise ValueError(
+                "corpus_cells without centroids: queries cannot "
+                "probe an unknown cell geometry — pass the store's "
+                "centroids alongside its cells"
+            )
+        if residual:
+            if assignments is not None and centroids is None:
+                raise ValueError(
+                    "residual=True cannot run from assignments= alone: "
+                    "residuals are taken against the cell geometry's "
+                    "centroid VECTORS, which the assignments relation "
+                    "does not carry — pass centroids= alongside (the "
+                    "relation the assignments were ranked against) or "
+                    "drop assignments="
+                )
+            if (codebooks is not None or codes is not None) and centroids is None:
+                # residual codebooks/codes are meaningless against any
+                # geometry but the one that produced them; a re-derived
+                # seeded pick over a changed corpus would decode
+                # residuals of the WRONG centroids — scores stay
+                # plausible-looking while recall silently collapses
+                raise ValueError(
+                    "residual=True with persisted codebooks=/codes= requires "
+                    "the centroids= they were trained against — residual "
+                    "codes die with their cell geometry (and raw-vector "
+                    "codes, e.g. read_ivf_pq_store's, are not residual codes)"
+                )
+        if codebooks is not None:
+            # centroids alone don't prove residual books hold residual
+            # entries (a raw-layout store's (books, cents) pair passes
+            # the geometry guard above — the tag is what refuses it);
+            # and a mode mismatch (double books with exact=True or vice
+            # versa) must surface here, at plan-build, not inside the
+            # LUT builder after an eager cand pin has run real jobs
+            _check_residual_tag(codebooks, residual, caller)
+            _check_codebook_mode(codebooks, exact, caller)
+
+    def should_broadcast(self) -> bool:
+        """Whether the fused serve path may FORCE-broadcast its
+        candidate-bounded relations (skipping two AQE shuffle-stage
+        materializations per serve). True (the default) is the fused
+        serving contract — candidate volume ≲ 10⁸ rows; False streams
+        the same relations and lets AQE pick the joins at runtime
+        (which still broadcasts genuinely small sides). No auto mode —
+        see the class docstring for why the plan-stats gate was
+        rejected."""
+        return self.serve_broadcast
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     query_ids_max: int = 20,
@@ -2625,6 +2839,8 @@ def ivf_pq_topk(
     adc_side: DataFrame | None = None,
     cand: DataFrame | None = None,
     pair_scores: DataFrame | None = None,
+    serve_broadcast: bool = True,
+    pq_picks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking — the memory-bounded serve tier
     (Jégou et al. 2011, the FAISS IVFPQ layout): ``ivf_topk`` prunes
@@ -2643,6 +2859,20 @@ def ivf_pq_topk(
     ≥ the probed-cell candidate volume the output is IDENTICAL to
     ``ivf_topk`` (pytest-pinned) — ``refine`` buys exactness back at
     full-vector-fetch cost, the standard IVF-PQ knob.
+
+    ``serve_broadcast`` gates the fused path's forced broadcasts of
+    candidate-bounded relations (True, the default, forces — the
+    caller asserts the ~1e8-row fused-serving contract; False streams
+    them and lets AQE pick the joins — the explicit escape when a
+    candidate list might breach the 8 GB broadcast cap; there is no
+    auto mode — see _PQServeInputs for why plan-stats gating was
+    rejected). ``pq_picks`` (a pinned
+    :func:`pq_pick_ids` relation) seeds in-call codebook training so
+    a suite training raw AND residual books over the same corpus runs
+    the ranked pick pass once; only meaningful with ``codebooks=None``
+    (the combination is refused). Every hook's pairwise contract is
+    validated in ONE place, :class:`_PQServeInputs`, before any eager
+    pin runs a job.
 
     Hooks mirror ``ivf_topk``/``pq_topk``: pass ``assignments`` (a
     ranked ``ivf_assignments`` over the same base) to reuse a suite's
@@ -2706,37 +2936,21 @@ def ivf_pq_topk(
     is associative, so term order cannot split engines), and |x̂| =
     |cq + r̂q| is the decimal norm — the full IVFADC serve path,
     shortlist membership included, checks bitwise."""
-    refine = 4 * k if refine is None else refine
-    if refine < k:
-        raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
-    if adc_side is not None and residual:
-        raise ValueError(
-            "adc_side= carries raw-layout reconstructed norms — the "
-            "residual branch rebuilds x\u0302 = c + r\u0302 per cell and must "
-            "derive its own side"
-        )
-    # exact=True with residual=True (r9): the decomposed score is
-    # order-stable after all — dot(q, c) and the residual LUT entries
-    # are each exact decimals, and decimal addition is associative, so
-    # summing the centroid term INTO the LUT fold before the module's
-    # one string-hopped double conversion pins the combined numerator
-    # bitwise (the refusal this replaces cited summation order; the
-    # two-LUT decomposition closes it)
-    if codes is not None and codebooks is None:
-        raise ValueError(
-            "codes= without codebooks=: persisted codes are POSITIONAL "
-            "references into the codebooks that produced them — freshly "
-            "trained books would decode every code against the wrong "
-            "entries while scores stay plausible-looking"
-        )
-    if adc_side is not None and codebooks is None:
-        raise ValueError(
-            "adc_side= without codebooks=: the side's _idx positions are "
-            "POSITIONAL references into the codebooks that produced it — "
-            "freshly trained books would build query LUTs whose entries "
-            "the side's positions mis-address, collapsing recall while "
-            "scores stay plausible-looking (same contract as codes=)"
-        )
+    # the full hook guard matrix runs in ONE place, before anything
+    # eager (r10 consolidation — see _PQServeInputs). exact=True with
+    # residual=True (r9): the decomposed score is order-stable —
+    # dot(q, c) and the residual LUT entries are each exact decimals,
+    # and decimal addition is associative, so summing the centroid
+    # term INTO the LUT fold before the module's one string-hopped
+    # double conversion pins the combined numerator bitwise.
+    inputs = _PQServeInputs(
+        k=k, refine=refine, residual=residual, exact=exact,
+        centroids=centroids, assignments=assignments,
+        corpus_cells=corpus_cells, codebooks=codebooks, codes=codes,
+        adc_side=adc_side, cand=cand, pair_scores=pair_scores,
+        pq_picks=pq_picks, serve_broadcast=serve_broadcast,
+    )
+    refine = inputs.refine
     base = _ensure_ann_base(emb, id_col)
     # uniqueness of the candidate pairs is structural when WE derive
     # the cells: corpus side is one rank-1 (or probes=1) row per id,
@@ -2754,12 +2968,7 @@ def ivf_pq_topk(
         )
     else:
         if centroids is None:
-            if corpus_cells is not None:
-                raise ValueError(
-                    "corpus_cells without centroids: queries cannot "
-                    "probe an unknown cell geometry — pass the store's "
-                    "centroids alongside its cells"
-                )
+            # corpus_cells-without-centroids already refused by inputs
             num_centroids = resolve_num_centroids(base, num_centroids)
             cents = _seed_centroids(base, num_centroids, id_col)
         else:
@@ -2800,41 +3009,11 @@ def ivf_pq_topk(
 
     if residual:
         if assignments is not None:
-            if centroids is None:
-                raise ValueError(
-                    "residual=True cannot run from assignments= alone: "
-                    "residuals are taken against the cell geometry's "
-                    "centroid VECTORS, which the assignments relation "
-                    "does not carry — pass centroids= alongside (the "
-                    "relation the assignments were ranked against) or "
-                    "drop assignments="
-                )
-            # assignments supply the cells, centroids the vectors — the
-            # caller asserts they describe the SAME geometry (a suite
-            # sharing one ranked corpus-vs-centroids pass)
+            # assignments supply the cells, centroids the vectors (the
+            # bare-assignments form is refused by inputs) — the caller
+            # asserts they describe the SAME geometry (a suite sharing
+            # one ranked corpus-vs-centroids pass)
             cents = centroids
-        if (codebooks is not None or codes is not None) and centroids is None:
-            # residual codebooks/codes are meaningless against any
-            # geometry but the one that produced them; a re-derived
-            # seeded pick over a changed corpus would decode residuals
-            # of the WRONG centroids — scores stay plausible-looking
-            # while recall silently collapses, so refuse
-            raise ValueError(
-                "residual=True with persisted codebooks=/codes= requires "
-                "the centroids= they were trained against — residual "
-                "codes die with their cell geometry (and raw-vector "
-                "codes, e.g. read_ivf_pq_store's, are not residual codes)"
-            )
-        if codebooks is not None:
-            # centroids alone don't prove the books hold residual
-            # entries: a raw-layout store's (books, cents) pair passes
-            # the geometry guard above — the tag is what refuses it
-            _check_residual_tag(codebooks, True, "ivf_pq_topk")
-            # mode mismatch (double books with exact=True or vice
-            # versa) would otherwise first surface inside the LUT
-            # builder — AFTER the eager cand pin below has run real
-            # jobs; hoisted here so refusal stays plan-build
-            _check_codebook_mode(codebooks, exact, "ivf_pq_topk")
         # the pair list is consumed TWICE (the encode semi-join's id
         # list and the probe side of the shortlist join): un-pinned,
         # each reference re-runs the cells join with its own AQE stage
@@ -2846,6 +3025,9 @@ def ivf_pq_topk(
         # materializing the candidate join.
         if not cand_supplied:
             cand = cand.localCheckpoint()
+        # gated candidate-bounded force-broadcasts — the raw branch's
+        # twin (r10): serve_broadcast=False is the big-serve escape
+        fb = F.broadcast if inputs.should_broadcast() else (lambda d: d)
         cvecs = F.broadcast(
             cents.select("centroid_id", F.col("cvec").alias("_cvec"))
         )
@@ -2880,6 +3062,7 @@ def ivf_pq_topk(
             codebooks = pq_train(
                 res, num_subvectors, codes_per_subvector, id_col=id_col,
                 vec_col="_rvec", dim=dim, exact=exact, prequantized=exact,
+                picks=pq_picks,
             ).localCheckpoint()
         # encode/ADC-precompute only rows some query actually probes —
         # the equi-join on id_b would discard the rest anyway, but only
@@ -2898,11 +3081,11 @@ def ivf_pq_topk(
             # audit: 28 jobs → the fused leg's count)
             rside_rel = _residual_adc_side(
                 None, codebooks, None, None, id_col, exact=exact,
-                res=res.join(F.broadcast(cand_ids), id_col, "left_semi"),
+                res=res.join(fb(cand_ids), id_col, "left_semi"),
             )
         else:
             rside_rel = _residual_adc_side(
-                codes.join(F.broadcast(cand_ids), id_col, "left_semi"),
+                codes.join(fb(cand_ids), id_col, "left_semi"),
                 codebooks, corpus_cells, cents, id_col, exact=exact,
             )
         # the per-(query, cell) dot(q, c) term rides the query LUT
@@ -2915,7 +3098,7 @@ def ivf_pq_topk(
             base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
             "vdbl", exact=exact, cents=cents,
         )
-        rside = F.broadcast(rside_rel)
+        rside = fb(rside_rel)
         qc_val = F.element_at(F.col("_qcm"), F.col("centroid_id"))
         if exact:
             # ≤ query_ids_max rows; pinned because the two-pass
@@ -2951,44 +3134,44 @@ def ivf_pq_topk(
     else:
         if codebooks is None:
             # trained on the whole corpus, pinned for the three packers
+            # (pq_picks= replaces the in-call seeded pick with a
+            # shared one — see pq_train)
             codebooks = pq_train(
                 base, num_subvectors, codes_per_subvector, id_col=id_col,
-                vec_col="vdbl", dim=dim, exact=exact,
+                vec_col="vdbl", dim=dim, exact=exact, picks=pq_picks,
             ).localCheckpoint()
-        else:
-            _check_residual_tag(codebooks, False, "ivf_pq_topk")
-            # hoisted mode check — see the residual branch's twin:
-            # refuse BEFORE the eager pin below runs real jobs
-            _check_codebook_mode(codebooks, exact, "ivf_pq_topk")
+        # supplied-codebooks tag/mode refusals ran in inputs, before
+        # the eager pin below could run real jobs
         # same double-consumption pin as the residual branch (cand
         # feeds the encode semi-join's id list AND the shortlist pair
-        # join), placed after this branch's plan-build refusals; with
-        # a precomputed adc_side= the pair join is cand's ONLY
+        # join), placed after the plan-build refusals; with a
+        # precomputed adc_side= the pair join is cand's ONLY
         # consumer, so no pin
         if not cand_supplied and adc_side is None:
             cand = cand.localCheckpoint()
+        # forcing the candidate-bounded broadcasts skips two AQE
+        # shuffle-stage materializations, but a broadcast hard-caps at
+        # Spark's 8 GB / int-max-rows limit while the shuffle it
+        # replaces is disk-backed — so the force is gated (r10) on the
+        # serve_broadcast kwarg (the ~10⁸-row fused-serving contract).
+        # With serve_broadcast=False the same relations join UN-forced
+        # and AQE picks the strategy at runtime (a persisted adc_side=
+        # remains the big-serve escape hatch that never builds a
+        # candidate-filtered side at all).
+        fb = F.broadcast if inputs.should_broadcast() else (lambda d: d)
         if adc_side is None:
             # encode/ADC-precompute candidates only (see residual
             # branch). Semi-join right side needs no distinct: LeftSemi
             # is duplicate-agnostic, and the dedup was a fixed-cost
-            # exchange + aggregate pair (r9 job audit). Forcing the
-            # broadcast skips two AQE shuffle-stage materializations;
-            # the honest bound (review-corrected): a broadcast hard-
-            # caps at Spark's 8 GB / int-max-rows limit while the
-            # shuffle it replaces is disk-backed, so candidate volume
-            # (queries × probes × cell size) must stay ≲ 10⁸ rows —
-            # the refine-bounded serving contract this whole fused
-            # path assumes. Beyond it, serve from a persisted
-            # adc_side= (which STREAMS the corpus-scale side and lets
-            # AQE pick the pair-list join) instead of this branch.
+            # exchange + aggregate pair (r9 job audit).
             cand_ids = cand.select(F.col("id_b").alias(id_col))
             if codes is None:
                 codes = pq_encode(
-                    base.join(F.broadcast(cand_ids), id_col, "left_semi"),
+                    base.join(fb(cand_ids), id_col, "left_semi"),
                     codebooks, id_col=id_col, vec_col="vdbl", exact=exact,
                 )
             else:
-                codes = codes.join(F.broadcast(cand_ids), id_col, "left_semi")
+                codes = codes.join(fb(cand_ids), id_col, "left_semi")
         queries = _pq_query_luts(
             base.filter(F.col(id_col) < query_ids_max), codebooks, id_col,
             "vdbl", exact=exact,
@@ -3003,19 +3186,17 @@ def ivf_pq_topk(
                 F.transform(F.col("_lut"), lambda x: x.cast("double")),
             )
             # candidate-filtered ADC side broadcasts under the same
-            # candidate-volume contract as the id list (slim _idx+_xn
-            # rows, ≲ 10⁸ candidates — see the cand_ids note). Probe
-            # side then reaches the shortlist window with ZERO
-            # pre-window exchanges. A precomputed adc_side= is
-            # CORPUS-wide, so it streams instead and the pair list
-            # joins into it UN-forced — that path is the big-serve
-            # escape hatch, so AQE must stay free to pick a shuffle
-            # when the candidate list outgrows the broadcast cap.
+            # gated candidate-volume contract as the id list (slim
+            # _idx+_xn rows). Probe side then reaches the shortlist
+            # window with ZERO pre-window exchanges. A precomputed
+            # adc_side= is CORPUS-wide, so it streams instead and the
+            # pair list joins into it UN-forced — that path is the
+            # big-serve escape hatch, so AQE must stay free to pick a
+            # shuffle when the candidate list outgrows the broadcast
+            # cap.
             if adc_side is None:
                 paired = cand.join(F.broadcast(queries), "id_a").join(
-                    F.broadcast(
-                        _codes_adc_side(codes, codebooks, id_col, exact=True)
-                    ),
+                    fb(_codes_adc_side(codes, codebooks, id_col, exact=True)),
                     "id_b",
                 )
             else:
@@ -3027,7 +3208,7 @@ def ivf_pq_topk(
             )
         else:
             if adc_side is None:
-                adc_rel = F.broadcast(
+                adc_rel = fb(
                     _codes_adc_side(codes, codebooks, id_col, exact=False)
                 )
                 adc = cand.join(F.broadcast(queries), "id_a").join(

@@ -22,6 +22,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     ivf_topk,
     lsh_ann_pairs,
     pq_encode,
+    pq_pick_ids,
     pq_topk,
     pq_train,
     with_dbl_and_approx_norm,
@@ -499,11 +500,18 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double components); dim passed explicitly, no inference job. The
     # O(m·k) codebook is localCheckpointed: three downstream stages
     # (encode, query LUTs, corpus ADC side) each pack it, and pinning
-    # the 128 rows keeps the per-sub-space pick jobs from re-running
-    # once per consumer
+    # the 128 rows keeps the picks from re-running once per consumer.
+    # ONE ranked pick pass seeds BOTH code spaces (r10): the md5 pick
+    # rule never reads a vector value, so the raw books here and the
+    # rivfpq leg's residual books (pq_picks= hook) share this pinned
+    # O(m·k) id relation — un-shared, each training ran its own
+    # two-window ranked pass over the corpus
+    picks = pq_pick_ids(
+        base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K
+    ).localCheckpoint()
     books = pq_train(
         base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K,
-        vec_col="vdbl", dim=_DIM, exact=True,
+        vec_col="vdbl", dim=_DIM, exact=True, picks=picks,
     ).localCheckpoint()
     # ONE exact encode pass serves BOTH pq legs (pq_topk would
     # otherwise fuse its own corpus-wide encode and ivf_pq_topk would
@@ -546,6 +554,7 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, query_ids_max=20, k=3, probes=3, refine=_IPQ_REFINE,
         assignments=assign, centroids=cents, dim=_DIM,
         residual=True, exact=True, cand=cand, pair_scores=pair_scores,
+        pq_picks=picks,
     ).select(F.lit("rivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
     return (
         lsh.unionByName(ivf)

@@ -1269,9 +1269,11 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
     """Temporal-majority video aHash: a noisy re-encode pairs with its
     original (even with one wholesale-edited frame — the majority
     absorbs a minority of flipped frames), inverted footage does not;
-    the Spark hash matches an independent sequential recomputation; and
-    the fingerprints run the cross-run hamming store — the fourth
-    modality on the shared engine."""
+    the Spark hash matches an independent sequential recomputation of
+    the v2 rule (content-anchored sampling: a frame votes iff the md5
+    fraction of its luma plane ≡ 0 mod every_nth, all frames when none
+    pass); and the fingerprints run the cross-run hamming store — the
+    fourth modality on the shared engine."""
     from crypto_data_pipeline_with_kafka_spark.multimodal import (
         perceptual_hash_video,
         video_near_dup_pairs,
@@ -1304,8 +1306,9 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
         for p in range(0, len(nf), 97):
             nf[p] = min(255, nf[p] + 2)
         noisy_frames.append(nf)
-    # one wholesale-edited frame: the majority must absorb it (frame 2
-    # is among the sampled {0, 2, 4} at every_nth=2)
+    # one wholesale-edited frame: under the v2 content gate its md5
+    # changed, so it either deselects itself or joins as a minority
+    # vote — either way the fingerprint stays near the original's
     noisy_frames[2] = list(inv)
     diff_frames = [jitter(inv, i) for i in range(5)]
 
@@ -1316,9 +1319,21 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
     got = {
         r.doc_id: r for r in perceptual_hash_video(df, every_nth=2).collect()
     }
-    assert all(got[d].n_frames_hashed == 3 for d in (1, 2, 3))
 
-    # independent sequential recomputation: per-frame aHash + majority
+    # independent sequential recomputation of the v2 rule: md5-gated
+    # frame selection (fallback: all frames — base_frames exercises it:
+    # none of its 5 planes passes the mod-2 gate), per-frame aHash,
+    # strict majority
+    import hashlib as _hl
+
+    def sel(frames):
+        idxs = [
+            i
+            for i, f in enumerate(frames)
+            if int(_hl.md5(bytes(f)).hexdigest()[:13], 16) % 2 == 0
+        ]
+        return idxs or list(range(len(frames)))
+
     def ref_ahash(px):
         means = []
         for gy in range(8):
@@ -1333,12 +1348,18 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
         return ["1" if m > mu else "0" for m in means]
 
     def ref_video(frames):
-        sampled = [ref_ahash(frames[i]) for i in (0, 2, 4)]
+        idxs = sel(frames)
+        sampled = [ref_ahash(frames[i]) for i in idxs]
         return "".join(
-            "1" if sum(int(s[k]) for s in sampled) * 2 > 3 else "0"
+            "1"
+            if sum(int(s[k]) for s in sampled) * 2 > len(sampled)
+            else "0"
             for k in range(64)
         )
 
+    assert [got[d].n_frames_hashed for d in (1, 2, 3)] == [
+        len(sel(f)) for f in (base_frames, noisy_frames, diff_frames)
+    ] == [5, 3, 3]
     assert got[1].simhash == ref_video(base_frames)
     assert got[3].simhash == ref_video(diff_frames)
     ham_12 = sum(a != b for a, b in zip(got[1].simhash, got[2].simhash))
@@ -1363,6 +1384,135 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
     assert [(r.doc_id, r.dup_of, r.hamming) for r in flagged.collect()] == [
         (2, 1, ham_12)
     ]
+
+
+def test_video_fingerprint_shift_tolerance(spark, tmp_path):
+    """VIDEO_FP_ALGO v2 (r10): a near-dup with a PREPENDED segment must
+    still pair. v1 sampled every-Nth frame by ABSOLUTE index, so a
+    3-frame prepend shifted the whole grid and sampled a DISJOINT frame
+    set — on this planted alternating-scene pair the v1 rule reads
+    hamming 58 (recomputed below), far past any sane max_hamming. v2's
+    content-anchored sampling (a frame votes iff its luma plane's md5
+    fraction ≡ 0 mod every_nth) keeps every originally-sampled frame
+    sampled — the prepended copy selects the SAME frames shifted by 3 —
+    so the fingerprints are bit-identical. Store path included; a
+    v1-era stamped store refuses the v2 fingerprints loudly."""
+    import hashlib as _hl
+
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        VIDEO_FP_ALGO,
+        perceptual_hash_video,
+        video_near_dup_pairs,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+
+    w = h = 32
+
+    def y4m(frames):
+        out = b"YUV4MPEG2 W32 H32 F25:1 Ip A1:1 Cmono\n"
+        for f in frames:
+            out += b"FRAME\n" + bytes(f)
+        return out
+
+    grad = [min(255, 4 * (x + y)) for y in range(h) for x in range(w)]
+    inv = [255 - p for p in grad]
+
+    def jitter(frame, i):
+        out = list(frame)
+        for p in range(i, len(out), 113):
+            out[p] = min(255, out[p] + 1)
+        return out
+
+    def gate(f):
+        return int(_hl.md5(bytes(f)).hexdigest()[:13], 16) % 2 == 0
+
+    # alternating scenes — the content class where an index-grid shift
+    # swaps WHICH scene dominates the sampled majority
+    orig = [
+        jitter(grad, i) if i % 2 == 0 else jitter(inv, i) for i in range(9)
+    ]
+    # prepended 3-frame segment, salted so the gate EXCLUDES all three
+    # (salt=9, asserted): the v2 guarantee under test is that every
+    # ORIGINAL vote persists — an inserted segment that passes the gate
+    # legitimately adds minority votes instead (any majority scheme's
+    # near-tie bits are sensitive to added votes; v1's failure was
+    # REMOVING the original votes wholesale)
+    prepend = [
+        jitter([min(255, (p + 9 * 7) % 256) for p in grad], 50 + 9 + j)
+        for j in range(3)
+    ]
+    assert not any(gate(f) for f in prepend)
+    shifted = prepend + orig
+
+    df = spark.createDataFrame(
+        [(1, y4m(orig)), (2, y4m(shifted))], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r for r in perceptual_hash_video(df, every_nth=2).collect()
+    }
+    assert got[1].simhash == got[2].simhash  # bit-identical under v2
+    assert got[2].n_frames_hashed == got[1].n_frames_hashed
+
+    # the v1 rule on the same pair: every-2nd frame by absolute index,
+    # recomputed sequentially — the planted failure the bump closes
+    def ref_ahash(px):
+        means = []
+        for gy in range(8):
+            for gx in range(8):
+                cell = [
+                    px[y * w + x]
+                    for y in range(gy * 4, gy * 4 + 4)
+                    for x in range(gx * 4, gx * 4 + 4)
+                ]
+                means.append(sum(cell) / len(cell))
+        mu = sum(means) / 64
+        return ["1" if m > mu else "0" for m in means]
+
+    def fp_v1(frames):
+        s = [ref_ahash(frames[i]) for i in range(0, len(frames), 2)]
+        return "".join(
+            "1" if sum(int(x[k]) for x in s) * 2 > len(s) else "0"
+            for k in range(64)
+        )
+
+    ham_v1 = sum(a != b for a, b in zip(fp_v1(orig), fp_v1(shifted)))
+    assert ham_v1 > 6, ham_v1  # the grid shift breaks the v1 pairing
+
+    # one-shot pairing and the cross-run store both flag the pair
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in video_near_dup_pairs(df, max_hamming=6, every_nth=2).collect()
+    }
+    assert pairs == {(1, 2): 0}
+    store = str(tmp_path / "video_store_v2")
+    assert incremental_hamming_dedup(
+        perceptual_hash_video(df.filter("doc_id = 1"), every_nth=2),
+        store, 0, algo=VIDEO_FP_ALGO,
+    ).isEmpty()
+    flagged = incremental_hamming_dedup(
+        perceptual_hash_video(df.filter("doc_id = 2"), every_nth=2),
+        store, 1, algo=VIDEO_FP_ALGO,
+    )
+    assert [(r.doc_id, r.dup_of, r.hamming) for r in flagged.collect()] == [
+        (2, 1, 0)
+    ]
+    # era contract: a store stamped by the OLD rule refuses v2
+    # fingerprints instead of silently missing near-dups (plan-build
+    # ValueError — check_store_algo runs driver-side)
+    old_store = str(tmp_path / "video_store_v1_era")
+    incremental_hamming_dedup(
+        perceptual_hash_video(df.filter("doc_id = 1"), every_nth=2),
+        old_store, 0, algo="video/temporal-majority-ahash/v1",
+    ).isEmpty()
+    with pytest.raises(ValueError, match="algorithm era"):
+        incremental_hamming_dedup(
+            perceptual_hash_video(df.filter("doc_id = 2"), every_nth=2),
+            old_store, 1, algo=VIDEO_FP_ALGO,
+        )
 
 
 def test_audio_fingerprint_shift_tolerance(spark, tmp_path):
