@@ -46,10 +46,13 @@ def _repo_dir() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
 
-def _bench_history() -> dict[int, dict[str, float]]:
+def _bench_history(sf: float | None = None) -> dict[int, dict[str, float]]:
     """Per-round per-query minima from the driver's BENCH_r*.json
-    artifacts on disk: {round: {query: sec}}. Malformed or pre-parse
-    files are skipped — history is advisory."""
+    artifacts on disk: {round: {query: sec}}. ``sf`` restricts to
+    rounds benched at that scale factor — floors from an sf0.1 history
+    mean nothing for an sf1 run, and one foreign-sf artifact in the
+    lookback window would otherwise poison the next rounds' floors.
+    Malformed or pre-parse files are skipped — history is advisory."""
     import glob
     import re
 
@@ -61,6 +64,8 @@ def _bench_history() -> dict[int, dict[str, float]]:
         try:
             with open(p) as fh:
                 parsed = json.load(fh).get("parsed") or {}
+            if sf is not None and float(parsed.get("sf", -1.0)) != sf:
+                continue
             q = parsed.get("queries")
             if isinstance(q, dict):
                 hist[int(m.group(1))] = {
@@ -73,22 +78,35 @@ def _bench_history() -> dict[int, dict[str, float]]:
 
 def _current_round() -> int:
     """The round this run belongs to: one past the newest recorded
-    BENCH_r{N} (the driver writes BENCH at round END, so mid-round runs
-    land on N+1). SPARK_GRAFT_ROUND overrides."""
+    BENCH_r{N} (the driver writes BENCH at round END, so a gate run
+    AFTER that write misfiles one round forward — pass
+    SPARK_GRAFT_ROUND to pin it). A malformed override falls back to
+    inference instead of crashing: this is resolved at the end of a
+    multi-minute gate run, and a naming hiccup must not turn a
+    zero-failure run into a nonzero exit."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            print(
+                f"# SPARK_GRAFT_ROUND={env!r} is not an integer — "
+                "inferring from BENCH_r*.json",
+                file=sys.stderr,
+            )
     hist = _bench_history()
     return (max(hist) + 1) if hist else 1
 
 
-def _floor_from_history(name: str, lookback: int = 3) -> float | None:
+def _floor_from_history(
+    name: str, sf: float, lookback: int = 3
+) -> float | None:
     """A query's quiet-floor estimate: the min of its per-round minima
-    over the most recent ``lookback`` rounds that measured it. Recent
-    rounds only — headline slots GROW legs between rounds, so an
-    all-time min would chase a floor the current (larger) surface can
-    no longer reach."""
-    hist = _bench_history()
+    over the most recent ``lookback`` rounds that measured it AT THE
+    SAME scale factor. Recent rounds only — headline slots GROW legs
+    between rounds, so an all-time min would chase a floor the current
+    (larger) surface can no longer reach."""
+    hist = _bench_history(sf=sf)
     vals = [
         hist[r][name]
         for r in sorted(hist, reverse=True)
@@ -248,6 +266,7 @@ def run_scale10() -> int:
     from pyspark.sql import functions as F
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    round_no = _current_round()  # resolved BEFORE the multi-minute run
     spark = get_spark(app_name="crypto_data_pipeline_with_kafka_spark-scale10")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -572,8 +591,7 @@ def run_scale10() -> int:
         # rounds (a ratio can move 2× between a quiet smoke and a
         # loaded judge run — worth tracking even under the gate)
         art = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"SCALE10_r{_current_round():02d}.json",
+            _repo_dir(), f"SCALE10_r{round_no:02d}.json"
         )
         with open(art, "w") as fh:
             json.dump(payload, fh, indent=1)
@@ -622,7 +640,7 @@ def main() -> None:
         # 6) — a load burst decays within a few samples, and if it
         # doesn't, the floor lands in the JSON so the reading is
         # self-explaining.
-        floor = _floor_from_history(name)
+        floor = _floor_from_history(name, sf)
         loaded = lambda: (  # noqa: E731
             floor is not None and min(samples) > 1.3 * floor
         )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
@@ -711,12 +711,18 @@ def perceptual_hash_images(
 # audio tag is at v2 since the r8 leading/trailing near-silence trim.
 IMAGE_AHASH_ALGO = "image/ahash/v1"
 AUDIO_FP_ALGO = "audio/energy-contour/v3-overlap4"
-# v2 (r10): content-anchored frame sampling — v1's every-Nth-by-index
-# grid shifted wholesale under a prepended/inserted segment (the exact
-# failure class audio v2→v3 fixed), so the sampled sets of a video and
-# its shifted near-dup were disjoint; v2 samples by the md5 fraction
-# of each frame's luma plane (see sample_video_frames anchor="content")
-VIDEO_FP_ALGO = "video/temporal-majority-ahash/v2-cdc"
+# v2 (r10): PERCEPTUALLY content-anchored frame voting — v1's
+# every-Nth-by-index grid shifted wholesale under a prepended/inserted
+# segment (the exact failure class audio v2→v3 fixed), so the sampled
+# sets of a video and its shifted near-dup were disjoint. v2 gates
+# each frame on the md5 fraction of its AHASH BITS: content-anchored
+# (shift adds only the inserted frames' votes) AND noise-stable (a
+# noisy re-encode keeps each frame's aHash, hence its gate membership
+# — a raw-byte gate was built first and rejected in review: any
+# per-pixel perturbation re-drew every frame's membership and two
+# noisy copies of scene-varying footage voted with uncorrelated frame
+# subsets). See perceptual_hash_video.
+VIDEO_FP_ALGO = "video/temporal-majority-ahash/v2-pcdc"
 
 AUDIO_FP_SCHEMA = "doc_id long, sample_rate int, n_samples long, simhash string"
 
@@ -971,26 +977,36 @@ def perceptual_hash_video(
     few edited frames flip a minority of frames' bits and the majority
     absorbs them, while different footage flips most frames together.
 
-    v2 (r10): frames are sampled by CONTENT
-    (``sample_video_frames(anchor="content")`` — a frame votes iff the
-    md5 fraction of its luma plane ≡ 0 mod ``every_nth``), not by
-    absolute index. v1's index grid shifted wholesale under a
-    prepended/inserted segment, so a shifted near-dup sampled a
-    DISJOINT frame set and the majority could flip arbitrarily (the
-    failure class the audio v3 overlap fixed, pytest-planted); under
-    content anchoring every originally-sampled frame stays sampled and
-    an inserted segment only adds its own (minority) votes — the CDC
-    edit-locality argument on the time axis. Bit-rule change ⇒
+    v2 (r10): which frames VOTE is gated on the md5 fraction of each
+    frame's AHASH BITS (≡ 0 mod ``every_nth``; a video where no frame
+    passes falls back to all frames), not on absolute frame index.
+    v1's index grid shifted wholesale under a prepended/inserted
+    segment, so a shifted near-dup sampled a DISJOINT frame set and
+    the majority could flip arbitrarily (the failure class the audio
+    v3 overlap fixed, pytest-planted); under content anchoring every
+    originally-voting frame keeps voting and an inserted segment only
+    adds its own (minority) votes — the CDC edit-locality argument on
+    the time axis. The gate keys on the PERCEPTUAL hash, not the raw
+    plane bytes, so it is also noise-stable: a noisy re-encode keeps
+    each frame's aHash and therefore its membership (a raw-byte md5
+    gate was built first and REJECTED in review — any per-pixel
+    perturbation re-drew every membership independently and two noisy
+    copies of scene-varying footage voted with uncorrelated subsets).
+    The honest cost shift: every frame is aHashed (the gate key IS the
+    vote value, computed once and reused), so ``every_nth`` now prunes
+    the VOTE SET, not the per-frame hash work — a fingerprint that
+    never looks at a frame cannot anchor to its content; the payload
+    parse already touches every byte. Bit-rule change ⇒
     ``VIDEO_FP_ALGO`` bumped to v2: era-stamped cross-run stores
     (``curate_corpus``) refuse v1 fingerprints instead of silently
     missing near-dups.
 
     Composition, not new machinery — the frame slice, the image hash,
     and the downstream pairing/store are all the existing attested
-    stages; only the 64-column majority aggregation (one
-    map-side-combined pass) is new. Output carries the ``simhash``
-    column contract for ``operators.dedup.simhash_pairs`` /
-    ``incremental_hamming_dedup``."""
+    stages; the gate is one JVM md5 over the 64-char bit string and
+    the majority aggregation is one map-side-combined pass. Output
+    carries the ``simhash`` column contract for
+    ``operators.dedup.simhash_pairs`` / ``incremental_hamming_dedup``."""
     # normalize BOTH names before the frame sampler: sample_video_frames
     # hard-selects 'doc_id'/'payload' inside its Arrow closure, so a
     # non-default payload_col must be aliased here (the image/audio
@@ -1000,10 +1016,24 @@ def perceptual_hash_video(
             F.col(id_col).alias("doc_id"),
             F.col(payload_col).alias("payload"),
         ),
-        every_nth,
-        anchor="content",
+        1,
     )
     fh = perceptual_hash_images(frames.select("doc_id", "payload"))
+    if every_nth > 1:
+        # perceptual content gate (JVM md5 over the aHash bit string);
+        # the any-pass flag rides a window on the SAME doc_id hash
+        # partitioning the majority groupBy needs — no extra exchange
+        sel = (
+            F.conv(F.substring(F.md5("simhash"), 1, 13), 16, 10)
+            .cast("long") % every_nth == 0
+        )
+        gated = fh.withColumn("_sel", sel).withColumn(
+            "_any",
+            F.max(F.col("_sel").cast("int")).over(
+                Window.partitionBy("doc_id")
+            ),
+        )
+        fh = gated.filter(F.col("_sel") | (F.col("_any") == 0))
     bit_cols = [
         F.substring("simhash", i + 1, 1).cast("int").alias(f"_b{i}")
         for i in range(64)

@@ -1826,17 +1826,49 @@ def pq_train(
         # shared seeded pick (see pq_pick_ids): fetch the picked rows'
         # vectors with one broadcast join over the corpus scan and
         # slice in-row — the ranked pick pass ran ONCE for the suite,
-        # not once per book
+        # not once per book. The picks relation is POSITIONAL input
+        # like codes=/adc_side=, so mismatches refuse loudly instead
+        # of mis-training plausibly (r10 review): a geometry mismatch
+        # (picks built at a different num_subvectors/codes_per_
+        # subvector) raises in-row below — out-of-range sub_ids would
+        # otherwise slice past the vector end into EMPTY cvec entries
+        # with cnorm_sq 0; a STALE-corpus picks relation (picked ids
+        # no longer in emb, silently dropped by this join) leaves the
+        # book short and is caught by _packed_codebooks' uniform-dense
+        # validation, which every consumer runs before addressing
+        # entries positionally.
         if prequantized:
             full = F.col(vec_col) if isinstance(vec_col, str) else vec_col
         else:
             full = quantized_vector(vec_col) if exact else dbl_vector(vec_col)
+        geom_ok = (F.col("sub_id") >= 0) & (
+            F.col("sub_id") < num_subvectors
+        ) & (F.col("code") >= 0) & (F.col("code") < codes_per_subvector)
+        sub_id_ck = F.when(geom_ok, F.col("sub_id")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pq_train(picks=): pick (sub_id, code) = ("
+                    ),
+                    F.col("sub_id").cast("string"),
+                    F.lit(", "),
+                    F.col("code").cast("string"),
+                    F.lit(
+                        f") outside this call's {num_subvectors}x"
+                        f"{codes_per_subvector} geometry — the picks "
+                        "relation was built for DIFFERENT training "
+                        "parameters (pq_pick_ids takes the same "
+                        "num_subvectors/codes_per_subvector)"
+                    ),
+                )
+            ).cast("int")
+        )
         sub = F.slice(F.col("_v"), F.col("sub_id") * d + 1, F.lit(d))
         return (
             emb.select(F.col(id_col), full.alias("_v"))
             .join(F.broadcast(picks), id_col)
             .select(
-                F.col("sub_id").cast("int").alias("sub_id"),
+                sub_id_ck.cast("int").alias("sub_id"),
                 F.col("code").cast("int").alias("code"),
                 sub.alias("cvec"),
                 norm_fn(sub, sub).alias("cnorm_sq"),

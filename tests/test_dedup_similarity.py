@@ -1306,9 +1306,10 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
         for p in range(0, len(nf), 97):
             nf[p] = min(255, nf[p] + 2)
         noisy_frames.append(nf)
-    # one wholesale-edited frame: under the v2 content gate its md5
-    # changed, so it either deselects itself or joins as a minority
-    # vote — either way the fingerprint stays near the original's
+    # one wholesale-edited frame: under the v2 perceptual gate it
+    # either deselects itself (its aHash changed) or joins as a
+    # minority vote — here it stays selected and the majority absorbs
+    # it (asserted via the [4, 4, 1] selection counts below)
     noisy_frames[2] = list(inv)
     diff_frames = [jitter(inv, i) for i in range(5)]
 
@@ -1320,19 +1321,10 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
         r.doc_id: r for r in perceptual_hash_video(df, every_nth=2).collect()
     }
 
-    # independent sequential recomputation of the v2 rule: md5-gated
-    # frame selection (fallback: all frames — base_frames exercises it:
-    # none of its 5 planes passes the mod-2 gate), per-frame aHash,
-    # strict majority
+    # independent sequential recomputation of the v2 rule: per-frame
+    # aHash, frame votes iff md5(of its AHASH BITS) fraction ≡ 0 mod
+    # every_nth (fallback: all frames), strict majority
     import hashlib as _hl
-
-    def sel(frames):
-        idxs = [
-            i
-            for i, f in enumerate(frames)
-            if int(_hl.md5(bytes(f)).hexdigest()[:13], 16) % 2 == 0
-        ]
-        return idxs or list(range(len(frames)))
 
     def ref_ahash(px):
         means = []
@@ -1347,6 +1339,17 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
         mu = sum(means) / 64
         return ["1" if m > mu else "0" for m in means]
 
+    def sel(frames):
+        idxs = [
+            i
+            for i, f in enumerate(frames)
+            if int(
+                _hl.md5("".join(ref_ahash(f)).encode()).hexdigest()[:13],
+                16,
+            ) % 2 == 0
+        ]
+        return idxs or list(range(len(frames)))
+
     def ref_video(frames):
         idxs = sel(frames)
         sampled = [ref_ahash(frames[i]) for i in idxs]
@@ -1357,9 +1360,11 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
             for k in range(64)
         )
 
+    # the edited frame 2 IS among noisy's 4 voters (majority absorbs
+    # it); diff collapses to a 1-frame vote
     assert [got[d].n_frames_hashed for d in (1, 2, 3)] == [
         len(sel(f)) for f in (base_frames, noisy_frames, diff_frames)
-    ] == [5, 3, 3]
+    ] == [4, 4, 1]
     assert got[1].simhash == ref_video(base_frames)
     assert got[3].simhash == ref_video(diff_frames)
     ham_12 = sum(a != b for a, b in zip(got[1].simhash, got[2].simhash))
@@ -1391,12 +1396,16 @@ def test_video_fingerprint_shift_tolerance(spark, tmp_path):
     still pair. v1 sampled every-Nth frame by ABSOLUTE index, so a
     3-frame prepend shifted the whole grid and sampled a DISJOINT frame
     set — on this planted alternating-scene pair the v1 rule reads
-    hamming 58 (recomputed below), far past any sane max_hamming. v2's
-    content-anchored sampling (a frame votes iff its luma plane's md5
-    fraction ≡ 0 mod every_nth) keeps every originally-sampled frame
-    sampled — the prepended copy selects the SAME frames shifted by 3 —
-    so the fingerprints are bit-identical. Store path included; a
-    v1-era stamped store refuses the v2 fingerprints loudly."""
+    hamming 57 (recomputed below), far past any sane max_hamming. v2's
+    perceptually content-anchored voting (a frame votes iff the md5
+    fraction of its AHASH BITS ≡ 0 mod every_nth) keeps every
+    originally-voting frame voting — the prepended copy selects the
+    SAME frames shifted by 3 — so the fingerprints are bit-identical.
+    The gate keys on the aHash, not raw bytes, so a NOISY re-encode
+    (no shift) also stays paired: each frame's membership follows its
+    (noise-stable) aHash, and the rare frame whose aHash does flip
+    re-draws only its own vote. Store path included; a v1-era stamped
+    store refuses the v2 fingerprints loudly."""
     import hashlib as _hl
 
     import pytest
@@ -1427,38 +1436,6 @@ def test_video_fingerprint_shift_tolerance(spark, tmp_path):
             out[p] = min(255, out[p] + 1)
         return out
 
-    def gate(f):
-        return int(_hl.md5(bytes(f)).hexdigest()[:13], 16) % 2 == 0
-
-    # alternating scenes — the content class where an index-grid shift
-    # swaps WHICH scene dominates the sampled majority
-    orig = [
-        jitter(grad, i) if i % 2 == 0 else jitter(inv, i) for i in range(9)
-    ]
-    # prepended 3-frame segment, salted so the gate EXCLUDES all three
-    # (salt=9, asserted): the v2 guarantee under test is that every
-    # ORIGINAL vote persists — an inserted segment that passes the gate
-    # legitimately adds minority votes instead (any majority scheme's
-    # near-tie bits are sensitive to added votes; v1's failure was
-    # REMOVING the original votes wholesale)
-    prepend = [
-        jitter([min(255, (p + 9 * 7) % 256) for p in grad], 50 + 9 + j)
-        for j in range(3)
-    ]
-    assert not any(gate(f) for f in prepend)
-    shifted = prepend + orig
-
-    df = spark.createDataFrame(
-        [(1, y4m(orig)), (2, y4m(shifted))], "doc_id long, payload binary"
-    )
-    got = {
-        r.doc_id: r for r in perceptual_hash_video(df, every_nth=2).collect()
-    }
-    assert got[1].simhash == got[2].simhash  # bit-identical under v2
-    assert got[2].n_frames_hashed == got[1].n_frames_hashed
-
-    # the v1 rule on the same pair: every-2nd frame by absolute index,
-    # recomputed sequentially — the planted failure the bump closes
     def ref_ahash(px):
         means = []
         for gy in range(8):
@@ -1472,6 +1449,50 @@ def test_video_fingerprint_shift_tolerance(spark, tmp_path):
         mu = sum(means) / 64
         return ["1" if m > mu else "0" for m in means]
 
+    def gate(f):
+        bits = "".join(ref_ahash(f))
+        return int(_hl.md5(bits.encode()).hexdigest()[:13], 16) % 2 == 0
+
+    # alternating scenes — the content class where an index-grid shift
+    # swaps WHICH scene dominates the sampled majority
+    orig = [
+        jitter(grad, i) if i % 2 == 0 else jitter(inv, i) for i in range(9)
+    ]
+    # prepended 3-frame segment, salted so the gate EXCLUDES all three
+    # (asserted): the v2 guarantee under test is that every ORIGINAL
+    # vote persists — an inserted segment that passes the gate
+    # legitimately adds minority votes instead (any majority scheme's
+    # near-tie bits are sensitive to added votes; v1's failure was
+    # REMOVING the original votes wholesale)
+    prepend = [
+        jitter([min(255, p % 256) for p in grad], 50 + j) for j in range(3)
+    ]
+    assert not any(gate(f) for f in prepend)
+    shifted = prepend + orig
+    # noisy re-encode, NO shift: ±1 LSB at stride 61 — the case the
+    # review killed the raw-byte gate over (every byte change re-drew
+    # every frame's membership; the aHash key keeps it)
+    noised = []
+    for i, f in enumerate(orig):
+        nf = list(f)
+        for p in range(0, len(nf), 61):
+            nf[p] = max(0, min(255, nf[p] + (1 if (i + p) % 2 else -1)))
+        noised.append(nf)
+
+    df = spark.createDataFrame(
+        [(1, y4m(orig)), (2, y4m(shifted)), (3, y4m(noised))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: r for r in perceptual_hash_video(df, every_nth=2).collect()
+    }
+    assert got[1].simhash == got[2].simhash  # bit-identical under v2
+    assert got[2].n_frames_hashed == got[1].n_frames_hashed
+    ham_noise = sum(a != b for a, b in zip(got[1].simhash, got[3].simhash))
+    assert ham_noise <= 2, ham_noise
+
+    # the v1 rule on the same pair: every-2nd frame by absolute index,
+    # recomputed sequentially — the planted failure the bump closes
     def fp_v1(frames):
         s = [ref_ahash(frames[i]) for i in range(0, len(frames), 2)]
         return "".join(
@@ -1487,7 +1508,7 @@ def test_video_fingerprint_shift_tolerance(spark, tmp_path):
         (r.id_a, r.id_b): r.hamming
         for r in video_near_dup_pairs(df, max_hamming=6, every_nth=2).collect()
     }
-    assert pairs == {(1, 2): 0}
+    assert pairs == {(1, 2): 0, (1, 3): ham_noise, (2, 3): ham_noise}
     store = str(tmp_path / "video_store_v2")
     assert incremental_hamming_dedup(
         perceptual_hash_video(df.filter("doc_id = 1"), every_nth=2),
@@ -3578,3 +3599,127 @@ def test_ivf_pq_residual_exact_persisted_codes(spark):
     ).collect()))
     assert served == inline and len(served) > 0
     base.unpersist()
+
+
+def test_shared_pick_and_serve_hooks_r10(spark):
+    """The r10 sharing hooks, pinned: (a) pq_pick_ids-seeded books are
+    bitwise-identical to the in-call seeded pick in all four train
+    modes (raw/residual × double/exact); (b) ivf_pq_topk(pq_picks=)
+    and serve_broadcast=False each leave the served output identical;
+    (c) the new plan-build refusals (picks+lloyd, pq_picks+codebooks)
+    and the in-plan picks geometry-mismatch raise fire; (d) the
+    tokenized_docs/toks= hook leaves shingle_rows and BOTH
+    chunk_level_dedup boundary modes value-identical."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        _seed_centroids,
+        ivf_assignments,
+        ivf_pq_topk,
+        pq_pick_ids,
+        pq_train,
+        pq_train_residual,
+    )
+
+    rows = [
+        (i, [((i * 17 + j * 3) % 11 - 5) / 8.0 for j in range(64)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = _ensure_ann_base(emb, "vec_id")
+    cents = _seed_centroids(base, 8, "vec_id").localCheckpoint()
+    picks = pq_pick_ids(emb, 8, 16).localCheckpoint()
+
+    # (a) identical books, all four modes
+    for exact in (False, True):
+        a = sorted(map(tuple, pq_train(emb, 8, 16, dim=64, exact=exact).collect()))
+        b = sorted(map(tuple, pq_train(
+            emb, 8, 16, dim=64, exact=exact, picks=picks
+        ).collect()))
+        assert a == b and len(a) == 128, ("raw", exact)
+        a = sorted(map(tuple, pq_train_residual(
+            emb, cents, 8, 16, dim=64, exact=exact
+        ).collect()))
+        b = sorted(map(tuple, pq_train_residual(
+            emb, cents, 8, 16, dim=64, exact=exact, picks=picks
+        ).collect()))
+        assert a == b and len(a) == 128, ("residual", exact)
+
+    # (b) served output invariant under pq_picks= and serve_broadcast=
+    assign = ivf_assignments(
+        base, 8, probes=3, vec_col="vdbl", centroids=cents, with_rank=True
+    ).localCheckpoint()
+    for kw in ({"exact": True}, {"exact": False}):
+        ref = sorted(map(tuple, ivf_pq_topk(
+            base, query_ids_max=10, k=3, probes=3, refine=5, dim=64,
+            assignments=assign, centroids=cents, residual=True, **kw,
+        ).collect()))
+        hooked = sorted(map(tuple, ivf_pq_topk(
+            base, query_ids_max=10, k=3, probes=3, refine=5, dim=64,
+            assignments=assign, centroids=cents, residual=True,
+            pq_picks=picks, **kw,
+        ).collect()))
+        streamed = sorted(map(tuple, ivf_pq_topk(
+            base, query_ids_max=10, k=3, probes=3, refine=5, dim=64,
+            assignments=assign, centroids=cents, residual=True,
+            serve_broadcast=False, **kw,
+        ).collect()))
+        assert hooked == ref and streamed == ref and len(ref) > 0, kw
+    # raw branch too (fused encode path), both toggles at once
+    ref = sorted(map(tuple, ivf_pq_topk(
+        base, query_ids_max=10, k=3, probes=3, refine=5, dim=64,
+        assignments=assign, exact=True,
+    ).collect()))
+    both = sorted(map(tuple, ivf_pq_topk(
+        base, query_ids_max=10, k=3, probes=3, refine=5, dim=64,
+        assignments=assign, exact=True, pq_picks=picks,
+        serve_broadcast=False,
+    ).collect()))
+    assert both == ref and len(ref) > 0
+
+    # (c) refusals: picks seeds the md5 draw, Lloyd re-derives its own
+    with pytest.raises(ValueError, match="picks="):
+        pq_train(emb, 8, 16, dim=64, lloyd_rounds=1, picks=picks)
+    # pq_picks with supplied codebooks would be silently ignored — refuse
+    books = pq_train(emb, 8, 16, dim=64, exact=True, picks=picks)
+    with pytest.raises(ValueError, match="pq_picks"):
+        ivf_pq_topk(
+            base, query_ids_max=10, k=3, probes=3, refine=5, dim=64,
+            assignments=assign, codebooks=books.localCheckpoint(),
+            exact=True, pq_picks=picks,
+        )
+    # picks built at a DIFFERENT geometry mis-address sub-spaces —
+    # in-plan raise, never a plausibly-wrong book
+    picks16 = pq_pick_ids(emb, 16, 16).localCheckpoint()
+    with pytest.raises(SparkRuntimeException, match="geometry"):
+        pq_train(emb, 8, 16, dim=64, picks=picks16).collect()
+
+    # (d) toks= threading is value-neutral
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        chunk_level_dedup,
+        shingle_rows,
+        tokenized_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+            (2, None),
+            (3, "one two"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta iota x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    toked = tokenized_docs(docs).persist()
+    assert sorted(map(tuple, shingle_rows(docs, toks=toked).collect())) == \
+        sorted(map(tuple, shingle_rows(docs).collect()))
+    for mode_kw in ({"words_per_chunk": 4}, {"boundaries": "content"}):
+        plain = sorted(map(tuple, chunk_level_dedup(docs, **mode_kw).collect()))
+        hooked = sorted(map(tuple, chunk_level_dedup(
+            docs, toks=toked, **mode_kw
+        ).collect()))
+        assert hooked == plain, mode_kw
+    toked.unpersist()
