@@ -99,14 +99,14 @@ def _current_round() -> int:
 
 
 def _floor_from_history(
-    name: str, sf: float, lookback: int = 3
+    name: str, hist: dict[int, dict[str, float]], lookback: int = 3
 ) -> float | None:
     """A query's quiet-floor estimate: the min of its per-round minima
-    over the most recent ``lookback`` rounds that measured it AT THE
-    SAME scale factor. Recent rounds only — headline slots GROW legs
-    between rounds, so an all-time min would chase a floor the current
-    (larger) surface can no longer reach."""
-    hist = _bench_history(sf=sf)
+    over the most recent ``lookback`` rounds of ``hist`` (an sf-scoped
+    ``_bench_history`` result, loaded ONCE by the caller — not
+    re-globbed per query) that measured it. Recent rounds only —
+    headline slots GROW legs between rounds, so an all-time min would
+    chase a floor the current (larger) surface can no longer reach."""
     vals = [
         hist[r][name]
         for r in sorted(hist, reverse=True)
@@ -612,6 +612,12 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
     qs = queries()
+    # sf-scoped floor history, loaded ONCE (an sf of -1.0 means the SF
+    # dir name was unparseable — the scale is then UNKNOWN, and
+    # matching it against other unknown-or-absent sf artifacts would
+    # re-admit exactly the cross-sf floor poisoning the scoping
+    # prevents, so floors are disabled instead)
+    hist = _bench_history(sf=sf) if sf >= 0 else {}
     # JIT warm-up: run every headline query once on the TINY sf0.001
     # fixture so the benched samples measure the plan, not first-call
     # class-loading / whole-stage-codegen compilation (each query's
@@ -640,7 +646,7 @@ def main() -> None:
         # 6) — a load burst decays within a few samples, and if it
         # doesn't, the floor lands in the JSON so the reading is
         # self-explaining.
-        floor = _floor_from_history(name, sf)
+        floor = _floor_from_history(name, hist)
         loaded = lambda: (  # noqa: E731
             floor is not None and min(samples) > 1.3 * floor
         )

@@ -475,16 +475,20 @@ def sample_video_frames(
       index. Positions are offset-anchored, so prepending or inserting
       a segment shifts the whole sampling grid and a shifted copy
       samples a DISJOINT frame set.
-    * ``anchor="content"`` (r10, the VIDEO_FP_ALGO v2 rule) — a frame
-      is sampled iff the 52-bit md5 fraction of its luma plane ≡ 0
-      (mod ``every_nth``): expected rate 1/``every_nth``, but the
-      decision is a pure function of the FRAME CONTENT, so an
-      inserted/prepended segment only adds its own frames to the
-      sample and every originally-sampled frame stays sampled — the
-      same edit-locality argument as CDC chunk boundaries. A video
-      where no frame passes the gate falls back to ALL frames
-      (deterministic; a sampler that returns nothing would undefine
-      the downstream fingerprint).
+    * ``anchor="content"`` (r10) — a frame is sampled iff the 52-bit
+      md5 fraction of its luma plane ≡ 0 (mod ``every_nth``): expected
+      rate 1/``every_nth``, but the decision is a pure function of the
+      FRAME CONTENT, so an inserted/prepended segment only adds its
+      own frames to the sample and every originally-sampled frame
+      stays sampled — the same edit-locality argument as CDC chunk
+      boundaries. A video where no frame passes the gate falls back to
+      ALL frames (deterministic; a sampler that returns nothing would
+      undefine downstream stages). This mode is for TRAINING frame
+      extraction, where membership jitter under pixel noise is
+      harmless; the near-dup FINGERPRINT does NOT use it — raw-byte
+      keys re-draw membership under noise, so
+      ``perceptual_hash_video`` selects voters by bottom-k on each
+      frame's perceptual (aHash) key instead (VIDEO_FP_ALGO v2-pbk).
 
     Scale shape: one Arrow pass, output size ≈ n_frames/every_nth per
     video; a row explosion, not a shuffle. Frame payloads never
@@ -714,15 +718,25 @@ AUDIO_FP_ALGO = "audio/energy-contour/v3-overlap4"
 # v2 (r10): PERCEPTUALLY content-anchored frame voting — v1's
 # every-Nth-by-index grid shifted wholesale under a prepended/inserted
 # segment (the exact failure class audio v2→v3 fixed), so the sampled
-# sets of a video and its shifted near-dup were disjoint. v2 gates
-# each frame on the md5 fraction of its AHASH BITS: content-anchored
-# (shift adds only the inserted frames' votes) AND noise-stable (a
-# noisy re-encode keeps each frame's aHash, hence its gate membership
-# — a raw-byte gate was built first and rejected in review: any
-# per-pixel perturbation re-drew every frame's membership and two
-# noisy copies of scene-varying footage voted with uncorrelated frame
-# subsets). See perceptual_hash_video.
-VIDEO_FP_ALGO = "video/temporal-majority-ahash/v2-pcdc"
+# sets of a video and its shifted near-dup were disjoint. v2 keys
+# frame membership on the md5 fraction of each frame's AHASH BITS: a
+# frame votes iff its key ≡ 0 (mod every_nth) — membership is then a
+# pure function of PERCEPTUAL content, so an insertion never displaces
+# an original voter and a noisy re-encode keeps each frame's key — and
+# the vote set is topped up to a minimum quota (bottom-k by the same
+# key: min(n, max(VIDEO_FP_MIN_VOTERS, ceil(n/every_nth))) voters) so
+# it is never empty or degenerately small. Three rules were measured
+# on the way (see perceptual_hash_video): raw-byte gate (noise re-drew
+# every membership), mod-gate + all-frames fallback (cliff between
+# ALL-frames and one-inserted-frame vote sets), pure bottom-k (the
+# quota grows with n, and the extra voter flips knife-edge bits —
+# measured hamming 28 on the alternating-scene fixture).
+VIDEO_FP_ALGO = "video/temporal-majority-ahash/v2-pgate"
+# Minimum vote-set size for the video fingerprint: a strict majority
+# over fewer voters is dominated by single frames (the review's cliff
+# scenario paired a 9-frame video's 1-frame vote against an inserted
+# frame). Part of the bit rule — changing it bumps VIDEO_FP_ALGO.
+VIDEO_FP_MIN_VOTERS = 5
 
 AUDIO_FP_SCHEMA = "doc_id long, sample_rate int, n_samples long, simhash string"
 
@@ -977,36 +991,41 @@ def perceptual_hash_video(
     few edited frames flip a minority of frames' bits and the majority
     absorbs them, while different footage flips most frames together.
 
-    v2 (r10): which frames VOTE is gated on the md5 fraction of each
-    frame's AHASH BITS (≡ 0 mod ``every_nth``; a video where no frame
-    passes falls back to all frames), not on absolute frame index.
-    v1's index grid shifted wholesale under a prepended/inserted
-    segment, so a shifted near-dup sampled a DISJOINT frame set and
-    the majority could flip arbitrarily (the failure class the audio
-    v3 overlap fixed, pytest-planted); under content anchoring every
-    originally-voting frame keeps voting and an inserted segment only
-    adds its own (minority) votes — the CDC edit-locality argument on
-    the time axis. The gate keys on the PERCEPTUAL hash, not the raw
-    plane bytes, so it is also noise-stable: a noisy re-encode keeps
-    each frame's aHash and therefore its membership (a raw-byte md5
-    gate was built first and REJECTED in review — any per-pixel
-    perturbation re-drew every membership independently and two noisy
-    copies of scene-varying footage voted with uncorrelated subsets).
-    The honest cost shift: every frame is aHashed (the gate key IS the
-    vote value, computed once and reused), so ``every_nth`` now prunes
-    the VOTE SET, not the per-frame hash work — a fingerprint that
-    never looks at a frame cannot anchor to its content; the payload
-    parse already touches every byte. Bit-rule change ⇒
-    ``VIDEO_FP_ALGO`` bumped to v2: era-stamped cross-run stores
-    (``curate_corpus``) refuse v1 fingerprints instead of silently
-    missing near-dups.
+    v2 (r10): which frames VOTE is keyed on the md5 fraction of each
+    frame's AHASH BITS — a frame votes iff key ≡ 0 (mod ``every_nth``),
+    and the vote set is topped up to a minimum quota (bottom-k by the
+    same key) of min(n, max(VIDEO_FP_MIN_VOTERS, ceil(n/every_nth)))
+    voters. v1's every-Nth-by-index grid shifted wholesale under a
+    prepended/inserted segment, so a shifted near-dup sampled a
+    DISJOINT frame set and the majority could flip arbitrarily (the
+    failure class the audio v3 overlap fixed, pytest-planted).
+    Membership as a pure function of perceptual content gives, at
+    once: NO DISPLACEMENT (an inserted segment never un-selects an
+    original voter — its own gated frames join as a minority),
+    NOISE STABILITY (a noisy re-encode keeps each frame's aHash hence
+    its key; a raw-byte md5 key was measured and rejected — per-pixel
+    noise re-drew every membership), and NO CLIFFS (the quota top-up
+    replaces an earlier all-frames fallback that swung near-dup copies
+    between ALL-frames and one-inserted-frame vote sets, and a pure
+    bottom-k whose n-dependent quota flipped knife-edge bits —
+    measured hamming 28 on the alternating-scene fixture). The honest
+    cost shift: every frame is aHashed (the key IS the vote value,
+    computed once and reused), so ``every_nth`` prunes the VOTE SET,
+    not the per-frame hash work — a fingerprint that never looks at a
+    frame cannot anchor to its content; the payload parse already
+    touches every byte. Bit-rule change ⇒ ``VIDEO_FP_ALGO`` bumped to
+    v2: era-stamped cross-run stores (``curate_corpus``) refuse v1
+    fingerprints instead of silently missing near-dups.
 
     Composition, not new machinery — the frame slice, the image hash,
     and the downstream pairing/store are all the existing attested
-    stages; the gate is one JVM md5 over the 64-char bit string and
-    the majority aggregation is one map-side-combined pass. Output
-    carries the ``simhash`` column contract for
+    stages; the vote selection is one JVM md5 + rank window riding the
+    majority groupBy's doc_id partitioning (no extra exchange) and the
+    majority aggregation is one map-side-combined pass. Output carries
+    the ``simhash`` column contract for
     ``operators.dedup.simhash_pairs`` / ``incremental_hamming_dedup``."""
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
     # normalize BOTH names before the frame sampler: sample_video_frames
     # hard-selects 'doc_id'/'payload' inside its Arrow closure, so a
     # non-default payload_col must be aliased here (the image/audio
@@ -1020,20 +1039,44 @@ def perceptual_hash_video(
     )
     fh = perceptual_hash_images(frames.select("doc_id", "payload"))
     if every_nth > 1:
-        # perceptual content gate (JVM md5 over the aHash bit string);
-        # the any-pass flag rides a window on the SAME doc_id hash
-        # partitioning the majority groupBy needs — no extra exchange
-        sel = (
+        # perceptual-gate vote selection with a quota top-up: rank
+        # frames per video by (gated first, key asc, bits — equal keys
+        # mean equal aHashes, so tie order cannot change the majority)
+        # and keep max(#gated, quota) frames: every gated frame always
+        # votes (no displacement under insertion) and low-pass videos
+        # top up from the smallest keys. All three windows ride the
+        # doc_id hash partitioning the majority groupBy needs — no
+        # extra exchange.
+        key = (
             F.conv(F.substring(F.md5("simhash"), 1, 13), 16, 10)
-            .cast("long") % every_nth == 0
+            .cast("long")
         )
-        gated = fh.withColumn("_sel", sel).withColumn(
-            "_any",
-            F.max(F.col("_sel").cast("int")).over(
-                Window.partitionBy("doc_id")
+        w = Window.partitionBy("doc_id")
+        gated = (key % every_nth == 0).cast("int")
+        quota = F.least(
+            F.col("_n_all"),
+            F.greatest(
+                F.lit(VIDEO_FP_MIN_VOTERS),
+                F.ceil(
+                    F.col("_n_all") / F.lit(float(every_nth))
+                ).cast("int"),
             ),
         )
-        fh = gated.filter(F.col("_sel") | (F.col("_any") == 0))
+        ranked = fh.withColumn(
+            "_n_all", F.count(F.lit(1)).over(w)
+        ).withColumn(
+            "_g", F.sum(gated).over(w)
+        ).withColumn(
+            "_vr",
+            F.row_number().over(
+                w.orderBy(
+                    (-gated).asc(), key.asc(), F.col("simhash")
+                )
+            ),
+        )
+        fh = ranked.filter(
+            F.col("_vr") <= F.greatest(F.col("_g").cast("int"), quota)
+        )
     bit_cols = [
         F.substring("simhash", i + 1, 1).cast("int").alias(f"_b{i}")
         for i in range(64)

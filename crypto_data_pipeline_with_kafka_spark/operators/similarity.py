@@ -1714,7 +1714,16 @@ def pq_pick_ids(
     (id, sub_id, hash) rows, not m sliced sub-vectors per row. Thread
     through ``pq_train(picks=)`` / ``pq_train_residual(picks=)`` /
     ``ivf_pq_topk(pq_picks=)``; identical picks (and therefore
-    identical books) to the in-call pass, pytest-pinned."""
+    identical books) to the in-call pass, pytest-pinned.
+
+    The relation is GEOMETRY-STAMPED (literal ``_pm``/``_pk`` columns
+    = this call's num_subvectors/codes_per_subvector): picks are
+    positional seeds, and a consumer trained at a different geometry
+    would mis-train PLAUSIBLY — a range check alone misses a SMALLER
+    pick geometry (an 8×8 picks relation passes every 8×16 range and
+    even ``_packed_codebooks``' uniform-dense validation, because the
+    pack derives m·k from the book itself) — so ``pq_train`` refuses
+    unstamped relations at plan-build and mismatched stamps in-row."""
     exploded = emb.select(F.col(id_col)).select(
         F.col(id_col),
         F.explode(
@@ -1746,6 +1755,8 @@ def pq_pick_ids(
             F.col("sub_id").cast("int").alias("sub_id"),
             (F.col("_rn") - 1).cast("int").alias("code"),
             F.col(id_col),
+            F.lit(num_subvectors).cast("int").alias("_pm"),
+            F.lit(codes_per_subvector).cast("int").alias("_pk"),
         )
     )
 
@@ -1828,50 +1839,58 @@ def pq_train(
         # slice in-row — the ranked pick pass ran ONCE for the suite,
         # not once per book. The picks relation is POSITIONAL input
         # like codes=/adc_side=, so mismatches refuse loudly instead
-        # of mis-training plausibly (r10 review): a geometry mismatch
-        # (picks built at a different num_subvectors/codes_per_
-        # subvector) raises in-row below — out-of-range sub_ids would
-        # otherwise slice past the vector end into EMPTY cvec entries
-        # with cnorm_sq 0; a STALE-corpus picks relation (picked ids
-        # no longer in emb, silently dropped by this join) leaves the
-        # book short and is caught by _packed_codebooks' uniform-dense
-        # validation, which every consumer runs before addressing
-        # entries positionally.
+        # of mis-training plausibly (r10 review, twice): the relation
+        # must carry pq_pick_ids' geometry STAMP (a bare range check
+        # missed a SMALLER pick geometry — an 8×8 picks passes every
+        # 8×16 range check AND _packed_codebooks' uniform-dense
+        # validation, which derives m·k from the book itself), checked
+        # in-row on the cvec column every consumer reads (an in-plan
+        # guard only fires in plans that keep its column — a bare
+        # .count() prunes everything, the module-wide in-plan-guard
+        # caveat). A STALE-corpus picks relation (picked ids no longer
+        # in emb, silently dropped by this join) leaves the book short
+        # and IS caught by _packed_codebooks downstream.
+        if "_pm" not in picks.columns or "_pk" not in picks.columns:
+            raise ValueError(
+                "picks= must be a pq_pick_ids relation (geometry-"
+                "stamped _pm/_pk columns): picks are positional seeds, "
+                "and an unstamped relation cannot prove it was built "
+                "at this call's num_subvectors/codes_per_subvector"
+            )
         if prequantized:
             full = F.col(vec_col) if isinstance(vec_col, str) else vec_col
         else:
             full = quantized_vector(vec_col) if exact else dbl_vector(vec_col)
-        geom_ok = (F.col("sub_id") >= 0) & (
-            F.col("sub_id") < num_subvectors
-        ) & (F.col("code") >= 0) & (F.col("code") < codes_per_subvector)
-        sub_id_ck = F.when(geom_ok, F.col("sub_id")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "pq_train(picks=): pick (sub_id, code) = ("
-                    ),
-                    F.col("sub_id").cast("string"),
-                    F.lit(", "),
-                    F.col("code").cast("string"),
-                    F.lit(
-                        f") outside this call's {num_subvectors}x"
-                        f"{codes_per_subvector} geometry — the picks "
-                        "relation was built for DIFFERENT training "
-                        "parameters (pq_pick_ids takes the same "
-                        "num_subvectors/codes_per_subvector)"
-                    ),
-                )
-            ).cast("int")
+        geom_ok = (F.col("_pm") == num_subvectors) & (
+            F.col("_pk") == codes_per_subvector
         )
         sub = F.slice(F.col("_v"), F.col("sub_id") * d + 1, F.lit(d))
+        # the raise's cast type-matches BOTH modes' cvec element type
+        cvec_ck = F.when(geom_ok, sub).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_train(picks=): picks were built at "),
+                    F.col("_pm").cast("string"),
+                    F.lit("x"),
+                    F.col("_pk").cast("string"),
+                    F.lit(
+                        f" but this call trains {num_subvectors}x"
+                        f"{codes_per_subvector} — a foreign-geometry "
+                        "pick mis-addresses sub-spaces while the book "
+                        "stays plausible-looking (pq_pick_ids takes "
+                        "the same num_subvectors/codes_per_subvector)"
+                    ),
+                )
+            ).cast("array<bigint>" if (exact or prequantized) else "array<double>")
+        )
         return (
             emb.select(F.col(id_col), full.alias("_v"))
             .join(F.broadcast(picks), id_col)
             .select(
-                sub_id_ck.cast("int").alias("sub_id"),
+                F.col("sub_id").cast("int").alias("sub_id"),
                 F.col("code").cast("int").alias("code"),
-                sub.alias("cvec"),
-                norm_fn(sub, sub).alias("cnorm_sq"),
+                cvec_ck.alias("cvec"),
+                norm_fn(cvec_ck, cvec_ck).alias("cnorm_sq"),
             )
         )
     if lloyd_rounds > 0:

@@ -1322,9 +1322,16 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
     }
 
     # independent sequential recomputation of the v2 rule: per-frame
-    # aHash, frame votes iff md5(of its AHASH BITS) fraction ≡ 0 mod
-    # every_nth (fallback: all frames), strict majority
+    # aHash; a frame votes iff the md5 fraction of its AHASH BITS ≡ 0
+    # mod every_nth, topped up by smallest key to the quota
+    # min(n, max(VIDEO_FP_MIN_VOTERS, ceil(n/every_nth))); strict
+    # majority over the voters
     import hashlib as _hl
+    import math as _math
+
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        VIDEO_FP_MIN_VOTERS,
+    )
 
     def ref_ahash(px):
         means = []
@@ -1339,16 +1346,21 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
         mu = sum(means) / 64
         return ["1" if m > mu else "0" for m in means]
 
-    def sel(frames):
-        idxs = [
-            i
-            for i, f in enumerate(frames)
-            if int(
-                _hl.md5("".join(ref_ahash(f)).encode()).hexdigest()[:13],
-                16,
-            ) % 2 == 0
-        ]
-        return idxs or list(range(len(frames)))
+    def sel(frames, n=2):
+        ks = []
+        for f in frames:
+            bits = "".join(ref_ahash(f))
+            ks.append((int(_hl.md5(bits.encode()).hexdigest()[:13], 16), bits))
+        quota = min(
+            len(frames),
+            max(VIDEO_FP_MIN_VOTERS, _math.ceil(len(frames) / n)),
+        )
+        g = sum(1 for k, _ in ks if k % n == 0)
+        order = sorted(
+            range(len(frames)),
+            key=lambda i: (0 if ks[i][0] % n == 0 else 1, ks[i][0], ks[i][1]),
+        )
+        return sorted(order[: max(g, quota)])
 
     def ref_video(frames):
         idxs = sel(frames)
@@ -1360,11 +1372,11 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
             for k in range(64)
         )
 
-    # the edited frame 2 IS among noisy's 4 voters (majority absorbs
-    # it); diff collapses to a 1-frame vote
+    # 5-frame videos sit under the minimum-voter quota, so all frames
+    # vote — the edited frame 2 is a true absorbed minority
     assert [got[d].n_frames_hashed for d in (1, 2, 3)] == [
         len(sel(f)) for f in (base_frames, noisy_frames, diff_frames)
-    ] == [4, 4, 1]
+    ] == [5, 5, 5]
     assert got[1].simhash == ref_video(base_frames)
     assert got[3].simhash == ref_video(diff_frames)
     ham_12 = sum(a != b for a, b in zip(got[1].simhash, got[2].simhash))
@@ -1398,14 +1410,15 @@ def test_video_fingerprint_shift_tolerance(spark, tmp_path):
     set — on this planted alternating-scene pair the v1 rule reads
     hamming 57 (recomputed below), far past any sane max_hamming. v2's
     perceptually content-anchored voting (a frame votes iff the md5
-    fraction of its AHASH BITS ≡ 0 mod every_nth) keeps every
-    originally-voting frame voting — the prepended copy selects the
-    SAME frames shifted by 3 — so the fingerprints are bit-identical.
-    The gate keys on the aHash, not raw bytes, so a NOISY re-encode
-    (no shift) also stays paired: each frame's membership follows its
-    (noise-stable) aHash, and the rare frame whose aHash does flip
-    re-draws only its own vote. Store path included; a v1-era stamped
-    store refuses the v2 fingerprints loudly."""
+    fraction of its AHASH BITS ≡ 0 mod every_nth, quota top-up below
+    the minimum) keeps every originally-voting frame voting — the
+    prepended copy selects the SAME frames shifted by 3 — so the
+    fingerprints are bit-identical. The key is the aHash, not raw
+    bytes, so a NOISY re-encode (no shift) also stays paired: each
+    frame's membership follows its (noise-stable) aHash, and the rare
+    frame whose aHash does flip re-draws only its own vote. Store path
+    included; a v1-era stamped store refuses the v2 fingerprints
+    loudly."""
     import hashlib as _hl
 
     import pytest
@@ -3691,10 +3704,16 @@ def test_shared_pick_and_serve_hooks_r10(spark):
             exact=True, pq_picks=picks,
         )
     # picks built at a DIFFERENT geometry mis-address sub-spaces —
-    # in-plan raise, never a plausibly-wrong book
-    picks16 = pq_pick_ids(emb, 16, 16).localCheckpoint()
-    with pytest.raises(SparkRuntimeException, match="geometry"):
-        pq_train(emb, 8, 16, dim=64, picks=picks16).collect()
+    # in-plan raise, never a plausibly-wrong book; the stamp catches a
+    # SMALLER pick geometry too (an 8x8 picks passes every range check
+    # AND the pack validator, which derives m*k from the book itself)
+    for wrong in ((16, 16), (8, 8), (4, 16)):
+        picks_w = pq_pick_ids(emb, *wrong).localCheckpoint()
+        with pytest.raises(SparkRuntimeException, match="geometry"):
+            pq_train(emb, 8, 16, dim=64, picks=picks_w).collect()
+    # an unstamped relation cannot prove its geometry — plan-build
+    with pytest.raises(ValueError, match="geometry-stamped"):
+        pq_train(emb, 8, 16, dim=64, picks=picks.drop("_pm", "_pk"))
 
     # (d) toks= threading is value-neutral
     from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
