@@ -487,8 +487,9 @@ def sample_video_frames(
       extraction, where membership jitter under pixel noise is
       harmless; the near-dup FINGERPRINT does NOT use it — raw-byte
       keys re-draw membership under noise, so
-      ``perceptual_hash_video`` selects voters by bottom-k on each
-      frame's perceptual (aHash) key instead (VIDEO_FP_ALGO v2-pbk).
+      ``perceptual_hash_video`` gates voters on each frame's
+      perceptual (aHash) key with a smallest-key quota top-up instead
+      (VIDEO_FP_ALGO v2-pgate).
 
     Scale shape: one Arrow pass, output size ≈ n_frames/every_nth per
     video; a row explosion, not a shuffle. Frame payloads never

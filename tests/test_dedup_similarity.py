@@ -1270,9 +1270,9 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
     original (even with one wholesale-edited frame — the majority
     absorbs a minority of flipped frames), inverted footage does not;
     the Spark hash matches an independent sequential recomputation of
-    the v2 rule (content-anchored sampling: a frame votes iff the md5
-    fraction of its luma plane ≡ 0 mod every_nth, all frames when none
-    pass); and the fingerprints run the cross-run hamming store — the
+    the v2-pgate rule (a frame votes iff the md5 fraction of its AHASH
+    BITS ≡ 0 mod every_nth, topped up by smallest key to the minimum
+    quota); and the fingerprints run the cross-run hamming store — the
     fourth modality on the shared engine."""
     from crypto_data_pipeline_with_kafka_spark.multimodal import (
         perceptual_hash_video,
@@ -1306,10 +1306,9 @@ def test_video_temporal_majority_near_dup_pairs(spark, tmp_path):
         for p in range(0, len(nf), 97):
             nf[p] = min(255, nf[p] + 2)
         noisy_frames.append(nf)
-    # one wholesale-edited frame: under the v2 perceptual gate it
-    # either deselects itself (its aHash changed) or joins as a
-    # minority vote — here it stays selected and the majority absorbs
-    # it (asserted via the [4, 4, 1] selection counts below)
+    # one wholesale-edited frame: these 5-frame videos sit under the
+    # minimum-voter quota, so every frame (the edited one included)
+    # votes and the majority absorbs it as a true minority
     noisy_frames[2] = list(inv)
     diff_frames = [jitter(inv, i) for i in range(5)]
 
@@ -3742,3 +3741,153 @@ def test_shared_pick_and_serve_hooks_r10(spark):
         ).collect()))
         assert hooked == plain, mode_kw
     toked.unpersist()
+
+
+def test_video_vote_quota_topup_and_sampler_anchors(spark):
+    """The v2-pgate regimes the shift/near-dup tests degenerate past
+    (their fixtures land on all-frames-vote or pure-gate): (a) the
+    PARTIAL top-up regime 0 < gated < quota < n — gated frames all
+    vote and the remainder tops up by smallest perceptual key, matched
+    against an independent sequential recomputation; (b) the
+    gate-empty cliff pair the review planted (9 frames none gated vs a
+    copy with one inserted PASSING frame) stays paired; (c) a
+    single-frame video fingerprints with one voter; (d) the
+    sample_video_frames anchor modes directly: index slicing, the
+    raw-byte content gate, and its all-frames fallback (that raw-byte
+    mode is the TRAINING extractor — the fingerprint's perceptual key
+    is pinned by the other tests)."""
+    import hashlib as _hl
+    import math as _math
+
+    from crypto_data_pipeline_with_kafka_spark.multimodal import (
+        VIDEO_FP_MIN_VOTERS,
+        perceptual_hash_video,
+        sample_video_frames,
+        video_near_dup_pairs,
+    )
+
+    w = h = 32
+
+    def y4m(frames):
+        out = b"YUV4MPEG2 W32 H32 F25:1 Ip A1:1 Cmono\n"
+        for f in frames:
+            out += b"FRAME\n" + bytes(f)
+        return out
+
+    grad = [min(255, 4 * (x + y)) for y in range(h) for x in range(w)]
+
+    def jitter(frame, i):
+        out = list(frame)
+        for p in range(i, len(out), 113):
+            out[p] = min(255, out[p] + 1)
+        return out
+
+    def ref_ahash(px):
+        means = []
+        for gy in range(8):
+            for gx in range(8):
+                cell = [
+                    px[y * w + x]
+                    for y in range(gy * 4, gy * 4 + 4)
+                    for x in range(gx * 4, gx * 4 + 4)
+                ]
+                means.append(sum(cell) / len(cell))
+        mu = sum(means) / 64
+        return ["1" if m > mu else "0" for m in means]
+
+    def keyof(f):
+        bits = "".join(ref_ahash(f))
+        return int(_hl.md5(bits.encode()).hexdigest()[:13], 16), bits
+
+    def sel(frames, n):
+        ks = [keyof(f) for f in frames]
+        quota = min(
+            len(frames),
+            max(VIDEO_FP_MIN_VOTERS, _math.ceil(len(frames) / n)),
+        )
+        g = sum(1 for k, _ in ks if k % n == 0)
+        order = sorted(
+            range(len(frames)),
+            key=lambda i: (0 if ks[i][0] % n == 0 else 1, ks[i][0], ks[i][1]),
+        )
+        return sorted(order[: max(g, quota)])
+
+    def ref_video(frames, n):
+        idxs = sel(frames, n)
+        s = [ref_ahash(frames[i]) for i in idxs]
+        return "".join(
+            "1" if sum(int(x[q]) for x in s) * 2 > len(s) else "0"
+            for q in range(64)
+        )
+
+    # (a) partial top-up: 12 frames, exactly 2 gated at every_nth=10
+    # (salt=0, asserted), quota 5 → 3 smallest-key top-ups
+    partial = [
+        jitter([min(255, (p * 3 + s * 5) % 249) for p in grad], s)
+        for s in range(12)
+    ]
+    gated = [i for i, f in enumerate(partial) if keyof(f)[0] % 10 == 0]
+    assert len(gated) == 2
+    voters = sel(partial, 10)
+    assert set(gated) <= set(voters) and len(voters) == 5
+    # (c) single-frame video alongside
+    df = spark.createDataFrame(
+        [(1, y4m(partial)), (2, y4m([grad]))], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r for r in perceptual_hash_video(df, every_nth=10).collect()
+    }
+    assert got[1].n_frames_hashed == 5
+    assert got[1].simhash == ref_video(partial, 10)
+    assert got[2].n_frames_hashed == 1
+    assert got[2].simhash == "".join(ref_ahash(grad))
+
+    # (b) the review's cliff: none of 9 frames gated vs a copy with one
+    # inserted PASSING frame (salts 1/32, asserted) — under the quota
+    # both vote with their 5 smallest keys and the pair holds
+    allfail = [
+        jitter([min(255, (p + 7) % 251) for p in grad], s) for s in range(9)
+    ]
+    assert all(keyof(f)[0] % 10 != 0 for f in allfail)
+    ins = jitter([min(255, (p + 32 * 13) % 253) for p in grad], 99)
+    assert keyof(ins)[0] % 10 == 0
+    cliff = spark.createDataFrame(
+        [(1, y4m(allfail)), (2, y4m(allfail[:4] + [ins] + allfail[4:]))],
+        "doc_id long, payload binary",
+    )
+    cpairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in video_near_dup_pairs(cliff, max_hamming=6, every_nth=10).collect()
+    }
+    assert (1, 2) in cpairs and cpairs[(1, 2)] <= 2
+
+    # (d) the sampler's anchors directly
+    vid = spark.createDataFrame(
+        [(1, y4m(partial))], "doc_id long, payload binary"
+    )
+    by_index = sorted(
+        r.frame_idx for r in sample_video_frames(vid, 5).collect()
+    )
+    assert by_index == [0, 5, 10]
+    by_content = sorted(
+        r.frame_idx
+        for r in sample_video_frames(vid, 7, anchor="content").collect()
+    )
+    expect = [
+        i
+        for i, f in enumerate(partial)
+        if int(_hl.md5(bytes(f)).hexdigest()[:13], 16) % 7 == 0
+    ]
+    assert by_content == (expect or list(range(12)))
+    # gate-empty fallback: a divisor no frame's raw-byte md5 satisfies
+    for n in range(1000, 2000):
+        if all(
+            int(_hl.md5(bytes(f)).hexdigest()[:13], 16) % n != 0
+            for f in partial
+        ):
+            break
+    fallback = sorted(
+        r.frame_idx
+        for r in sample_video_frames(vid, n, anchor="content").collect()
+    )
+    assert fallback == list(range(12))
