@@ -3305,3 +3305,136 @@ def ivf_pq_topk(
         base, shortlist, exact_norms_in_base=False, id_col=id_col
     )
     return _rank_topk(scored, k)
+
+
+# ----------------------------------------------- scalar quantization (SQ8)
+
+
+def sq8_encode(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector affine int8 scalar quantization — the OTHER standard
+    embedding-store codec next to PQ (the FAISS ScalarQuantizer QT_8bit
+    layout, Jégou et al.'s baseline): ``code_i = round((x_i − mn) /
+    scale)`` with ``scale = (mx − mn)/255`` over the vector's own
+    [mn, mx] range, reconstruction ``x̂_i = offset + scale·code_i``,
+    so ``|x − x̂|∞ ≤ scale/2`` by construction. 4× smaller than
+    float32 where PQ is 32×: the fidelity/compression point a serving
+    tier picks when recall matters more than memory (SQ8 re-ranks are
+    near-exact; PQ codes are 8 bytes but lossy). A FLAT vector (mx ==
+    mn) gets scale 1 and all-zero codes — x̂ = offset exactly.
+
+    Returns (id, codes array<int> in [0, 255], scale, offset). One
+    in-row projection over the scan — zero shuffles, zero UDFs; the
+    parquet-persisted form is the 100-TB store layout (int codes
+    dictionary/RLE-compress far below the float payload).
+
+    Like every positional codec relation in this module (PQ codes=,
+    adc_side=, picks=), the output is only meaningful to a consumer
+    decoding with ITS OWN (scale, offset) columns — they travel WITH
+    the codes, so there is no cross-relation geometry to guard."""
+    v = dbl_vector(vec_col)
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
+    codes = F.transform(
+        v,
+        lambda x: F.round((x - mn) / scale).cast("int"),
+    )
+    return emb.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        scale.alias("scale"),
+        mn.alias("offset"),
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    codes: DataFrame | None = None,
+    query_ids_max: int = 20,
+    k: int = 5,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric SQ8 top-k — the scalar-quantized serve twin of
+    ``brute_force_topk`` (same API: queries are corpus rows with id <
+    ``query_ids_max``, self excluded, exact-decimal final cosines,
+    (cosine DESC, id_b) tie-break): queries stay full-precision, the
+    corpus scans as int8 codes, the approximate-cosine top-``refine``
+    shortlist per query is re-ranked on the module's exact cosine
+    (``cosine_for_pairs`` + the shared ``_rank_topk`` tail). With
+    ``refine`` ≥ corpus the output is IDENTICAL to ``brute_force_topk``
+    (pytest-pinned) — the SQ8 scan only prunes who reaches the exact
+    re-rank, the standard quantized-serving contract this module's PQ
+    paths follow.
+
+    Scale shape, the ``_codes_adc_side`` discipline: the per-row
+    decode NEVER runs per pair. dot(q, x̂) decomposes affinely —
+    ``offset·Σq_i + scale·Σ q_i·code_i`` — and ``|x̂|²`` =
+    ``n·offset² + 2·offset·scale·Σc_i + scale²·Σc_i²``, so the corpus
+    side precomputes (Σc_i, Σc_i², |x̂|) ONCE per row
+    (query-independent, rides the code scan) and each (query, row)
+    pair costs ONE integer-weighted fold Σ q_i·code_i plus four
+    scalar ops. Queries (with Σq_i and |q|) broadcast; the corpus
+    side STREAMS — a full scan like brute force, at 4× less memory
+    traffic, with the exact folds at O(queries·refine) instead of
+    pair cardinality. Pass ``codes`` (an ``sq8_encode`` output, e.g.
+    read back from parquet) to serve from a persisted store; None
+    encodes on the fly in the same pass."""
+    refine = 4 * k if refine is None else refine
+    if refine < k:
+        raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
+    base = _ensure_ann_base(emb, id_col)
+    side = codes if codes is not None else sq8_encode(base, id_col, "vdbl")
+    n_dim = F.size("codes")
+    sc1 = F.aggregate(
+        F.col("codes"), F.lit(0.0), lambda acc, c: acc + c
+    )
+    sc2 = F.aggregate(
+        F.col("codes"), F.lit(0.0), lambda acc, c: acc + c * c
+    )
+    xn = F.sqrt(
+        n_dim * F.col("offset") * F.col("offset")
+        + 2.0 * F.col("offset") * F.col("scale") * sc1
+        + F.col("scale") * F.col("scale") * sc2
+    )
+    corpus = side.select(
+        F.col(id_col).alias("id_b"),
+        "codes",
+        "scale",
+        "offset",
+        xn.alias("_xn"),
+    )
+    qbase = base.filter(F.col(id_col) < query_ids_max)
+    queries = qbase.select(
+        F.col(id_col).alias("id_a"),
+        F.col("vdbl").alias("_q"),
+        F.aggregate(
+            F.col("vdbl"), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("_qs"),
+        F.sqrt(dot_double(F.col("vdbl"), F.col("vdbl"))).alias("_qn"),
+    )
+    dotqc = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("codes"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    apx = (F.col("offset") * F.col("_qs") + F.col("scale") * dotqc) / (
+        F.col("_qn") * F.col("_xn")
+    )
+    adc = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", apx.alias("_adc"))
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.col("_adc").desc(), F.col("id_b"))
+    shortlist = (
+        adc.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= refine)
+        .select("id_a", "id_b")
+    )
+    scored = cosine_for_pairs(
+        base, shortlist, exact_norms_in_base=False, id_col=id_col
+    )
+    return _rank_topk(scored, k)

@@ -3891,3 +3891,56 @@ def test_video_vote_quota_topup_and_sampler_anchors(spark):
         for r in sample_video_frames(vid, n, anchor="content").collect()
     )
     assert fallback == list(range(12))
+
+
+def test_sq8_scalar_quantization(spark):
+    """SQ8 codec (r10): (a) the affine int8 encode's reconstruction
+    error is within scale/2 per component and codes stay in [0, 255]
+    (flat vectors included — scale-1/all-zero-codes convention);
+    (b) sq8_topk with a covering refine is IDENTICAL to
+    brute_force_topk (the quantized scan only prunes who reaches the
+    exact re-rank); (c) at the default refine the shortlist still
+    recalls most true neighbors on the adversarial fixture;
+    (d) serving from a persisted codes relation ≡ encoding on the
+    fly."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 17 - 8) / 9.0 for j in range(64)])
+        for i in range(70)
+    ] + [(70, [0.25] * 64)]  # flat vector: mx == mn
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    enc = {r.vec_id: r for r in sq8_encode(emb).collect()}
+    for vid, vec in rows:
+        r = enc[vid]
+        assert all(0 <= c <= 255 for c in r.codes)
+        for x, c in zip(vec, r.codes):
+            xhat = r.offset + r.scale * c
+            assert abs(float(x) - xhat) <= r.scale / 2 + 1e-9, (vid, x, xhat)
+    assert enc[70].scale == 1.0 and all(c == 0 for c in enc[70].codes)
+
+    ref = sorted(map(tuple, brute_force_topk(
+        emb, query_ids_max=12, k=4
+    ).collect()))
+    covering = sorted(map(tuple, sq8_topk(
+        emb, query_ids_max=12, k=4, refine=100
+    ).collect()))
+    assert covering == ref and len(ref) == 48
+
+    # default refine (4k): recall of true top-4 membership per query
+    got = sq8_topk(emb, query_ids_max=12, k=4).collect()
+    ref_set = {(r[0], r[1]) for r in ref}
+    got_set = {(r.id_a, r.id_b) for r in got}
+    recall = len(ref_set & got_set) / len(ref_set)
+    assert recall >= 0.9, recall  # SQ8's fidelity point (PQ sits lower)
+
+    persisted = sq8_encode(emb).localCheckpoint()
+    via_codes = sorted(map(tuple, sq8_topk(
+        emb, codes=persisted, query_ids_max=12, k=4, refine=100
+    ).collect()))
+    assert via_codes == covering
