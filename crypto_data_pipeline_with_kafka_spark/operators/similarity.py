@@ -178,8 +178,16 @@ def brute_force_topk(
 
     The (id, vdbl, norm_sq) base is persisted so the query and corpus
     sides share one scan; caller owns the cache lifecycle (unpersist /
-    clearCache when done — see operators.dedup module doc)."""
-    base = with_dbl_and_norm(emb, id_col).persist()
+    clearCache when done — see operators.dedup module doc). An
+    already-prepared (id, vdbl, norm_sq) base passes through untouched
+    so multi-leg plans share one scan — it MUST carry EXACT norms
+    (``with_dbl_and_norm``): the norm feeds the emitted exact cosine
+    here, not just a margin prefilter, so an approx-norm base
+    (``with_dbl_and_approx_norm``) would silently corrupt values."""
+    if "vdbl" in emb.columns and "norm_sq" in emb.columns:
+        base = emb
+    else:
+        base = with_dbl_and_norm(emb, id_col).persist()
     q = base.select(
         F.col(id_col).alias("id_a"),
         F.col("vdbl").alias("va"),
@@ -2735,15 +2743,6 @@ def pq_topk(
     )
 
 
-# The fused ivf_pq_topk serve paths force-broadcast candidate-bounded
-# relations (the candidate id list and the candidate-filtered ADC
-# side). Spark broadcasts hard-cap at 8 GB / int-max rows, so the
-# force is only safe while the candidate list stays small — this bound
-# is the plan-time auto-gate: ~1e8 (id_a, id_b) pair rows at 16 B each
-# (the ADC side it bounds is ≤ one slim row per distinct id_b).
-_FUSED_BROADCAST_MAX_BYTES = 16 * 100_000_000
-
-
 class _PQServeInputs:
     """ONE construction site for :func:`ivf_pq_topk`'s pinned-relation
     hook surface (r10): the serve tier takes up to eight optional
@@ -2765,7 +2764,10 @@ class _PQServeInputs:
     4.6e14 'bytes' for an actual 3712-row pinned cand), so estimate-
     gating silently un-forced every suite serve and cost ~2 s of AQE
     stage materializations per suite run at sf0.1 — an explicit caller
-    contract beats a wrong heuristic."""
+    contract beats a wrong heuristic. Rule of thumb for that contract:
+    Spark broadcasts hard-cap at 8 GB / int-max rows, so the force is
+    safe up to ~1e8 slim (id_a, id_b) candidate rows at 16 B each (the
+    ADC side it bounds is ≤ one slim row per distinct id_b)."""
 
     def __init__(
         self,
@@ -3314,8 +3316,11 @@ def sq8_encode(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Per-vector affine int8 scalar quantization — the OTHER standard
-    embedding-store codec next to PQ (the FAISS ScalarQuantizer QT_8bit
-    layout, Jégou et al.'s baseline): ``code_i = round((x_i − mn) /
+    embedding-store codec next to PQ (a direct-scaled PER-ROW variant
+    of the FAISS scalar-quantizer family; FAISS QT_8bit itself trains
+    per-DIMENSION min/max over the corpus, whereas here (scale, offset)
+    travel WITH each row's codes — no training pass, no store-wide
+    geometry): ``code_i = round((x_i − mn) /
     scale)`` with ``scale = (mx − mn)/255`` over the vector's own
     [mn, mx] range, reconstruction ``x̂_i = offset + scale·code_i``,
     so ``|x − x̂|∞ ≤ scale/2`` by construction. 4× smaller than
@@ -3349,6 +3354,152 @@ def sq8_encode(
     )
 
 
+# SQ8 exact-mode corpus quantization scale: the reconstructed
+# component x̂_i = offset + scale·code_i becomes the integer
+# x̃_i = trunc(offset·1e15) + trunc(scale·1e15)·code_i. 1e15 (not the
+# query side's 1e12 _QSCALE) because scale ~ range/255 sits two-three
+# decimal orders below the components — at 1e12 the quantized scale
+# would keep only ~4 significant digits of it. Magnitudes stay
+# decimal-safe for unit-ish embedding components: |x̃| ≤ ~3e15 (fits a
+# long, < 2^53 so its double image is exact, and decimal(17,0)); the
+# norm fold Σx̃² ≤ ~6e32 and the pair fold Σ qv·x̃ ≤ ~2e30 both sit
+# inside the _ACC accumulator.
+_SQ8_XSCALE = 1e15
+_SQ8_XDEC = "decimal(17,0)"
+
+
+def _sq8_norm_guard(norm: Column, ident: Column, side: str) -> Column:
+    """Loud zero-norm guard for the SQ8 serve paths: cosine is
+    undefined for an all-zero vector, and without the guard the NULL
+    score would silently rank the row last (corpus side) or NULL every
+    pair (query side) — the same silent-mis-serve class the PQ hook
+    guards refuse. Matches the module discipline: the margin proofs
+    already assume norms ≥ 1e-3 (see the _QSCALE comment), so a zero
+    vector is a caller bug, not data to serve."""
+    return F.when(norm > 0, norm).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sq8_topk: zero-norm {side} vector "),
+                ident.cast("string"),
+                F.lit(
+                    " (all-zero embedding) has no cosine direction — "
+                    "filter zero vectors before serving (the module's "
+                    "norm ≥ 1e-3 margin contract, see _QSCALE)"
+                ),
+            )
+        ).cast("double")
+    )
+
+
+def _sq8_exact_shortlist(
+    base: DataFrame,
+    side: DataFrame,
+    query_ids_max: int,
+    refine: int,
+    id_col: str,
+) -> DataFrame:
+    """Engine-independent SQ8 ADC shortlist — the exact-mode twin of
+    :func:`sq8_topk`'s double scoring, same convention pinning as the
+    PQ legs' exact mode: quantize the codec's OWN (scale, offset) to
+    trunc(·1e15) longs so the reconstructed component
+    x̃_i = offq + sq·code_i is an INTEGER; the per-pair numerator
+    Σ qv_i·x̃_i and the per-row corpus norm Σ x̃_i² then fold as exact
+    decimals with the module's ONE string-hopped double conversion
+    each, and shortlist MEMBERSHIP (row_number over score DESC, id_b
+    ≤ refine) is bitwise identical in Spark and the DuckDB oracle.
+    Reads ONLY (codes, scale, offset) — exactly the persisted
+    ``sq8_encode`` store layout, so a parquet-read codes relation
+    serves without the source vectors.
+
+    Two-pass (the ``_exact_adc_topk`` discipline): a primitive-double
+    pass over the SAME quantized quantities ranks all pairs (|x̃| and
+    |qv| are < 2^53, so their double images are exact and the only
+    approx→exact gap is m-term summation error, ~1e-14 in cosine
+    units); the interpreted decimal folds run only within 1e-6 of each
+    query's refine-th approximate score (≥ 10⁷ headroom), and the
+    refine-th cut is a SECOND window over the SAME partitioning so the
+    pair upstream executes once (the r8 kth-window rule)."""
+    sq = (F.col("scale") * F.lit(_SQ8_XSCALE)).cast("long")
+    offq = (F.col("offset") * F.lit(_SQ8_XSCALE)).cast("long")
+    xt = F.transform("codes", lambda c: offq + sq * c.cast("long"))
+    xsq = (
+        F.aggregate(
+            F.col("_xt"),
+            F.lit(0).cast(_ACC),
+            lambda acc, x: (
+                acc + x.cast(_SQ8_XDEC) * x.cast(_SQ8_XDEC)
+            ).cast(_ACC),
+        )
+        .cast("string")
+        .cast("double")
+    )
+    corpus = side.select(F.col(id_col).alias("id_b"), xt.alias("_xt")).select(
+        "id_b",
+        "_xt",
+        F.transform("_xt", lambda x: x.cast("double")).alias("_xtd"),
+        _sq8_norm_guard(F.sqrt(xsq), F.col("id_b"), "corpus").alias("_xn"),
+    )
+    qv = quantized_vector(F.col("vdbl"))
+    queries = (
+        base.filter(F.col(id_col) < query_ids_max)
+        .select(F.col(id_col).alias("id_a"), qv.alias("_qv"))
+        .select(
+            "id_a",
+            "_qv",
+            F.transform("_qv", lambda x: x.cast("double")).alias("_qvd"),
+            _sq8_norm_guard(
+                F.sqrt(dot_exact(F.col("_qv"), F.col("_qv"))),
+                F.col("id_a"),
+                "query",
+            ).alias("_qn"),
+        )
+    )
+    nd = F.aggregate(
+        F.zip_with(F.col("_qvd"), F.col("_xtd"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("_sd", nd / (F.col("_qn") * F.col("_xn")))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("_sd").desc(), F.col("id_b"))
+    ranked = pairs.withColumn("_ar", F.row_number().over(w)).withColumn(
+        "_rth",
+        F.max(F.when(F.col("_ar") == refine, F.col("_sd"))).over(
+            Window.partitionBy("id_a")
+        ),
+    )
+    surv = ranked.filter(
+        F.col("_rth").isNull() | (F.col("_sd") >= F.col("_rth") - 1e-6)
+    )
+    n_exact = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_qv"),
+                F.col("_xt"),
+                lambda a, b: a.cast(_QDEC) * b.cast(_SQ8_XDEC),
+            ),
+            F.lit(0).cast(_ACC),
+            lambda acc, x: (acc + x).cast(_ACC),
+        )
+        .cast("string")
+        .cast("double")
+    )
+    exact = surv.select(
+        "id_a",
+        "id_b",
+        (n_exact / (F.col("_qn") * F.col("_xn"))).alias("_s"),
+    )
+    we = Window.partitionBy("id_a").orderBy(F.col("_s").desc(), F.col("id_b"))
+    return (
+        exact.withColumn("_er", F.row_number().over(we))
+        .filter(F.col("_er") <= refine)
+        .select("id_a", "id_b")
+    )
+
+
 def sq8_topk(
     emb: DataFrame,
     codes: DataFrame | None = None,
@@ -3356,6 +3507,7 @@ def sq8_topk(
     k: int = 5,
     refine: int | None = None,
     id_col: str = "vec_id",
+    exact: bool = False,
 ) -> DataFrame:
     """Asymmetric SQ8 top-k — the scalar-quantized serve twin of
     ``brute_force_topk`` (same API: queries are corpus rows with id <
@@ -3381,12 +3533,33 @@ def sq8_topk(
     traffic, with the exact folds at O(queries·refine) instead of
     pair cardinality. Pass ``codes`` (an ``sq8_encode`` output, e.g.
     read back from parquet) to serve from a persisted store; None
-    encodes on the fly in the same pass."""
+    encodes on the fly in the same pass.
+
+    ``exact=True`` (the oracle-attested mode, like the PQ legs'):
+    shortlist membership itself goes engine-independent — the ADC
+    score is recomputed over trunc-quantized (scale, offset, query)
+    integers with exact-decimal folds (see
+    :func:`_sq8_exact_shortlist` for the convention and the two-pass
+    margin discipline), so the emitted top-k is bitwise reproducible
+    by an independent SQL engine. The double mode ranks the raw-double
+    ADC score: same semantics, engine-local membership at ulp
+    boundaries — the serving default.
+
+    Zero-norm vectors (query or corpus) raise in-plan instead of
+    silently NULL-ranking — see :func:`_sq8_norm_guard`."""
     refine = 4 * k if refine is None else refine
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}: shortlist must cover top-k")
     base = _ensure_ann_base(emb, id_col)
     side = codes if codes is not None else sq8_encode(base, id_col, "vdbl")
+    if exact:
+        shortlist = _sq8_exact_shortlist(
+            base, side, query_ids_max, refine, id_col
+        )
+        scored = cosine_for_pairs(
+            base, shortlist, exact_norms_in_base=False, id_col=id_col
+        )
+        return _rank_topk(scored, k)
     n_dim = F.size("codes")
     sc1 = F.aggregate(
         F.col("codes"), F.lit(0.0), lambda acc, c: acc + c
@@ -3404,7 +3577,7 @@ def sq8_topk(
         "codes",
         "scale",
         "offset",
-        xn.alias("_xn"),
+        _sq8_norm_guard(xn, F.col(id_col), "corpus").alias("_xn"),
     )
     qbase = base.filter(F.col(id_col) < query_ids_max)
     queries = qbase.select(
@@ -3413,7 +3586,11 @@ def sq8_topk(
         F.aggregate(
             F.col("vdbl"), F.lit(0.0), lambda acc, x: acc + x
         ).alias("_qs"),
-        F.sqrt(dot_double(F.col("vdbl"), F.col("vdbl"))).alias("_qn"),
+        _sq8_norm_guard(
+            F.sqrt(dot_double(F.col("vdbl"), F.col("vdbl"))),
+            F.col(id_col),
+            "query",
+        ).alias("_qn"),
     )
     dotqc = F.aggregate(
         F.zip_with(F.col("_q"), F.col("codes"), lambda a, b: a * b),

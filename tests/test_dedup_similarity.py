@@ -3902,7 +3902,15 @@ def test_sq8_scalar_quantization(spark):
     exact re-rank); (c) at the default refine the shortlist still
     recalls most true neighbors on the adversarial fixture;
     (d) serving from a persisted codes relation ≡ encoding on the
-    fly."""
+    fly;
+    (e) exact mode (r11, the oracle-attested convention): a covering
+    refine is IDENTICAL to brute_force_topk, and the persisted-codes
+    exact serve is bitwise ≡ the on-the-fly exact serve at a pruning
+    refine — the store layout (codes, scale, offset) alone determines
+    shortlist membership;
+    (f) zero-norm vectors raise loudly in BOTH modes instead of
+    silently NULL-ranking (corpus side) or NULLing every pair (query
+    side)."""
     from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
         brute_force_topk,
         sq8_encode,
@@ -3944,3 +3952,33 @@ def test_sq8_scalar_quantization(spark):
         emb, codes=persisted, query_ids_max=12, k=4, refine=100
     ).collect()))
     assert via_codes == covering
+
+    # (e) exact mode: covering refine ≡ brute force, and the persisted
+    # store serves bitwise ≡ on-the-fly at a pruning refine (the
+    # driver-attested convention — see _sq8_exact_shortlist)
+    exact_cov = sorted(map(tuple, sq8_topk(
+        emb, query_ids_max=12, k=4, refine=100, exact=True
+    ).collect()))
+    assert exact_cov == ref
+    exact_fly = sorted(map(tuple, sq8_topk(
+        emb, query_ids_max=12, k=4, refine=8, exact=True
+    ).collect()))
+    exact_store = sorted(map(tuple, sq8_topk(
+        emb, codes=persisted, query_ids_max=12, k=4, refine=8, exact=True
+    ).collect()))
+    assert exact_store == exact_fly and len(exact_fly) == 48
+
+    # (f) zero-norm guards, both modes, both sides
+    import pytest as _pt
+
+    zc = spark.createDataFrame(
+        rows[:20] + [(99, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    zq = spark.createDataFrame(
+        [(0, [0.0] * 64)] + rows[1:30], "vec_id long, embedding array<float>"
+    )
+    for mode in (False, True):
+        with _pt.raises(Exception, match="zero-norm corpus vector"):
+            sq8_topk(zc, query_ids_max=5, k=3, exact=mode).collect()
+        with _pt.raises(Exception, match="zero-norm query vector"):
+            sq8_topk(zq, query_ids_max=5, k=3, exact=mode).collect()
