@@ -3459,10 +3459,21 @@ def _sq8_exact_shortlist(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # SLIM the pair frame before the rank exchange (the _exact_adc_topk
+    # discipline): only (ids, norms, approx score) scalars shuffle —
+    # the four 64-element arrays would multiply the exchange ~50×; the
+    # margin survivors re-fetch them below at O(queries·refine) via
+    # candidate-bounded broadcasts
     pairs = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("_sd", nd / (F.col("_qn") * F.col("_xn")))
+        .select(
+            "id_a",
+            "id_b",
+            "_qn",
+            "_xn",
+            (nd / (F.col("_qn") * F.col("_xn"))).alias("_sd"),
+        )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("_sd").desc(), F.col("id_b"))
     ranked = pairs.withColumn("_ar", F.row_number().over(w)).withColumn(
@@ -3473,6 +3484,11 @@ def _sq8_exact_shortlist(
     )
     surv = ranked.filter(
         F.col("_rth").isNull() | (F.col("_sd") >= F.col("_rth") - 1e-6)
+    ).select("id_a", "id_b", "_qn", "_xn")
+    refetch = (
+        corpus.select("id_b", "_xt")
+        .join(F.broadcast(surv), "id_b")
+        .join(F.broadcast(queries.select("id_a", "_qv")), "id_a")
     )
     n_exact = (
         F.aggregate(
@@ -3487,16 +3503,18 @@ def _sq8_exact_shortlist(
         .cast("string")
         .cast("double")
     )
-    exact = surv.select(
+    exact = refetch.select(
         "id_a",
         "id_b",
+        "_qv",
+        "_qn",
         (n_exact / (F.col("_qn") * F.col("_xn"))).alias("_s"),
     )
     we = Window.partitionBy("id_a").orderBy(F.col("_s").desc(), F.col("id_b"))
     return (
         exact.withColumn("_er", F.row_number().over(we))
         .filter(F.col("_er") <= refine)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "_qv", "_qn")
     )
 
 
@@ -3553,11 +3571,29 @@ def sq8_topk(
     base = _ensure_ann_base(emb, id_col)
     side = codes if codes is not None else sq8_encode(base, id_col, "vdbl")
     if exact:
-        shortlist = _sq8_exact_shortlist(
-            base, side, query_ids_max, refine, id_col
+        short = _sq8_exact_shortlist(base, side, query_ids_max, refine, id_col)
+        # fused exact re-rank (scheduling-lean, the r9 fuse rule): the
+        # shortlist already carries the query's quantized vector and
+        # hopped norm, so the corpus side is the ONLY fetch — one
+        # broadcast of the candidate-bounded shortlist into the cached
+        # base scan (never the reverse: the corpus is unbounded), with
+        # the exact-decimal folds at O(queries·refine). Semantics ≡
+        # cosine_for_pairs(exact_norms_in_base=False) + _rank_topk —
+        # same dot_exact, same denominator order, same ranking tail.
+        corp = base.select(
+            F.col(id_col).alias("id_b"),
+            quantized_vector(F.col("vdbl")).alias("_vqb"),
         )
-        scored = cosine_for_pairs(
-            base, shortlist, exact_norms_in_base=False, id_col=id_col
+        scored = corp.join(F.broadcast(short), "id_b").select(
+            "id_a",
+            "id_b",
+            (
+                dot_exact(F.col("_qv"), F.col("_vqb"))
+                / (
+                    F.col("_qn")
+                    * F.sqrt(dot_exact(F.col("_vqb"), F.col("_vqb")))
+                )
+            ).alias("cosine"),
         )
         return _rank_topk(scored, k)
     n_dim = F.size("codes")

@@ -25,7 +25,10 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     pq_pick_ids,
     pq_topk,
     pq_train,
+    sq8_encode,
+    sq8_topk,
     with_dbl_and_approx_norm,
+    with_dbl_and_norm,
 )
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
@@ -41,6 +44,14 @@ _PQ_D = _DIM // _PQ_M
 # the code-level pruning is semantically load-bearing in the checked
 # output (a covering refine would collapse the leg to qtopk)
 _IPQ_REFINE = 6
+# sq8 leg: ADC top-5 shortlist per query, exact re-rank of those same
+# five — refine = k, so emitted MEMBERSHIP is the codec's own ranking
+# and the SQ8 approximation is value-visible in the checked rows
+# (measured: 2 emitted rows at sf0.01 and 1 at sf0.1 differ from the
+# brute leg — a shortlist wide enough to always cover the true top-5
+# would collapse the leg to 'brute' on this corpus); the exact re-rank
+# stays load-bearing for rnk order within the shortlist
+_SQ8_REFINE = 5
 
 # (vec_id, pos 1-based, v = trunc(x·1e12) quantized integer) + norms —
 # the shared oracle base. Quantization by TRUNCATION is tie-free (decimal
@@ -86,17 +97,116 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a, id_b, cosine,
              CAST(row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS INTEGER) AS rnk
       FROM cos
+    ),
+    sq8raw AS (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, range(1, {_DIM + 1}) t(i)
+    ),
+    sq8rng AS (
+      SELECT vec_id, min(x) AS mn, max(x) AS mx FROM sq8raw GROUP BY vec_id
+    ),
+    sq8geo AS (
+      SELECT vec_id, mn, mx,
+             CAST(trunc((CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                               ELSE 1.0 END) * 1e15) AS BIGINT) AS sq,
+             CAST(trunc(mn * 1e15) AS BIGINT) AS offq
+      FROM sq8rng
+    ),
+    sq8xt AS (
+      SELECT r.vec_id, r.pos,
+             g.offq + g.sq * (CASE WHEN g.mx > g.mn
+               THEN CAST(round((r.x - g.mn) / ((g.mx - g.mn) / 255.0)) AS INT)
+               ELSE 0 END) AS xt
+      FROM sq8raw r JOIN sq8geo g USING (vec_id)
+    ),
+    sq8xn AS (
+      SELECT vec_id,
+             CAST(CAST(sum(CAST(xt AS HUGEINT) *
+                           CAST(xt AS HUGEINT)) AS VARCHAR)
+                  AS DOUBLE) AS xsq
+      FROM sq8xt GROUP BY vec_id
+    ),
+    sq8nd AS (
+      SELECT q.vec_id AS id_a, x.vec_id AS id_b,
+             CAST(CAST(sum(CAST(q.v AS HUGEINT) * CAST(x.xt AS HUGEINT))
+                       AS VARCHAR) AS DOUBLE) AS nd
+      FROM comp q JOIN sq8xt x ON x.pos = q.pos AND x.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+      GROUP BY 1, 2
+    ),
+    sq8short AS (
+      SELECT id_a, id_b FROM (
+        SELECT n.id_a, n.id_b,
+               row_number() OVER (PARTITION BY n.id_a
+                 ORDER BY n.nd / (sqrt(nr.norm_sq) * sqrt(xx.xsq)) DESC,
+                          n.id_b) AS ar
+        FROM sq8nd n
+        JOIN nrm nr ON nr.vec_id = n.id_a
+        JOIN sq8xn xx ON xx.vec_id = n.id_b
+      ) WHERE ar <= {_SQ8_REFINE}
+    ),
+    sq8dots AS (
+      SELECT s.id_a, s.id_b,
+             CAST(CAST(sum(ca.v * cb.v) AS VARCHAR) AS DOUBLE) AS dot
+      FROM sq8short s
+      JOIN comp ca ON ca.vec_id = s.id_a
+      JOIN comp cb ON cb.vec_id = s.id_b AND cb.pos = ca.pos
+      GROUP BY 1, 2
+    ),
+    sq8topk AS (
+      SELECT id_a, id_b, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT d.id_a, d.id_b,
+               d.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine,
+               row_number() OVER (PARTITION BY d.id_a
+                 ORDER BY d.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) DESC,
+                          d.id_b) AS rnk
+        FROM sq8dots d
+        JOIN nrm na ON na.vec_id = d.id_a
+        JOIN nrm nb ON nb.vec_id = d.id_b
+      ) WHERE rnk <= 5
     )
-    SELECT id_a, id_b, cosine, rnk FROM rk WHERE rnk <= 5
+    SELECT 'brute' AS method, id_a, id_b, cosine, rnk FROM rk WHERE rnk <= 5
+    UNION ALL
+    SELECT 'sq8' AS method, id_a, id_b, cosine, rnk FROM sq8topk
     """,
-    doc="Brute-force cosine top-5 for 20 query vectors against the whole "
-    "corpus: posexplode + pos-join + decimal-exact dot products; "
-    "deterministic tie-break on id_b. O(queries × corpus) — the "
-    "exactness baseline ANN variants are judged against",
-    tags=("similarity",),
+    doc="Exact-vs-quantized serve pair over ONE shared corpus scan "
+    "(tagged union): 'brute' = brute-force cosine top-5 for 20 query "
+    "vectors against the whole corpus — posexplode + pos-join + "
+    "decimal-exact dot products, deterministic tie-break on id_b, "
+    "O(queries × corpus), the exactness baseline every ANN variant is "
+    "judged against; 'sq8' (r11) = the per-vector affine int8 scalar-"
+    "quantized serve tier (sq8_encode/sq8_topk exact mode) serving "
+    "from a PINNED persisted codes relation: the oracle re-derives the "
+    "codec itself (round((x−mn)/((mx−mn)/255)) — DuckDB's half-away-"
+    "from-zero round ≡ Spark's HALF_UP on the non-negative encode "
+    "domain), re-quantizes (scale, offset) to trunc·1e15 longs so the "
+    "reconstructed components are integers, and replays the ADC "
+    "top-5 shortlist per query in exact decimals (shortlist "
+    "MEMBERSHIP is engine-independent, like the PQ legs) before the "
+    "exact-cosine re-rank of those same five — refine = k keeps the "
+    "quantization error value-visible in the checked rows (a few "
+    "emitted neighbors per SF genuinely differ from the brute leg)",
+    tags=("similarity", "sq8"),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return brute_force_topk(_emb(spark, sf_dir), query_ids_max=20, k=5)
+    # ONE (id, vdbl, EXACT norm_sq) base — a single scan of embeddings —
+    # serves both legs (brute requires exact norms in its emitted
+    # cosine; the sq8 leg's encode and re-rank ride the same cache)
+    base = with_dbl_and_norm(_emb(spark, sf_dir)).persist()
+    brute = brute_force_topk(base, query_ids_max=20, k=5).select(
+        F.lit("brute").alias("method"), "id_a", "id_b", "cosine", "rnk"
+    )
+    # the sq8 leg serves from a PINNED codes relation (the parquet
+    # store layout, localCheckpoint standing in for the read-back), so
+    # the driver attests the store round trip, not just the math —
+    # exact mode reads ONLY (codes, scale, offset) from it
+    codes = sq8_encode(base, vec_col="vdbl").localCheckpoint()
+    sq8 = sq8_topk(
+        base, codes=codes, query_ids_max=20, k=5, refine=_SQ8_REFINE,
+        exact=True,
+    ).select(F.lit("sq8").alias("method"), "id_a", "id_b", "cosine", "rnk")
+    return brute.unionByName(sq8)
 
 
 @register(
