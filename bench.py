@@ -78,12 +78,19 @@ def _bench_history(sf: float | None = None) -> dict[int, dict[str, float]]:
 
 def _current_round() -> int:
     """The round this run belongs to: one past the newest recorded
-    BENCH_r{N} (the driver writes BENCH at round END, so a gate run
-    AFTER that write misfiles one round forward — pass
-    SPARK_GRAFT_ROUND to pin it). A malformed override falls back to
+    BENCH_r{N}, but never BEHIND the newest SCALE10_r{M} — a gate run
+    earlier in the SAME round already minted that round's artifact, so
+    a second gate run reuses (overwrites) it instead of bumping one
+    forward (the r10 misfiling: a post-BENCH gate run wrote next
+    round's SCALE10 name). Verification re-runs that should not mint
+    ANY artifact pass --no-artifact; SPARK_GRAFT_ROUND (or --round)
+    stays the explicit pin. A malformed override falls back to
     inference instead of crashing: this is resolved at the end of a
     multi-minute gate run, and a naming hiccup must not turn a
     zero-failure run into a nonzero exit."""
+    import glob
+    import re
+
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         try:
@@ -91,11 +98,17 @@ def _current_round() -> int:
         except ValueError:
             print(
                 f"# SPARK_GRAFT_ROUND={env!r} is not an integer — "
-                "inferring from BENCH_r*.json",
+                "inferring from BENCH_r*/SCALE10_r* artifacts",
                 file=sys.stderr,
             )
     hist = _bench_history()
-    return (max(hist) + 1) if hist else 1
+    bench_next = (max(hist) + 1) if hist else 1
+    scale_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_repo_dir(), "SCALE10_r*.json"))
+        if (m := re.search(r"SCALE10_r(\d+)\.json$", p))
+    ]
+    return max([bench_next, *scale_rounds])
 
 
 def _floor_from_history(
@@ -253,20 +266,28 @@ SCALE10_PQ_GATE = 4.0
 SCALE10_CURATE_GATE = 4.0
 
 
-def run_scale10() -> int:
+def run_scale10(
+    round_override: int | None = None, write_artifact: bool = True
+) -> int:
     """`bench.py --scale10`: the repeatable form of SCALE.md's 10×
     measurement. Synthesizes the 10× corpus deterministically, runs the
     heavy dedup operators and both IVF tunings cold at 1× and 10×, and
     GATES: every dedup ratio ≤ SCALE10_DEDUP_GATE, and the ∝√corpus IVF
     tuning must beat the fixed-C anti-pattern. Prints ONE JSON line;
-    exit 1 on gate failure."""
+    exit 1 on gate failure.
+
+    ``--round N`` pins the SCALE10_r{N}.json artifact name (same as
+    SPARK_GRAFT_ROUND); ``--no-artifact`` runs the gates without
+    writing any artifact — the verification-rerun mode, so a judge or
+    ad-hoc pass cannot mint (or shadow) a builder round's name."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    round_no = _current_round()  # resolved BEFORE the multi-minute run
+    # resolved BEFORE the multi-minute run
+    round_no = round_override if round_override is not None else _current_round()
     spark = get_spark(app_name="crypto_data_pipeline_with_kafka_spark-scale10")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -364,6 +385,18 @@ def run_scale10() -> int:
                 f"({report['ivf_sqrt_auto']['wall_10x']} vs "
                 f"{report['ivf_fixed_c32']['wall_10x']})"
             )
+        # the sqrt-auto RAW wall ratio is expected ~√10× ABOVE linear
+        # (√(10)·C centroids scored per row on 10× rows ≈ √10 ≈ 3.16×
+        # more work per unit data) — it is NOT one of the ≤4× gated
+        # ratios, its gate is the absolute beats-fixed-C check above;
+        # record the work-normalized ratio so the artifact self-explains
+        sq = report["ivf_sqrt_auto"]
+        sq["work_normalized_ratio"] = round(sq["ratio"] / 10 ** 0.5, 2)
+        sq["note"] = (
+            "raw ratio tracks sqrt(C)*corpus work (~3.16x work per unit "
+            "data at 10x); gated on beating ivf_fixed_c32 at 10x, not on "
+            "the dedup <=4x bound — compare work_normalized_ratio"
+        )
 
         # incremental-store flatness: stream the 10x corpus through each
         # gated store member as 10 equal batches; per-batch wall must
@@ -589,13 +622,17 @@ def run_scale10() -> int:
         # persist the gate run as a per-round artifact next to the
         # driver's BENCH_r{N}.json so ratio drift is diffable across
         # rounds (a ratio can move 2× between a quiet smoke and a
-        # loaded judge run — worth tracking even under the gate)
-        art = os.path.join(
-            _repo_dir(), f"SCALE10_r{round_no:02d}.json"
-        )
-        with open(art, "w") as fh:
-            json.dump(payload, fh, indent=1)
-        print(f"# wrote {art}", file=sys.stderr)
+        # loaded judge run — worth tracking even under the gate);
+        # --no-artifact (verification re-runs) skips the write
+        if write_artifact:
+            art = os.path.join(
+                _repo_dir(), f"SCALE10_r{round_no:02d}.json"
+            )
+            with open(art, "w") as fh:
+                json.dump(payload, fh, indent=1)
+            print(f"# wrote {art}", file=sys.stderr)
+        else:
+            print("# --no-artifact: gate run not persisted", file=sys.stderr)
         return 1 if failures else 0
     finally:
         if ephemeral:
@@ -700,6 +737,21 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--scale10" in sys.argv[1:]:
-        raise SystemExit(run_scale10())
+    argv = sys.argv[1:]
+    if "--scale10" in argv:
+        rnd = None
+        if "--round" in argv:
+            try:
+                rnd = int(argv[argv.index("--round") + 1])
+            except (IndexError, ValueError):
+                print(
+                    "# --round needs an integer argument — inferring",
+                    file=sys.stderr,
+                )
+        raise SystemExit(
+            run_scale10(
+                round_override=rnd,
+                write_artifact="--no-artifact" not in argv,
+            )
+        )
     main()

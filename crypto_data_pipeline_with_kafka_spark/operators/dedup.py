@@ -132,6 +132,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     min_jaccard: float = 0.8,
     max_doc_freq: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index
     self-join: only pairs sharing ≥1 shingle are ever materialized;
@@ -146,8 +147,13 @@ def jaccard_pairs(
     None (the oracle-checked default) keeps exact semantics.
 
     ``sh`` feeds three consumers (sizes + both join sides) — persist it
-    so the tokenize/shingle explode runs once."""
+    so the tokenize/shingle explode runs once. Pass ``caches`` (a
+    list) to receive the persisted handle for explicit unpersist —
+    otherwise the module's cache-lifecycle contract applies (caller
+    clears when done)."""
     sh = sh.persist()
+    if caches is not None:
+        caches.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     postings = sh
     if max_doc_freq is not None:

@@ -271,16 +271,27 @@ FROM cdcreass
     "leg encoding as 'chunk'",
     tags=("dedup",),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, caches: list | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # ONE tokenize pass serves every leg (r10): shingles for
     # pairs/decontam, and both chunk-boundary disciplines — un-shared,
     # the 'chunk' and 'cdc' legs each re-scanned and re-tokenized the
-    # corpus (the r9 verdict's slot-headroom finding). Module
-    # cache-lifecycle contract: callers clear when done.
+    # corpus (the r9 verdict's slot-headroom finding). Cache lifecycle
+    # (r11): pass ``caches`` (a list) to receive every persisted handle
+    # this plan creates (toked here, the shingle relation inside
+    # jaccard_pairs, the chunk stages) for explicit unpersist — the
+    # bench loop instead relies on its documented clearCache() between
+    # slots; a long-lived session calling the registered plan directly
+    # should use the out-param or clear the catalog itself.
     toked = tokenized_docs(docs).persist()
+    if caches is not None:
+        caches.append(toked)
     sh = shingle_rows(docs, toks=toked)
-    pairs = jaccard_pairs(sh, min_jaccard=0.8, max_doc_freq=_NGRAM_MAX_DF).select(
+    pairs = jaccard_pairs(
+        sh, min_jaccard=0.8, max_doc_freq=_NGRAM_MAX_DF, caches=caches
+    ).select(
         F.lit("pairs").alias("method"),
         "id_a",
         "id_b",
@@ -301,7 +312,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("containment").alias("score"),
     )
     chunk = chunk_level_dedup(
-        docs, words_per_chunk=_CHUNK_WORDS, toks=toked
+        docs, words_per_chunk=_CHUNK_WORDS, toks=toked, caches=caches
     ).select(
         F.lit("chunk").alias("method"),
         F.col("doc_id").alias("id_a"),
@@ -321,6 +332,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc_min_words=_CDC_MIN,
         cdc_max_words=_CDC_MAX,
         toks=toked,
+        caches=caches,
     ).select(
         F.lit("cdc").alias("method"),
         F.col("doc_id").alias("id_a"),

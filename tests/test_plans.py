@@ -173,6 +173,32 @@ def test_registry_holds_exactly_fifty_queries():
     assert rows_only == [], rows_only
 
 
+def test_ngram_plan_caches_out_param_releases_everything(spark):
+    """dedup_ngram_jaccard's cache lifecycle (r11): the registered plan
+    persists one token base plus per-leg intermediates; the bench loop
+    clears them via its documented clearCache(), but a long-lived
+    session calling the plan directly must be able to release them
+    WITHOUT nuking the whole catalog — the caches= out-param hands
+    every persisted handle back, and unpersisting them returns the
+    persistent-RDD census to its baseline."""
+    from crypto_data_pipeline_with_kafka_spark.plans.q_dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    before = sc._jsc.getPersistentRDDs().size()
+    caches: list = []
+    n = dedup_ngram_jaccard(spark, "/root/testdata/sf0.001", caches=caches).count()
+    assert n > 0
+    assert caches, "plan persisted nothing into the out-param"
+    # the plan really did persist (the leak the out-param exists for)
+    assert sc._jsc.getPersistentRDDs().size() > before
+    for c in caches:
+        c.unpersist()
+    assert sc._jsc.getPersistentRDDs().size() == before
+
+
 def test_no_query_emits_nested_columns(spark):
     """Every registered query must emit only atomic columns: the
     driver's canonicalizer sorts result values in pandas and dies on
