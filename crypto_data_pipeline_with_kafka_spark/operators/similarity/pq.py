@@ -462,8 +462,20 @@ def _packed_codebooks(codebooks: DataFrame):
     entry counts or non-dense codes (``pq_train`` always emits uniform
     dense books; external parquet might not). The sorted pack is valid
     iff entry p (0-based) is exactly (sub_id = p div k, code = p mod k)
-    — one in-row forall, raised loudly at execution (zero extra jobs,
-    the module's guard idiom)."""
+    — one in-row forall, raised loudly.
+
+    The pack is MEMOIZED per books relation (Python object identity)
+    and PINNED (r11): a serve leg crossJoins this single row from two
+    stages (query LUTs + corpus ADC side) and a suite sharing one
+    pinned books relation from up to six, and un-memoized every
+    consumer re-ran the collect_list aggregation with its own AQE
+    stage materializations (r11 job audit: the rivfpq leg alone spent
+    ~7 of its 21 fixed jobs re-packing). The eager pin runs the
+    validity guard at pack time instead of first consumer execution —
+    the same loud failure, one job earlier, once per books object."""
+    cached = getattr(codebooks, "_pq_packed_pin", None)
+    if cached is not None:
+        return cached
     packed = codebooks.agg(
         F.sort_array(
             F.collect_list(F.struct("sub_id", "code", "cvec", "cnorm_sq"))
@@ -484,7 +496,7 @@ def _packed_codebooks(codebooks: DataFrame):
         & (c["code"] == p % k),
     )
     valid = (F.size(cb) == m * k) & F.forall(positional, lambda x: x)
-    return packed.select(
+    pinned = packed.select(
         F.when(valid, cb)
         .otherwise(
             F.raise_error(
@@ -503,7 +515,9 @@ def _packed_codebooks(codebooks: DataFrame):
             )
         )
         .alias("_cb")
-    )
+    ).localCheckpoint()
+    codebooks._pq_packed_pin = pinned
+    return pinned
 
 
 def pq_encode(

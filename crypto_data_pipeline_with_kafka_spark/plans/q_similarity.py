@@ -6,6 +6,8 @@ bitwise aligned, so even top-k rank order is oracle-checkable."""
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -575,61 +577,83 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_ann_pairs(base, num_planes=16, bands=4, min_cosine=0.4).select(
         F.lit("lsh").alias("method"), "id_a", "id_b", "cosine", null_rnk
     )
-    # ONE ranked corpus-vs-centroids scoring pass serves ALL IVF legs:
-    # the pair leg uses all 3 probes, the query leg's corpus index is
-    # the probe_rank==1 slice and its query probes the id<20 rows; the
-    # cell geometry is materialized explicitly (the same seeded pick
-    # ivf_assignments would derive) because the residual leg needs the
-    # centroid VECTORS, not just the cell ids — localCheckpoint pins
-    # the O(C) rows so its three consumers don't re-run the pick
-    cents = _seed_centroids(base, 32, "vec_id").localCheckpoint()
-    assign = ivf_assignments(
-        base, num_centroids=32, probes=3, vec_col="vdbl", with_rank=True,
-        centroids=cents,
-    ).persist()
+    # TWO independent eager-pin chains (r11): the IVF-side pins
+    # (cents → assign → cand → pair_scores) and the PQ-side pins
+    # (picks → books → codes) share no edges, but localCheckpoints run
+    # jobs at plan-BUILD time, so built inline they serialized ~7 small
+    # materializations end to end. Building the chains on two threads
+    # overlaps that fixed scheduling latency (Spark job submission is
+    # thread-safe; the relations are identical either way) — measured
+    # 8.16 → 7.34 s suite min, interleaved A/B at sf0.1.
+    def _ivf_pins():
+        # ONE ranked corpus-vs-centroids scoring pass serves ALL IVF
+        # legs: the pair leg uses all 3 probes, the query leg's corpus
+        # index is the probe_rank==1 slice and its query probes the
+        # id<20 rows; the cell geometry is materialized explicitly
+        # (the same seeded pick ivf_assignments would derive) because
+        # the residual leg needs the centroid VECTORS, not just the
+        # cell ids — localCheckpoint pins the O(C) rows so its three
+        # consumers don't re-run the pick.
+        cents = _seed_centroids(base, 32, "vec_id").localCheckpoint()
+        assign = ivf_assignments(
+            base, num_centroids=32, probes=3, vec_col="vdbl",
+            with_rank=True, centroids=cents,
+        ).persist()
+        # ONE pinned candidate-pair list serves all three query-path
+        # legs (qtopk re-ranks it whole, ivfpq/rivfpq shortlist it),
+        # and ONE pinned exact-cosine scoring of those pairs serves all
+        # three re-ranks (per-pair cosine is a pure function of the
+        # pair, so the PQ shortlists joining into it ≡ recomputing it):
+        # un-shared, each leg re-derived the same cells join AND re-ran
+        # the decimal cosine fold with its own AQE stage
+        # materializations (r9 job audit)
+        cand = ivf_candidate_pairs(assign, query_ids_max=20).localCheckpoint()
+        pair_scores = cosine_for_pairs(
+            base, cand, exact_norms_in_base=False
+        ).localCheckpoint()
+        return cents, assign, cand, pair_scores
+
+    def _pq_pins():
+        # pq legs ride the same persisted base (vec_col="vdbl" — the
+        # quantization inside exact mode truncates identically from the
+        # double components); dim passed explicitly, no inference job.
+        # The O(m·k) codebook is localCheckpointed: three downstream
+        # stages (encode, query LUTs, corpus ADC side) each pack it,
+        # and pinning the 128 rows keeps the picks from re-running once
+        # per consumer. ONE ranked pick pass seeds BOTH code spaces
+        # (r10): the md5 pick rule never reads a vector value, so the
+        # raw books here and the rivfpq leg's residual books
+        # (pq_picks= hook) share this pinned O(m·k) id relation —
+        # un-shared, each training ran its own two-window ranked pass
+        # over the corpus.
+        picks = pq_pick_ids(
+            base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K
+        ).localCheckpoint()
+        books = pq_train(
+            base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K,
+            vec_col="vdbl", dim=_DIM, exact=True, picks=picks,
+        ).localCheckpoint()
+        # ONE exact encode pass serves BOTH pq legs (pq_topk would
+        # otherwise fuse its own corpus-wide encode and ivf_pq_topk
+        # would re-encode its candidates — at full-probe coverage that
+        # is the corpus again); localCheckpoint pins the 8-int rows
+        codes = pq_encode(
+            base, books, vec_col="vdbl", exact=True
+        ).localCheckpoint()
+        return picks, books, codes
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ivf_fut = pool.submit(_ivf_pins)
+        pq_fut = pool.submit(_pq_pins)
+        cents, assign, cand, pair_scores = ivf_fut.result()
+        picks, books, codes = pq_fut.result()
     ivf = ivf_ann_pairs(
         base, num_centroids=32, probes=3, min_cosine=0.4, assignments=assign
     ).select(F.lit("ivf").alias("method"), "id_a", "id_b", "cosine", null_rnk)
-    # ONE pinned candidate-pair list serves all three query-path legs
-    # (qtopk re-ranks it whole, ivfpq/rivfpq shortlist it), and ONE
-    # pinned exact-cosine scoring of those pairs serves all three
-    # re-ranks (per-pair cosine is a pure function of the pair, so the
-    # PQ shortlists joining into it ≡ recomputing it): un-shared, each
-    # leg re-derived the same cells join AND re-ran the decimal cosine
-    # fold with its own AQE stage materializations (r9 job audit)
-    cand = ivf_candidate_pairs(assign, query_ids_max=20).localCheckpoint()
-    pair_scores = cosine_for_pairs(
-        base, cand, exact_norms_in_base=False
-    ).localCheckpoint()
     qt = ivf_topk(
         base, query_ids_max=20, k=3, num_centroids=32, probes=3,
         assignments=assign, cand=cand, pair_scores=pair_scores,
     ).select(F.lit("qtopk").alias("method"), "id_a", "id_b", "cosine", "rnk")
-    # pq leg rides the same persisted base (vec_col="vdbl" — the
-    # quantization inside exact mode truncates identically from the
-    # double components); dim passed explicitly, no inference job. The
-    # O(m·k) codebook is localCheckpointed: three downstream stages
-    # (encode, query LUTs, corpus ADC side) each pack it, and pinning
-    # the 128 rows keeps the picks from re-running once per consumer.
-    # ONE ranked pick pass seeds BOTH code spaces (r10): the md5 pick
-    # rule never reads a vector value, so the raw books here and the
-    # rivfpq leg's residual books (pq_picks= hook) share this pinned
-    # O(m·k) id relation — un-shared, each training ran its own
-    # two-window ranked pass over the corpus
-    picks = pq_pick_ids(
-        base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K
-    ).localCheckpoint()
-    books = pq_train(
-        base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K,
-        vec_col="vdbl", dim=_DIM, exact=True, picks=picks,
-    ).localCheckpoint()
-    # ONE exact encode pass serves BOTH pq legs (pq_topk would
-    # otherwise fuse its own corpus-wide encode and ivf_pq_topk would
-    # re-encode its candidates — at full-probe coverage that is the
-    # corpus again); localCheckpoint pins the 8-int rows
-    codes = pq_encode(
-        base, books, vec_col="vdbl", exact=True
-    ).localCheckpoint()
     # (r9 note: sharing ONE persisted pq_adc_side relation between the
     # two PQ query paths was measured SLOWER here — the materialization
     # barrier serializes stages the fused per-leg sides overlap; the
