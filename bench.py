@@ -78,19 +78,22 @@ def _bench_history(sf: float | None = None) -> dict[int, dict[str, float]]:
 
 def _current_round() -> int:
     """The round this run belongs to: one past the newest recorded
-    BENCH_r{N}, but never BEHIND the newest SCALE10_r{M} — a gate run
-    earlier in the SAME round already minted that round's artifact, so
-    a second gate run reuses (overwrites) it instead of bumping one
-    forward (the r10 misfiling: a post-BENCH gate run wrote next
-    round's SCALE10 name). Verification re-runs that should not mint
-    ANY artifact pass --no-artifact; SPARK_GRAFT_ROUND (or --round)
-    stays the explicit pin. A malformed override falls back to
-    inference instead of crashing: this is resolved at the end of a
-    multi-minute gate run, and a naming hiccup must not turn a
-    zero-failure run into a nonzero exit."""
-    import glob
-    import re
-
+    BENCH_r{N}. Artifacts alone CANNOT distinguish a post-BENCH
+    verification re-run of round N from the first builder gate run of
+    round N+1 (both see BENCH max = N) — an inference that also
+    scanned SCALE10_r* names was built and REJECTED in r11 review: a
+    max() over both families never files LOWER than bench-next, so it
+    cannot deliver the same-round reuse it promised, and one
+    forward-pinned artifact (a `--round 13` typo) would drag every
+    later unpinned run forward until BENCH catches up, a regression
+    the bench-only rule self-corrects. The explicit controls are the
+    fix: verification re-runs pass --no-artifact (persist nothing);
+    builders pass --round / SPARK_GRAFT_ROUND to pin. Repeated builder
+    gate runs within one round infer the same name and overwrite it —
+    that IS the reuse. A malformed override falls back to inference
+    instead of crashing: this is resolved at the end of a multi-minute
+    gate run, and a naming hiccup must not turn a zero-failure run
+    into a nonzero exit."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         try:
@@ -98,17 +101,11 @@ def _current_round() -> int:
         except ValueError:
             print(
                 f"# SPARK_GRAFT_ROUND={env!r} is not an integer — "
-                "inferring from BENCH_r*/SCALE10_r* artifacts",
+                "inferring from BENCH_r*.json",
                 file=sys.stderr,
             )
     hist = _bench_history()
-    bench_next = (max(hist) + 1) if hist else 1
-    scale_rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(_repo_dir(), "SCALE10_r*.json"))
-        if (m := re.search(r"SCALE10_r(\d+)\.json$", p))
-    ]
-    return max([bench_next, *scale_rounds])
+    return (max(hist) + 1) if hist else 1
 
 
 def _floor_from_history(

@@ -146,6 +146,7 @@ def brute_force_topk(
     query_ids_max: int = 20,
     k: int = 5,
     id_col: str = "vec_id",
+    exact_base: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k for query vectors (id < query_ids_max) against
     the whole corpus (self excluded): broadcast the small query side,
@@ -164,13 +165,18 @@ def brute_force_topk(
 
     The (id, vdbl, norm_sq) base is persisted so the query and corpus
     sides share one scan; caller owns the cache lifecycle (unpersist /
-    clearCache when done — see operators.dedup module doc). An
-    already-prepared (id, vdbl, norm_sq) base passes through untouched
-    so multi-leg plans share one scan — it MUST carry EXACT norms
-    (``with_dbl_and_norm``): the norm feeds the emitted exact cosine
-    here, not just a margin prefilter, so an approx-norm base
-    (``with_dbl_and_approx_norm``) would silently corrupt values."""
-    if "vdbl" in emb.columns and "norm_sq" in emb.columns:
+    clearCache when done — see operators.dedup module doc).
+    ``exact_base=True`` says ``emb`` is an already-prepared
+    ``with_dbl_and_norm`` output, passed through untouched so
+    multi-leg plans share one scan. It is an EXPLICIT caller assertion
+    (the module's explicit-contract-over-heuristic rule, see
+    _PQServeInputs): the norm feeds the EMITTED exact cosine here, not
+    just a margin prefilter, and an approx-norm base
+    (``with_dbl_and_approx_norm``) has the IDENTICAL schema — a
+    column sniff could not tell them apart and would silently corrupt
+    values on the wrong one, so without the flag the base is always
+    re-prepared from the vector column."""
+    if exact_base:
         base = emb
     else:
         base = with_dbl_and_norm(emb, id_col).persist()
@@ -194,11 +200,19 @@ def brute_force_topk(
         .withColumn("_apx", approx)
     )
     w_apx = Window.partitionBy("id_a").orderBy(F.col("_apx").desc(), F.col("id_b"))
-    ranked = pairs.withColumn("_ark", F.row_number().over(w_apx))
-    kth = ranked.filter(F.col("_ark") == k).select(
-        "id_a", F.col("_apx").alias("_kth_apx")
+    # k-th approx score as a SECOND window over the SAME partitioning
+    # (the r8 kth-window rule, same form as _exact_adc_topk and
+    # _sq8_exact_shortlist): it rides the row_number's exchange/sort,
+    # so the crossJoin+score upstream plans once — the previous
+    # broadcast-join-back form duplicated that subtree as the kth
+    # build side (r11 review finding; interleaved A/B below)
+    ranked = pairs.withColumn("_ark", F.row_number().over(w_apx)).withColumn(
+        "_kth_apx",
+        F.max(F.when(F.col("_ark") == k, F.col("_apx"))).over(
+            Window.partitionBy("id_a")
+        ),
     )
-    cand = ranked.join(F.broadcast(kth), "id_a", "left").filter(
+    cand = ranked.filter(
         F.col("_kth_apx").isNull() | (F.col("_apx") >= F.col("_kth_apx") - 1e-6)
     )
     exact = cand.select(

@@ -1,7 +1,11 @@
 """SQ8 per-vector affine int8 scalar quantization: encode, asymmetric
 exact-re-rank serving, and the engine-independent exact shortlist.
-Split out of the single similarity module in r11 (mechanical move, no
-behavior change)."""
+Split out of the single similarity module in r11 — and, unlike the
+other four split modules, NOT a pure move: the same round changed
+``_sq8_exact_shortlist``'s prefilter corpus norm from exact-decimal to
+primitive double with a survivor-only exact recomputation (the
+``with_dbl_and_approx_norm`` discipline; margin headroom 10⁷ → 10⁵,
+see the function docstring)."""
 
 from __future__ import annotations
 

@@ -196,9 +196,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serves both legs (brute requires exact norms in its emitted
     # cosine; the sq8 leg's encode and re-rank ride the same cache)
     base = with_dbl_and_norm(_emb(spark, sf_dir)).persist()
-    brute = brute_force_topk(base, query_ids_max=20, k=5).select(
-        F.lit("brute").alias("method"), "id_a", "id_b", "cosine", "rnk"
-    )
+    brute = brute_force_topk(
+        base, query_ids_max=20, k=5, exact_base=True
+    ).select(F.lit("brute").alias("method"), "id_a", "id_b", "cosine", "rnk")
     # the sq8 leg serves from a PINNED codes relation (the parquet
     # store layout, localCheckpoint standing in for the read-back), so
     # the driver attests the store round trip, not just the math —
