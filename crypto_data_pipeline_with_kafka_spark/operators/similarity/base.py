@@ -195,6 +195,15 @@ def brute_force_topk(
     approx = (dot_double(F.col("va"), F.col("vb")) * F.lit(1e24)) / (
         F.sqrt("na") * F.sqrt("nb")
     )
+    # The pair frame carries va/vb through the rank exchange — the
+    # sibling serve paths' slim-then-refetch form was tried here and
+    # REJECTED with numbers (r11, interleaved A/B at sf0.1: slim
+    # 0.98 s vs wide 0.72 s min): with only ~20 query keys the
+    # exchange is small in absolute terms and the two candidate-
+    # bounded re-fetch joins cost more than the array bytes save.
+    # The siblings slim because their pair frames carry MULTIPLE
+    # arrays per pair into far wider candidate sets; revisit only if
+    # query_ids_max grows orders of magnitude.
     pairs = (
         c.join(F.broadcast(q), F.col("id_a") != F.col("id_b"))
         .withColumn("_apx", approx)
@@ -205,7 +214,7 @@ def brute_force_topk(
     # _sq8_exact_shortlist): it rides the row_number's exchange/sort,
     # so the crossJoin+score upstream plans once — the previous
     # broadcast-join-back form duplicated that subtree as the kth
-    # build side (r11 review finding; interleaved A/B below)
+    # build side (r11 review finding)
     ranked = pairs.withColumn("_ark", F.row_number().over(w_apx)).withColumn(
         "_kth_apx",
         F.max(F.when(F.col("_ark") == k, F.col("_apx"))).over(
