@@ -3969,8 +3969,6 @@ def test_sq8_scalar_quantization(spark):
     assert exact_store == exact_fly and len(exact_fly) == 48
 
     # (f) zero-norm guards, both modes, both sides
-    import pytest as _pt
-
     zc = spark.createDataFrame(
         rows[:20] + [(99, [0.0] * 64)], "vec_id long, embedding array<float>"
     )
@@ -3978,7 +3976,7 @@ def test_sq8_scalar_quantization(spark):
         [(0, [0.0] * 64)] + rows[1:30], "vec_id long, embedding array<float>"
     )
     for mode in (False, True):
-        with _pt.raises(Exception, match="zero-norm corpus vector"):
+        with pytest.raises(Exception, match="zero-norm corpus vector"):
             sq8_topk(zc, query_ids_max=5, k=3, exact=mode).collect()
-        with _pt.raises(Exception, match="zero-norm query vector"):
+        with pytest.raises(Exception, match="zero-norm query vector"):
             sq8_topk(zq, query_ids_max=5, k=3, exact=mode).collect()
