@@ -185,18 +185,23 @@ def test_ngram_plan_caches_out_param_releases_everything(spark):
         dedup_ngram_jaccard,
     )
 
-    sc = spark.sparkContext
+    # census via the SQL CacheManager, not getPersistentRDDs(): the
+    # RDD census also counts other tests' localCheckpoint RDDs, whose
+    # async ContextCleaner reaping races this test (observed flaky in
+    # the full suite); DataFrame.persist/unpersist entries are
+    # explicit and synchronous in the cache manager
+    jcm = spark._jsparkSession.sharedState().cacheManager()
     spark.catalog.clearCache()
-    before = sc._jsc.getPersistentRDDs().size()
+    assert jcm.isEmpty()
     caches: list = []
     n = dedup_ngram_jaccard(spark, "/root/testdata/sf0.001", caches=caches).count()
     assert n > 0
     assert caches, "plan persisted nothing into the out-param"
     # the plan really did persist (the leak the out-param exists for)
-    assert sc._jsc.getPersistentRDDs().size() > before
+    assert not jcm.isEmpty()
     for c in caches:
         c.unpersist()
-    assert sc._jsc.getPersistentRDDs().size() == before
+    assert jcm.isEmpty()
 
 
 def test_no_query_emits_nested_columns(spark):
