@@ -1165,3 +1165,63 @@ def test_cdc_chunking_invariants_random_corpus(spark):
     assert {d: (r.n_total, r.clean_text) for d, r in got.items()} == {
         d: (r.n_total, r.clean_text) for d, r in again.items()
     }
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0,
+                max_value=4.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=8,
+        max_size=24,
+    ),
+    st.integers(0, 3),
+)
+@settings(max_examples=5, deadline=None)
+def test_sq8_exactness_contract_random_vectors(spark, vecs, flat_slot):
+    """SQ8 serving contract fuzzed (r11): on arbitrary float32 vectors
+    (negatives, wide dynamic range, a planted FLAT vector — everything
+    except the guarded zero norm), (a) sq8_topk with covering refine
+    is IDENTICAL to brute_force_topk in BOTH serve modes, and (b) the
+    exact mode's persisted-codes serve ≡ its on-the-fly serve at a
+    pruning refine. Complements the fixed adversarial fixture in
+    test_dedup_similarity — hypothesis walks the codec's numeric
+    boundary cases (components straddling mn/mx, near-flat ranges)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_encode,
+        sq8_topk,
+    )
+
+    rows = []
+    for i, v in enumerate(vecs):
+        if all(abs(x) < 1e-3 for x in v):
+            v = [x + 0.5 for x in v]  # keep norms inside the margin bound
+        rows.append((i, v))
+    rows[flat_slot] = (flat_slot, [0.625] * 16)  # flat: mx == mn
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n = len(rows)
+    ref = sorted(map(tuple, brute_force_topk(
+        emb, query_ids_max=4, k=3
+    ).collect()))
+    for mode in (False, True):
+        cov = sorted(map(tuple, sq8_topk(
+            emb, query_ids_max=4, k=3, refine=n, exact=mode
+        ).collect()))
+        assert cov == ref, mode
+    codes = sq8_encode(emb).localCheckpoint()
+    fly = sorted(map(tuple, sq8_topk(
+        emb, query_ids_max=4, k=3, refine=4, exact=True
+    ).collect()))
+    store = sorted(map(tuple, sq8_topk(
+        emb, codes=codes, query_ids_max=4, k=3, refine=4, exact=True
+    ).collect()))
+    assert store == fly
