@@ -179,8 +179,12 @@ def test_ngram_plan_caches_out_param_releases_everything(spark):
     clears them via its documented clearCache(), but a long-lived
     session calling the plan directly must be able to release them
     WITHOUT nuking the whole catalog — the caches= out-param hands
-    every persisted handle back, and unpersisting them returns the
-    persistent-RDD census to its baseline."""
+    every persisted handle back, and unpersisting them empties the
+    SQL CacheManager again. Scope note: the census sees
+    DataFrame-level persists only (everything this plan creates) —
+    if the plan ever routes through an RDD-level localCheckpoint
+    (e.g. the minhash cluster rounds), extend the census, because the
+    cache manager is blind to those."""
     from crypto_data_pipeline_with_kafka_spark.plans.q_dedup import (
         dedup_ngram_jaccard,
     )

@@ -1225,3 +1225,9 @@ def test_sq8_exactness_contract_random_vectors(spark, vecs, flat_slot):
         emb, codes=codes, query_ids_max=4, k=3, refine=4, exact=True
     ).collect()))
     assert store == fly
+    # release this example's caches (the operators' caller-owns
+    # contract): 5 examples × (2 internal persists + 1 checkpoint)
+    # would otherwise outlive the test in the session-scoped Spark —
+    # the same stray-state class the ngram census flake traced to
+    codes.unpersist()
+    spark.catalog.clearCache()
