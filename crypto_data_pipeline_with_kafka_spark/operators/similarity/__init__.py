@@ -21,7 +21,8 @@ recall/candidate-volume knob.
 
 
 # r11: the 3.4k-line similarity module split into focused submodules
-# (base / ivf / stores / pq / sq) behind this unchanged import surface —
+# (base / ivf / stores / pq / sq / bq) behind this unchanged import
+# surface —
 # every name, public and private, resolves here exactly as before.
 
 from crypto_data_pipeline_with_kafka_spark.operators.similarity.base import (  # noqa: F401
@@ -95,4 +96,10 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity.sq import (  # n
     _sq8_norm_guard,
     sq8_encode,
     sq8_topk,
+)
+from crypto_data_pipeline_with_kafka_spark.operators.similarity.bq import (  # noqa: F401
+    _BQ_LANE_BITS,
+    _bq_hamming,
+    bq_encode,
+    bq_topk,
 )

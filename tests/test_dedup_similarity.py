@@ -3980,3 +3980,201 @@ def test_sq8_scalar_quantization(spark):
             sq8_topk(zc, query_ids_max=5, k=3, exact=mode).collect()
         with pytest.raises(Exception, match="zero-norm query vector"):
             sq8_topk(zq, query_ids_max=5, k=3, exact=mode).collect()
+
+
+def test_bq1_binary_quantization(spark):
+    """BQ1 codec (r11): (a) the sign-bit packing matches an
+    independent Python reference bit-for-bit (MSB-first 32-bit lanes,
+    zero-padded tail) at 64 dims and at a non-lane-aligned 70 dims;
+    (b) bq_topk with a covering refine is IDENTICAL to
+    brute_force_topk (the hamming scan only prunes who reaches the
+    exact re-rank); (c) at a generous refine the shortlist still
+    recalls most true neighbors on the adversarial fixture (hamming
+    is a coarse angle estimate — BQ1's recall point sits below SQ8's);
+    (d) serving from a persisted codes relation ≡ encoding on the
+    fly; (e) zero vectors raise loudly at ENCODE time (sign(0) is
+    indistinguishable from an all-negative vector later); (f) a codes
+    relation packed at a different geometry refuses in-plan instead
+    of hamming-comparing misaligned lanes."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        bq_encode,
+        bq_topk,
+    )
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 17 - 8) / 9.0 for j in range(64)])
+        for i in range(70)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # (a) packing vs an independent reference, 64-dim and 70-dim
+    def ref_words(vec):
+        nw = (len(vec) + 31) // 32
+        out = []
+        for w in range(nw):
+            acc = 0
+            for j in range(32):
+                i = w * 32 + j
+                acc = acc * 2 + (1 if i < len(vec) and vec[i] > 0 else 0)
+            out.append(acc)
+        return out
+
+    enc = {r.vec_id: r for r in bq_encode(emb).collect()}
+    for vid, vec in rows:
+        assert enc[vid].dims == 64 and len(enc[vid].words) == 2
+        assert enc[vid].words == ref_words([float(x) for x in vec]), vid
+    odd = spark.createDataFrame(
+        [(0, [(j % 5 - 2) / 3.0 for j in range(70)])],
+        "vec_id long, embedding array<float>",
+    )
+    r70 = bq_encode(odd).collect()[0]
+    assert r70.dims == 70 and len(r70.words) == 3
+    assert r70.words == ref_words([(j % 5 - 2) / 3.0 for j in range(70)])
+
+    # (b) covering refine ≡ brute force
+    ref = sorted(map(tuple, brute_force_topk(
+        emb, query_ids_max=12, k=4
+    ).collect()))
+    covering = sorted(map(tuple, bq_topk(
+        emb, query_ids_max=12, k=4, refine=100
+    ).collect()))
+    assert covering == ref and len(ref) == 48
+
+    # (c) recall of true top-4 membership at refine=16 (hamming over
+    # 64 sign bits is coarse on this near-orthogonal fixture — the
+    # bound asserts "useful first pass", not SQ8 fidelity)
+    got = bq_topk(emb, query_ids_max=12, k=4, refine=16).collect()
+    ref_set = {(r[0], r[1]) for r in ref}
+    got_set = {(r.id_a, r.id_b) for r in got}
+    assert len(ref_set & got_set) / len(ref_set) >= 0.5
+
+    # (d) persisted store ≡ on-the-fly
+    persisted = bq_encode(emb).localCheckpoint()
+    via_codes = sorted(map(tuple, bq_topk(
+        emb, codes=persisted, query_ids_max=12, k=4, refine=100
+    ).collect()))
+    assert via_codes == covering
+
+    # (e) zero vector refuses at encode
+    zv = spark.createDataFrame(
+        rows[:10] + [(99, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="zero-norm vector 99"):
+        bq_encode(zv).collect()
+
+    # (f) geometry stamp: a 70-dim store cannot serve 64-dim queries
+    store70 = bq_encode(
+        spark.createDataFrame(
+            [(i, [(j % 5 - 2 + i) / 3.0 for j in range(70)]) for i in range(30, 40)],
+            "vec_id long, embedding array<float>",
+        )
+    ).localCheckpoint()
+    with pytest.raises(Exception, match="lanes are positional"):
+        bq_topk(emb, codes=store70, query_ids_max=5, k=3).collect()
+
+
+def test_semantic_dedup_semdedup(spark):
+    """SemDeDup composition (r11): over a planted corpus of 4 tight
+    semantic groups (mutual cosine ≥ 0.99, cross-group ≈ 0) plus 4
+    singletons — (a) with every cell probed the ε-ball groups are
+    IDENTICAL to ground truth (connected components over exact
+    all-pairs cosine), so the IVF composition loses nothing;
+    (b) exactly one member per group survives, singletons are
+    untouched; (c) the survivor is the member with the LOWEST
+    centroid cosine (keep='farthest', the paper's diversity rule, id
+    tie-break) and keep='closest' flips it; (d) at probes=1 recall is
+    clustering-bounded (the documented contract — the seeded pick can
+    drop twin centroids inside one tight group and split it) but
+    precision stays 1.0: every emitted cluster is contained in a
+    ground-truth cluster, still with exactly one survivor;
+    (e) a bad keep= refuses."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+        semantic_dedup,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        all_pairs_cosine,
+    )
+
+    DIM = 16
+    rows = []
+    groups = {}  # gid -> member ids
+    vid = 0
+    for g in range(4):
+        base = [1.0 if g * 4 <= j < g * 4 + 4 else 0.0 for j in range(DIM)]
+        members = []
+        for m in range(3):
+            v = list(base)
+            # tiny off-block component, different per member, so
+            # within-group centroid cosines differ
+            v[(g * 4 + 7) % DIM] += 0.03 * (m + 1)
+            rows.append((vid, v))
+            members.append(vid)
+            vid += 1
+        groups[g] = members
+    singles = []
+    for s in range(4):
+        # alternating-sign patterns: far from every block group and
+        # from each other
+        v = [((-1.0) ** (j + s) * (1.0 + 0.1 * ((j + s) % 3))) for j in range(DIM)]
+        v[s] += 2.5
+        rows.append((vid, v))
+        singles.append(vid)
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # ground truth ε-ball groups from exact all-pairs cosine
+    truth_pairs = all_pairs_cosine(emb, min_cosine=0.95)
+    truth = {
+        r.doc_id: r.canonical_id
+        for r in connected_components(truth_pairs).collect()
+    }
+    assert set(truth) == {i for ms in groups.values() for i in ms}
+
+    # (a)+(b)+(c): every cell probed -> the candidate set covers all
+    # pairs, so groups are exactly ground truth
+    out = {r.vec_id: r for r in semantic_dedup(
+        emb, num_centroids=8, probes=8, threshold=0.95
+    ).collect()}
+    assert len(out) == len(rows)
+    for i, can in truth.items():
+        assert out[i].cluster_id == can, i
+    for s in singles:
+        assert out[s].cluster_id is None and not out[s].is_duplicate
+    for g, ms in groups.items():
+        survivors = [i for i in ms if not out[i].is_duplicate]
+        assert len(survivors) == 1, g
+        # (c) farthest-from-centroid keep rule, id tie-break
+        want = min(ms, key=lambda i: (out[i].centroid_cosine, i))
+        assert survivors[0] == want, g
+
+    # (d) probes=1: precision 1.0, one survivor per emitted cluster
+    one = {r.vec_id: r for r in semantic_dedup(
+        emb, num_centroids=8, probes=1, threshold=0.95
+    ).collect()}
+    by_cluster = {}
+    for i, r in one.items():
+        if r.cluster_id is not None:
+            by_cluster.setdefault(r.cluster_id, []).append(i)
+    assert by_cluster  # the tight fixture always yields SOME clusters
+    for cid, ms in by_cluster.items():
+        assert len(ms) >= 2
+        assert len({truth.get(i, ("single", i)) for i in ms}) == 1, ms
+        assert sum(not one[i].is_duplicate for i in ms) == 1, ms
+    for s in singles:
+        assert one[s].cluster_id is None and not one[s].is_duplicate
+
+    closest = {r.vec_id: r for r in semantic_dedup(
+        emb, num_centroids=8, probes=8, threshold=0.95, keep="closest"
+    ).collect()}
+    for g, ms in groups.items():
+        surv = [i for i in ms if not closest[i].is_duplicate]
+        want = min(ms, key=lambda i: (-closest[i].centroid_cosine, i))
+        assert surv == [want], g
+
+    with pytest.raises(ValueError, match="farthest"):
+        semantic_dedup(emb, keep="best")
