@@ -1231,3 +1231,168 @@ def test_sq8_exactness_contract_random_vectors(spark, vecs, flat_slot):
     # the same stray-state class the ngram census flake traced to
     codes.unpersist()
     spark.catalog.clearCache()
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """The hashed-feature NB quality classifier must (a) reproduce a
+    sequential Python implementation of the same model — md5-bucketed
+    unigram+bigram counts, decimal(28,9)-quantized log-odds, the
+    w' = w − default reparameterization — to within the quantization
+    grain per feature; (b) separate planted spam from clean text on
+    held-out docs; (c) serve identically from a persisted weights
+    relation; (d) score an empty doc at exactly prior + default·n for
+    its n empty-string features; (e) refuse a single-class corpus."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+        score_with_quality_classifier,
+        train_quality_classifier,
+    )
+
+    clean = [
+        "the market closed higher after steady gains in early trading",
+        "investors watched the report with cautious optimism today",
+        "analysts said the quarterly results were broadly in line",
+        "the committee voted to keep rates unchanged this month",
+    ]
+    spam = [
+        "click here buy now cheap pills best price click here",
+        "winner winner free prize claim now click the link now",
+        "cheap cheap best deal buy now free shipping click here",
+        "free money fast claim your prize now click click click",
+    ]
+    train_rows = [(i, t, 1) for i, t in enumerate(clean)] + [
+        (10 + i, t, 0) for i, t in enumerate(spam)
+    ]
+    labeled = spark.createDataFrame(
+        train_rows, "doc_id long, text string, label int"
+    )
+    B, ALPHA = 1 << 12, 1.0
+    weights, meta = train_quality_classifier(
+        labeled, num_buckets=B, alpha=ALPHA
+    )
+
+    score_rows = [
+        (100, "the report said gains were steady this month"),  # clean-ish
+        (101, "buy cheap pills click here free prize now"),  # spam-ish
+        (102, ""),  # empty: one ''-token feature
+    ]
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in score_with_quality_classifier(docs, (weights, meta)).collect()
+    }
+
+    # ---- sequential reference (same hashing, same quantization)
+    def buckets(text):
+        ws = text.strip().split(" ")
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return [
+            int(hashlib.md5(f"nbq|{t}".encode()).hexdigest()[:13], 16) % B
+            for t in feats
+        ]
+
+    n1, n0 = Counter(), Counter()
+    for _, text, y in train_rows:
+        (n1 if y == 1 else n0).update(buckets(text))
+    t1, t0 = sum(n1.values()), sum(n0.values())
+    prior = math.log(4 / 4)
+    default = math.log(t0 + ALPHA * B) - math.log(t1 + ALPHA * B)
+    assert abs(meta["prior"] - prior) < 1e-12
+    assert abs(meta["default_w"] - default) < 1e-12
+    wq = {
+        b: Decimal(
+            math.log((n1[b] + ALPHA) / ALPHA) - math.log((n0[b] + ALPHA) / ALPHA)
+        ).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        for b in set(n1) | set(n0)
+    }
+    for did, text in score_rows:
+        bs = buckets(text)
+        want = (
+            prior
+            + default * len(bs)
+            + float(str(sum((wq.get(b, Decimal(0)) for b in bs), Decimal(0))))
+        )
+        r = got[did]
+        assert r.n_feats == len(bs)
+        # per-feature quantization grain + 1-ulp log() slack per term
+        assert abs(r.quality_logit - want) <= (len(bs) + 2) * 1e-9, (
+            did, r.quality_logit, want,
+        )
+        assert abs(r.quality_prob - 1 / (1 + math.exp(-r.quality_logit))) < 1e-12
+
+    # (b) separation on held-out docs
+    assert got[100].quality_logit > 0 > got[101].quality_logit
+    assert got[100].quality_prob > 0.5 > got[101].quality_prob
+
+    # (c) persisted weights serve identically
+    stored = weights.localCheckpoint()
+    via_store = {
+        r.doc_id: r.quality_logit
+        for r in score_with_quality_classifier(docs, (stored, meta)).collect()
+    }
+    assert all(via_store[d] == got[d].quality_logit for d in via_store)
+
+    # (e) single-class corpus refuses
+    with pytest.raises(ValueError, match="both classes"):
+        train_quality_classifier(
+            labeled.filter("label = 1"), num_buckets=B
+        )
+
+
+def test_quality_classifier_weak_supervision_composition(spark):
+    """The CCNet/FineWeb bootstrap shape: heuristic rules produce weak
+    labels, the NB classifier generalizes them — trained on
+    gopher_ok-labeled docs, it must rank held-out clean docs above
+    held-out degenerate ones even though NONE of the held-out docs were
+    seen in training."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+        score_with_quality_classifier,
+        train_quality_classifier,
+    )
+    from crypto_data_pipeline_with_kafka_spark.functions.text import gopher_rules
+
+    good_words = (
+        "the market closed higher after steady gains and the outlook for "
+        "next quarter was described by analysts as broadly stable with "
+        "some risk from energy prices and a slower pace of hiring in the "
+        "services sector while officials said they would watch the data"
+    ).split()
+    train_docs = []
+    for i in range(8):
+        # rotate the clean text so each doc differs but stays in-style
+        rot = good_words[i * 5 :] + good_words[: i * 5]
+        train_docs.append((i, " ".join(rot)))
+    for i in range(8, 16):
+        train_docs.append((i, f"### {'#' * (i % 3 + 1)} zz{i} " * 20))
+    df = spark.createDataFrame(train_docs, "doc_id long, text string")
+    labels = gopher_rules(df, min_words=20).select(
+        "doc_id", F.col("gopher_ok").cast("int").alias("label")
+    )
+    lab = {r.doc_id: r.label for r in labels.collect()}
+    assert all(lab[i] == 1 for i in range(8)) and all(
+        lab[i] == 0 for i in range(8, 16)
+    )
+    model = train_quality_classifier(
+        df.join(labels, "doc_id"), num_buckets=1 << 12
+    )
+
+    held = spark.createDataFrame(
+        [
+            (100, "officials said hiring was stable and the outlook higher"),
+            (101, "### zz99 ### zz98 ### zz97 ### ###"),
+        ],
+        "doc_id long, text string",
+    )
+    s = {
+        r.doc_id: r.quality_logit
+        for r in score_with_quality_classifier(held, model).collect()
+    }
+    assert s[100] > s[101]
