@@ -1,0 +1,157 @@
+"""Semantic deduplication over embeddings (SemDeDup, Abbas et al.
+2023, arXiv:2303.09540 — public method): cluster the corpus with
+k-means-style cells, find ε-ball duplicate groups WITHIN each cell by
+exact cosine, keep ONE representative per group — the paper keeps the
+member with the LOWEST cosine to its cluster centroid (pruning toward
+diversity: the kept copy is the least prototypical one). This is the
+embedding-space member of the dedup family: exact/MinHash/SimHash
+catch lexical near-dups, SemDeDup catches SEMANTIC ones (paraphrases,
+translations, templated rewrites) that share no shingles.
+
+Built by COMPOSITION of the engine's existing distributed pieces — no
+new pair generator, no new clustering: IVF cells are the k-means
+clusters (``ivf_assignments``, zero-shuffle in-row assignment against
+broadcast centroids, optional Lloyd refinement), within-cell candidate
+pairing + exact-cosine verify is ``ivf_ann_pairs`` (candidate-bounded:
+only same-cell pairs are ever scored), transitive ε-ball groups are
+``connected_components`` (O(log diameter) rounds), and the keep rule is
+``select_cluster_survivors`` with centroid-cosine as the quality key.
+Every stage's 100-TB story is therefore the one already audited on its
+component."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+    connected_components,
+    select_cluster_survivors,
+)
+from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+    _ensure_ann_base,
+    _seed_centroids,
+    dot_double,
+    ivf_ann_pairs,
+    ivf_assignments,
+    lloyd_refined_centroids,
+    resolve_num_centroids,
+)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    num_centroids="auto",
+    probes: int = 1,
+    threshold: float = 0.95,
+    lloyd_rounds: int = 0,
+    keep: str = "farthest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup over an embeddings relation. Returns ONE row per input
+    vector: (id, cluster_id, centroid_cosine, is_duplicate) —
+    ``cluster_id`` is the ε-ball duplicate group (NULL for vectors in
+    no group), ``is_duplicate`` marks every group member EXCEPT its
+    survivor; ``filter(~is_duplicate)`` is the pruned corpus.
+
+    Semantics: two vectors are ε-ball duplicates when they probe a
+    common IVF cell AND their exact cosine ≥ ``threshold``; groups are
+    the transitive closure. Per group the survivor is the member
+    FARTHEST from its primary cell centroid (``keep='farthest'``, the
+    SemDeDup paper's diversity-keeping rule; ``'closest'`` keeps the
+    most prototypical member instead), ties → lowest id — the
+    tie-break that makes the pick deterministic even though
+    ``centroid_cosine`` itself is an engine-local double (it never
+    leaves the keep rule; emitted PAIR cosines inside the composition
+    stay exact-decimal as always).
+
+    Like the paper, recall is bounded by the clustering: a true pair
+    split across non-overlapping probe sets is missed — raise
+    ``probes`` (the multi-probe recall knob, same trade as
+    ``incremental_ivf_update``) or ``lloyd_rounds`` (better cell
+    coherence) to close it. Precision is 1.0 by construction: every
+    emitted pair was verified by exact cosine.
+
+    Scale shape: centroid assignment is in-row against broadcast
+    centroids (zero shuffles), pairing touches same-cell candidates
+    only (Σ cell² bounded, num_centroids ∝ √corpus by default),
+    components carry one row per PAIRED vector — O(duplicates), far
+    below the corpus — and the final flags join back on id. The
+    centrality pass reuses the persisted base scan and the O(C)
+    broadcast centroid relation."""
+    if keep not in ("farthest", "closest"):
+        raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
+    base = _ensure_ann_base(
+        emb.select(F.col(id_col), F.col(vec_col)) if vec_col != "vdbl" else emb,
+        id_col,
+    )
+    n_cents = resolve_num_centroids(base, num_centroids)
+    cents = (
+        lloyd_refined_centroids(base, n_cents, lloyd_rounds, id_col, "vdbl")
+        if lloyd_rounds > 0
+        else _seed_centroids(base, n_cents, id_col)
+    )
+    assignments = ivf_assignments(
+        base, n_cents, probes, id_col, vec_col="vdbl", centroids=cents,
+        with_rank=True,
+    )
+    pairs = ivf_ann_pairs(
+        base,
+        assignments=assignments,
+        min_cosine=threshold,
+        id_col=id_col,
+    )
+    comps = connected_components(pairs)  # (doc_id, canonical_id)
+    # centroid-cosine of every vector against its PRIMARY (rank-1)
+    # cell — the keep rule's quality key. Engine-local doubles: the
+    # value orders members within a group and is exported for
+    # inspection, but membership/flags never depend on its ulps (the
+    # id tie-break settles exact ties, and distinct members of a
+    # planted group differ by construction).
+    centrality = (
+        assignments.filter(F.col("probe_rank") == 1)
+        .select(F.col(id_col), "centroid_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .join(base, id_col)
+        .select(
+            F.col(id_col),
+            (
+                dot_double(F.col("vdbl"), F.col("cvec"))
+                / (
+                    F.sqrt(dot_double(F.col("vdbl"), F.col("vdbl")))
+                    * F.sqrt(dot_double(F.col("cvec"), F.col("cvec")))
+                )
+            ).alias("centroid_cosine"),
+        )
+    )
+    sign = -1.0 if keep == "farthest" else 1.0
+    survivors = select_cluster_survivors(
+        centrality.withColumnRenamed(id_col, "doc_id"),
+        comps,
+        quality_col=F.col("centroid_cosine") * F.lit(sign),
+        id_col="doc_id",
+    ).select(
+        F.col("cluster_id").alias("_scl"),
+        F.col("survivor_id"),
+        F.lit(True).alias("_srv"),
+    )
+    flagged = centrality.join(
+        comps.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumnRenamed("canonical_id", "cluster_id")
+    return (
+        flagged.join(
+            survivors,
+            (F.col("cluster_id") == F.col("_scl"))
+            & (F.col(id_col) == F.col("survivor_id")),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            "centroid_cosine",
+            (
+                F.col("cluster_id").isNotNull() & F.col("_srv").isNull()
+            ).alias("is_duplicate"),
+        )
+    )
