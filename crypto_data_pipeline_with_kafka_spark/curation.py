@@ -54,6 +54,8 @@ def curate_corpus(
     min_distinct_ratio: float = 0.2,
     max_top_bigram_frac: float = 0.2,
     max_dup_trigram_frac: float = 0.3,
+    quality_model: tuple | None = None,
+    min_quality_prob: float = 0.5,
     minhash_jaccard: float = 0.8,
     winnow: bool = False,
     winnow_k: int = 8,
@@ -137,6 +139,15 @@ def curate_corpus(
       already committed this run's fingerprints — re-run it under the
       SAME ``winnow_batch_id``: the redelivery rewrite is idempotent,
       and a fresh id would double-index the same content.
+    * ``quality_model`` — model-based quality gate: a trained
+      ``(weights, meta)`` pair from
+      :func:`...functions.quality_model.train_quality_classifier`;
+      cheap-stage survivors whose ``quality_prob`` falls below
+      ``min_quality_prob`` drop (stats key ``model_quality_dropped``)
+      before any shuffle-heavy stage runs. The CCNet bootstrap shape:
+      train the model on heuristic labels (``gopher_rules``) or a
+      trusted-corpus-vs-crawl split, then gate the whole corpus on it
+      for the cost of one broadcast join.
     * ``benchmark`` — eval-set decontamination
       (:func:`...operators.dedup.decontaminate`): docs whose k-gram
       containment of any benchmark item reaches
@@ -264,12 +275,45 @@ def curate_corpus(
     )
     cheap_keep = F.col("_exact_keep") & F.col("_quality_ok") & F.col("_rep_ok")
 
+    # stage 2m (optional): model-based quality gate — a trained
+    # (weights, meta) NB classifier (functions.quality_model) scores
+    # only the cheap-stage survivors (broadcast bucket join + one
+    # groupBy(id)); docs below min_quality_prob drop. Sits between the
+    # heuristic gates (which it typically generalizes — the CCNet
+    # bootstrap) and the shuffle-heavy dedup stages so the model prunes
+    # before the expensive work.
+    if quality_model is not None:
+        from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+            score_with_quality_classifier,
+        )
+
+        low_q = (
+            score_with_quality_classifier(
+                flagged.filter(cheap_keep).select(did, txt),
+                quality_model,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .filter(F.col("quality_prob") < min_quality_prob)
+            .select(did, F.lit(True).alias("_mq_bad"))
+        )
+        flagged = (
+            flagged.join(low_q, id_col, "left")
+            .withColumn(
+                "_model_ok", ~F.coalesce(F.col("_mq_bad"), F.lit(False))
+            )
+            .drop("_mq_bad")
+        )
+    else:
+        flagged = flagged.withColumn("_model_ok", F.lit(True))
+    model_keep = cheap_keep & F.col("_model_ok")
+
     # stage 2b (optional): eval-set decontamination — the benchmark
     # side is eval-set-sized (broadcast), the corpus is shingled once
-    # over the cheap-stage survivors only
+    # over the cheap+model-stage survivors only
     if benchmark is not None:
         corpus_sh = shingle_rows(
-            flagged.filter(cheap_keep).select(did, txt),
+            flagged.filter(model_keep).select(did, txt),
             text_col,
             id_col,
             decontam_k,
@@ -299,7 +343,7 @@ def curate_corpus(
     # keep singletons and each cluster's quality-weighted survivor.
     # The survivor side needs stable reuse (the dedup machinery runs
     # eager convergence actions), so persist the gated frame.
-    gated = flagged.filter(cheap_keep & F.col("_decontam_ok")).persist()
+    gated = flagged.filter(model_keep & F.col("_decontam_ok")).persist()
     pairs = minhash_lsh_dedup(
         gated,
         text_col=text_col,
@@ -332,7 +376,7 @@ def curate_corpus(
         ~F.coalesce(F.col("_in_cluster"), F.lit(False))
         | F.coalesce(F.col("_is_survivor"), F.lit(False)),
     )
-    keep_mh = cheap_keep & F.col("_decontam_ok") & F.col("_neardup_keep")
+    keep_mh = model_keep & F.col("_decontam_ok") & F.col("_neardup_keep")
 
     # stage 3w (optional): partial-overlap winnowing gate over the
     # MinHash survivors — same cluster/keep-best shape as stage 3;
@@ -624,9 +668,10 @@ def curate_corpus(
         _n(
             F.col("_exact_keep") & F.col("_quality_ok") & ~F.col("_rep_ok")
         ).alias("repetition_dropped"),
-        _n(cheap_keep & ~F.col("_decontam_ok")).alias("decontam_dropped"),
+        _n(cheap_keep & ~F.col("_model_ok")).alias("model_quality_dropped"),
+        _n(model_keep & ~F.col("_decontam_ok")).alias("decontam_dropped"),
         _n(
-            cheap_keep & F.col("_decontam_ok") & ~F.col("_neardup_keep")
+            model_keep & F.col("_decontam_ok") & ~F.col("_neardup_keep")
         ).alias("neardup_dropped"),
         _n(keep_mh & ~F.col("_winnow_keep")).alias("winnow_dropped"),
         _n(keep_wn & ~F.col("_dense_keep")).alias("dense_neardup_dropped"),
@@ -638,7 +683,7 @@ def curate_corpus(
     stats = {k: int(srow[k]) for k in srow.asDict()}
 
     curated = flagged.filter("_keep").drop(
-        "_exact_keep", "_quality_ok", "_rep_ok", "_decontam_ok",
+        "_exact_keep", "_quality_ok", "_rep_ok", "_model_ok", "_decontam_ok",
         "_neardup_keep", "_winnow_keep", "_dense_keep", "_image_keep",
         "_audio_keep", "_video_keep", "_keep",
         "_top2", "_n2", "_dup3", "_n3", "_in_cluster",

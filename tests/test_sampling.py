@@ -854,3 +854,68 @@ def test_curate_corpus_optional_stages_empty_inputs(spark, tmp_path):
     assert stats2["decontam_dropped"] == 0
     assert stats2["dense_neardup_dropped"] == 0
     assert stats2["image_neardup_dropped"] == 0
+
+
+def test_curate_corpus_model_quality_gate(spark):
+    """The optional model-based quality stage (r11): a trained NB
+    classifier drops low-probability docs that PASS every heuristic
+    gate (enough distinct words, no repetition) — the case the model
+    stage exists for — while leaving clean docs and the stats identity
+    intact; with the stage off the same spam survives."""
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+    from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+        train_quality_classifier,
+    )
+
+    clean_vocab = (
+        "the market closed higher after steady gains while analysts said "
+        "results were broadly in line and officials kept rates unchanged "
+        "with hiring stable and the outlook for energy prices described "
+        "as balanced across most regions this quarter"
+    ).split()
+    spam_vocab = (
+        "click buy cheap pills prize winner free deal offer link now fast "
+        "money claim bonus win lottery casino jackpot discount sale promo "
+        "code urgent limited exclusive instant guaranteed"
+    ).split()
+
+    def doc(vocab, salt, n=26):
+        # rotate without repeating: passes min_words/distinct/repetition
+        return " ".join(vocab[(salt * 3 + j) % len(vocab)] for j in range(n))
+
+    # training set: DIFFERENT rotations from the same vocabularies
+    labeled = spark.createDataFrame(
+        [(i, doc(clean_vocab, 50 + i, 30), 1) for i in range(6)]
+        + [(10 + i, doc(spam_vocab, 50 + i, 30), 0) for i in range(6)],
+        "doc_id long, text string, label int",
+    )
+    model = train_quality_classifier(labeled, num_buckets=1 << 12)
+
+    corpus = spark.createDataFrame(
+        [(i, doc(clean_vocab, i)) for i in range(5)]
+        + [(100 + i, doc(spam_vocab, i)) for i in range(3)],
+        "doc_id long, text string",
+    )
+
+    # stage off: the spam passes every heuristic gate
+    base, base_stats = curate_corpus(spark, corpus)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    assert {100, 101, 102} <= base_ids
+    assert base_stats["model_quality_dropped"] == 0
+
+    # stage on: exactly the spam drops, clean survivors unchanged
+    cur, stats = curate_corpus(spark, corpus, quality_model=model)
+    ids = {r.doc_id for r in cur.select("doc_id").collect()}
+    assert ids == base_ids - {100, 101, 102}
+    assert stats["model_quality_dropped"] == 3
+    assert stats["input_rows"] == stats["curated_rows"] + sum(
+        stats[k]
+        for k in (
+            "exact_dups_dropped",
+            "quality_dropped",
+            "repetition_dropped",
+            "model_quality_dropped",
+            "decontam_dropped",
+            "neardup_dropped",
+        )
+    )
