@@ -1396,3 +1396,76 @@ def test_quality_classifier_weak_supervision_composition(spark):
         for r in score_with_quality_classifier(held, model).collect()
     }
     assert s[100] > s[101]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0,
+                max_value=4.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=8,
+        max_size=24,
+    ),
+)
+@settings(max_examples=5, deadline=None)
+def test_bq1_serving_contract_random_vectors(spark, vecs):
+    """BQ1 serving contract fuzzed (r11): on arbitrary float32 vectors
+    (negatives, exact zeros in individual COMPONENTS — only all-zero
+    vectors are guarded), (a) bq_topk with a covering refine is
+    IDENTICAL to brute_force_topk, (b) serving from a persisted codes
+    relation is identical to encoding on the fly at a pruning refine,
+    and (c) the packed words match the sequential sign-bit reference
+    on every row. Complements the fixed fixture in
+    test_dedup_similarity — hypothesis walks sign boundaries
+    (components exactly 0 pack as 0-bits, like negatives)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        bq_encode,
+        bq_topk,
+        brute_force_topk,
+    )
+
+    rows = []
+    for i, v in enumerate(vecs):
+        if all(abs(x) < 1e-3 for x in v):
+            v = [x + 0.5 for x in v]  # keep norms inside the margin bound
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n = len(rows)
+
+    enc = {r.vec_id: r for r in bq_encode(emb).collect()}
+    import numpy as np
+
+    for i, v in rows:
+        v32 = [float(np.float32(x)) for x in v]
+        want = 0
+        for x in v32[:16]:
+            want = want * 2 + (1 if x > 0 else 0)
+        want <<= 16  # 16 dims in a 32-bit lane: low half is padding
+        assert enc[i].words == [want], i
+
+    ref = sorted(map(tuple, brute_force_topk(
+        emb, query_ids_max=4, k=3
+    ).collect()))
+    cov = sorted(map(tuple, bq_topk(
+        emb, query_ids_max=4, k=3, refine=n
+    ).collect()))
+    assert cov == ref
+
+    codes = bq_encode(emb).localCheckpoint()
+    fly = sorted(map(tuple, bq_topk(
+        emb, query_ids_max=4, k=3, refine=4
+    ).collect()))
+    store = sorted(map(tuple, bq_topk(
+        emb, codes=codes, query_ids_max=4, k=3, refine=4
+    ).collect()))
+    assert store == fly
+    codes.unpersist()
+    spark.catalog.clearCache()
