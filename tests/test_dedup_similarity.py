@@ -4178,3 +4178,63 @@ def test_semantic_dedup_semdedup(spark):
 
     with pytest.raises(ValueError, match="farthest"):
         semantic_dedup(emb, keep="best")
+
+
+def test_semantic_dedup_real_embeddings_table(spark):
+    """semantic_dedup over the real sf0.001 embeddings table (500
+    vectors, near-dup band at cosine ≥ 0.4 — the corpus the registered
+    dedup_embedding_cosine brute-force query reads): with every cell
+    probed the ε-ball groups equal brute-force ground truth and each
+    group keeps exactly one survivor; at a realistic probes=3 every
+    emitted cluster stays inside a ground-truth cluster (precision
+    1.0) while recall is clustering-bounded."""
+    from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+        semantic_dedup,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        all_pairs_cosine,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    truth = {
+        r.doc_id: r.canonical_id
+        for r in connected_components(
+            all_pairs_cosine(emb, min_cosine=0.4)
+        ).collect()
+    }
+    assert truth  # the synthetic corpus has a real 0.4 band
+
+    C = 22  # ~sqrt(500), the auto rule's neighborhood
+    full = {r.vec_id: r for r in semantic_dedup(
+        emb, num_centroids=C, probes=C, threshold=0.4
+    ).collect()}
+    assert len(full) == 500
+    for i, can in truth.items():
+        assert full[i].cluster_id == can, i
+    clusters = {}
+    for i, r in full.items():
+        if r.cluster_id is not None:
+            clusters.setdefault(r.cluster_id, []).append(i)
+        else:
+            assert i not in truth and not r.is_duplicate
+    for cid, ms in clusters.items():
+        assert sum(not full[i].is_duplicate for i in ms) == 1, cid
+
+    probed = {r.vec_id: r for r in semantic_dedup(
+        emb, num_centroids=C, probes=3, threshold=0.4
+    ).collect()}
+    by_cluster = {}
+    for i, r in probed.items():
+        if r.cluster_id is not None:
+            by_cluster.setdefault(r.cluster_id, []).append(i)
+    assert by_cluster
+    for cid, ms in by_cluster.items():
+        # precision 1.0: an emitted cluster never spans truth clusters
+        assert len({truth[i] for i in ms}) == 1, ms
+        assert sum(not probed[i].is_duplicate for i in ms) == 1
