@@ -261,6 +261,13 @@ SCALE10_PQ_GATE = 4.0
 # under 4× wall — an accidental double-execution of the staged frame
 # or a quadratic stage interaction trends well past it.
 SCALE10_CURATE_GATE = 4.0
+# NB quality-classifier train+score linearity gate (r11): training is
+# ONE groupBy(bucket) shuffle with map-side combine (output capped at
+# num_buckets rows) plus an O(1)-row totals collect; scoring is a
+# broadcast bucket join + one groupBy(id). Both linear — 10× docs must
+# stay well under 4× wall; a per-row driver sync or an un-broadcast
+# model join would blow through.
+SCALE10_MODEL_GATE = 4.0
 
 
 def run_scale10(
@@ -345,6 +352,24 @@ def run_scale10(
         )
         return _CountsThenReleases(df, caches)
 
+    def nb_quality(d):
+        # train+score on the same corpus with a content-derived label
+        # split (text-length parity — both classes always non-empty);
+        # the gate times the PLAN SHAPE (one bucket shuffle + the
+        # O(1)-row totals collect, then broadcast-join scoring), the
+        # label semantics are irrelevant to it
+        from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+            score_with_quality_classifier,
+            train_quality_classifier,
+        )
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        labeled = docs.withColumn(
+            "label", (F.length("text") % 2).cast("int")
+        )
+        model = train_quality_classifier(labeled)
+        return score_with_quality_classifier(docs, model)
+
     OPS = {
         "dedup_minhash_lsh": lambda d: qs["dedup_minhash_lsh"](spark, d),
         "dedup_ngram_jaccard": lambda d: qs["dedup_ngram_jaccard"](spark, d),
@@ -353,6 +378,7 @@ def run_scale10(
         "ivf_fixed_c32": lambda d: ivf_at(d, 32),
         "ivf_sqrt_auto": lambda d: ivf_at(d, "auto"),
         "pq_train_encode": pq_train_encode,
+        "model_nb_quality": nb_quality,
     }
 
     out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR") or tempfile.mkdtemp(
@@ -376,6 +402,8 @@ def run_scale10(
                 failures.append(f"{name} ratio {ratio} > {SCALE10_DEDUP_GATE}")
             if name.startswith("pq_") and ratio > SCALE10_PQ_GATE:
                 failures.append(f"{name} ratio {ratio} > {SCALE10_PQ_GATE}")
+            if name.startswith("model_") and ratio > SCALE10_MODEL_GATE:
+                failures.append(f"{name} ratio {ratio} > {SCALE10_MODEL_GATE}")
         if report["ivf_sqrt_auto"]["wall_10x"] > report["ivf_fixed_c32"]["wall_10x"]:
             failures.append(
                 "sqrt-C IVF tuning no longer beats fixed C at 10x "
@@ -611,6 +639,7 @@ def run_scale10(
                 "store_last_vs_first_max": SCALE10_STORE_GATE,
                 "pq_max_ratio": SCALE10_PQ_GATE,
                 "curate_max_ratio": SCALE10_CURATE_GATE,
+                "model_max_ratio": SCALE10_MODEL_GATE,
                 "failures": failures,
             },
             "sf_dir": sf_dir,
