@@ -171,7 +171,12 @@ def score_with_quality_classifier(
     combine. Zero-token docs survive via explode_outer and score
     exactly the prior. Per-token weights are the stored decimals, the
     per-doc fold is exact decimal addition (order-free); the O(1)
-    prior/default terms attach as doubles at the end."""
+    prior/default terms attach as doubles at the end.
+
+    NULL text keeps its row with NULL logit/prob (the
+    ``sentiment_scores_join`` convention — a missing document must
+    surface as missing, not silently score as if it had −1
+    features)."""
     weights, meta = model
     feats = docs.select(
         F.col(id_col),
@@ -180,7 +185,9 @@ def score_with_quality_classifier(
         ).alias("_fs"),
     ).select(
         F.col(id_col),
-        F.size("_fs").alias("_nf"),
+        # size(NULL) is -1, which would silently flow into the
+        # default_w·n term — keep NULL NULL so the logit propagates it
+        F.when(F.col("_fs").isNotNull(), F.size("_fs")).alias("_nf"),
         F.explode_outer("_fs").alias("bucket"),
     )
     per_doc = (

@@ -48,6 +48,7 @@ def semantic_dedup(
     keep: str = "farthest",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    caches: list | None = None,
 ) -> DataFrame:
     """SemDeDup over an embeddings relation. Returns ONE row per input
     vector: (id, cluster_id, centroid_cosine, is_duplicate) —
@@ -79,13 +80,24 @@ def semantic_dedup(
     components carry one row per PAIRED vector — O(duplicates), far
     below the corpus — and the final flags join back on id. The
     centrality pass reuses the persisted base scan and the O(C)
-    broadcast centroid relation."""
+    broadcast centroid relation.
+
+    Cache lifecycle (the ``chunk_level_dedup`` out-param contract): a
+    raw ``emb`` input is prepared and PERSISTED internally
+    (``_ensure_ann_base``) — pass ``caches=[]`` to receive that frame
+    and ``unpersist()`` it once the returned flags are materialized,
+    so a non-bench caller does not need a global
+    ``spark.catalog.clearCache()``. An already-prepared (vdbl,
+    norm_sq) base passes through untouched and nothing is appended."""
     if keep not in ("farthest", "closest"):
         raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
+    prepared = "vdbl" in emb.columns and "norm_sq" in emb.columns
     base = _ensure_ann_base(
         emb.select(F.col(id_col), F.col(vec_col)) if vec_col != "vdbl" else emb,
         id_col,
     )
+    if caches is not None and not prepared:
+        caches.append(base)
     n_cents = resolve_num_centroids(base, num_centroids)
     cents = (
         lloyd_refined_centroids(base, n_cents, lloyd_rounds, id_col, "vdbl")

@@ -4238,3 +4238,48 @@ def test_semantic_dedup_real_embeddings_table(spark):
         # precision 1.0: an emitted cluster never spans truth clusters
         assert len({truth[i] for i in ms}) == 1, ms
         assert sum(not probed[i].is_duplicate for i in ms) == 1
+
+
+def test_semantic_dedup_caches_out_param_releases_base(spark):
+    """semantic_dedup's cache lifecycle: a raw embeddings input is
+    prepared+persisted internally — the caches= out-param hands the
+    handle back so a non-bench caller releases it without a global
+    clearCache(); an already-prepared base passes through with nothing
+    appended. (Census via the SQL CacheManager — the component
+    connected_components localCheckpoints are RDD-level and out of
+    scope, as documented on the ngram census test.)"""
+    from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+        semantic_dedup,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        with_dbl_and_approx_norm,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert jcm.isEmpty()
+
+    caches: list = []
+    n = semantic_dedup(
+        emb, num_centroids=4, probes=2, threshold=0.9, caches=caches
+    ).count()
+    assert n == 20 and len(caches) == 1
+    assert not jcm.isEmpty()
+    for c in caches:
+        c.unpersist()
+    assert jcm.isEmpty()
+
+    # prepared base: pass-through, nothing appended, caller's persist
+    base = with_dbl_and_approx_norm(emb).persist()
+    caches2: list = []
+    semantic_dedup(
+        base, num_centroids=4, probes=2, threshold=0.9, vec_col="vdbl",
+        caches=caches2,
+    ).count()
+    assert caches2 == []
+    base.unpersist()
+    spark.catalog.clearCache()

@@ -1469,3 +1469,31 @@ def test_bq1_serving_contract_random_vectors(spark, vecs):
     assert store == fly
     codes.unpersist()
     spark.catalog.clearCache()
+
+
+def test_quality_classifier_null_text_scores_null(spark):
+    """NULL text keeps its row with NULL logit/prob (the
+    sentiment_scores_join convention) — without the guard, size(NULL)
+    = -1 would silently contribute -1 features to the default_w term
+    and emit a plausible-looking wrong score."""
+    from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+        score_with_quality_classifier,
+        train_quality_classifier,
+    )
+
+    labeled = spark.createDataFrame(
+        [(0, "good clean text here", 1), (1, "bad spam junk now", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = train_quality_classifier(labeled, num_buckets=1 << 10)
+    docs = spark.createDataFrame(
+        [(10, "good clean text"), (11, None)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in score_with_quality_classifier(docs, model).collect()
+    }
+    assert set(got) == {10, 11}
+    assert got[10].quality_logit is not None
+    assert got[11].n_feats is None
+    assert got[11].quality_logit is None and got[11].quality_prob is None
