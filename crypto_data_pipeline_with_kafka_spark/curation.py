@@ -67,6 +67,8 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     decontam_k: int = 8,
     decontam_min_containment: float = 0.5,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_decontam_min_cosine: float = 0.9,
     embeddings: DataFrame | None = None,
     emb_col: str = "embedding",
     embedding_min_cosine: float = 0.95,
@@ -154,6 +156,16 @@ def curate_corpus(
       ``decontam_min_containment`` are dropped after the quality gates
       and before near-dup clustering (stats key ``decontam_dropped``).
       The benchmark side broadcasts; the corpus is shingled once.
+    * ``benchmark_embeddings`` — SEMANTIC eval-set decontamination
+      (:func:`...operators.semantic.semantic_decontaminate`), the
+      embedding twin of the k-gram stage for paraphrased/reformatted
+      leakage that shares no n-grams: corpus docs (via their
+      ``embeddings`` rows — required together) within
+      ``semantic_decontam_min_cosine`` of ANY benchmark item's vector
+      drop (stats key ``semantic_decontam_dropped``). The benchmark
+      relation is keyed by its own item ids under the same
+      ``id_col``/``emb_col`` names and broadcasts; docs the caller
+      did not embed pass through.
     * ``embeddings`` — a dense near-dup gate over an (id, vector)
       relation keyed by the SAME ``id_col``: IVF-ANN pairs at cosine ≥
       ``embedding_min_cosine`` over the MinHash survivors' vectors,
@@ -339,11 +351,54 @@ def curate_corpus(
     else:
         flagged = flagged.withColumn("_decontam_ok", F.lit(True))
 
+    # stage 2b2 (optional): SEMANTIC decontamination — the embedding
+    # twin of the k-gram stage (paraphrased/reformatted eval leakage
+    # shares no n-grams); benchmark embeddings broadcast, the corpus
+    # side is the caller-embedded docs still alive after the earlier
+    # flags. Docs without an embedding row pass through — the gate
+    # covers what the caller embedded (the dense-gate convention).
+    if benchmark_embeddings is not None:
+        if embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings without embeddings: semantic "
+                "decontamination compares CORPUS vectors against the "
+                "benchmark's — pass the corpus (id, vector) relation "
+                "via embeddings="
+            )
+        from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+            semantic_decontaminate,
+        )
+
+        alive = flagged.filter(model_keep & F.col("_decontam_ok")).select(did)
+        sem_cont = (
+            semantic_decontaminate(
+                embeddings.join(alive, id_col, "left_semi"),
+                benchmark_embeddings,
+                min_cosine=semantic_decontam_min_cosine,
+                id_col=id_col,
+                vec_col=emb_col,
+            )
+            .select(did)
+            .distinct()
+            .withColumn("_sem_cont", F.lit(True))
+        )
+        flagged = (
+            flagged.join(sem_cont, id_col, "left")
+            .withColumn(
+                "_sem_decontam_ok",
+                ~F.coalesce(F.col("_sem_cont"), F.lit(False)),
+            )
+            .drop("_sem_cont")
+        )
+    else:
+        flagged = flagged.withColumn("_sem_decontam_ok", F.lit(True))
+    decontam_ok = F.col("_decontam_ok") & F.col("_sem_decontam_ok")
+
     # stage 3: near-dup clustering on what survived the cheap stages —
     # keep singletons and each cluster's quality-weighted survivor.
     # The survivor side needs stable reuse (the dedup machinery runs
     # eager convergence actions), so persist the gated frame.
-    gated = flagged.filter(model_keep & F.col("_decontam_ok")).persist()
+    gated = flagged.filter(model_keep & decontam_ok).persist()
     pairs = minhash_lsh_dedup(
         gated,
         text_col=text_col,
@@ -376,7 +431,7 @@ def curate_corpus(
         ~F.coalesce(F.col("_in_cluster"), F.lit(False))
         | F.coalesce(F.col("_is_survivor"), F.lit(False)),
     )
-    keep_mh = model_keep & F.col("_decontam_ok") & F.col("_neardup_keep")
+    keep_mh = model_keep & decontam_ok & F.col("_neardup_keep")
 
     # stage 3w (optional): partial-overlap winnowing gate over the
     # MinHash survivors — same cluster/keep-best shape as stage 3;
@@ -671,7 +726,10 @@ def curate_corpus(
         _n(cheap_keep & ~F.col("_model_ok")).alias("model_quality_dropped"),
         _n(model_keep & ~F.col("_decontam_ok")).alias("decontam_dropped"),
         _n(
-            model_keep & F.col("_decontam_ok") & ~F.col("_neardup_keep")
+            model_keep & F.col("_decontam_ok") & ~F.col("_sem_decontam_ok")
+        ).alias("semantic_decontam_dropped"),
+        _n(
+            model_keep & decontam_ok & ~F.col("_neardup_keep")
         ).alias("neardup_dropped"),
         _n(keep_mh & ~F.col("_winnow_keep")).alias("winnow_dropped"),
         _n(keep_wn & ~F.col("_dense_keep")).alias("dense_neardup_dropped"),
@@ -684,6 +742,7 @@ def curate_corpus(
 
     curated = flagged.filter("_keep").drop(
         "_exact_keep", "_quality_ok", "_rep_ok", "_model_ok", "_decontam_ok",
+        "_sem_decontam_ok",
         "_neardup_keep", "_winnow_keep", "_dense_keep", "_image_keep",
         "_audio_keep", "_video_keep", "_keep",
         "_top2", "_n2", "_dup3", "_n3", "_in_cluster",

@@ -8,6 +8,10 @@ embedding-space member of the dedup family: exact/MinHash/SimHash
 catch lexical near-dups, SemDeDup catches SEMANTIC ones (paraphrases,
 translations, templated rewrites) that share no shingles.
 
+Also hosts :func:`semantic_decontaminate` — the embedding twin of the
+k-gram eval-set decontamination (same broadcast-benchmark,
+streaming-corpus shape, exact-decimal emitted cosines).
+
 Built by COMPOSITION of the engine's existing distributed pieces — no
 new pair generator, no new clustering: IVF cells are the k-means
 clusters (``ivf_assignments``, zero-shuffle in-row assignment against
@@ -31,10 +35,13 @@ from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
 from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     _ensure_ann_base,
     _seed_centroids,
+    dbl_vector,
     dot_double,
+    dot_exact,
     ivf_ann_pairs,
     ivf_assignments,
     lloyd_refined_centroids,
+    quantized_vector,
     resolve_num_centroids,
 )
 
@@ -167,3 +174,65 @@ def semantic_dedup(
             ).alias("is_duplicate"),
         )
     )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    benchmark: DataFrame,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination — the semantic twin of
+    ``operators.dedup.decontaminate`` (which catches verbatim k-gram
+    containment): a corpus document whose embedding sits within
+    ``min_cosine`` of ANY benchmark item's embedding is flagged,
+    catching paraphrased/translated/reformatted eval leakage that
+    shares no n-grams. Returns (id, bench_id, cosine) — one row per
+    contaminated (corpus, benchmark) pair at exact cosine ≥ threshold;
+    callers drop ``select(id).distinct()``.
+
+    Same numeric contract as every emitted cosine in the similarity
+    module: a primitive-double prefilter at ``min_cosine − 1e-6``
+    (margin ~7 orders above double/decimal divergence) prunes the
+    cross join, then survivors re-score on quantized exact decimals —
+    the emitted values are bitwise oracle-reproducible.
+
+    Scale shape: the benchmark side is eval-set-sized BY NATURE (the
+    same assumption the n-gram ``decontaminate`` makes when it
+    broadcasts benchmark shingles) — it broadcasts with its exact
+    norms precomputed once; the corpus STREAMS through one scan with a
+    per-row double fold per benchmark item, no shuffle at all before
+    the O(flagged) exact re-score. For benchmark sets too large to
+    broadcast, run per-benchmark-shard and union — contamination
+    flags are independent per benchmark item, so sharding is lossless."""
+    corpus = emb.select(
+        F.col(id_col), dbl_vector(vec_col).alias("_cv")
+    ).withColumn("_cn", F.sqrt(dot_double(F.col("_cv"), F.col("_cv"))))
+    bq = quantized_vector(F.col("_bv"))
+    bench = (
+        benchmark.select(
+            F.col(bench_id_col or id_col).alias("bench_id"),
+            dbl_vector(bench_vec_col or vec_col).alias("_bv"),
+        )
+        .withColumn("_bq", bq)
+        .withColumn("_bn", F.sqrt(dot_double(F.col("_bv"), F.col("_bv"))))
+        .withColumn("_bnx", F.sqrt(dot_exact(F.col("_bq"), F.col("_bq"))))
+    )
+    pairs = corpus.crossJoin(F.broadcast(bench))
+    approx = dot_double(F.col("_cv"), F.col("_bv")) / (
+        F.col("_cn") * F.col("_bn")
+    )
+    surv = pairs.filter(approx >= min_cosine - 1e-6)
+    cq = quantized_vector(F.col("_cv"))
+    exact = surv.select(
+        F.col(id_col),
+        "bench_id",
+        (
+            dot_exact(cq, F.col("_bq"))
+            / (F.sqrt(dot_exact(cq, cq)) * F.col("_bnx"))
+        ).alias("cosine"),
+    )
+    return exact.filter(F.col("cosine") >= min_cosine)

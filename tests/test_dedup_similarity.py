@@ -4283,3 +4283,77 @@ def test_semantic_dedup_caches_out_param_releases_base(spark):
     assert caches2 == []
     base.unpersist()
     spark.catalog.clearCache()
+
+
+def test_semantic_decontaminate(spark):
+    """Embedding-space decontamination (r11): (a) flags exactly the
+    corpus vectors within the cosine threshold of any benchmark item,
+    with emitted cosines matching a sequential exact-decimal reference
+    bitwise (the module's trunc·1e12 quantized convention);
+    (b) sub-threshold pairs are absent; (c) an empty benchmark flags
+    nothing; (d) one corpus doc near TWO benchmark items emits both
+    pairs."""
+    from decimal import Decimal
+
+    from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+        semantic_decontaminate,
+    )
+
+    def q(x):
+        return int(Decimal(float(x)) * (10 ** 12))  # trunc toward zero
+
+    def exact_cos(a, b):
+        qa, qb = [q(x) for x in a], [q(x) for x in b]
+        num = sum(x * y for x, y in zip(qa, qb))
+        na = sum(x * x for x in qa) ** 0.5
+        nb = sum(x * x for x in qb) ** 0.5
+        return float(str(Decimal(num))) / (na * nb)
+
+    import numpy as np
+
+    bench_vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+    }
+    corpus_vecs = {
+        10: [0.99, 0.05, 0.0, 0.0],   # near bench 0
+        11: [0.0, 0.0, 1.0, 0.0],     # near nothing
+        12: [0.7, 0.7, 0.0, 0.0],     # ~0.707 to both: below 0.9
+        13: [0.95, 0.0, 0.3, 0.0],    # near bench 0
+        14: [0.05, 0.99, 0.0, 0.0],   # near bench 1
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in corpus_vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(i, v) for i, v in bench_vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.bench_id): r.cosine
+        for r in semantic_decontaminate(emb, bench, min_cosine=0.9).collect()
+    }
+
+    want = {}
+    for ci, cv in corpus_vecs.items():
+        cv32 = [float(np.float32(x)) for x in cv]
+        for bi, bv in bench_vecs.items():
+            bv32 = [float(np.float32(x)) for x in bv]
+            c = exact_cos(cv32, bv32)
+            if c >= 0.9:
+                want[(ci, bi)] = c
+    assert set(want) == {(10, 0), (13, 0), (14, 1)}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])  # bitwise
+
+    # (c) empty benchmark
+    assert semantic_decontaminate(emb, bench.limit(0), 0.9).isEmpty()
+
+    # (d) a doc near two benchmark items emits both pairs
+    twin = spark.createDataFrame(
+        [(20, [0.7071, 0.7071, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    both = semantic_decontaminate(twin, bench, min_cosine=0.7).collect()
+    assert {(r.vec_id, r.bench_id) for r in both} == {(20, 0), (20, 1)}

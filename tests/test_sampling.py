@@ -919,3 +919,65 @@ def test_curate_corpus_model_quality_gate(spark):
             "neardup_dropped",
         )
     )
+
+
+def test_curate_corpus_semantic_decontam_stage(spark):
+    """The optional SEMANTIC decontamination stage (r11): a corpus doc
+    whose embedding sits within the cosine threshold of a benchmark
+    item drops even though its TEXT shares no n-grams with anything
+    (the paraphrase-leakage case the k-gram stage cannot see); docs
+    without an embedding row pass through; benchmark_embeddings
+    without embeddings refuses; the stats identity holds."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    def words(prefix, n=24):
+        return " ".join(f"{prefix}{j}" for j in range(n))
+
+    corpus = spark.createDataFrame(
+        [(i, words(f"w{i}x")) for i in range(6)],
+        "doc_id long, text string",
+    )
+    # doc 2 is a semantic twin of benchmark item 0; doc 3 has no
+    # embedding row at all (passes through); others are far
+    embeddings = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.05, 0.02, 0.99, 0.0]),
+            (4, [0.0, 0.0, 0.0, 1.0]),
+            (5, [0.5, -0.5, 0.0, 0.0]),
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(900, [0.0, 0.0, 1.0, 0.0])], "doc_id long, embedding array<float>"
+    )
+
+    cur, stats = curate_corpus(
+        spark,
+        corpus,
+        embeddings=embeddings,
+        benchmark_embeddings=bench_emb,
+        semantic_decontam_min_cosine=0.95,
+    )
+    ids = {r.doc_id for r in cur.select("doc_id").collect()}
+    assert 2 not in ids and stats["semantic_decontam_dropped"] == 1
+    assert {0, 1, 3, 4, 5} <= ids  # including the un-embedded doc 3
+    assert stats["input_rows"] == stats["curated_rows"] + sum(
+        stats[k]
+        for k in (
+            "exact_dups_dropped",
+            "quality_dropped",
+            "repetition_dropped",
+            "model_quality_dropped",
+            "decontam_dropped",
+            "semantic_decontam_dropped",
+            "neardup_dropped",
+            "dense_neardup_dropped",
+        )
+    )
+
+    with pytest.raises(ValueError, match="embeddings="):
+        curate_corpus(spark, corpus, benchmark_embeddings=bench_emb)
