@@ -208,9 +208,35 @@ def semantic_decontaminate(
     the O(flagged) exact re-score. For benchmark sets too large to
     broadcast, run per-benchmark-shard and union — contamination
     flags are independent per benchmark item, so sharding is lossless."""
+    def _norm_guard(norm, ident, side):
+        # the module's loud zero-norm discipline (_sq8_norm_guard's
+        # shape): a zero-norm vector here would NULL its cosines and
+        # silently EVADE the contamination gate — worse than the
+        # silent mis-rank the serve paths guard against
+        return F.when(norm > 0, norm).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"semantic_decontaminate: zero-norm {side} vector "),
+                    ident.cast("string"),
+                    F.lit(
+                        " has no cosine direction — a zero vector would "
+                        "silently pass the gate; filter zero vectors "
+                        "before decontaminating"
+                    ),
+                )
+            ).cast("double")
+        )
+
     corpus = emb.select(
         F.col(id_col), dbl_vector(vec_col).alias("_cv")
-    ).withColumn("_cn", F.sqrt(dot_double(F.col("_cv"), F.col("_cv"))))
+    ).withColumn(
+        "_cn",
+        _norm_guard(
+            F.sqrt(dot_double(F.col("_cv"), F.col("_cv"))),
+            F.col(id_col),
+            "corpus",
+        ),
+    )
     bq = quantized_vector(F.col("_bv"))
     bench = (
         benchmark.select(
@@ -218,7 +244,14 @@ def semantic_decontaminate(
             dbl_vector(bench_vec_col or vec_col).alias("_bv"),
         )
         .withColumn("_bq", bq)
-        .withColumn("_bn", F.sqrt(dot_double(F.col("_bv"), F.col("_bv"))))
+        .withColumn(
+            "_bn",
+            _norm_guard(
+                F.sqrt(dot_double(F.col("_bv"), F.col("_bv"))),
+                F.col("bench_id"),
+                "benchmark",
+            ),
+        )
         .withColumn("_bnx", F.sqrt(dot_exact(F.col("_bq"), F.col("_bq"))))
     )
     pairs = corpus.crossJoin(F.broadcast(bench))

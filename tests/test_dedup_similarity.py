@@ -4357,3 +4357,16 @@ def test_semantic_decontaminate(spark):
     )
     both = semantic_decontaminate(twin, bench, min_cosine=0.7).collect()
     assert {(r.vec_id, r.bench_id) for r in both} == {(20, 0), (20, 1)}
+
+    # (e) zero-norm vectors refuse loudly on BOTH sides — a zero
+    # vector would otherwise NULL its cosines and silently evade the
+    # gate
+    zc = spark.createDataFrame(
+        [(30, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="zero-norm corpus vector 30"):
+        semantic_decontaminate(zc, bench, 0.9).collect()
+    with pytest.raises(Exception, match="zero-norm benchmark vector 30"):
+        semantic_decontaminate(
+            emb, zc.withColumnRenamed("vec_id", "vec_id"), 0.9
+        ).collect()
