@@ -370,3 +370,45 @@ def test_retrain_reassignment_plan_no_hash_exchange(spark, tmp_path):
     assert "BroadcastExchange" in plan, plan
     # the carried columns actually ride through
     assert set(re_cells.columns) == {"vec_id", "batch_id", "embedding", "centroid_id"}
+
+
+def test_new_r11_operators_plan_shapes(spark):
+    """Plan pins for the r11 additions (the engine's broadcast
+    discipline, asserted so a regression to a shuffled or cartesian
+    plan fails loudly): (a) bq_topk broadcasts the bounded QUERY side
+    over the streaming packed-lane corpus (BroadcastNestedLoopJoin,
+    never CartesianProduct); (b) the NB classifier's scoring join
+    broadcasts the bucket-capped weights table (BroadcastHashJoin);
+    (c) semantic_decontaminate broadcasts the eval-set-sized benchmark
+    (BroadcastNestedLoopJoin, never CartesianProduct). The classifier
+    trains once (its documented O(1)-row totals collect runs); every
+    ASSERTED plan is built without executing."""
+    import pyspark.sql.functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+        score_with_quality_classifier,
+        train_quality_classifier,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+        semantic_decontaminate,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        bq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bq_plan = plan_of(bq_topk(emb, query_ids_max=8, k=3))
+    assert "BroadcastNestedLoopJoin" in bq_plan
+    assert "CartesianProduct" not in bq_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labeled = docs.withColumn("label", (F.length("text") % 2).cast("int"))
+    model = train_quality_classifier(labeled, num_buckets=1 << 12)
+    score_plan = plan_of(score_with_quality_classifier(docs, model))
+    assert "BroadcastHashJoin" in score_plan, score_plan
+
+    bench = emb.limit(5)
+    dec_plan = plan_of(semantic_decontaminate(emb, bench, 0.9))
+    assert "BroadcastNestedLoopJoin" in dec_plan
+    assert "CartesianProduct" not in dec_plan
+    spark.catalog.clearCache()
