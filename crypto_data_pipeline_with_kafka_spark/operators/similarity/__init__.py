@@ -21,8 +21,8 @@ recall/candidate-volume knob.
 
 
 # r11: the 3.4k-line similarity module split into focused submodules
-# (base / ivf / stores / pq / sq / bq) behind this unchanged import
-# surface —
+# (base / ivf / stores / pq / sq / bq / mrl) behind this unchanged
+# import surface —
 # every name, public and private, resolves here exactly as before.
 
 from crypto_data_pipeline_with_kafka_spark.operators.similarity.base import (  # noqa: F401
@@ -102,4 +102,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity.bq import (  # n
     _bq_hamming,
     bq_encode,
     bq_topk,
+)
+from crypto_data_pipeline_with_kafka_spark.operators.similarity.mrl import (  # noqa: F401
+    mrl_topk,
 )
