@@ -401,6 +401,14 @@ def test_new_r11_operators_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in bq_plan
     assert "CartesianProduct" not in bq_plan
 
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        mrl_topk,
+    )
+
+    mrl_plan = plan_of(mrl_topk(emb, prefix_dims=16, query_ids_max=8, k=3))
+    assert "BroadcastNestedLoopJoin" in mrl_plan
+    assert "CartesianProduct" not in mrl_plan
+
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     labeled = docs.withColumn("label", (F.length("text") % 2).cast("int"))
     model = train_quality_classifier(labeled, num_buckets=1 << 12)

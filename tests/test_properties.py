@@ -1497,3 +1497,49 @@ def test_quality_classifier_null_text_scores_null(spark):
     assert got[10].quality_logit is not None
     assert got[11].n_feats is None
     assert got[11].quality_logit is None and got[11].quality_prob is None
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0,
+                max_value=4.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=8,
+        max_size=24,
+    ),
+)
+@settings(max_examples=5, deadline=None)
+def test_mrl_serving_contract_random_vectors(spark, vecs):
+    """MRL serving contract fuzzed (r11): on arbitrary float32 vectors
+    — including rows whose leading PREFIX is all-zero (NULL prefix
+    score, ranks last, recoverable) — mrl_topk with a covering refine
+    is IDENTICAL to brute_force_topk at any truncating prefix."""
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        brute_force_topk,
+        mrl_topk,
+    )
+
+    rows = []
+    for i, v in enumerate(vecs):
+        if all(abs(x) < 1e-3 for x in v):
+            v = [x + 0.5 for x in v]  # keep norms inside the margin bound
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n = len(rows)
+    ref = sorted(map(tuple, brute_force_topk(
+        emb, query_ids_max=4, k=3
+    ).collect()))
+    for pd_ in (4, 8):
+        cov = sorted(map(tuple, mrl_topk(
+            emb, prefix_dims=pd_, query_ids_max=4, k=3, refine=n
+        ).collect()))
+        assert cov == ref, pd_
+    spark.catalog.clearCache()
