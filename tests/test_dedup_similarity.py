@@ -4460,3 +4460,45 @@ def test_mrl_truncated_dimension_serving(spark):
         mrl_topk(emb, prefix_dims=16, k=5, refine=2)
     with pytest.raises(ValueError, match="prefix_dims"):
         mrl_topk(emb, prefix_dims=0)
+
+
+def test_semantic_dedup_lloyd_refined_centroids(spark):
+    """semantic_dedup's lloyd_rounds path: refined centroids feed both
+    the cell assignment and the centrality join — with every cell
+    probed the groups still equal brute-force ground truth, one
+    survivor per group, and the exported centroid_cosine column is
+    populated (the keep rule ran against the REFINED centroids)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+        semantic_dedup,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        all_pairs_cosine,
+    )
+
+    rows = []
+    for g in range(3):
+        base = [1.0 if g * 4 <= j < g * 4 + 4 else 0.0 for j in range(12)]
+        for m in range(3):
+            v = list(base)
+            v[(g * 4 + 5) % 12] += 0.02 * (m + 1)
+            rows.append((g * 3 + m, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {
+        r.doc_id: r.canonical_id
+        for r in connected_components(
+            all_pairs_cosine(emb, min_cosine=0.95)
+        ).collect()
+    }
+    out = {r.vec_id: r for r in semantic_dedup(
+        emb, num_centroids=3, probes=3, threshold=0.95, lloyd_rounds=2
+    ).collect()}
+    assert len(out) == 9
+    for i, can in truth.items():
+        assert out[i].cluster_id == can, i
+    for g in range(3):
+        ms = [g * 3, g * 3 + 1, g * 3 + 2]
+        assert sum(not out[i].is_duplicate for i in ms) == 1, g
+        assert all(out[i].centroid_cosine is not None for i in ms)
