@@ -71,7 +71,7 @@ def curate_corpus(
     semantic_decontam_min_cosine: float = 0.9,
     embeddings: DataFrame | None = None,
     emb_col: str = "embedding",
-    embedding_min_cosine: float = 0.95,
+    embedding_min_cosine: float | None = 0.95,
     images: DataFrame | None = None,
     payload_col: str = "payload",
     image_max_hamming: int = 6,
@@ -165,10 +165,15 @@ def curate_corpus(
       drop (stats key ``semantic_decontam_dropped``). The benchmark
       relation is keyed by its own item ids under the same
       ``id_col``/``emb_col`` names and broadcasts; docs the caller
-      did not embed pass through.
+      did not embed pass through. NOTE the coupling: this stage needs
+      ``embeddings=``, and supplying ``embeddings`` ALSO activates the
+      dense near-dup gate below by default — for decontamination-only
+      use pass ``embedding_min_cosine=None`` to switch that gate off.
     * ``embeddings`` — a dense near-dup gate over an (id, vector)
       relation keyed by the SAME ``id_col``: IVF-ANN pairs at cosine ≥
-      ``embedding_min_cosine`` over the MinHash survivors' vectors,
+      ``embedding_min_cosine`` (``None`` disables this gate — e.g.
+      when ``embeddings`` is supplied only to feed semantic
+      decontamination) over the MinHash survivors' vectors,
       clustered and resolved to quality-weighted survivors exactly like
       the lexical stage (stats key ``dense_neardup_dropped``). Docs
       without an embedding row pass through — the gate covers what the
@@ -548,7 +553,7 @@ def curate_corpus(
     # prepared with widen=False (semi-join-derived) and persisted: the
     # component resolution runs eager convergence actions over it.
     dense_caches: tuple = ()
-    if embeddings is not None:
+    if embeddings is not None and embedding_min_cosine is not None:
         # persist only what the stage consumes — (id, quality) — not
         # the full-width survivor frame with its text and flag columns
         # (the eager convergence actions would pin the whole surviving

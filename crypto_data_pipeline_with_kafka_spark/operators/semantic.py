@@ -98,11 +98,25 @@ def semantic_dedup(
     norm_sq) base passes through untouched and nothing is appended."""
     if keep not in ("farthest", "closest"):
         raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
-    prepared = "vdbl" in emb.columns and "norm_sq" in emb.columns
-    base = _ensure_ann_base(
-        emb.select(F.col(id_col), F.col(vec_col)) if vec_col != "vdbl" else emb,
-        id_col,
-    )
+    # An already-prepared base passes through ONLY when the caller
+    # addresses it as such (vec_col="vdbl" on a frame carrying the
+    # norm); any other vec_col is aliased to the preparation input name
+    # (r11 advice: a custom vec_col used to reach _ensure_ann_base
+    # under its own name and fail on the hard-coded 'embedding'), and
+    # `prepared` is decided by the frame actually handed to
+    # _ensure_ann_base — a (vdbl, norm_sq) input re-selected down to a
+    # different vector column is NOT prepared, so its internal persist
+    # is appended to ``caches`` like any other (the out-param contract
+    # would otherwise leak it).
+    if vec_col == "vdbl" and "norm_sq" in emb.columns:
+        prepared = True
+        base = _ensure_ann_base(emb, id_col)
+    else:
+        prepared = False
+        base = _ensure_ann_base(
+            emb.select(F.col(id_col), F.col(vec_col).alias("embedding")),
+            id_col,
+        )
     if caches is not None and not prepared:
         caches.append(base)
     n_cents = resolve_num_centroids(base, num_centroids)

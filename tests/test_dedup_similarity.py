@@ -4502,3 +4502,63 @@ def test_semantic_dedup_lloyd_refined_centroids(spark):
         ms = [g * 3, g * 3 + 1, g * 3 + 2]
         assert sum(not out[i].is_duplicate for i in ms) == 1, g
         assert all(out[i].centroid_cosine is not None for i in ms)
+
+
+def test_semantic_dedup_custom_vec_col(spark):
+    """semantic_dedup under a NON-default vec_col (r11 advice: the
+    parameter used to break for any name other than 'embedding'/'vdbl'
+    on the hard-coded preparation column): results are identical to
+    the default-named run, and the internal persist is handed back via
+    caches= even when the input carries decoy vdbl/norm_sq columns
+    that the vec_col select drops (the leaked-persist edge)."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.01]),
+        (1, [1.0, 0.0, 0.0, 0.02]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = sorted(
+        (r.vec_id, r.cluster_id, r.is_duplicate)
+        for r in semantic_dedup(
+            emb, num_centroids=4, probes=4, threshold=0.95
+        ).collect()
+    )
+
+    renamed = emb.withColumnRenamed("embedding", "sentence_vec")
+    caches: list = []
+    got = sorted(
+        (r.vec_id, r.cluster_id, r.is_duplicate)
+        for r in semantic_dedup(
+            renamed, num_centroids=4, probes=4, threshold=0.95,
+            vec_col="sentence_vec", caches=caches,
+        ).collect()
+    )
+    assert got == want
+    assert len(caches) == 1
+    for c in caches:
+        c.unpersist()
+
+    # the cache-handback edge: decoy vdbl/norm_sq columns alongside a
+    # DIFFERENT vec_col — the prepared base must still be handed back
+    decoy = renamed.withColumn(
+        "vdbl", F.expr("transform(sentence_vec, x -> cast(x as double))")
+    ).withColumn("norm_sq", F.lit(1.0))
+    caches2: list = []
+    got2 = sorted(
+        (r.vec_id, r.cluster_id, r.is_duplicate)
+        for r in semantic_dedup(
+            decoy, num_centroids=4, probes=4, threshold=0.95,
+            vec_col="sentence_vec", caches=caches2,
+        ).collect()
+    )
+    assert got2 == want
+    assert len(caches2) == 1
+    for c in caches2:
+        c.unpersist()

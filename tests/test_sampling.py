@@ -981,3 +981,59 @@ def test_curate_corpus_semantic_decontam_stage(spark):
 
     with pytest.raises(ValueError, match="embeddings="):
         curate_corpus(spark, corpus, benchmark_embeddings=bench_emb)
+
+
+def test_curate_corpus_decontam_only_embeddings(spark):
+    """embedding_min_cosine=None switches the dense near-dup gate OFF
+    (r11 advice: supplying embeddings= only to feed semantic
+    decontamination used to silently activate the dense gate too):
+    two dense near-dup docs BOTH survive with the gate off while the
+    semantic-decontam drop still happens; with the default threshold
+    the same corpus loses one of the pair to the dense gate."""
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    def words(prefix, n=24):
+        return " ".join(f"{prefix}{j}" for j in range(n))
+
+    corpus = spark.createDataFrame(
+        [(i, words(f"w{i}x")) for i in range(4)],
+        "doc_id long, text string",
+    )
+    # docs 0/1 are dense near-identical twins; doc 2 matches the
+    # benchmark item; doc 3 is far from everything
+    embeddings = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.001]),
+            (1, [1.0, 0.0, 0.0, 0.002]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(900, [0.0, 0.0, 1.0, 0.0])], "doc_id long, embedding array<float>"
+    )
+
+    cur, stats = curate_corpus(
+        spark,
+        corpus,
+        embeddings=embeddings,
+        benchmark_embeddings=bench_emb,
+        semantic_decontam_min_cosine=0.95,
+        embedding_min_cosine=None,
+    )
+    ids = {r.doc_id for r in cur.select("doc_id").collect()}
+    assert ids == {0, 1, 3}
+    assert stats["semantic_decontam_dropped"] == 1
+    assert stats["dense_neardup_dropped"] == 0
+
+    cur_on, stats_on = curate_corpus(
+        spark,
+        corpus,
+        embeddings=embeddings,
+        benchmark_embeddings=bench_emb,
+        semantic_decontam_min_cosine=0.95,
+    )
+    ids_on = {r.doc_id for r in cur_on.select("doc_id").collect()}
+    assert stats_on["dense_neardup_dropped"] == 1
+    assert len(ids_on & {0, 1}) == 1 and 3 in ids_on
