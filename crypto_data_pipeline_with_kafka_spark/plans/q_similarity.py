@@ -32,6 +32,9 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     with_dbl_and_approx_norm,
     with_dbl_and_norm,
 )
+from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+    semantic_decontaminate,
+)
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
 _DIM = 64
@@ -699,6 +702,14 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# decontam leg: benchmark side = the first _DCT_BENCH ids (an eval set
+# is small BY NATURE — it broadcasts), corpus side = the rest; a corpus
+# vector within cosine ≥ _DCT_MIN of ANY benchmark vector is a flagged
+# contamination pair
+_DCT_BENCH = 50
+_DCT_MIN = 0.3
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
@@ -715,17 +726,60 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dots
       JOIN nrm na ON na.vec_id = id_a
       JOIN nrm nb ON nb.vec_id = id_b
+    ),
+    dcd AS (
+      SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+             CAST(CAST(sum(qa.v * qb.v) AS VARCHAR) AS DOUBLE) AS dot
+      FROM comp qa
+      JOIN comp qb ON qa.pos = qb.pos
+      WHERE qa.vec_id >= {_DCT_BENCH} AND qb.vec_id < {_DCT_BENCH}
+      GROUP BY 1, 2
+    ),
+    dct AS (
+      SELECT id_a, id_b, dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine
+      FROM dcd
+      JOIN nrm na ON na.vec_id = id_a
+      JOIN nrm nb ON nb.vec_id = id_b
     )
-    SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.4
+    SELECT 'pairs' AS method, id_a, id_b, cosine
+    FROM cos WHERE cosine >= 0.4
+    UNION ALL
+    SELECT 'decontam' AS method, id_a, id_b, cosine
+    FROM dct WHERE cosine >= {_DCT_MIN}
     """,
-    doc="Embedding-cosine near-dup pairs (exact, all pairs ≥ 0.4 — this "
-    "synthetic corpus's near-dup band; real near-dup dedup sets ~0.95): "
-    "embedding member of the dedup family; brute force here as ground "
-    "truth — sim_ann_suite holds the bucketed variants of the same output",
-    tags=("dedup", "similarity"),
+    doc="Embedding-space dedup/decontamination pair (tagged union): "
+    "'pairs' = exact all-pairs cosine ≥ 0.4 (this synthetic corpus's "
+    "near-dup band; real near-dup dedup sets ~0.95) — the embedding "
+    "member of the dedup family and the ground truth the ANN variants "
+    "are judged against (sim_ann_suite holds the bucketed versions of "
+    "the same output); 'decontam' (r12) = semantic eval-set "
+    "decontamination (operators/semantic.py::semantic_decontaminate, "
+    "the embedding twin of the k-gram decontaminate): benchmark = the "
+    "first 50 vectors (eval-set-sized, broadcast with precomputed "
+    "exact norms), corpus = the rest streaming through one scan; a "
+    "(corpus, benchmark) pair at exact cosine ≥ 0.3 is a flagged "
+    "contamination (below the near-dup band so the leg checks a DENSE "
+    "pair set — ~180 rows at sf0.01 — not a sparse corner). The double prefilter at threshold − 1e-6 is "
+    "membership-invisible (the module's margin proof), so emitted "
+    "pairs AND values replay bitwise in the oracle's decimal CTEs.",
+    tags=("dedup", "similarity", "decontam"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return all_pairs_cosine(_emb(spark, sf_dir), min_cosine=0.4)
+    emb = _emb(spark, sf_dir)
+    pairs = all_pairs_cosine(emb, min_cosine=0.4).select(
+        F.lit("pairs").alias("method"), "id_a", "id_b", "cosine"
+    )
+    dec = semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= _DCT_BENCH),
+        emb.filter(F.col("vec_id") < _DCT_BENCH),
+        min_cosine=_DCT_MIN,
+    ).select(
+        F.lit("decontam").alias("method"),
+        F.col("vec_id").alias("id_a"),
+        F.col("bench_id").alias("id_b"),
+        "cosine",
+    )
+    return pairs.unionByName(dec)
 
 
 # (sim_lsh_buckets was folded into the ANN suite: every bucket bit feeds
