@@ -15,6 +15,8 @@ from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     _seed_centroids,
     all_pairs_cosine,
+    bq_encode,
+    bq_topk,
     brute_force_topk,
     cosine_for_pairs,
     ivf_ann_pairs,
@@ -57,6 +59,12 @@ _IPQ_REFINE = 6
 # would collapse the leg to 'brute' on this corpus); the exact re-rank
 # stays load-bearing for rnk order within the shortlist
 _SQ8_REFINE = 5
+# bq1 leg (r12): hamming shortlist = k, so emitted MEMBERSHIP is the
+# 1-bit codec's own ranking (the sq8-leg discipline) — the sign-bit
+# approximation is value-visible in the checked rows; hamming is
+# INTEGER, so shortlist membership is engine-independent without an
+# exact mode, and only the final cosines need the decimal re-rank
+_BQ_REFINE = 3
 
 # (vec_id, pos 1-based, v = trunc(x·1e12) quantized integer) + norms —
 # the shared oracle base. Quantization by TRUNCATION is tie-free (decimal
@@ -520,6 +528,53 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r_short s
         JOIN qcos q ON q.id_a = s.id_a AND q.id_b = s.id_b
       ) WHERE rnk <= 3
+    ),
+    bqraw AS (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, range(1, {_DIM + 1}) t(i)
+    ),
+    bqw AS (
+      SELECT vec_id, CAST((pos - 1) // 32 AS INT) AS w,
+             CAST(sum(CASE WHEN x > 0
+               THEN (CAST(1 AS BIGINT) << (31 - ((pos - 1) % 32)))
+               ELSE 0 END) AS BIGINT) AS word
+      FROM bqraw GROUP BY 1, 2
+    ),
+    bqh AS (
+      SELECT q.vec_id AS id_a, x.vec_id AS id_b,
+             CAST(sum(bit_count(xor(q.word, x.word))) AS INT) AS h
+      FROM bqw q JOIN bqw x ON x.w = q.w AND x.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+      GROUP BY 1, 2
+    ),
+    bqshort AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY h, id_b) AS ar
+        FROM bqh
+      ) WHERE ar <= {_BQ_REFINE}
+    ),
+    bqdots AS (
+      SELECT s.id_a, s.id_b,
+             CAST(CAST(sum(ca.v * cb.v) AS VARCHAR) AS DOUBLE) AS dot
+      FROM bqshort s
+      JOIN comp ca ON ca.vec_id = s.id_a
+      JOIN comp cb ON cb.vec_id = s.id_b AND cb.pos = ca.pos
+      GROUP BY 1, 2
+    ),
+    bqtopk AS (
+      SELECT id_a, id_b, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT d.id_a, d.id_b,
+               d.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine,
+               row_number() OVER (PARTITION BY d.id_a
+                 ORDER BY d.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) DESC,
+                          d.id_b) AS rnk
+        FROM bqdots d
+        JOIN nrm na ON na.vec_id = d.id_a
+        JOIN nrm nb ON nb.vec_id = d.id_b
+      ) WHERE rnk <= 3
     )
     SELECT 'lsh' AS method, id_a, id_b, cosine,
            CAST(NULL AS INTEGER) AS rnk FROM lsh_out
@@ -534,6 +589,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ivfpq' AS method, id_a, id_b, cosine, rnk FROM ipqtopk
     UNION ALL
     SELECT 'rivfpq' AS method, id_a, id_b, cosine, rnk FROM rtopk
+    UNION ALL
+    SELECT 'bq1' AS method, id_a, id_b, cosine, rnk FROM bqtopk
     """,
     doc="ANN suite, ALL FIVE scale paths in one checked plan (tagged "
     "union, the grouping-suite pattern): 'lsh' = 16 deterministic "
@@ -564,7 +621,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one double conversion (decimal addition is associative, so the "
     "split numerator cannot diverge engines) with |x̂| = |cq + r̂q| "
     "the decimal reconstructed norm — shortlist membership, scores, "
-    "and ranks all hash-checked. "
+    "and ranks all hash-checked; "
+    "'bq1' (r12) = one-bit binary quantization (bq_encode/bq_topk, "
+    "Charikar-sign bits packed MSB-first into 32-bit integer lanes — "
+    "16 bytes per 64-dim row) serving from a PINNED persisted codes "
+    "relation: the oracle re-derives the sign bits AND the lane "
+    "packing in SQL integer arithmetic, replays hamming via "
+    "xor+bit_count, takes the per-query hamming top-3 shortlist "
+    "(INTEGER scores — engine-independent membership with no margin "
+    "pass) and exact-cosine re-ranks those same three; refine = k "
+    "keeps the 1-bit approximation value-visible in the checked rows. "
     "Exact-decimal scoring everywhere (even probe ASSIGNMENT), so the "
     "whole suite is value-checked. Cost ~ collisions, never corpus²; "
     "measured recall at sf0.1: lsh 0.53, ivf 0.67, precision 1.0 (see "
@@ -643,13 +709,18 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = pq_encode(
             base, books, vec_col="vdbl", exact=True
         ).localCheckpoint()
-        return picks, books, codes
+        # bq1 (r12) rides this thread too: its sign-bit store (2 longs
+        # per row) pins here so the leg serves from a PERSISTED codes
+        # relation — the parquet store layout, localCheckpoint standing
+        # in for the read-back, exactly the sq8-leg convention
+        bq_codes = bq_encode(base, "vec_id", "vdbl").localCheckpoint()
+        return picks, books, codes, bq_codes
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         ivf_fut = pool.submit(_ivf_pins)
         pq_fut = pool.submit(_pq_pins)
         cents, assign, cand, pair_scores = ivf_fut.result()
-        picks, books, codes = pq_fut.result()
+        picks, books, codes, bq_codes = pq_fut.result()
     ivf = ivf_ann_pairs(
         base, num_centroids=32, probes=3, min_cosine=0.4, assignments=assign
     ).select(F.lit("ivf").alias("method"), "id_a", "id_b", "cosine", null_rnk)
@@ -693,12 +764,21 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         residual=True, exact=True, cand=cand, pair_scores=pair_scores,
         pq_picks=picks,
     ).select(F.lit("rivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
+    # seventh leg (r12): BQ1 one-bit binary quantization serving from
+    # the pinned sign-bit store — hamming shortlist at refine = k (the
+    # 1-bit ranking itself is value-visible, the sq8-leg discipline),
+    # exact-decimal re-rank of those same k; hamming is integer, so
+    # the oracle replays shortlist membership without a margin pass
+    bq = bq_topk(
+        base, codes=bq_codes, query_ids_max=20, k=3, refine=_BQ_REFINE,
+    ).select(F.lit("bq1").alias("method"), "id_a", "id_b", "cosine", "rnk")
     return (
         lsh.unionByName(ivf)
         .unionByName(qt)
         .unionByName(pq)
         .unionByName(ipq)
         .unionByName(ripq)
+        .unionByName(bq)
     )
 
 
