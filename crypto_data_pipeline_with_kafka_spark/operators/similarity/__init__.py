@@ -104,5 +104,6 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity.bq import (  # n
     bq_topk,
 )
 from crypto_data_pipeline_with_kafka_spark.operators.similarity.mrl import (  # noqa: F401
+    mrl_prefix_encode,
     mrl_topk,
 )

@@ -18,6 +18,8 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     bq_encode,
     bq_topk,
     brute_force_topk,
+    mrl_prefix_encode,
+    mrl_topk,
     cosine_for_pairs,
     ivf_ann_pairs,
     ivf_assignments,
@@ -65,6 +67,14 @@ _SQ8_REFINE = 5
 # INTEGER, so shortlist membership is engine-independent without an
 # exact mode, and only the final cosines need the decimal re-rank
 _BQ_REFINE = 3
+# mrl leg (r12, rides dedup_embedding_cosine — measured on the ANN
+# suite first and declined with numbers, see its doc): serve at the
+# leading 16 of 64 dims (4x scan cut) from a PINNED prefix store,
+# refine = k (the family's value-visible discipline) in EXACT mode —
+# shortlist membership ranks on the trunc-quantized prefix cosine,
+# replayed by the oracle as the comp CTE restricted to pos <= prefix
+_MRL_PREFIX = 16
+_MRL_REFINE = 3
 
 # (vec_id, pos 1-based, v = trunc(x·1e12) quantized integer) + norms —
 # the shared oracle base. Quantization by TRUNCATION is tie-free (decimal
@@ -630,7 +640,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xor+bit_count, takes the per-query hamming top-3 shortlist "
     "(INTEGER scores — engine-independent membership with no margin "
     "pass) and exact-cosine re-ranks those same three; refine = k "
-    "keeps the 1-bit approximation value-visible in the checked rows. "
+    "keeps the 1-bit approximation value-visible in the checked rows "
+    "(the mrl serve tier attests on the non-headline "
+    "dedup_embedding_cosine slot — measured here first and declined "
+    "with numbers: ~+3 s at sf0.1 would leave <7%% bound headroom). "
     "Exact-decimal scoring everywhere (even probe ASSIGNMENT), so the "
     "whole suite is value-checked. Cost ~ collisions, never corpus²; "
     "measured recall at sf0.1: lsh 0.53, ivf 0.67, precision 1.0 (see "
@@ -820,12 +833,59 @@ _DCT_MIN = 0.3
       FROM dcd
       JOIN nrm na ON na.vec_id = id_a
       JOIN nrm nb ON nb.vec_id = id_b
+    ),
+    mrlpn AS (
+      SELECT vec_id, CAST(CAST(sum(v * v) AS VARCHAR) AS DOUBLE) AS pn
+      FROM comp WHERE pos <= {_MRL_PREFIX} GROUP BY vec_id
+    ),
+    mrld AS (
+      SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+             CAST(CAST(sum(qa.v * qb.v) AS VARCHAR) AS DOUBLE) AS pdot
+      FROM comp qa
+      JOIN comp qb ON qa.pos = qb.pos AND qb.vec_id <> qa.vec_id
+      WHERE qa.vec_id < 20 AND qa.pos <= {_MRL_PREFIX}
+      GROUP BY 1, 2
+    ),
+    mrlshort AS (
+      SELECT id_a, id_b FROM (
+        SELECT d.id_a, d.id_b,
+               row_number() OVER (PARTITION BY d.id_a
+                 ORDER BY d.pdot / (sqrt(pa.pn) * sqrt(pb.pn)) DESC,
+                          d.id_b) AS ar
+        FROM mrld d
+        JOIN mrlpn pa ON pa.vec_id = d.id_a
+        JOIN mrlpn pb ON pb.vec_id = d.id_b
+      ) WHERE ar <= {_MRL_REFINE}
+    ),
+    mrldots AS (
+      SELECT s.id_a, s.id_b,
+             CAST(CAST(sum(ca.v * cb.v) AS VARCHAR) AS DOUBLE) AS dot
+      FROM mrlshort s
+      JOIN comp ca ON ca.vec_id = s.id_a
+      JOIN comp cb ON cb.vec_id = s.id_b AND cb.pos = ca.pos
+      GROUP BY 1, 2
+    ),
+    mrltopk AS (
+      SELECT id_a, id_b, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT d.id_a, d.id_b,
+               d.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine,
+               row_number() OVER (PARTITION BY d.id_a
+                 ORDER BY d.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) DESC,
+                          d.id_b) AS rnk
+        FROM mrldots d
+        JOIN nrm na ON na.vec_id = d.id_a
+        JOIN nrm nb ON nb.vec_id = d.id_b
+      ) WHERE rnk <= {_MRL_REFINE}
     )
-    SELECT 'pairs' AS method, id_a, id_b, cosine
+    SELECT 'pairs' AS method, id_a, id_b, cosine,
+           CAST(NULL AS INTEGER) AS rnk
     FROM cos WHERE cosine >= 0.4
     UNION ALL
-    SELECT 'decontam' AS method, id_a, id_b, cosine
+    SELECT 'decontam' AS method, id_a, id_b, cosine,
+           CAST(NULL AS INTEGER) AS rnk
     FROM dct WHERE cosine >= {_DCT_MIN}
+    UNION ALL
+    SELECT 'mrl' AS method, id_a, id_b, cosine, rnk FROM mrltopk
     """,
     doc="Embedding-space dedup/decontamination pair (tagged union): "
     "'pairs' = exact all-pairs cosine ≥ 0.4 (this synthetic corpus's "
@@ -846,8 +906,9 @@ _DCT_MIN = 0.3
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    null_rnk = F.lit(None).cast("int").alias("rnk")
     pairs = all_pairs_cosine(emb, min_cosine=0.4).select(
-        F.lit("pairs").alias("method"), "id_a", "id_b", "cosine"
+        F.lit("pairs").alias("method"), "id_a", "id_b", "cosine", null_rnk
     )
     dec = semantic_decontaminate(
         emb.filter(F.col("vec_id") >= _DCT_BENCH),
@@ -858,8 +919,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_a"),
         F.col("bench_id").alias("id_b"),
         "cosine",
+        null_rnk,
     )
-    return pairs.unionByName(dec)
+    # mrl serve leg: one prepared+persisted base (caller-owned cache,
+    # released below is unnecessary — the driver's per-query process
+    # scope reclaims it; bench is not this slot's concern) shared by
+    # the prefix store pin and the full-dim re-rank
+    base = with_dbl_and_approx_norm(emb).persist()
+    store = mrl_prefix_encode(base, _MRL_PREFIX).localCheckpoint()
+    mrl = mrl_topk(
+        base, prefix_dims=_MRL_PREFIX, query_ids_max=20, k=3,
+        refine=_MRL_REFINE, prefix=store, exact=True,
+    ).select(F.lit("mrl").alias("method"), "id_a", "id_b", "cosine", "rnk")
+    return pairs.unionByName(dec).unionByName(mrl)
 
 
 # (sim_lsh_buckets was folded into the ANN suite: every bucket bit feeds

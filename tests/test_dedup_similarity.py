@@ -4562,3 +4562,65 @@ def test_semantic_dedup_custom_vec_col(spark):
     assert len(caches2) == 1
     for c in caches2:
         c.unpersist()
+
+
+def test_mrl_prefix_store_and_exact_mode(spark):
+    """r12 MRL serve additions: (a) serving from a PERSISTED
+    mrl_prefix_encode store (prefix=) is row-identical to the inline
+    slice at every refine tried; (b) a store sliced at different
+    pdims refuses in-plan (geometry stamp); (c) exact=True emits the
+    same rows as the double mode on the adversarial fixture (clear
+    score gaps — membership agrees away from ulp boundaries) and with
+    a covering refine is IDENTICAL to brute force; (d) the exact mode
+    works against the prefix store too (store round trip + exact
+    shortlist composed)."""
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        brute_force_topk,
+        mrl_prefix_encode,
+        mrl_topk,
+    )
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 17 - 8) / 9.0 for j in range(64)])
+        for i in range(70)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    store = mrl_prefix_encode(emb, 16).localCheckpoint()
+    for refine in (4, 16):
+        inline = sorted(map(tuple, mrl_topk(
+            emb, prefix_dims=16, query_ids_max=12, k=4, refine=refine
+        ).collect()))
+        stored = sorted(map(tuple, mrl_topk(
+            emb, prefix_dims=16, query_ids_max=12, k=4, refine=refine,
+            prefix=store,
+        ).collect()))
+        assert stored == inline, refine
+
+    with pytest.raises(Exception, match="pdims"):
+        mrl_topk(
+            emb, prefix_dims=8, query_ids_max=12, k=4, prefix=store
+        ).collect()
+
+    ref = sorted(map(tuple, brute_force_topk(
+        emb, query_ids_max=12, k=4
+    ).collect()))
+    ex_cov = sorted(map(tuple, mrl_topk(
+        emb, prefix_dims=16, query_ids_max=12, k=4, refine=100, exact=True
+    ).collect()))
+    assert ex_cov == ref
+    dbl = sorted(map(tuple, mrl_topk(
+        emb, prefix_dims=16, query_ids_max=12, k=4, refine=4
+    ).collect()))
+    ex = sorted(map(tuple, mrl_topk(
+        emb, prefix_dims=16, query_ids_max=12, k=4, refine=4, exact=True
+    ).collect()))
+    assert ex == dbl
+    ex_store = sorted(map(tuple, mrl_topk(
+        emb, prefix_dims=16, query_ids_max=12, k=4, refine=4, exact=True,
+        prefix=store,
+    ).collect()))
+    assert ex_store == ex
+    spark.catalog.clearCache()
