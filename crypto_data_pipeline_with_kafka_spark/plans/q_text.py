@@ -712,6 +712,68 @@ _WINNOW_SQL = """
     SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f
 """
 
+_NBQ_BUCKETS = 1 << 18
+# NB quality-classifier leg (r12): train on the doc_id-even half with
+# the weak label lang='en' (the heuristic-label bootstrap the CCNet
+# recipe uses), score EVERY document. The oracle replays the hashing
+# trick (md5-prefix buckets over unigrams+bigrams), the closed-form NB
+# counts, the decimal(28,9) log-odds quantization (absorbing JVM-vs-
+# libm ln() ulps — the bigram-LM pin), the exact-decimal per-doc sum
+# with the one string-hopped double conversion, and the O(1) scalars
+# prior/default_w via its own ln() (Python and DuckDB both bind the
+# system libm here, and the downstream decimal quantization /
+# identical IEEE expression tree keep the logit bitwise). quality_prob
+# = sigmoid(logit) is deliberately NOT emitted: exp() is engine-local
+# at the ulp level and the logit already determines it.
+_NBQ_SQL = f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws FROM documents),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(ws || [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS t
+      FROM toks
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('nbq|' || t), 1, 13)) AS BIGINT)
+               % {_NBQ_BUCKETS} AS bucket
+      FROM feats
+    ),
+    cnt AS (
+      SELECT bucket,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n0
+      FROM fb WHERE doc_id % 2 = 0 GROUP BY bucket
+    ),
+    wt AS (
+      SELECT bucket,
+             CAST(ln((n1 + 1.0) / 1.0) - ln((n0 + 1.0) / 1.0)
+                  AS DECIMAL(28,9)) AS w
+      FROM cnt
+    ),
+    sc AS (
+      SELECT ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) AS prior,
+             ln(t0 + 1.0 * {_NBQ_BUCKETS})
+               - ln(t1 + 1.0 * {_NBQ_BUCKETS}) AS dw
+      FROM (SELECT count(*) FILTER (lang = 'en') AS np,
+                   count(*) FILTER (lang <> 'en') AS nn
+            FROM documents WHERE doc_id % 2 = 0),
+           (SELECT CAST(sum(n1) AS DOUBLE) AS t1,
+                   CAST(sum(n0) AS DOUBLE) AS t0 FROM cnt)
+    ),
+    perdoc AS (
+      SELECT f.doc_id, count(*) AS nf,
+             CAST(CAST(sum(coalesce(wt.w, CAST(0 AS DECIMAL(28,9))))
+                       AS VARCHAR) AS DOUBLE) AS sw
+      FROM fb f LEFT JOIN wt ON wt.bucket = f.bucket
+      GROUP BY f.doc_id
+    )
+    SELECT 'nbq' AS tag, CAST(doc_id AS VARCHAR) AS k1,
+           CAST(NULL AS VARCHAR) AS k2, CAST(nf AS BIGINT) AS n,
+           (SELECT prior FROM sc) + (SELECT dw FROM sc) * nf + sw AS v
+    FROM perdoc
+"""
+
+
 _MINING_SQL = f"""
     SELECT 'colloc' AS tag, w1 AS k1, w2 AS k2, c12 AS n,
            CAST(pmi_micro AS DOUBLE) AS v
@@ -746,6 +808,8 @@ _MINING_SQL = f"""
     UNION ALL
     SELECT 'winnow', CAST(doc_id AS VARCHAR), NULL, fp, NULL
     FROM ({_WINNOW_SQL})
+    UNION ALL
+    SELECT tag, k1, k2, n, v FROM ({_NBQ_SQL})
 """
 
 
@@ -849,7 +913,27 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").alias("n"),
         nul_d.alias("v"),
     )
+    # nbq (r12): train on the even half (weak label lang='en'), score
+    # all docs — the one driver-side sync is the model's 2-row totals
+    # collect inside train_quality_classifier, the documented
+    # mixture-bounds-probe exception
+    from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+        score_with_quality_classifier,
+        train_quality_classifier,
+    )
+
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    model = train_quality_classifier(labeled, num_buckets=_NBQ_BUCKETS)
+    nbq = score_with_quality_classifier(docs, model).select(
+        F.lit("nbq").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        nul_s.alias("k2"),
+        F.col("n_feats").cast("long").alias("n"),
+        F.col("quality_logit").alias("v"),
+    )
     out = colloc
-    for leg in (lm, gop, chunk, mix, strat, winnow):
+    for leg in (lm, gop, chunk, mix, strat, winnow, nbq):
         out = out.unionByName(leg)
     return out
