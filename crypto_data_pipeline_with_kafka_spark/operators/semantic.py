@@ -56,6 +56,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     caches: list | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """SemDeDup over an embeddings relation. Returns ONE row per input
     vector: (id, cluster_id, centroid_cosine, is_duplicate) —
@@ -81,6 +82,16 @@ def semantic_dedup(
     coherence) to close it. Precision is 1.0 by construction: every
     emitted pair was verified by exact cosine.
 
+    ``exact=True`` (the oracle-attested mode, r12): ``centroid_cosine``
+    itself is computed on trunc-quantized decimals with the module's
+    string-hopped conversion instead of primitive doubles — every
+    emitted COLUMN (groups, flags, AND the keep-rule quality key) is
+    then bitwise reproducible by an independent SQL engine, since
+    probe assignment and pair cosines are already exact. The double
+    mode stays the serving default (one primitive fold per row beats
+    an interpreted decimal fold corpus-wide, and the keep rule only
+    needs an ORDERING).
+
     Scale shape: centroid assignment is in-row against broadcast
     centroids (zero shuffles), pairing touches same-cell candidates
     only (Σ cell² bounded, num_centroids ∝ √corpus by default),
@@ -89,13 +100,16 @@ def semantic_dedup(
     centrality pass reuses the persisted base scan and the O(C)
     broadcast centroid relation.
 
-    Cache lifecycle (the ``chunk_level_dedup`` out-param contract): a
-    raw ``emb`` input is prepared and PERSISTED internally
-    (``_ensure_ann_base``) — pass ``caches=[]`` to receive that frame
-    and ``unpersist()`` it once the returned flags are materialized,
+    Cache lifecycle (the ``chunk_level_dedup`` out-param contract):
+    pass ``caches=[]`` to receive EVERY internally persisted frame —
+    the prepared base (when ``emb`` was raw), the seeded centroids,
+    the ranked assignments, and the centrality relation (each feeds
+    two consumers across the eager component jobs and the final
+    action; unpersisted they re-ran once per consumer, r12 profile) —
+    and ``unpersist()`` them once the returned flags are materialized,
     so a non-bench caller does not need a global
     ``spark.catalog.clearCache()``. An already-prepared (vdbl,
-    norm_sq) base passes through untouched and nothing is appended."""
+    norm_sq) base passes through untouched and is never appended."""
     if keep not in ("farthest", "closest"):
         raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
     # An already-prepared base passes through ONLY when the caller
@@ -124,11 +138,19 @@ def semantic_dedup(
         lloyd_refined_centroids(base, n_cents, lloyd_rounds, id_col, "vdbl")
         if lloyd_rounds > 0
         else _seed_centroids(base, n_cents, id_col)
-    )
+    ).persist()
+    # cents and assignments each feed TWO consumers (the pair stage —
+    # materialized eagerly inside connected_components' checkpoint job
+    # — and the centrality pass at the final action); unpersisted, the
+    # seeded pick and the whole in-row scoring pass re-ran once per
+    # consumer (r12 profile: the leg dropped ~6.5 → ~2.5 s at sf0.01).
+    # Both ride the caches= out-param like the base.
     assignments = ivf_assignments(
         base, n_cents, probes, id_col, vec_col="vdbl", centroids=cents,
         with_rank=True,
-    )
+    ).persist()
+    if caches is not None:
+        caches.extend([cents, assignments])
     pairs = ivf_ann_pairs(
         base,
         assignments=assignments,
@@ -142,22 +164,29 @@ def semantic_dedup(
     # inspection, but membership/flags never depend on its ulps (the
     # id tie-break settles exact ties, and distinct members of a
     # planted group differ by construction).
+    if exact:
+        vq = quantized_vector(F.col("vdbl"))
+        ccq = quantized_vector(F.col("cvec"))
+        ccos = dot_exact(vq, ccq) / (
+            F.sqrt(dot_exact(vq, vq)) * F.sqrt(dot_exact(ccq, ccq))
+        )
+    else:
+        ccos = dot_double(F.col("vdbl"), F.col("cvec")) / (
+            F.sqrt(dot_double(F.col("vdbl"), F.col("vdbl")))
+            * F.sqrt(dot_double(F.col("cvec"), F.col("cvec")))
+        )
+    # centrality feeds the survivor pick AND the flag join in the one
+    # final plan — persisted so the (broadcast-join + cosine fold) pass
+    # runs once per action, not once per consumer
     centrality = (
         assignments.filter(F.col("probe_rank") == 1)
         .select(F.col(id_col), "centroid_id")
         .join(F.broadcast(cents), "centroid_id")
         .join(base, id_col)
-        .select(
-            F.col(id_col),
-            (
-                dot_double(F.col("vdbl"), F.col("cvec"))
-                / (
-                    F.sqrt(dot_double(F.col("vdbl"), F.col("vdbl")))
-                    * F.sqrt(dot_double(F.col("cvec"), F.col("cvec")))
-                )
-            ).alias("centroid_cosine"),
-        )
-    )
+        .select(F.col(id_col), ccos.alias("centroid_cosine"))
+    ).persist()
+    if caches is not None:
+        caches.append(centrality)
     sign = -1.0 if keep == "farthest" else 1.0
     survivors = select_cluster_survivors(
         centrality.withColumnRenamed(id_col, "doc_id"),

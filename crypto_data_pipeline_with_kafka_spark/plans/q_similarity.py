@@ -38,6 +38,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
 )
 from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
     semantic_decontaminate,
+    semantic_dedup,
 )
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
@@ -801,12 +802,20 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contamination pair
 _DCT_BENCH = 50
 _DCT_MIN = 0.3
+# semdedup leg (r12): C ~ sqrt(corpus at sf0.01) seeded cells,
+# realistic multi-probe (recall clustering-bounded, deterministic),
+# the corpus's 0.4 near-dup band as the e-ball threshold, the paper's
+# farthest-from-centroid keep rule — in EXACT mode, so even the
+# keep-rule quality key (centroid cosine) replays bitwise in SQL
+_SD_CENTS = 22
+_SD_PROBES = 3
+_SD_MIN = 0.4
 
 
 @register(
     "dedup_embedding_cosine",
     f"""
-    WITH {_COMP_CTE},
+    WITH RECURSIVE {_COMP_CTE},
     dots AS (
       SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
              CAST(CAST(sum(qa.v * qb.v) AS VARCHAR) AS DOUBLE) AS dot
@@ -876,6 +885,91 @@ _DCT_MIN = 0.3
         JOIN nrm na ON na.vec_id = d.id_a
         JOIN nrm nb ON nb.vec_id = d.id_b
       ) WHERE rnk <= {_MRL_REFINE}
+    ),
+    scents AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(cent_vid AS VARCHAR)), cent_vid) AS INT)
+               AS centroid_id,
+             cent_vid
+      FROM (SELECT vec_id AS cent_vid FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SD_CENTS})
+    ),
+    sscore AS (
+      SELECT q.vec_id, c.centroid_id,
+             CAST(CAST(sum(q.v * k.v) AS VARCHAR) AS DOUBLE)
+               / sqrt(n.norm_sq) AS score
+      FROM comp q
+      JOIN scents c ON TRUE
+      JOIN comp k ON k.vec_id = c.cent_vid AND k.pos = q.pos
+      JOIN nrm n ON n.vec_id = c.cent_vid
+      GROUP BY q.vec_id, c.centroid_id, n.norm_sq
+    ),
+    sprobes AS (
+      SELECT vec_id, centroid_id, pr FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, centroid_id) AS pr
+        FROM sscore
+      ) WHERE pr <= {_SD_PROBES}
+    ),
+    sdots AS (
+      SELECT id_a, id_b,
+             CAST(CAST(sum(ca.v * cb.v) AS VARCHAR) AS DOUBLE) AS dot
+      FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sprobes a JOIN sprobes b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+      JOIN comp ca ON ca.vec_id = id_a
+      JOIN comp cb ON cb.vec_id = id_b AND cb.pos = ca.pos
+      GROUP BY 1, 2
+    ),
+    spairs AS (
+      SELECT id_a, id_b
+      FROM sdots
+      JOIN nrm na ON na.vec_id = id_a
+      JOIN nrm nb ON nb.vec_id = id_b
+      WHERE dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) >= {_SD_MIN}
+    ),
+    sedge AS (
+      SELECT id_a AS a, id_b AS b FROM spairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM spairs
+    ),
+    sreach AS (
+      SELECT a AS id, b AS lbl FROM sedge
+      UNION
+      SELECT e.a AS id, r.lbl FROM sedge e JOIN sreach r ON r.id = e.b
+    ),
+    scomp AS (SELECT id, min(lbl) AS canonical FROM sreach GROUP BY id),
+    sccos AS (
+      SELECT q.vec_id,
+             CAST(CAST(sum(q.v * k.v) AS VARCHAR) AS DOUBLE)
+               / (sqrt(nv.norm_sq) * sqrt(nc.norm_sq)) AS ccos
+      FROM sprobes p
+      JOIN scents c ON c.centroid_id = p.centroid_id
+      JOIN comp q ON q.vec_id = p.vec_id
+      JOIN comp k ON k.vec_id = c.cent_vid AND k.pos = q.pos
+      JOIN nrm nv ON nv.vec_id = p.vec_id
+      JOIN nrm nc ON nc.vec_id = c.cent_vid
+      WHERE p.pr = 1
+      GROUP BY q.vec_id, nv.norm_sq, nc.norm_sq
+    ),
+    ssurv AS (
+      SELECT canonical AS cluster_id, id AS survivor_id FROM (
+        SELECT m.id, m.canonical,
+               row_number() OVER (PARTITION BY m.canonical
+                 ORDER BY s.ccos ASC, m.id ASC) AS rn
+        FROM scomp m JOIN sccos s ON s.vec_id = m.id
+      ) WHERE rn = 1
+    ),
+    semdd AS (
+      SELECT s.vec_id AS id_a, m.canonical AS id_b, s.ccos AS cosine,
+             CAST(CASE WHEN m.canonical IS NOT NULL
+                        AND sv.survivor_id IS NULL
+                       THEN 1 ELSE 0 END AS INTEGER) AS rnk
+      FROM sccos s
+      LEFT JOIN scomp m ON m.id = s.vec_id
+      LEFT JOIN ssurv sv ON sv.cluster_id = m.canonical
+                        AND sv.survivor_id = s.vec_id
     )
     SELECT 'pairs' AS method, id_a, id_b, cosine,
            CAST(NULL AS INTEGER) AS rnk
@@ -886,6 +980,8 @@ _DCT_MIN = 0.3
     FROM dct WHERE cosine >= {_DCT_MIN}
     UNION ALL
     SELECT 'mrl' AS method, id_a, id_b, cosine, rnk FROM mrltopk
+    UNION ALL
+    SELECT 'semdedup' AS method, id_a, id_b, cosine, rnk FROM semdd
     """,
     doc="Embedding-space dedup/decontamination pair (tagged union): "
     "'pairs' = exact all-pairs cosine ≥ 0.4 (this synthetic corpus's "
@@ -931,7 +1027,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, prefix_dims=_MRL_PREFIX, query_ids_max=20, k=3,
         refine=_MRL_REFINE, prefix=store, exact=True,
     ).select(F.lit("mrl").alias("method"), "id_a", "id_b", "cosine", "rnk")
-    return pairs.unionByName(dec).unionByName(mrl)
+    # semdedup leg: the full SemDeDup composition in exact mode over
+    # the SAME persisted base (vec_col='vdbl' passthrough)
+    sd = semantic_dedup(
+        base, num_centroids=_SD_CENTS, probes=_SD_PROBES,
+        threshold=_SD_MIN, keep="farthest", vec_col="vdbl", exact=True,
+    ).select(
+        F.lit("semdedup").alias("method"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.col("centroid_cosine").alias("cosine"),
+        F.col("is_duplicate").cast("int").alias("rnk"),
+    )
+    return pairs.unionByName(dec).unionByName(mrl).unionByName(sd)
 
 
 # (sim_lsh_buckets was folded into the ANN suite: every bucket bit feeds

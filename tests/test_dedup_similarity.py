@@ -4241,11 +4241,12 @@ def test_semantic_dedup_real_embeddings_table(spark):
 
 
 def test_semantic_dedup_caches_out_param_releases_base(spark):
-    """semantic_dedup's cache lifecycle: a raw embeddings input is
-    prepared+persisted internally — the caches= out-param hands the
-    handle back so a non-bench caller releases it without a global
-    clearCache(); an already-prepared base passes through with nothing
-    appended. (Census via the SQL CacheManager — the component
+    """semantic_dedup's cache lifecycle (r12 contract): caches= hands
+    back EVERY internal persist — prepared base, seeded centroids,
+    ranked assignments, centrality — so a non-bench caller releases
+    them without a global clearCache(); an already-prepared base
+    passes through and is never appended (the other three still are).
+    (Census via the SQL CacheManager — the component
     connected_components localCheckpoints are RDD-level and out of
     scope, as documented on the ngram census test.)"""
     from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
@@ -4267,20 +4268,26 @@ def test_semantic_dedup_caches_out_param_releases_base(spark):
     n = semantic_dedup(
         emb, num_centroids=4, probes=2, threshold=0.9, caches=caches
     ).count()
-    assert n == 20 and len(caches) == 1
+    assert n == 20 and len(caches) == 4
     assert not jcm.isEmpty()
     for c in caches:
         c.unpersist()
     assert jcm.isEmpty()
 
-    # prepared base: pass-through, nothing appended, caller's persist
+    # prepared base: pass-through, NOT appended (the caller owns it);
+    # the three derived persists still ride the out-param
     base = with_dbl_and_approx_norm(emb).persist()
     caches2: list = []
     semantic_dedup(
         base, num_centroids=4, probes=2, threshold=0.9, vec_col="vdbl",
         caches=caches2,
     ).count()
-    assert caches2 == []
+    assert len(caches2) == 3
+    assert all(c is not base for c in caches2)
+    for c in caches2:
+        c.unpersist()
+    base.unpersist()
+    assert jcm.isEmpty()
     base.unpersist()
     spark.catalog.clearCache()
 
@@ -4541,7 +4548,9 @@ def test_semantic_dedup_custom_vec_col(spark):
         ).collect()
     )
     assert got == want
-    assert len(caches) == 1
+    # base + cents + assignments + centrality (the r12 contract:
+    # caches= receives every internal persist)
+    assert len(caches) == 4
     for c in caches:
         c.unpersist()
 
@@ -4559,7 +4568,7 @@ def test_semantic_dedup_custom_vec_col(spark):
         ).collect()
     )
     assert got2 == want
-    assert len(caches2) == 1
+    assert len(caches2) == 4
     for c in caches2:
         c.unpersist()
 
