@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
@@ -35,6 +35,10 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     sq8_topk,
     with_dbl_and_approx_norm,
     with_dbl_and_norm,
+)
+from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+    recall_at_k,
+    rrf_fuse,
 )
 from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
     semantic_decontaminate,
@@ -961,6 +965,48 @@ _SD_MIN = 0.4
         FROM scomp m JOIN sccos s ON s.vec_id = m.id
       ) WHERE rn = 1
     ),
+    exr AS (
+      SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.4
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b, cosine
+      FROM cos WHERE cosine >= 0.4
+    ),
+    extop AS (
+      SELECT id_a, id_b, rnk FROM (
+        SELECT id_a, id_b,
+               CAST(row_number() OVER (PARTITION BY id_a
+                 ORDER BY cosine DESC, id_b) AS INTEGER) AS rnk
+        FROM exr WHERE id_a < 20
+      ) WHERE rnk <= 3
+    ),
+    rrfc AS (
+      SELECT id_a, id_b, CAST(round(1e9 / (60 + rnk)) AS BIGINT) AS c
+      FROM extop
+      UNION ALL
+      SELECT id_a, id_b, CAST(round(1e9 / (60 + rnk)) AS BIGINT) AS c
+      FROM mrltopk
+    ),
+    rrfs AS (
+      SELECT id_a, id_b, CAST(sum(c) AS BIGINT) AS nano
+      FROM rrfc GROUP BY 1, 2
+    ),
+    rrfrk AS (
+      SELECT id_a, id_b, CAST(nano AS DOUBLE) / 1e9 AS cosine,
+             CAST(row_number() OVER (PARTITION BY id_a
+               ORDER BY nano DESC, id_b) AS INTEGER) AS rnk
+      FROM rrfs
+    ),
+    mrlrec AS (
+      SELECT b.id_a,
+             CAST(count(s.id_b) AS BIGINT) AS hits,
+             CAST(count(*) AS INTEGER) AS truth_n,
+             CAST(count(s.id_b) AS BIGINT)
+               / CAST(count(*) AS BIGINT) AS recall
+      FROM (SELECT id_a, id_b FROM extop) b
+      LEFT JOIN (SELECT id_a, id_b FROM mrltopk) s
+        ON s.id_a = b.id_a AND s.id_b = b.id_b
+      GROUP BY b.id_a
+    ),
     semdd AS (
       SELECT s.vec_id AS id_a, m.canonical AS id_b, s.ccos AS cosine,
              CAST(CASE WHEN m.canonical IS NOT NULL
@@ -982,6 +1028,12 @@ _SD_MIN = 0.4
     SELECT 'mrl' AS method, id_a, id_b, cosine, rnk FROM mrltopk
     UNION ALL
     SELECT 'semdedup' AS method, id_a, id_b, cosine, rnk FROM semdd
+    UNION ALL
+    SELECT 'rrf' AS method, id_a, id_b, cosine, rnk FROM rrfrk
+    UNION ALL
+    SELECT 'recall' AS method, id_a, hits AS id_b, recall AS cosine,
+           truth_n AS rnk
+    FROM mrlrec
     """,
     doc="Embedding-space dedup/decontamination pair (tagged union): "
     "'pairs' = exact all-pairs cosine ≥ 0.4 (this synthetic corpus's "
@@ -1003,7 +1055,11 @@ _SD_MIN = 0.4
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     null_rnk = F.lit(None).cast("int").alias("rnk")
-    pairs = all_pairs_cosine(emb, min_cosine=0.4).select(
+    # the pair relation now feeds its own leg AND the exact per-query
+    # ranking the fusion/recall legs consume — persist so the O(n²)
+    # verify runs once per action, not once per consumer
+    pairs_r = all_pairs_cosine(emb, min_cosine=0.4).persist()
+    pairs = pairs_r.select(
         F.lit("pairs").alias("method"), "id_a", "id_b", "cosine", null_rnk
     )
     dec = semantic_decontaminate(
@@ -1023,10 +1079,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the prefix store pin and the full-dim re-rank
     base = with_dbl_and_approx_norm(emb).persist()
     store = mrl_prefix_encode(base, _MRL_PREFIX).localCheckpoint()
-    mrl = mrl_topk(
+    mrl_r = mrl_topk(
         base, prefix_dims=_MRL_PREFIX, query_ids_max=20, k=3,
         refine=_MRL_REFINE, prefix=store, exact=True,
-    ).select(F.lit("mrl").alias("method"), "id_a", "id_b", "cosine", "rnk")
+    ).persist()
+    mrl = mrl_r.select(
+        F.lit("mrl").alias("method"), "id_a", "id_b", "cosine", "rnk"
+    )
+    # exact thresholded ranking for the fusion/recall legs: symmetrize
+    # the already-verified pair relation, rank per query — ground
+    # truth AT the 0.4 band, derived with one window, no new folds
+    sym = pairs_r.select("id_a", "id_b", "cosine").unionByName(
+        pairs_r.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cosine",
+        )
+    ).filter(F.col("id_a") < 20)
+    w_ex = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b")
+    )
+    exact_r = (
+        sym.withColumn("rnk", F.row_number().over(w_ex).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("id_a", "id_b", "rnk")
+        .persist()
+    )
+    # rrf leg (r12): hybrid fusion of the exact thresholded ranking
+    # with the mrl serve tier — O(queries·k) integer arithmetic over
+    # rankings already computed in this slot, zero extra corpus scans
+    rrf = rrf_fuse(
+        [("exact", exact_r), ("mrl", mrl_r)],
+        query_col="id_a", doc_col="id_b", rank_col="rnk",
+    ).select(
+        F.lit("rrf").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("rrf_score").alias("cosine"),
+        F.col("rank").alias("rnk"),
+    )
+    # recall leg (r12): the mrl tier scored against the exact
+    # thresholded ranking — TRUE per-query recall (id_b=hits,
+    # rnk=truth_n, cosine=recall); queries with no ≥0.4 neighbor have
+    # no truth rows and are absent by contract
+    rec = recall_at_k(
+        mrl_r, exact_r, query_col="id_a", doc_col="id_b"
+    ).select(
+        F.lit("recall").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("hits").alias("id_b"),
+        F.col("recall").alias("cosine"),
+        F.col("truth_n").cast("int").alias("rnk"),
+    )
     # semdedup leg: the full SemDeDup composition in exact mode over
     # the SAME persisted base (vec_col='vdbl' passthrough)
     sd = semantic_dedup(
@@ -1039,7 +1143,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_cosine").alias("cosine"),
         F.col("is_duplicate").cast("int").alias("rnk"),
     )
-    return pairs.unionByName(dec).unionByName(mrl).unionByName(sd)
+    return (
+        pairs.unionByName(dec)
+        .unionByName(mrl)
+        .unionByName(sd)
+        .unionByName(rrf)
+        .unionByName(rec)
+    )
 
 
 # (sim_lsh_buckets was folded into the ANN suite: every bucket bit feeds

@@ -925,14 +925,23 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
         "label", (F.col("lang") == "en").cast("int")
     )
-    model = train_quality_classifier(labeled, num_buckets=_NBQ_BUCKETS)
-    nbq = score_with_quality_classifier(docs, model).select(
-        F.lit("nbq").alias("tag"),
-        F.col("doc_id").cast("string").alias("k1"),
-        nul_s.alias("k2"),
-        F.col("n_feats").cast("long").alias("n"),
-        F.col("quality_logit").alias("v"),
-    )
+    try:
+        model = train_quality_classifier(labeled, num_buckets=_NBQ_BUCKETS)
+        nbq = score_with_quality_classifier(docs, model).select(
+            F.lit("nbq").alias("tag"),
+            F.col("doc_id").cast("string").alias("k1"),
+            nul_s.alias("k2"),
+            F.col("n_feats").cast("long").alias("n"),
+            F.col("quality_logit").alias("v"),
+        )
+    except ValueError:
+        # the trainer refuses a one-class (or empty) labeled set — a
+        # caller bug in a library call, but for the REGISTERED query an
+        # empty ingest window is routine (the empty-tables sweep): no
+        # corpus means no model and no scores, not a crash
+        nbq = spark.createDataFrame(
+            [], "tag string, k1 string, k2 string, n long, v double"
+        )
     out = colloc
     for leg in (lm, gop, chunk, mix, strat, winnow, nbq):
         out = out.unionByName(leg)
