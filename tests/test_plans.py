@@ -420,3 +420,29 @@ def test_new_r11_operators_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in dec_plan
     assert "CartesianProduct" not in dec_plan
     spark.catalog.clearCache()
+
+
+def test_r12_fusion_plan_shapes(spark):
+    """r12 fusion operators stay declarative and small: rrf_fuse plans
+    as union → hash aggregate → window with no cartesian product and
+    no Python eval; recall_at_k joins broadcast-small rankings (no
+    cartesian, no Python)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+        recall_at_k,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rank int"
+    )
+    rrf_plan = plan_of(rrf_fuse([("a", a), ("b", b)]), "simple")
+    assert "CartesianProduct" not in rrf_plan, rrf_plan
+    assert "BatchEvalPython" not in rrf_plan and "ArrowEvalPython" not in rrf_plan
+    assert "HashAggregate" in rrf_plan and "Window" in rrf_plan
+
+    rec_plan = plan_of(recall_at_k(b, a), "simple")
+    assert "CartesianProduct" not in rec_plan, rec_plan
+    assert "BatchEvalPython" not in rec_plan and "ArrowEvalPython" not in rec_plan
