@@ -268,6 +268,14 @@ SCALE10_CURATE_GATE = 4.0
 # stay well under 4× wall; a per-row driver sync or an un-broadcast
 # model join would blow through.
 SCALE10_MODEL_GATE = 4.0
+# Quantized-serve-tier linearity gate (r12): BQ1 and MRL serving are
+# ONE corpus stream each (in-row encode / prefix slice riding the
+# scan, a broadcast of O(queries) rows, per-pair work that is
+# dims/32 popcounts or prefix-length folds) plus one per-query window
+# — all linear in the corpus. 10× corpus must stay under 4× wall; a
+# per-pair decode, an un-broadcast query side, or a corpus×corpus
+# exchange would blow through.
+SCALE10_SERVE_GATE = 4.0
 
 
 def run_scale10(
@@ -296,7 +304,11 @@ def run_scale10(
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        bq_encode,
+        bq_topk,
         ivf_ann_pairs,
+        mrl_prefix_encode,
+        mrl_topk,
         pq_encode,
         pq_train,
         with_dbl_and_approx_norm,
@@ -370,6 +382,27 @@ def run_scale10(
         model = train_quality_classifier(labeled)
         return score_with_quality_classifier(docs, model)
 
+    def bq_serve(d):
+        # the r12 1-bit serve tier end to end: encode the corpus to
+        # packed sign lanes (the store layout), hamming-shortlist 20
+        # queries, exact re-rank — gates that serving stays one linear
+        # corpus stream (the codes relation is built in-pass here; the
+        # persisted-store read-back is the registered leg's concern)
+        base = with_dbl_and_approx_norm(load_emb(d))
+        codes = bq_encode(base, "vec_id", "vdbl")
+        return bq_topk(base, codes=codes, query_ids_max=20, k=5)
+
+    def mrl_serve(d):
+        # the r12 truncated-dimension serve tier: prefix store build +
+        # prefix-cosine shortlist + full-dim exact re-rank (double
+        # mode — the serving default; the exact mode's extra decimal
+        # folds are margin-bounded and gated by the registered leg)
+        base = with_dbl_and_approx_norm(load_emb(d))
+        store = mrl_prefix_encode(base, 16)
+        return mrl_topk(
+            base, prefix_dims=16, query_ids_max=20, k=5, prefix=store
+        )
+
     OPS = {
         "dedup_minhash_lsh": lambda d: qs["dedup_minhash_lsh"](spark, d),
         "dedup_ngram_jaccard": lambda d: qs["dedup_ngram_jaccard"](spark, d),
@@ -379,6 +412,8 @@ def run_scale10(
         "ivf_sqrt_auto": lambda d: ivf_at(d, "auto"),
         "pq_train_encode": pq_train_encode,
         "model_nb_quality": nb_quality,
+        "serve_bq1_topk": bq_serve,
+        "serve_mrl_topk": mrl_serve,
     }
 
     out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR") or tempfile.mkdtemp(
@@ -404,6 +439,8 @@ def run_scale10(
                 failures.append(f"{name} ratio {ratio} > {SCALE10_PQ_GATE}")
             if name.startswith("model_") and ratio > SCALE10_MODEL_GATE:
                 failures.append(f"{name} ratio {ratio} > {SCALE10_MODEL_GATE}")
+            if name.startswith("serve_") and ratio > SCALE10_SERVE_GATE:
+                failures.append(f"{name} ratio {ratio} > {SCALE10_SERVE_GATE}")
         if report["ivf_sqrt_auto"]["wall_10x"] > report["ivf_fixed_c32"]["wall_10x"]:
             failures.append(
                 "sqrt-C IVF tuning no longer beats fixed C at 10x "
