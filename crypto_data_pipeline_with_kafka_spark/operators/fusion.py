@@ -49,6 +49,7 @@ def rrf_fuse(
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     rank_col: str = "rank",
+    weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion over ``rankings`` — a sequence of
     (source_tag, DataFrame) pairs, each frame holding one retrieval
@@ -72,6 +73,14 @@ def rrf_fuse(
     beat learned fusion on TREC runs). A doc missing from a tier
     simply contributes nothing — no imputation.
 
+    ``weights`` (optional, {tag: w}) scales each source's
+    contribution — round(w·1e9/(k + rank)) — the common production
+    extension when one tier is trusted more (e.g. dense 2:1 over
+    lexical). Weights stay inside the integer-quantization contract
+    (one IEEE multiply of exact doubles before the round, identical
+    in any engine); tags absent from the dict default to 1.0, and a
+    weight for an unknown tag is refused loudly.
+
     Scale shape: inputs are top-k relations (O(queries·k) rows each);
     the union + groupBy(query, doc) aggregates with map-side combine
     on integer contributions (order-free by quantization), then ONE
@@ -86,14 +95,22 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: need at least one (tag, ranking) pair")
     if k < 1:
         raise ValueError(f"rrf_fuse: k must be >= 1, got {k}")
+    if weights:
+        unknown = set(weights) - {tag for tag, _ in rankings}
+        if unknown:
+            raise ValueError(
+                f"rrf_fuse: weights for unknown tags {sorted(unknown)} — "
+                "weight keys must match ranking tags"
+            )
     contribs = []
     for tag, r in rankings:
+        w = (weights or {}).get(tag, 1.0)
         contribs.append(
             r.select(
                 F.col(query_col).alias("query_id"),
                 F.col(doc_col).alias("doc_id"),
                 F.round(
-                    F.lit(_RRF_SCALE) / (F.lit(k) + F.col(rank_col))
+                    F.lit(w * _RRF_SCALE) / (F.lit(k) + F.col(rank_col))
                 )
                 .cast("long")
                 .alias("_c"),
@@ -171,5 +188,109 @@ def recall_at_k(
                 F.coalesce(F.col("hits"), F.lit(0).cast("long"))
                 / F.col("truth_n")
             ).alias("recall"),
+        )
+    )
+
+
+# DCG position discounts quantize to micro units: 1/log2(i+1) ≤ 1, and
+# log2() may differ between engines in the last ulp (~1e-16) — that is
+# ~1e-10 of a micro quantum, so the rounded integers agree
+# engine-to-engine with negligible boundary risk (the bm25_topk micro
+# argument, functions/text.py). Long headroom: grade·1e6 per position,
+# overflow needs ~9e12 summed grade units per query.
+_NDCG_SCALE = 1e6
+
+
+def ndcg_at_k(
+    got: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str | None = None,
+) -> DataFrame:
+    """NDCG@k of a served ranking against ground truth — the
+    order-SENSITIVE companion to :func:`recall_at_k` (recall says the
+    right docs came back; NDCG says they came back in the right
+    order, the metric hybrid-search evaluations actually report).
+    Returns (query_id, dcg_micro, idcg_micro, ndcg) per truth query:
+
+    ``dcg_micro``  = Σ_{i ≤ k} grade(doc_i) · round(1e6 / log2(i+1))
+    over the served ranking's positions, ``idcg_micro`` the same sum
+    over the ideal ordering (grades descending, doc id tie-break) of
+    the truth set truncated to k, ``ndcg`` their exact-long division.
+
+    ``grade_col`` names an INTEGER relevance column on ``truth``
+    (graded relevance, e.g. 0-4); None means binary relevance — every
+    truth doc grades 1, which reduces NDCG to rank-discounted recall.
+    Integer grades keep the whole computation in exact longs; the one
+    transcendental (log2 in the position discount) is micro-quantized
+    so both engines produce identical integers. Served docs outside
+    the truth set contribute 0 (standard); queries only ``got`` knows
+    are ignored (no truth, no denominator — the recall_at_k
+    convention); a truth query the tier never served scores 0.0.
+
+    Scale shape: one join of the rank-truncated served relation to
+    the truth grades, two groupBys on query — O(queries·k) rows
+    throughout, corpus-independent."""
+    if k < 1:
+        raise ValueError(f"ndcg_at_k: k must be >= 1, got {k}")
+    grade = (
+        F.col(grade_col).cast("long")
+        if grade_col is not None
+        else F.lit(1).cast("long")
+    )
+    t = truth.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        grade.alias("_rel"),
+    )
+    disc = lambda pos: F.round(  # noqa: E731
+        F.lit(_NDCG_SCALE) / F.log2(pos + F.lit(1.0))
+    ).cast("long")
+    g = got.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("_pos"),
+    ).filter(F.col("_pos") <= k)
+    dcg = (
+        g.join(t, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("_rel"), F.lit(0)) * disc(F.col("_pos"))).alias(
+                "_term"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("_term").cast("long").alias("dcg_micro"))
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("_rel").desc(), F.col("doc_id").asc()
+    )
+    idcg = (
+        t.withColumn("_pos", F.row_number().over(w_ideal))
+        .filter(F.col("_pos") <= k)
+        .select(
+            "query_id", (F.col("_rel") * disc(F.col("_pos"))).alias("_term")
+        )
+        .groupBy("query_id")
+        .agg(F.sum("_term").cast("long").alias("idcg_micro"))
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg_micro"), F.lit(0).cast("long")).alias(
+                "dcg_micro"
+            ),
+            "idcg_micro",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.coalesce(F.col("dcg_micro"), F.lit(0).cast("long"))
+                / F.col("idcg_micro"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
         )
     )

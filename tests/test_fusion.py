@@ -194,3 +194,100 @@ def test_hybrid_retrieval_end_to_end_real_tables(spark):
         assert out[q].hits == want_hits, q
         assert out[q].recall == want_hits / len(ts)
     spark.catalog.clearCache()
+
+
+def test_rrf_weights_and_ndcg(spark):
+    """r12 extensions: (a) weighted RRF scales each source's nano
+    contribution by round(w·1e9/(k+rank)) — pinned against the
+    sequential reference, default weight 1.0 ≡ the unweighted call,
+    unknown-tag weights refuse; (b) ndcg_at_k: binary grades reduce to
+    rank-discounted recall (perfect ranking ⇒ 1.0, reversed truth
+    still 1.0 on the same SET, a miss at the top costs more than a
+    miss at the bottom), graded truth uses the ideal ordering, a
+    never-served truth query scores 0.0, invented queries are
+    ignored, and the micro integers match a sequential reference."""
+    import math
+
+    from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+        ndcg_at_k,
+    )
+
+    lex_rows = [(0, 10, 1), (0, 11, 2), (1, 20, 1)]
+    den_rows = [(0, 11, 1), (0, 12, 2), (1, 20, 1)]
+    wts = {"lex": 0.5, "dense": 2.0}
+    fused = rrf_fuse(
+        [
+            ("lex", _ranking(spark, lex_rows)),
+            ("dense", _ranking(spark, den_rows)),
+        ],
+        weights=wts,
+    )
+    got = {(r.query_id, r.doc_id): r.rrf_nano for r in fused.collect()}
+    want = {}
+    for tag, rows in (("lex", lex_rows), ("dense", den_rows)):
+        for q, d, r in rows:
+            want[(q, d)] = want.get((q, d), 0) + round(
+                wts[tag] * 1e9 / (60 + r)
+            )
+    assert got == want
+    # default weight 1.0 for omitted tags == the unweighted call
+    half = rrf_fuse(
+        [
+            ("lex", _ranking(spark, lex_rows)),
+            ("dense", _ranking(spark, den_rows)),
+        ],
+        weights={"dense": 1.0},
+    )
+    base = rrf_fuse(
+        [
+            ("lex", _ranking(spark, lex_rows)),
+            ("dense", _ranking(spark, den_rows)),
+        ]
+    )
+    assert sorted(map(tuple, half.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    with pytest.raises(ValueError, match="unknown tags"):
+        rrf_fuse(
+            [("lex", _ranking(spark, lex_rows))], weights={"dens": 1.0}
+        )
+
+    # --- ndcg ---
+    truth = _ranking(spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3), (7, 9, 1)])
+    perfect = _ranking(spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3)])
+    out = {r.query_id: r for r in ndcg_at_k(perfect, truth, k=3).collect()}
+    assert out[0].ndcg == 1.0
+    assert out[7].ndcg == 0.0 and out[7].dcg_micro == 0  # never served
+    assert set(out) == {0, 7}
+    # binary grades: any permutation of the full truth SET in the top
+    # k is still 1.0 (same discounts, same docs)
+    perm = _ranking(spark, [(0, 3, 1), (0, 1, 2), (0, 2, 3)])
+    assert {
+        r.query_id: r.ndcg for r in ndcg_at_k(perm, truth, k=3).collect()
+    }[0] == 1.0
+    # a miss at rank 1 costs more than a miss at rank 3
+    miss_top = _ranking(spark, [(0, 99, 1), (0, 2, 2), (0, 3, 3)])
+    miss_bot = _ranking(spark, [(0, 1, 1), (0, 2, 2), (0, 99, 3)])
+    nt = {r.query_id: r.ndcg for r in ndcg_at_k(miss_top, truth, 3).collect()}
+    nb = {r.query_id: r.ndcg for r in ndcg_at_k(miss_bot, truth, 3).collect()}
+    assert nb[0] > nt[0]
+    # micro integers vs sequential reference (binary grades)
+    d = lambda i: round(1e6 / math.log2(i + 1))  # noqa: E731
+    got0 = {r.query_id: r for r in ndcg_at_k(miss_bot, truth, 3).collect()}
+    assert got0[0].dcg_micro == d(1) + d(2)
+    assert got0[0].idcg_micro == d(1) + d(2) + d(3)
+
+    # graded relevance: ideal ordering is grades desc — serving the
+    # low-grade doc first discounts the high grade
+    gtruth = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 1)], "query_id long, doc_id long, rel int"
+    )
+    good = _ranking(spark, [(0, 1, 1), (0, 2, 2)])
+    bad = _ranking(spark, [(0, 2, 1), (0, 1, 2)])
+    ng = ndcg_at_k(good, gtruth, 2, grade_col="rel").collect()[0]
+    nbad = ndcg_at_k(bad, gtruth, 2, grade_col="rel").collect()[0]
+    assert ng.ndcg == 1.0 and nbad.ndcg < 1.0
+    assert ng.dcg_micro == 3 * d(1) + 1 * d(2)
+    assert nbad.dcg_micro == 1 * d(1) + 3 * d(2)
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(good, gtruth, 0)
