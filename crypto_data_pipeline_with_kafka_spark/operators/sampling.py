@@ -245,3 +245,82 @@ def stratified_sample_exact(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    strata_cols: Sequence[str] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """EXACTLY ``n`` rows (fewer only when the input is smaller) drawn
+    WITHOUT replacement with probability proportional to
+    ``weight_col`` — weighted reservoir sampling à la
+    Efraimidis-Spirakis (2006, public method): each row gets the key
+    u^(1/w) for a uniform u and the top-n keys are the sample. The
+    LLM-pipeline use is quality-weighted subsampling — e.g. pass the
+    NB classifier's ``quality_prob`` (functions/quality_model.py) or a
+    perplexity-derived weight to bias a corpus cut toward quality
+    without a hard threshold.
+
+    Deterministic and engine-portable, the module contract: u is the
+    md5 fraction of (salt, key) shifted to (0, 1] (the +1 keeps ln()
+    off u = 0), and rows rank on CAST(ln(u)/w AS DECIMAL(28,9)) DESC —
+    monotone-equivalent to u^(1/w) (no pow(), whose cross-engine ulps
+    sit ON the ranking), with the 1e-9 quantization absorbing ln()
+    ulps and (key DESC... key ASC) id tie-break making the draw
+    total-ordered. Same (salt, key, weight) → same key forever: a row
+    joining the corpus later never changes EXISTING rows' keys (though
+    exact-n membership is relative by definition — use ``hash_sample``
+    when absolute growth-stability of membership matters more than
+    weighting).
+
+    ``strata_cols`` draws n PER STRATUM (quality-weighted within each
+    language/source bucket) through one window shuffle — the
+    ``stratified_sample_exact`` shape and the same huge-stratum advice;
+    None draws globally and plans as TakeOrderedAndProject (partial
+    top-n per partition, never a global sort).
+
+    A non-positive or NULL weight has no E-S key and raises IN-PLAN
+    (the module's loud-guard discipline — silently dropping such rows
+    would make a zero-quality doc vanish without trace; filter
+    explicitly first)."""
+    if n < 1:
+        raise ValueError(f"weighted_sample_exact: n must be >= 1, got {n}")
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
+    u = (
+        F.conv(F.substring(h, 1, _FRAC_HEX_DIGITS), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_FRAC_DENOM)
+    w_ok = F.when(
+        F.col(weight_col) > 0, F.col(weight_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample_exact: non-positive weight for key "),
+                F.col(key_col).cast("string"),
+                F.lit(
+                    " — Efraimidis-Spirakis needs w > 0; filter "
+                    "zero/NULL-weight rows explicitly before sampling"
+                ),
+            )
+        ).cast("double")
+    )
+    key = (F.log(u) / w_ok).cast("decimal(28,9)")
+    if strata_cols:
+        win = Window.partitionBy(*strata_cols).orderBy(
+            key.desc(), F.col(key_col)
+        )
+        return (
+            df.withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= n)
+            .drop("_rk")
+        )
+    return (
+        df.withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").desc(), F.col(key_col))
+        .limit(n)
+        .drop("_es_key")
+    )

@@ -1037,3 +1037,67 @@ def test_curate_corpus_decontam_only_embeddings(spark):
     ids_on = {r.doc_id for r in cur_on.select("doc_id").collect()}
     assert stats_on["dense_neardup_dropped"] == 1
     assert len(ids_on & {0, 1}) == 1 and 3 in ids_on
+
+
+def test_weighted_sample_exact(spark):
+    """Efraimidis-Spirakis weighted sampling (r12): (a) the selected
+    SET matches a sequential reference computing the identical
+    quantized ln(u)/w keys; (b) determinism across runs and plans as
+    TakeOrderedAndProject (partial top-n, no global sort); (c) heavy
+    weights dominate: with a 1000:1 weight split, the top half of the
+    draw is overwhelmingly heavy rows; (d) per-stratum mode draws n
+    within each stratum; (e) n >= rows returns everything; (f) a
+    non-positive weight raises in-plan, n < 1 eagerly."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    rows = [
+        (i, "heavy" if i % 2 == 0 else "light", 1000.0 if i % 2 == 0 else 1.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    def ref_key(i, w):
+        h = hashlib.md5(f"wsample-v1|{i}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1.0) / float(16**13)
+        k = math.log(u) / w
+        return Decimal(repr(k)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    want = {
+        i for i, _, w in sorted(
+            rows, key=lambda r: (-ref_key(r[0], r[2]), r[0])
+        )[:50]
+    }
+    got = {r.doc_id for r in weighted_sample_exact(df, 50, "w").collect()}
+    assert got == want
+    got2 = {r.doc_id for r in weighted_sample_exact(df, 50, "w").collect()}
+    assert got2 == got
+
+    plan = weighted_sample_exact(df, 50, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+    heavy = sum(1 for i in got if i % 2 == 0)
+    assert heavy >= 45, heavy  # 1000:1 weights — light rows are rare draws
+
+    strat = weighted_sample_exact(df, 10, "w", strata_cols=["grp"]).collect()
+    by_grp = {}
+    for r in strat:
+        by_grp.setdefault(r.grp, []).append(r.doc_id)
+    assert len(by_grp["heavy"]) == 10 and len(by_grp["light"]) == 10
+
+    assert weighted_sample_exact(df, 1000, "w").count() == 200
+
+    bad = spark.createDataFrame(
+        [(0, 1.0), (1, 0.0)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample_exact(bad, 1, "w").collect()
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_sample_exact(df, 0, "w")
