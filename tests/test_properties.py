@@ -1543,3 +1543,119 @@ def test_mrl_serving_contract_random_vectors(spark, vecs):
         ).collect()))
         assert cov == ref, pd_
     spark.catalog.clearCache()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),          # query
+            st.integers(0, 30),         # doc
+            st.integers(1, 40),         # rank
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 30), st.integers(1, 40)
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(max_examples=5, deadline=None)
+def test_rrf_fusion_fuzzed_vs_reference(spark, rows_a, rows_b):
+    """RRF fusion fuzzed (r12): over ARBITRARY rank relations — any
+    query/doc/rank triples, overlapping or disjoint tiers, one tier
+    possibly empty — the fused nano integers equal the sequential
+    reference exactly, n_sources counts contributing rows, and the
+    fused rank is the (nano DESC, doc ASC) total order."""
+    from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+        rrf_fuse,
+    )
+
+    # de-dup (query, doc) within a tier: the documented contract
+    # (tiers emit row_number rankings, which cannot repeat a pair)
+    def dedup(rows):
+        seen, out = set(), []
+        for q, d, r in rows:
+            if (q, d) not in seen:
+                seen.add((q, d))
+                out.append((q, d, r))
+        return out
+
+    rows_a, rows_b = dedup(rows_a), dedup(rows_b)
+    rankings = [("a", rows_a)] + ([("b", rows_b)] if rows_b else [])
+    dfs = [
+        (
+            tag,
+            spark.createDataFrame(
+                rows, "query_id long, doc_id long, rank int"
+            ),
+        )
+        for tag, rows in rankings
+    ]
+    got = {
+        (r.query_id, r.doc_id): (r.n_sources, r.rrf_nano, r.rank)
+        for r in rrf_fuse(dfs).collect()
+    }
+    ref: dict = {}
+    for _, rows in rankings:
+        for q, d, r in rows:
+            n, s = ref.get((q, d), (0, 0))
+            ref[(q, d)] = (n + 1, s + round(1e9 / (60 + r)))
+    assert {k: v[:2] for k, v in got.items()} == ref
+    by_q: dict = {}
+    for (q, d), (_, nano, rank) in got.items():
+        by_q.setdefault(q, []).append((nano, d, rank))
+    for q, items in by_q.items():
+        want_order = sorted(items, key=lambda t: (-t[0], t[1]))
+        for pos, (_, _, rank) in enumerate(want_order, 1):
+            assert rank == pos, (q, items)
+    spark.catalog.clearCache()
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.001, max_value=1000.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 10),
+)
+@settings(max_examples=5, deadline=None)
+def test_weighted_sample_fuzzed_vs_reference(spark, weights, n):
+    """weighted_sample_exact fuzzed (r12): for ARBITRARY positive
+    weights the selected set equals the sequential reference computing
+    the identical quantized ln(u)/w keys (rows keyed by index), and
+    the draw is deterministic across plans."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def ref_key(i, w):
+        h = hashlib.md5(f"wsample-v1|{i}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1.0) / float(16**13)
+        return Decimal(repr(math.log(u) / w)).quantize(
+            Decimal("1e-9"), ROUND_HALF_UP
+        )
+
+    want = {
+        i
+        for i, w in sorted(rows, key=lambda r: (-ref_key(r[0], r[1]), r[0]))[
+            :n
+        ]
+    }
+    got = {r.doc_id for r in weighted_sample_exact(df, n, "w").collect()}
+    assert got == want
+    spark.catalog.clearCache()
