@@ -774,6 +774,27 @@ _NBQ_SQL = f"""
 """
 
 
+# wsample leg (r12): Efraimidis-Spirakis weighted draw of 50 docs,
+# weight = n_chars + 1 (longer docs proportionally likelier — the
+# soft quality-bias shape; +1 keeps empty docs legal). The oracle
+# replays the quantized ln(u)/w key verbatim: u is the md5 fraction
+# shifted off zero, the DECIMAL(28,9) quantization absorbs ln() ulps
+# (the bigram-LM pin), and the (key DESC, id) order is total.
+_WSAMPLE_N = 50
+_WSAMPLE_SQL = f"""
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY
+               CAST(ln((CAST(('0x' || substr(md5('wsample-v1|' ||
+                      CAST(doc_id AS VARCHAR)), 1, {_FRAC_HEX_DIGITS}))
+                      AS BIGINT) + 1.0) / {_FRAC_DENOM!r})
+                    / CAST(n_chars + 1 AS DOUBLE)
+                    AS DECIMAL(28,9)) DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_WSAMPLE_N}
+"""
+
+
 _MINING_SQL = f"""
     SELECT 'colloc' AS tag, w1 AS k1, w2 AS k2, c12 AS n,
            CAST(pmi_micro AS DOUBLE) AS v
@@ -810,6 +831,10 @@ _MINING_SQL = f"""
     FROM ({_WINNOW_SQL})
     UNION ALL
     SELECT tag, k1, k2, n, v FROM ({_NBQ_SQL})
+    UNION ALL
+    SELECT 'wsample', CAST(doc_id AS VARCHAR), NULL,
+           CAST(n_chars AS BIGINT), NULL
+    FROM ({_WSAMPLE_SQL})
 """
 
 
@@ -942,7 +967,22 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbq = spark.createDataFrame(
             [], "tag string, k1 string, k2 string, n long, v double"
         )
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    wsample = weighted_sample_exact(
+        docs.withColumn("_w", F.col("n_chars") + F.lit(1)),
+        _WSAMPLE_N,
+        "_w",
+    ).select(
+        F.lit("wsample").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        nul_s.alias("k2"),
+        F.col("n_chars").cast("long").alias("n"),
+        nul_d.alias("v"),
+    )
     out = colloc
-    for leg in (lm, gop, chunk, mix, strat, winnow, nbq):
+    for leg in (lm, gop, chunk, mix, strat, winnow, nbq, wsample):
         out = out.unionByName(leg)
     return out
