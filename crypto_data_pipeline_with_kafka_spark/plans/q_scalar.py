@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
+from crypto_data_pipeline_with_kafka_spark.operators.fusion import rrf_fuse
+from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+    brute_force_topk,
+)
 from crypto_data_pipeline_with_kafka_spark.plans.registry import register
 
 
@@ -330,6 +334,48 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score_micro DESC, doc_id) AS rnk
       FROM scoredq
+    ),
+    hcomp AS (
+      SELECT vec_id, CAST(i AS INT) AS pos2,
+             CAST(trunc(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e12)
+                  AS DECIMAL(19,0)) AS v
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    hnrm AS (
+      SELECT vec_id, CAST(CAST(sum(v * v) AS VARCHAR) AS DOUBLE) AS norm_sq
+      FROM hcomp GROUP BY vec_id
+    ),
+    hdots AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS doc_id,
+             CAST(CAST(sum(qa.v * qb.v) AS VARCHAR) AS DOUBLE) AS dot
+      FROM hcomp qa
+      JOIN hcomp qb ON qa.pos2 = qb.pos2 AND qa.vec_id <> qb.vec_id
+      WHERE qa.vec_id < 3
+      GROUP BY 1, 2
+    ),
+    hden AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) DESC,
+                          doc_id) AS rnk
+        FROM hdots
+        JOIN hnrm na ON na.vec_id = query_id
+        JOIN hnrm nb ON nb.vec_id = doc_id
+      ) WHERE rnk <= 10
+    ),
+    hc AS (
+      SELECT query_id, doc_id,
+             CAST(round(1e9 / (60 + rnk)) AS BIGINT) AS c
+      FROM hden
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(round(1e9 / (60 + rnk)) AS BIGINT) AS c
+      FROM rankedq WHERE rnk <= 10
+    ),
+    hfused AS (
+      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS nano
+      FROM hc GROUP BY 1, 2
     )
     SELECT 'tokens' AS part, doc_id,
            CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos, unnest(ws) AS token,
@@ -347,6 +393,12 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'bm25' AS part, doc_id, CAST(rnk AS INT) AS pos,
            'q' || CAST(query_id AS VARCHAR) AS token, score_micro AS n
     FROM rankedq WHERE rnk <= 10
+    UNION ALL
+    SELECT 'hybrid' AS part, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY nano DESC, doc_id) AS INT) AS pos,
+           'q' || CAST(query_id AS VARCHAR) AS token, nano AS n
+    FROM hfused
     """,
     doc="UD3 tagged union: 'tokens' = UDTF-shaped one-row → N-rows "
     "explode with ordinality (the RSS-feed → <item> rows expansion, "
@@ -361,8 +413,16 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus BEFORE aggregation (shuffles are O(query-term postings), "
     "never O(corpus tokens)), per-term contributions quantized to micro "
     "units and summed order-free, top-10 per query with deterministic "
-    "tie-break; pos = rank, token = query tag, n = exact integer score",
-    tags=("udtf", "explode", "text", "bm25"),
+    "tie-break; pos = rank, token = query tag, n = exact integer score; "
+    "'hybrid' (r12) = the flagship HYBRID-SEARCH composition end to "
+    "end (operators/fusion.py::rrf_fuse, Cormack 2009): the bm25 leg's "
+    "lexical ranking fused with a dense exact-cosine top-10 over "
+    "embeddings (vec i <-> doc i) for the same three queries — each "
+    "tier's rank feeds a nano-quantized 1/(60+rank) integer "
+    "contribution, summed order-free; pos = fused rank, n = the exact "
+    "nano score; the oracle replays the dense tier in the similarity "
+    "module's decimal CTEs and the fusion in integer arithmetic",
+    tags=("udtf", "explode", "text", "bm25", "hybrid"),
 )
 def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.functions.text import (
@@ -404,14 +464,37 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(tokens("text"), 1, 4)).alias("query_text"),
     )
-    bm25 = bm25_topk(docs, qsrc, k=10).select(
+    # the lexical ranking feeds its own leg AND the hybrid fusion —
+    # persist the ~30-row relation so the whole BM25 pipeline runs
+    # once per action, not once per consumer
+    bm25_r = bm25_topk(docs, qsrc, k=10).persist()
+    bm25 = bm25_r.select(
         F.lit("bm25").alias("part"),
         "doc_id",
         F.col("rank").alias("pos"),
         F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("token"),
         F.col("score_micro").alias("n"),
     )
-    return toks.unionByName(vocab).unionByName(bm25)
+    # 'hybrid' leg (r12): BM25 ⊕ dense via RRF — the dense tier is the
+    # exact-cosine top-10 over embeddings for the same query ids
+    # (vec i ↔ doc i), fused on ranks alone (scale-free, no score
+    # calibration), nano-integer contributions summed order-free
+    emb = _t(spark, sf_dir, "embeddings")
+    dense_r = brute_force_topk(emb, query_ids_max=3, k=10).select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("doc_id"),
+        F.col("rnk").alias("rank"),
+    )
+    hybrid = rrf_fuse([("lex", bm25_r), ("dense", dense_r)]).select(
+        F.lit("hybrid").alias("part"),
+        "doc_id",
+        F.col("rank").alias("pos"),
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("token"),
+        F.col("rrf_nano").alias("n"),
+    )
+    return (
+        toks.unionByName(vocab).unionByName(bm25).unionByName(hybrid)
+    )
 
 
 @register(
