@@ -4633,3 +4633,53 @@ def test_mrl_prefix_store_and_exact_mode(spark):
     ).collect()))
     assert ex_store == ex
     spark.catalog.clearCache()
+
+
+def test_semantic_dedup_exact_mode_equivalence(spark):
+    """exact=True (the oracle-attested mode, r12) changes ONLY the
+    numeric representation of centroid_cosine: groups, flags, and the
+    survivor pick are identical to the double mode when centroid
+    cosines are GAP-separated (at ulp-ties the two modes may
+    legitimately differ — exactly why the attested mode exists), and
+    the exact-mode cosines sit within double-noise of the double
+    mode's. Fixture design: the three md5-FIRST ids (27, 63, 60 among
+    0-99) carry pure-block ANCHOR vectors, so the seeded pick at C=3
+    selects exactly the anchors and every member's primary centroid is
+    its group anchor — member centroid-cosines then differ by ≥ 1e-3
+    (no self-centroid ulp noise deciding the keep rule)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.semantic import (
+        semantic_dedup,
+    )
+
+    DIM = 16
+    groups = {0: (27, [83, 65]), 1: (63, [76, 44]), 2: (60, [94, 49])}
+    rows = []
+    for g, (anchor, members) in groups.items():
+        base = [1.0 if g * 5 <= j < g * 5 + 5 else 0.0 for j in range(DIM)]
+        rows.append((anchor, list(base)))
+        for m, vid in enumerate(members):
+            v = list(base)
+            v[(g * 5 + 7) % DIM] += 0.15 * (m + 1)
+            rows.append((vid, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    dbl = {r.vec_id: r for r in semantic_dedup(
+        emb, num_centroids=3, probes=3, threshold=0.95
+    ).collect()}
+    exa = {r.vec_id: r for r in semantic_dedup(
+        emb, num_centroids=3, probes=3, threshold=0.95, exact=True
+    ).collect()}
+    assert set(dbl) == set(exa) == {i for i, _ in rows}
+    for i in dbl:
+        assert dbl[i].cluster_id == exa[i].cluster_id, i
+        assert dbl[i].is_duplicate == exa[i].is_duplicate, i
+        assert abs(dbl[i].centroid_cosine - exa[i].centroid_cosine) < 1e-9, i
+    # the structure is the planted one: each group is one cluster
+    # keyed by its min id, surviving exactly its farthest member
+    for g, (anchor, members) in groups.items():
+        ids = [anchor] + members
+        cid = min(ids)
+        assert all(exa[i].cluster_id == cid for i in ids), g
+        surv = [i for i in ids if not exa[i].is_duplicate]
+        assert surv == [members[-1]], g  # largest perturbation
+    spark.catalog.clearCache()
