@@ -398,7 +398,7 @@ def run_scale10(
         # mode — the serving default; the exact mode's extra decimal
         # folds are margin-bounded and gated by the registered leg)
         base = with_dbl_and_approx_norm(load_emb(d))
-        store = mrl_prefix_encode(base, 16)
+        store = mrl_prefix_encode(base, 16, vec_col="vdbl")
         return mrl_topk(
             base, prefix_dims=16, query_ids_max=20, k=5, prefix=store
         )

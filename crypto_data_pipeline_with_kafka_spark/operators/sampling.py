@@ -294,16 +294,22 @@ def weighted_sample_exact(
         F.conv(F.substring(h, 1, _FRAC_HEX_DIGITS), 16, 10).cast("double")
         + F.lit(1.0)
     ) / F.lit(_FRAC_DENOM)
+    # NaN guard alongside > 0: Spark ORDERS NaN greater than every
+    # number, so `w > 0` alone is TRUE for NaN and the key would go
+    # NaN — either an opaque ANSI cast error or a silent exclusion,
+    # both the exact failure the loud guard exists to prevent
+    w_d = F.col(weight_col).cast("double")
     w_ok = F.when(
-        F.col(weight_col) > 0, F.col(weight_col).cast("double")
+        (w_d > 0) & ~F.isnan(w_d), w_d
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("weighted_sample_exact: non-positive weight for key "),
+                F.lit("weighted_sample_exact: non-positive (or NaN/NULL) "),
+                F.lit("weight for key "),
                 F.col(key_col).cast("string"),
                 F.lit(
                     " — Efraimidis-Spirakis needs w > 0; filter "
-                    "zero/NULL-weight rows explicitly before sampling"
+                    "zero/NaN/NULL-weight rows explicitly before sampling"
                 ),
             )
         ).cast("double")

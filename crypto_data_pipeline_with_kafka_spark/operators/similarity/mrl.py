@@ -21,11 +21,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.operators.similarity.base import (
-    _ACC,
-    _QDEC,
     _ensure_ann_base,
     _rank_topk,
     cosine_for_pairs,
+    dbl_vector,
     dot_double,
     dot_exact,
     quantized_vector,
@@ -70,15 +69,19 @@ def mrl_prefix_encode(
     serve shape ``sq8_topk(codes=)``/``bq_topk(codes=)`` model.
 
     One in-row projection over the scan — zero shuffles, zero UDFs.
-    Accepts a raw embeddings relation or an already-prepared (vdbl)
-    base; a non-truncating ``prefix_dims`` raises in-plan."""
+    Accepts a raw embeddings relation, or an already-prepared base
+    addressed EXPLICITLY as ``vec_col="vdbl"`` (never sniffed — a
+    decoy ``vdbl`` column alongside a different ``vec_col`` must not
+    hijack the slice); a non-truncating ``prefix_dims`` raises
+    in-plan."""
     if prefix_dims < 1:
         raise ValueError(f"prefix_dims must be >= 1, got {prefix_dims}")
-    vec = (
-        F.col("vdbl")
-        if "vdbl" in emb.columns
-        else F.transform(vec_col, lambda x: x.cast("double"))
-    )
+    # a prepared base passes through ONLY when addressed as such
+    # (vec_col="vdbl") — the module's explicit-contract rule; a column
+    # SNIFF here would silently slice a decoy vdbl column instead of
+    # the named vec_col and mis-serve behind a valid-looking pdims
+    # stamp (the semantic_dedup r11-advice class of bug)
+    vec = F.col("vdbl") if vec_col == "vdbl" else dbl_vector(vec_col)
     return emb.select(
         F.col(id_col),
         _sliced_prefix(vec, prefix_dims).alias("pvec"),
@@ -155,15 +158,7 @@ def _mrl_exact_shortlist(
         .join(F.broadcast(queries.select("id_a", "_qq", "_qnx")), "id_a")
         .withColumn("_xq", quantized_vector(F.col("_xv")))
     )
-    xn_exact = F.sqrt(
-        F.aggregate(
-            F.col("_xq"),
-            F.lit(0).cast(_ACC),
-            lambda acc, x: (acc + x.cast(_QDEC) * x.cast(_QDEC)).cast(_ACC),
-        )
-        .cast("string")
-        .cast("double")
-    )
+    xn_exact = F.sqrt(dot_exact(F.col("_xq"), F.col("_xq")))
     exact = refetch.select(
         "id_a",
         "id_b",

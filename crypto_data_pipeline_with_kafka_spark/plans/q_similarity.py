@@ -1078,7 +1078,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scope reclaims it; bench is not this slot's concern) shared by
     # the prefix store pin and the full-dim re-rank
     base = with_dbl_and_approx_norm(emb).persist()
-    store = mrl_prefix_encode(base, _MRL_PREFIX).localCheckpoint()
+    store = mrl_prefix_encode(
+        base, _MRL_PREFIX, vec_col="vdbl"
+    ).localCheckpoint()
     mrl_r = mrl_topk(
         base, prefix_dims=_MRL_PREFIX, query_ids_max=20, k=3,
         refine=_MRL_REFINE, prefix=store, exact=True,

@@ -755,7 +755,7 @@ _NBQ_SQL = f"""
              ln(t0 + 1.0 * {_NBQ_BUCKETS})
                - ln(t1 + 1.0 * {_NBQ_BUCKETS}) AS dw
       FROM (SELECT count(*) FILTER (lang = 'en') AS np,
-                   count(*) FILTER (lang <> 'en') AS nn
+                   count(*) FILTER (lang IS DISTINCT FROM 'en') AS nn
             FROM documents WHERE doc_id % 2 = 0),
            (SELECT CAST(sum(n1) AS DOUBLE) AS t1,
                    CAST(sum(n0) AS DOUBLE) AS t0 FROM cnt)
@@ -771,6 +771,15 @@ _NBQ_SQL = f"""
            CAST(NULL AS VARCHAR) AS k2, CAST(nf AS BIGINT) AS n,
            (SELECT prior FROM sc) + (SELECT dw FROM sc) * nf + sw AS v
     FROM perdoc
+    UNION ALL
+    -- NULL-text docs: the engine keeps the row with NULL n_feats and
+    -- a NULL logit (a missing document surfaces as missing, the
+    -- sentiment convention); the feats CTE's unnest drops them, so
+    -- re-emit here
+    SELECT 'nbq' AS tag, CAST(doc_id AS VARCHAR) AS k1,
+           CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v
+    FROM documents WHERE text IS NULL
 """
 
 
@@ -948,7 +957,11 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
-        "label", (F.col("lang") == "en").cast("int")
+        # eqNullSafe: a NULL lang is class 0 evidence (the oracle's
+        # CASE ELSE branch), not a silently-dropped label — plain ==
+        # yields a NULL label whose features vanish from BOTH classes
+        # and the attested equality breaks on any NULL-lang corpus
+        "label", F.col("lang").eqNullSafe(F.lit("en")).cast("int")
     )
     try:
         model = train_quality_classifier(labeled, num_buckets=_NBQ_BUCKETS)

@@ -4288,7 +4288,6 @@ def test_semantic_dedup_caches_out_param_releases_base(spark):
         c.unpersist()
     base.unpersist()
     assert jcm.isEmpty()
-    base.unpersist()
     spark.catalog.clearCache()
 
 

@@ -1097,7 +1097,92 @@ def test_weighted_sample_exact(spark):
     bad = spark.createDataFrame(
         [(0, 1.0), (1, 0.0)], "doc_id long, w double"
     )
-    with pytest.raises(Exception, match="non-positive weight"):
+    with pytest.raises(Exception, match="non-positive"):
         weighted_sample_exact(bad, 1, "w").collect()
+    nan_bad = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan"))], "doc_id long, w double"
+    )
+    # NaN orders greater than every number in Spark, so a bare w > 0
+    # guard would silently admit it — the guard must refuse loudly
+    with pytest.raises(Exception, match="NaN"):
+        weighted_sample_exact(nan_bad, 1, "w").collect()
     with pytest.raises(ValueError, match="n must be"):
         weighted_sample_exact(df, 0, "w")
+
+
+def test_nbq_leg_null_lang_and_text_alignment(spark, tmp_path):
+    """The nbq leg's NULL semantics (r12 review finding): on a corpus
+    with NULL lang and NULL text rows, the Spark leg and its DuckDB
+    oracle agree — NULL lang is class-0 evidence on BOTH sides
+    (eqNullSafe ↔ CASE ELSE; the prior's nn uses IS DISTINCT FROM so
+    the doc also counts), and a NULL-text doc surfaces as a row with
+    NULL n_feats/logit in both engines instead of vanishing from one."""
+    import duckdb
+
+    from crypto_data_pipeline_with_kafka_spark.functions.quality_model import (
+        score_with_quality_classifier,
+        train_quality_classifier,
+    )
+    from crypto_data_pipeline_with_kafka_spark.plans.q_text import (
+        _NBQ_BUCKETS,
+        _NBQ_SQL,
+    )
+    from pyspark.sql import functions as F
+    from tests.oracle_utils import _normalize
+
+    import numpy as np
+    import pandas as pd
+
+    rows = [
+        (0, "alpha beta gamma", "en", "s0", 16),
+        (1, "delta epsilon", "fr", "s0", 13),
+        (2, "alpha beta beta", None, "s1", 15),   # NULL lang, even id
+        (3, None, "en", "s1", 0),                 # NULL text
+        (4, "zeta eta theta", "en", "s0", 14),
+        (5, "iota kappa", None, "s1", 10),        # NULL lang, odd id
+        (6, "beta beta beta", "de", "s0", 14),
+        (7, "alpha gamma", "en", "s0", 11),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.col("lang").eqNullSafe(F.lit("en")).cast("int")
+    )
+    model = train_quality_classifier(labeled, num_buckets=_NBQ_BUCKETS)
+    got = (
+        score_with_quality_classifier(docs, model)
+        .select(
+            F.col("doc_id").cast("string").alias("k1"),
+            F.col("n_feats").cast("long").alias("n"),
+            F.col("quality_logit").alias("v"),
+        )
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = con.execute(
+        f"SELECT k1, n, v FROM ({_NBQ_SQL})"
+    ).df()
+    g, w = _normalize(got), _normalize(want)
+    assert len(g) == len(w) == 8
+    for c in ("k1", "n"):
+        assert (
+            (g[c] == w[c]) | (g[c].isna() & w[c].isna())
+        ).all(), (c, g, w)
+    close = np.isclose(
+        g["v"].astype(float).fillna(0), w["v"].astype(float).fillna(0),
+        atol=0.0, rtol=0.0,
+    )
+    assert (
+        close & (g["v"].isna() == w["v"].isna()) | (g["v"].isna() & w["v"].isna())
+    ).all(), pd.concat([g, w], axis=1)
+    # the NULL-text doc surfaces as missing in both engines
+    assert g.loc[g.k1 == "3", "v"].isna().all()
+    assert w.loc[w.k1 == "3", "v"].isna().all()
