@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
-from crypto_data_pipeline_with_kafka_spark.operators.fusion import rrf_fuse
+from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+    ndcg_at_k,
+    rrf_fuse,
+)
 from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     brute_force_topk,
 )
@@ -376,6 +379,28 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hfused AS (
       SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS nano
       FROM hc GROUP BY 1, 2
+    ),
+    hrk AS (
+      SELECT query_id, doc_id, nano,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY nano DESC, doc_id) AS INT) AS rnk
+      FROM hfused
+    ),
+    hdcg AS (
+      SELECT g.query_id,
+             CAST(sum(CASE WHEN t.doc_id IS NOT NULL
+               THEN round(1e6 / log2(g.rnk + 1.0)) ELSE 0 END) AS BIGINT)
+               AS dcg
+      FROM hrk g
+      LEFT JOIN (SELECT query_id, doc_id FROM rankedq WHERE rnk <= 10) t
+        ON t.query_id = g.query_id AND t.doc_id = g.doc_id
+      WHERE g.rnk <= 10
+      GROUP BY 1
+    ),
+    hidcg AS (
+      SELECT query_id,
+             CAST(sum(round(1e6 / log2(rnk + 1.0))) AS BIGINT) AS idcg
+      FROM rankedq WHERE rnk <= 10 GROUP BY 1
     )
     SELECT 'tokens' AS part, doc_id,
            CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos, unnest(ws) AS token,
@@ -394,11 +419,15 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            'q' || CAST(query_id AS VARCHAR) AS token, score_micro AS n
     FROM rankedq WHERE rnk <= 10
     UNION ALL
-    SELECT 'hybrid' AS part, doc_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY nano DESC, doc_id) AS INT) AS pos,
+    SELECT 'hybrid' AS part, doc_id, rnk AS pos,
            'q' || CAST(query_id AS VARCHAR) AS token, nano AS n
-    FROM hfused
+    FROM hrk
+    UNION ALL
+    SELECT 'ndcg' AS part, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(i.idcg AS INT) AS pos,
+           'q' || CAST(i.query_id AS VARCHAR) AS token,
+           coalesce(d.dcg, 0) AS n
+    FROM hidcg i LEFT JOIN hdcg d ON d.query_id = i.query_id
     """,
     doc="UD3 tagged union: 'tokens' = UDTF-shaped one-row → N-rows "
     "explode with ordinality (the RSS-feed → <item> rows expansion, "
@@ -485,15 +514,32 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_id"),
         F.col("rnk").alias("rank"),
     )
-    hybrid = rrf_fuse([("lex", bm25_r), ("dense", dense_r)]).select(
+    fused_r = rrf_fuse([("lex", bm25_r), ("dense", dense_r)]).persist()
+    hybrid = fused_r.select(
         F.lit("hybrid").alias("part"),
         "doc_id",
         F.col("rank").alias("pos"),
         F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("token"),
         F.col("rrf_nano").alias("n"),
     )
+    # 'ndcg' leg (r12): order-sensitivity of the fusion, per query —
+    # NDCG@10 of the fused ranking against the lexical truth; DCG and
+    # IDCG ride the slot as exact micro integers (pos/n), so no
+    # floating division reaches the checked surface
+    nd = ndcg_at_k(
+        fused_r, bm25_r.select("query_id", "doc_id"), k=10,
+    ).select(
+        F.lit("ndcg").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("idcg_micro").cast("int").alias("pos"),
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("token"),
+        F.col("dcg_micro").alias("n"),
+    )
     return (
-        toks.unionByName(vocab).unionByName(bm25).unionByName(hybrid)
+        toks.unionByName(vocab)
+        .unionByName(bm25)
+        .unionByName(hybrid)
+        .unionByName(nd)
     )
 
 
