@@ -1659,3 +1659,76 @@ def test_weighted_sample_fuzzed_vs_reference(spark, weights, n):
     got = {r.doc_id for r in weighted_sample_exact(df, n, "w").collect()}
     assert got == want
     spark.catalog.clearCache()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),           # query
+            st.integers(0, 15),          # doc
+            st.integers(1, 12),          # served rank
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 2), st.integers(0, 15), st.integers(1, 4)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 8),
+)
+@settings(max_examples=5, deadline=None)
+def test_ndcg_fuzzed_vs_reference(spark, got_rows, truth_rows, k):
+    """ndcg_at_k fuzzed (r12): over arbitrary served/truth relations
+    with GRADED integer relevance, the micro-integer DCG and IDCG
+    match a sequential reference (identical log2 micro discounts,
+    ideal ordering by grade desc / id asc, positions truncated at k),
+    truth queries never served score 0.0, and served-only queries are
+    absent."""
+    import math
+
+    from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+        ndcg_at_k,
+    )
+
+    def dedup(rows):
+        seen, out = set(), []
+        for q, d, x in rows:
+            if (q, d) not in seen:
+                seen.add((q, d))
+                out.append((q, d, x))
+        return out
+
+    got_rows, truth_rows = dedup(got_rows), dedup(truth_rows)
+    got = spark.createDataFrame(
+        got_rows, "query_id long, doc_id long, rank int"
+    )
+    truth = spark.createDataFrame(
+        truth_rows, "query_id long, doc_id long, rel int"
+    )
+    out = {
+        r.query_id: (r.dcg_micro, r.idcg_micro)
+        for r in ndcg_at_k(got, truth, k, grade_col="rel").collect()
+    }
+
+    disc = lambda i: round(1e6 / math.log2(i + 1))  # noqa: E731
+    grades = {(q, d): rel for q, d, rel in truth_rows}
+    ref_dcg: dict = {}
+    for q, d, pos in got_rows:
+        if pos <= k:
+            ref_dcg[q] = ref_dcg.get(q, 0) + grades.get((q, d), 0) * disc(pos)
+    ref_idcg: dict = {}
+    by_q: dict = {}
+    for q, d, rel in truth_rows:
+        by_q.setdefault(q, []).append((rel, d))
+    for q, items in by_q.items():
+        ideal = sorted(items, key=lambda t: (-t[0], t[1]))[:k]
+        ref_idcg[q] = sum(rel * disc(i) for i, (rel, _) in enumerate(ideal, 1))
+
+    assert set(out) == set(ref_idcg)
+    for q in out:
+        assert out[q] == (ref_dcg.get(q, 0), ref_idcg[q]), q
+    spark.catalog.clearCache()
