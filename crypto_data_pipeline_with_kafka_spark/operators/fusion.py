@@ -294,3 +294,50 @@ def ndcg_at_k(
             .alias("ndcg"),
         )
     )
+
+
+def precision_at_k(
+    got: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query precision of a served ranking against ground truth:
+    (query_id, hits, served_n, precision) with ``precision`` =
+    |got ∩ truth| / |got| — the third member of the eval triple
+    (recall: of the right docs, how many came back; NDCG: in what
+    order; precision: of what came back, how much was right — THE
+    metric when the served list is user-facing and junk costs).
+
+    The denominator conventions mirror :func:`recall_at_k`'s,
+    transposed: every query ``got`` served gets a row (a tier serving
+    pure junk scores 0.0, not absent); truth queries the tier never
+    served are ignored here — they have no served list to measure,
+    and recall_at_k is where their 0.0 lives. Exact integer counting
+    with one exact-long division; O(queries·k) rows throughout."""
+    g = got.select(
+        F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
+    )
+    t = truth.select(
+        F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
+    )
+    served_n = g.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("served_n")
+    )
+    hits = (
+        g.join(t, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        served_n.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+            "served_n",
+            (
+                F.coalesce(F.col("hits"), F.lit(0).cast("long"))
+                / F.col("served_n")
+            ).alias("precision"),
+        )
+    )

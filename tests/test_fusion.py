@@ -291,3 +291,38 @@ def test_rrf_weights_and_ndcg(spark):
     assert nbad.dcg_micro == 1 * d(1) + 3 * d(2)
     with pytest.raises(ValueError, match="k must be"):
         ndcg_at_k(good, gtruth, 0)
+
+
+def test_precision_at_k_contracts(spark):
+    """The eval triple's third member: exact fractions; a query that
+    served pure junk scores 0.0 (present); truth-only queries are
+    absent (recall_at_k owns their 0.0); a perfect tier scores 1.0;
+    and on a shared fixture precision/recall disagree exactly when
+    the served and truth set SIZES differ."""
+    from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+        precision_at_k,
+        recall_at_k,
+    )
+
+    truth = _ranking(
+        spark, [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 7, 1), (9, 5, 1)]
+    )
+    got = _ranking(
+        spark,
+        # q0 serves 2, one right; q1 serves junk; q2 is invented
+        [(0, 1, 1), (0, 99, 2), (1, 55, 1), (2, 7, 1)],
+    )
+    out = {r.query_id: r for r in precision_at_k(got, truth).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].hits, out[0].served_n, out[0].precision) == (1, 2, 0.5)
+    assert (out[1].hits, out[1].precision) == (0, 0.0)
+    assert (out[2].hits, out[2].precision) == (0, 0.0)  # truth has no q2→7
+
+    perfect = {r.query_id: r.precision
+               for r in precision_at_k(truth, truth).collect()}
+    assert all(v == 1.0 for v in perfect.values())
+
+    # precision vs recall asymmetry on q0: served 2 of 3 truth docs,
+    # one correct → precision 1/2, recall 1/3
+    rec = {r.query_id: r for r in recall_at_k(got, truth).collect()}
+    assert rec[0].recall == 1 / 3 and out[0].precision == 1 / 2
