@@ -37,6 +37,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     with_dbl_and_norm,
 )
 from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+    precision_at_k,
     recall_at_k,
     rrf_fuse,
 )
@@ -1007,6 +1008,17 @@ _SD_MIN = 0.4
         ON s.id_a = b.id_a AND s.id_b = b.id_b
       GROUP BY b.id_a
     ),
+    mrlprec AS (
+      SELECT s.id_a,
+             CAST(count(b.id_b) AS BIGINT) AS hits,
+             CAST(count(*) AS INTEGER) AS served_n,
+             CAST(count(b.id_b) AS BIGINT)
+               / CAST(count(*) AS BIGINT) AS prec
+      FROM (SELECT id_a, id_b FROM mrltopk) s
+      LEFT JOIN (SELECT id_a, id_b FROM extop) b
+        ON b.id_a = s.id_a AND b.id_b = s.id_b
+      GROUP BY s.id_a
+    ),
     semdd AS (
       SELECT s.vec_id AS id_a, m.canonical AS id_b, s.ccos AS cosine,
              CAST(CASE WHEN m.canonical IS NOT NULL
@@ -1034,6 +1046,10 @@ _SD_MIN = 0.4
     SELECT 'recall' AS method, id_a, hits AS id_b, recall AS cosine,
            truth_n AS rnk
     FROM mrlrec
+    UNION ALL
+    SELECT 'prec' AS method, id_a, hits AS id_b, prec AS cosine,
+           served_n AS rnk
+    FROM mrlprec
     """,
     doc="Embedding-space dedup/decontamination pair (tagged union): "
     "'pairs' = exact all-pairs cosine ≥ 0.4 (this synthetic corpus's "
@@ -1049,7 +1065,13 @@ _SD_MIN = 0.4
     "contamination (below the near-dup band so the leg checks a DENSE "
     "pair set — ~180 rows at sf0.01 — not a sparse corner). The double prefilter at threshold − 1e-6 is "
     "membership-invisible (the module's margin proof), so emitted "
-    "pairs AND values replay bitwise in the oracle's decimal CTEs.",
+    "pairs AND values replay bitwise in the oracle's decimal CTEs. "
+    "'prec' (r13) = precision@k (operators/fusion.py::precision_at_k) "
+    "of the mrl serve tier against the exact thresholded ranking — "
+    "completes the serving-evaluation triple alongside the 'recall' "
+    "and rrf legs: same O(queries·k) integer counting, denominators "
+    "TRANSPOSED (every SERVED query gets a row, hits/served_n), so "
+    "the oracle is the recall CTE with the join sides swapped.",
     tags=("dedup", "similarity", "decontam"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,6 +1155,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("recall").alias("cosine"),
         F.col("truth_n").cast("int").alias("rnk"),
     )
+    # prec leg (r13): the eval triple's third member — precision@k of
+    # the same mrl tier against the same exact truth, the denominator
+    # conventions TRANSPOSED (every query the tier SERVED gets a row;
+    # truth queries it never served live in the recall leg) — so the
+    # oracle is the recall CTE with served/truth sides swapped, and a
+    # convention mix-up in either operator breaks the hash match
+    prc = precision_at_k(
+        mrl_r, exact_r, query_col="id_a", doc_col="id_b"
+    ).select(
+        F.lit("prec").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("hits").alias("id_b"),
+        F.col("precision").alias("cosine"),
+        F.col("served_n").cast("int").alias("rnk"),
+    )
     # semdedup leg: the full SemDeDup composition in exact mode over
     # the SAME persisted base (vec_col='vdbl' passthrough)
     sd = semantic_dedup(
@@ -1151,6 +1188,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sd)
         .unionByName(rrf)
         .unionByName(rec)
+        .unionByName(prc)
     )
 
 

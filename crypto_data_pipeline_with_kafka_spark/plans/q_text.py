@@ -344,6 +344,20 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS INTEGER) AS channels
     FROM pay
     UNION ALL
+    SELECT 'ahash' AS method, doc_id, CAST(75 AS BIGINT) AS n_bytes,
+           string_agg(CASE WHEN 64 * px > s THEN '1' ELSE '0' END,
+                      '' ORDER BY k) AS content_hash,
+           'pgm_fp' AS format, CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels
+    FROM (
+      SELECT d.doc_id, CAST(t.k AS INT) AS k,
+             (d.doc_id * 11 + CAST(t.k AS INT) * 7) % 128 AS px,
+             sum((d.doc_id * 11 + CAST(t.k AS INT) * 7) % 128)
+               OVER (PARTITION BY d.doc_id) AS s
+      FROM documents d, range(0, 64) t(k)
+    )
+    GROUP BY doc_id
+    UNION ALL
     SELECT 'afp' AS method, doc_id, CAST(556 AS BIGINT) AS n_bytes,
            string_agg(CASE WHEN votes >= 3 THEN '1' ELSE '0' END,
                       '' ORDER BY k) AS content_hash,
@@ -396,7 +410,16 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "width/height the parsed rate/sample count. The "
     "oracle derives all legs' columns purely arithmetically, so a "
     "header-parse, raster-validation, or WAV chunk-walk bug breaks "
-    "the hash match",
+    "the hash match; 'ahash' (r13) = IMAGE perceptual hashing "
+    "(multimodal.perceptual_hash_images) over genuine 8x8 P5 PGM "
+    "payloads (pixel k = (doc_id*11 + k*7) % 128, all bytes < 128 so "
+    "the UTF-8 hop is exact) — at exactly 8x8 each aHash grid cell is "
+    "one pixel, so the bit rule collapses to the exact integer "
+    "comparison 64*px > sum(px) the oracle replays arithmetically "
+    "(cell means and the global mean are exact in IEEE: integers and "
+    "one power-of-two division); content_hash carries the 64-bit "
+    "string, so a header-parse, offset, stride, or grid-walk bug "
+    "breaks the match",
     tags=("multimodal", "udf", "audio"),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +427,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_binary_payload,
         decode_images,
         perceptual_hash_audio,
+        perceptual_hash_images,
     )
 
     docs = _docs(spark, sf_dir)
@@ -454,6 +478,48 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_payload.alias("payload"),
         F.length(wav_payload).cast("long").alias("n_bytes"),
     )
+    # 'ahash' leg (r13): genuine 8x8 P5 PGM payloads (pixel k =
+    # (doc_id*11 + k*7) % 128 — every byte < 128 so encode() is exact)
+    # through perceptual_hash_images, the REAL shared raster parser +
+    # aHash path. At exactly 8x8 each aHash grid cell is ONE pixel, so
+    # the bit rule collapses to the exact integer comparison
+    # 64*px_k > sum(px) (the float mean S/64.0 is an exact power-of-two
+    # division of an integer <= 64*127, and each cell mean is an exact
+    # small integer — no rounding anywhere), which the oracle replays
+    # arithmetically; a header-parse, offset, stride, or grid-walk bug
+    # breaks the 64-bit string match
+    ahash_payload = F.encode(
+        F.concat(
+            F.lit("P5 8 8 255\n"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda k: F.char((F.col("doc_id") * 11 + k * 7) % 128),
+                ),
+                "",
+            ),
+        ),
+        "UTF-8",
+    )
+    planted_img = docs.select(
+        "doc_id",
+        ahash_payload.alias("payload"),
+        F.length(ahash_payload).cast("long").alias("n_bytes"),
+    )
+    ih = (
+        perceptual_hash_images(planted_img.select("doc_id", "payload"))
+        .join(planted_img.select("doc_id", "n_bytes"), "doc_id")
+        .select(
+            F.lit("ahash").alias("method"),
+            "doc_id",
+            "n_bytes",
+            F.col("simhash").alias("content_hash"),
+            F.lit("pgm_fp").alias("format"),
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.lit(1).cast("int").alias("channels"),
+        )
+    )
     afp = (
         perceptual_hash_audio(planted_aud.select("doc_id", "payload"))
         .join(planted_aud.select("doc_id", "n_bytes"), "doc_id")
@@ -468,7 +534,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("int").alias("channels"),
         )
     )
-    return stub.unionByName(real).unionByName(afp)
+    return stub.unionByName(real).unionByName(ih).unionByName(afp)
 
 
 @register(
