@@ -276,6 +276,15 @@ SCALE10_MODEL_GATE = 4.0
 # per-pair decode, an un-broadcast query side, or a corpus×corpus
 # exchange would blow through.
 SCALE10_SERVE_GATE = 4.0
+# Fusion-tier corpus-INDEPENDENCE gate (r13): rrf/recall/ndcg/
+# precision consume RANKINGS — O(queries·k) rows regardless of corpus
+# size — so with the tier rankings pre-built outside the timed
+# region, the fused+evaluated wall at a 10× corpus must be FLAT, not
+# merely linear. 1.5× bounds launch-overhead noise on sub-second
+# walls (min-of-3 sampling); an operator that accidentally reaches
+# back into the corpus (re-scoring, an un-pinned ranking recompute)
+# tracks the 10× data and blows through.
+SCALE10_FUSION_GATE = 1.5
 
 
 def run_scale10(
@@ -459,6 +468,71 @@ def run_scale10(
             "data at 10x); gated on beating ivf_fixed_c32 at 10x, not on "
             "the dedup <=4x bound — compare work_normalized_ratio"
         )
+
+        # fusion-tier corpus-independence (r13): build the two serve
+        # rankings OUTSIDE the timed region (localCheckpoint pins them
+        # as materialized blocks — O(queries·k) rows each), then time
+        # the WHOLE fusion family composed over them: rrf_fuse +
+        # recall@k + ndcg@k + precision@k. The claim being gated is
+        # stronger than the ≤4× linear gates: fusion cost is a
+        # function of (queries, k, sources) ONLY, so the 10×-corpus
+        # wall must be flat. min-of-3 damps launch-overhead noise —
+        # these walls are sub-second by design.
+        from crypto_data_pipeline_with_kafka_spark.operators.fusion import (
+            ndcg_at_k,
+            precision_at_k,
+            recall_at_k,
+            rrf_fuse,
+        )
+
+        def fusion_wall(d: str) -> float:
+            base = with_dbl_and_approx_norm(load_emb(d))
+            codes = bq_encode(base, "vec_id", "vdbl")
+
+            def rk(df):
+                return df.select(
+                    F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("doc_id"),
+                    F.col("rnk").alias("rank"),
+                )
+
+            bq_rk = rk(
+                bq_topk(base, codes=codes, query_ids_max=20, k=5)
+            ).localCheckpoint()
+            store = mrl_prefix_encode(base, 16, vec_col="vdbl")
+            mrl_rk = rk(
+                mrl_topk(
+                    base, prefix_dims=16, query_ids_max=20, k=5,
+                    prefix=store,
+                )
+            ).localCheckpoint()
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fused = rrf_fuse([("bq1", bq_rk), ("mrl", mrl_rk)])
+                n = (
+                    fused.count()
+                    + recall_at_k(mrl_rk, bq_rk).count()
+                    + ndcg_at_k(fused, bq_rk, k=5).count()
+                    + precision_at_k(mrl_rk, bq_rk).count()
+                )
+                walls.append(round(time.perf_counter() - t0, 3))
+            assert n > 0, "fusion gate produced no rows — tiers broken"
+            return min(walls)
+
+        fw = {
+            "wall_1x": fusion_wall(sf_dir),
+            "wall_10x": fusion_wall(out_dir),
+        }
+        fw["ratio"] = round(fw["wall_10x"] / max(fw["wall_1x"], 1e-9), 2)
+        report["serve_fusion"] = fw
+        print(f"# serve_fusion: {fw}", file=sys.stderr)
+        if fw["ratio"] > SCALE10_FUSION_GATE:
+            failures.append(
+                f"serve_fusion ratio {fw['ratio']} > {SCALE10_FUSION_GATE}"
+                " — fusion wall is tracking corpus size, not "
+                "O(queries*k) rankings"
+            )
 
         # incremental-store flatness: stream the 10x corpus through each
         # gated store member as 10 equal batches; per-batch wall must
@@ -677,6 +751,8 @@ def run_scale10(
                 "pq_max_ratio": SCALE10_PQ_GATE,
                 "curate_max_ratio": SCALE10_CURATE_GATE,
                 "model_max_ratio": SCALE10_MODEL_GATE,
+                "serve_max_ratio": SCALE10_SERVE_GATE,
+                "fusion_max_ratio": SCALE10_FUSION_GATE,
                 "failures": failures,
             },
             "sf_dir": sf_dir,

@@ -129,7 +129,11 @@ def learn_bpe_merges(
     pins batched ≡ sequential with the measured sync count.
 
     ``stats`` (optional dict) receives ``sync_rounds`` — the number of
-    driver round-trips actually spent.
+    driver round-trips actually spent — and ``merge_counts``, the
+    corpus-weighted pair count of each returned rule AT selection time
+    (aligned with the returned list; the number the argmax ranked on,
+    so an attestation can value-check the selection, not just the
+    winning pair).
 
     The returned list is O(n_merges) — driver-sized by definition (it
     IS the tokenizer artifact), not a collected data relation."""
@@ -139,6 +143,7 @@ def learn_bpe_merges(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
+    merge_counts: list[int] = []
     rounds = 0
     applied = 0
     while len(merges) < n_merges:
@@ -153,16 +158,17 @@ def learn_bpe_merges(
         rounds += 1
         if not top:
             break
-        chosen: list[tuple[str, str]] = []
+        chosen: list[tuple[str, str, int]] = []
         used: set[str] = set()
         for r in top:
             syms = {r["a"], r["b"], r["a"] + r["b"]}
             if chosen and (syms & used):
                 break  # prefix-stop keeps the sequential rule order
-            chosen.append((r["a"], r["b"]))
+            chosen.append((r["a"], r["b"], r["cnt"]))
             used |= syms
-        for a, b in chosen:
+        for a, b, cnt in chosen:
             merges.append((a, b))
+            merge_counts.append(int(cnt))
             words = words.withColumn("sym", _merge_expr(F.col("sym"), a, b))
             applied += 1
             if applied % checkpoint_every == 0:
@@ -171,6 +177,7 @@ def learn_bpe_merges(
                 words = words.localCheckpoint(eager=False)
     if stats is not None:
         stats["sync_rounds"] = rounds
+        stats["merge_counts"] = merge_counts
     return merges
 
 

@@ -358,6 +358,58 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY doc_id
     UNION ALL
+    SELECT 'vfp' AS method, doc_id, CAST(588 AS BIGINT) AS n_bytes,
+           content_hash, 'y4m_fp' AS format, CAST(nv AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels
+    FROM (
+      WITH vpx AS (
+        SELECT d.doc_id, CAST(t.f AS INT) AS f, CAST(u.k AS INT) AS k,
+               (d.doc_id * 13 + CAST(t.f AS INT) * 31
+                + CAST(u.k AS INT) * 7) % 128 AS px
+        FROM documents d, range(0, 8) t(f), range(0, 64) u(k)
+      ),
+      vbits AS (
+        SELECT doc_id, f,
+               string_agg(CASE WHEN 64 * px > s THEN '1' ELSE '0' END,
+                          '' ORDER BY k) AS bits
+        FROM (SELECT doc_id, f, k, px,
+                     sum(px) OVER (PARTITION BY doc_id, f) AS s FROM vpx)
+        GROUP BY doc_id, f
+      ),
+      vkey AS (
+        SELECT doc_id, bits,
+               CAST(('0x' || substr(md5(bits), 1, 13)) AS BIGINT) AS key
+        FROM vbits
+      ),
+      vrank AS (
+        SELECT doc_id, bits,
+               count(*) OVER (PARTITION BY doc_id) AS n_all,
+               sum(CASE WHEN key % 2 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id) AS g,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY CASE WHEN key % 2 = 0 THEN 0 ELSE 1 END,
+                          key, bits) AS rn
+        FROM vkey
+      ),
+      voters AS (
+        SELECT doc_id, bits FROM vrank
+        WHERE rn <= greatest(g, least(n_all,
+                greatest(5, CAST(ceil(n_all / 2.0) AS BIGINT))))
+      ),
+      vsum AS (
+        SELECT doc_id, CAST(t.j AS INT) AS j,
+               sum(CAST(substr(bits, CAST(t.j AS INT), 1) AS INT)) AS s,
+               count(*) AS n
+        FROM voters, range(1, 65) t(j)
+        GROUP BY 1, 2
+      )
+      SELECT doc_id,
+             string_agg(CASE WHEN 2 * s > n THEN '1' ELSE '0' END,
+                        '' ORDER BY j) AS content_hash,
+             any_value(n) AS nv
+      FROM vsum GROUP BY doc_id
+    )
+    UNION ALL
     SELECT 'afp' AS method, doc_id, CAST(556 AS BIGINT) AS n_bytes,
            string_agg(CASE WHEN votes >= 3 THEN '1' ELSE '0' END,
                       '' ORDER BY k) AS content_hash,
@@ -419,7 +471,15 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(cell means and the global mean are exact in IEEE: integers and "
     "one power-of-two division); content_hash carries the 64-bit "
     "string, so a header-parse, offset, stride, or grid-walk bug "
-    "breaks the match",
+    "breaks the match; 'vfp' (r13) = VIDEO fingerprinting "
+    "(multimodal.perceptual_hash_video, v2-pgate) over genuine "
+    "YUV4MPEG2 payloads (8 FRAME sections of 8x8 mono luma, "
+    "arithmetically planted) at every_nth=2 — the y4m stream walk, "
+    "per-frame PGM repack + aHash, the aHash-md5-keyed vote gate "
+    "with quota top-up, and the strict-majority fold are ALL "
+    "replayed arithmetically by the oracle; width carries the voter "
+    "count so the vote-set size is checked alongside the 64 majority "
+    "bits",
     tags=("multimodal", "udf", "audio"),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +488,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_images,
         perceptual_hash_audio,
         perceptual_hash_images,
+        perceptual_hash_video,
     )
 
     docs = _docs(spark, sf_dir)
@@ -520,6 +581,64 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("int").alias("channels"),
         )
     )
+    # 'vfp' leg (r13): genuine YUV4MPEG2 payloads — stream header
+    # "YUV4MPEG2 W8 H8 F25:1 Cmono\n" + 8 FRAME sections of 8x8 mono
+    # luma (pixel = (doc_id*13 + f*31 + k*7) % 128, all bytes < 128 so
+    # the UTF-8 hop is exact) — through the FULL v2-pgate video
+    # fingerprint at every_nth=2: y4m parse + frame walk, per-frame
+    # PGM repack + aHash (each an exact 64*px > sum(px) integer rule
+    # at 8x8), the aHash-md5-keyed vote gate with the
+    # quota top-up (min(n, max(5, ceil(n/2)))), and the
+    # strict-majority bit fold. The oracle replays every stage
+    # arithmetically (bits -> md5 key -> gate/rank/quota -> majority),
+    # so a frame-offset, vote-selection, or majority-fold bug breaks
+    # the 64-bit match; width carries the voter count so the vote-set
+    # SIZE is value-checked too.
+    _y4m_hdr = "YUV4MPEG2 W8 H8 F25:1 Cmono\n"
+
+    def _vframe(f: int):
+        # single-arg lambda on purpose: F.transform treats a 2-arg
+        # lambda as the (element, index) variant, silently rebinding a
+        # default-arg frame capture to the array index
+        return F.concat(
+            F.lit("FRAME\n"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda k: F.char(
+                        (F.col("doc_id") * 13 + F.lit(f * 31) + k * 7)
+                        % 128
+                    ),
+                ),
+                "",
+            ),
+        )
+
+    vid_payload = F.encode(
+        F.concat(F.lit(_y4m_hdr), *[_vframe(f) for f in range(8)]),
+        "UTF-8",
+    )
+    planted_vid = docs.select(
+        "doc_id",
+        vid_payload.alias("payload"),
+        F.length(vid_payload).cast("long").alias("n_bytes"),
+    )
+    vfp = (
+        perceptual_hash_video(
+            planted_vid.select("doc_id", "payload"), every_nth=2
+        )
+        .join(planted_vid.select("doc_id", "n_bytes"), "doc_id")
+        .select(
+            F.lit("vfp").alias("method"),
+            "doc_id",
+            "n_bytes",
+            F.col("simhash").alias("content_hash"),
+            F.lit("y4m_fp").alias("format"),
+            F.col("n_frames_hashed").cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("channels"),
+        )
+    )
     afp = (
         perceptual_hash_audio(planted_aud.select("doc_id", "payload"))
         .join(planted_aud.select("doc_id", "n_bytes"), "doc_id")
@@ -534,7 +653,12 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("int").alias("channels"),
         )
     )
-    return stub.unionByName(real).unionByName(ih).unionByName(afp)
+    return (
+        stub.unionByName(real)
+        .unionByName(ih)
+        .unionByName(vfp)
+        .unionByName(afp)
+    )
 
 
 @register(
@@ -870,6 +994,97 @@ _WSAMPLE_SQL = f"""
 """
 
 
+# BPE legs (r13): the oracle re-learns the merge rules by UNROLLING
+# exact sequential BPE — one (pair-count, argmax, greedy-rewrite) CTE
+# triple per merge round, generated below — so the engine's
+# distributed loop (functions/bpe.py::learn_bpe_merges: vocab-sized
+# pair aggregation + one TakeOrdered sync per round) is value-checked
+# against an INDEPENDENT derivation, not a pinned golden. The rewrite
+# lambda replays the greedy left-to-right non-overlapping merge with
+# DuckDB list_reduce (the CDC leg's list-of-lists seed trick); the
+# tie-break (cnt DESC, a ASC, b ASC) and min_pair_freq=2 cutoff match
+# the engine's. An empty or exhausted corpus empties every bbest CTE
+# and the chain degrades to fewer (or zero) rules on BOTH sides. The
+# 'bpetok' leg then applies the learned rules through the PUBLIC
+# bpe_tokenize path (distinct-word rewrite + order-preserving
+# reassembly); the oracle maps each corpus word through the final
+# rewritten vocab — '' tokens (empty/multi-space text) fall back to
+# ['</w>'] exactly as _initial_symbols produces — and content-hashes
+# the per-doc token stream, so a merge-application, join, or
+# word-order bug breaks the hash.
+_BPE_MERGES = 8
+_BPE_MIN_FREQ = 2
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    parts = [
+        "bwf AS (SELECT word, count(*) AS freq FROM "
+        "(SELECT unnest(string_split(trim(text), ' ')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY word)",
+        "bsym0 AS (SELECT word, freq, "
+        "[substr(word, CAST(i AS INT), 1) for i in "
+        "range(1, length(word) + 1)] || ['</w>'] AS sym FROM bwf)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"bsym{r - 1}"
+        parts.append(
+            f"bpc{r} AS (SELECT sym[CAST(i AS INT)] AS a, "
+            f"sym[CAST(i AS INT) + 1] AS b, "
+            f"CAST(sum(freq) AS BIGINT) AS cnt "
+            f"FROM (SELECT freq, sym, unnest(range(1, len(sym))) AS i "
+            f"FROM {prev}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"bbest{r} AS (SELECT a, b, cnt FROM bpc{r} "
+            f"WHERE cnt >= {_BPE_MIN_FREQ} "
+            f"ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"bsym{r} AS (SELECT word, freq, "
+            f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+            f"[[s] for s in sym]), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a "
+            f"AND x[1] = m.b "
+            f"THEN acc[1:len(acc) - 1] || [m.a || m.b] "
+            f"ELSE acc || x END) AS sym "
+            f"FROM {prev}, bbest{r} m)"
+        )
+    parts.append(
+        "btk AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i "
+        "FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+        "FROM documents WHERE text IS NOT NULL))"
+    )
+    parts.append(
+        f"bjoin AS (SELECT t.doc_id, t.i, "
+        f"coalesce(s.sym, ['</w>']) AS sym "
+        f"FROM (SELECT doc_id, i, ws[CAST(i AS INT)] AS word FROM btk) t "
+        f"LEFT JOIN bsym{n_merges} s USING (word))"
+    )
+    parts.append(
+        "bdoc AS (SELECT doc_id, flatten(list(sym ORDER BY i)) AS toks "
+        "FROM bjoin GROUP BY doc_id)"
+    )
+    rule_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT 'bpe' AS tag, a AS k1, b AS k2, "
+        f"CAST({r} AS BIGINT) AS n, CAST(cnt AS DOUBLE) AS v FROM bbest{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + rule_rows
+        + "\n    UNION ALL\n    "
+        "SELECT 'bpetok' AS tag, CAST(doc_id AS VARCHAR) AS k1, "
+        "md5(array_to_string(toks, ' ')) AS k2, "
+        "CAST(len(toks) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v "
+        "FROM bdoc"
+    )
+
+
+_BPE_SQL = _bpe_oracle_sql(_BPE_MERGES)
+
+
 _MINING_SQL = f"""
     SELECT 'colloc' AS tag, w1 AS k1, w2 AS k2, c12 AS n,
            CAST(pmi_micro AS DOUBLE) AS v
@@ -910,6 +1125,8 @@ _MINING_SQL = f"""
     SELECT 'wsample', CAST(doc_id AS VARCHAR), NULL,
            CAST(n_chars AS BIGINT), NULL
     FROM ({_WSAMPLE_SQL})
+    UNION ALL
+    SELECT tag, k1, k2, n, v FROM ({_BPE_SQL})
 """
 
 
@@ -930,7 +1147,15 @@ _MINING_SQL = f"""
     "re-derives wtot/t_max/rates with identical IEEE expression order "
     "and replays the md5 keep rule); 'winnow' = MOSS winnowing fingerprints (operators/dedup.py::winnowing_fingerprints at k=5/window=4 — sliding-window minima over k-gram hashes, the partial-overlap detector with the ≥ window+k−1-token match guarantee, sequential-reference pytest); 'strat' = exact-count stratified "
     "sampling (stratified_sample_exact — the identical (md5, id) "
-    "window draw).",
+    "window draw); 'bpe' + 'bpetok' (r13) = BPE tokenizer training "
+    "end to end (functions/bpe.py): the ordered merge-rule list with "
+    "each rule's selection-time corpus-weighted pair count, checked "
+    "against the oracle's UNROLLED sequential-BPE re-derivation (one "
+    "count/argmax/greedy-rewrite CTE triple per round — an "
+    "independent derivation, not a pinned golden), and the corpus "
+    "re-tokenized through the public bpe_tokenize path with the "
+    "per-doc token stream content-hashed (merge application, vocab "
+    "join, and word-order reassembly all land in the hash).",
     tags=("text", "sampling", "suite"),
 )
 def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,6 +1275,39 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_sample_exact,
     )
 
+    # bpe legs (r13): learn the merge rules distributed (one corpus
+    # pass for word frequencies, then vocab-sized rounds with one
+    # TakeOrdered sync each — the documented tokenizer-artifact
+    # exception to the no-collect rule: the rule list IS the O(n)
+    # artifact), then tokenize the corpus through the PUBLIC
+    # bpe_tokenize path with them. The oracle independently re-learns
+    # the same rules by unrolled sequential BPE and re-applies them.
+    from crypto_data_pipeline_with_kafka_spark.functions.bpe import (
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+
+    bstats: dict = {}
+    bmerges = learn_bpe_merges(
+        docs, n_merges=_BPE_MERGES, min_pair_freq=_BPE_MIN_FREQ,
+        stats=bstats,
+    )
+    bpe_rules = spark.createDataFrame(
+        [
+            (a, b, i + 1, float(c))
+            for i, ((a, b), c) in enumerate(
+                zip(bmerges, bstats["merge_counts"])
+            )
+        ],
+        "k1 string, k2 string, n long, v double",
+    ).select(F.lit("bpe").alias("tag"), "k1", "k2", "n", "v")
+    bpetok = bpe_tokenize(docs, bmerges).select(
+        F.lit("bpetok").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("k2"),
+        F.size("bpe_tokens").cast("long").alias("n"),
+        nul_d.alias("v"),
+    )
     wsample = weighted_sample_exact(
         docs.withColumn("_w", F.col("n_chars") + F.lit(1)),
         _WSAMPLE_N,
@@ -1062,6 +1320,9 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_d.alias("v"),
     )
     out = colloc
-    for leg in (lm, gop, chunk, mix, strat, winnow, nbq, wsample):
+    for leg in (
+        lm, gop, chunk, mix, strat, winnow, nbq, wsample, bpe_rules,
+        bpetok,
+    ):
         out = out.unionByName(leg)
     return out
