@@ -15,7 +15,7 @@ from crypto_data_pipeline_with_kafka_spark.plans.registry import queries  # noqa
 from crypto_data_pipeline_with_kafka_spark.session import get_spark  # noqa: E402
 
 names = sys.argv[1:] or ["dedup_ngram_jaccard", "sim_ann_suite"]
-n_samples = int(os.environ.get("PROBE_SAMPLES", "5"))
+n_samples = max(1, int(os.environ.get("PROBE_SAMPLES", "5")))
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 spark = get_spark(app_name="probe-slots")

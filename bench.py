@@ -486,8 +486,9 @@ def run_scale10(
         )
 
         def fusion_wall(d: str) -> float:
-            base = with_dbl_and_approx_norm(load_emb(d))
-            codes = bq_encode(base, "vec_id", "vdbl")
+            # the rankings are the SAME tiers the serve gates time —
+            # reuse those helpers so a tier-parameter change cannot
+            # silently diverge the two gates
 
             def rk(df):
                 return df.select(
@@ -496,16 +497,8 @@ def run_scale10(
                     F.col("rnk").alias("rank"),
                 )
 
-            bq_rk = rk(
-                bq_topk(base, codes=codes, query_ids_max=20, k=5)
-            ).localCheckpoint()
-            store = mrl_prefix_encode(base, 16, vec_col="vdbl")
-            mrl_rk = rk(
-                mrl_topk(
-                    base, prefix_dims=16, query_ids_max=20, k=5,
-                    prefix=store,
-                )
-            ).localCheckpoint()
+            bq_rk = rk(bq_serve(d)).localCheckpoint()
+            mrl_rk = rk(mrl_serve(d)).localCheckpoint()
             walls = []
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -1003,8 +1003,12 @@ _WSAMPLE_SQL = f"""
 # lambda replays the greedy left-to-right non-overlapping merge with
 # DuckDB list_reduce (the CDC leg's list-of-lists seed trick); the
 # tie-break (cnt DESC, a ASC, b ASC) and min_pair_freq=2 cutoff match
-# the engine's. An empty or exhausted corpus empties every bbest CTE
-# and the chain degrades to fewer (or zero) rules on BOTH sides. The
+# the engine's. An empty or exhausted corpus empties the remaining
+# bbest CTEs, so both sides emit fewer (or zero) rules — and the
+# rewrite CTEs LEFT JOIN their round's bbest so an exhausted round is
+# a NO-OP on the vocab, not a chain-emptying cross join (a corpus
+# with < n_merges viable merges must still tokenize with the rules it
+# has; review-caught r13). The
 # 'bpetok' leg then applies the learned rules through the PUBLIC
 # bpe_tokenize path (distinct-word rewrite + order-preserving
 # reassembly); the oracle maps each corpus word through the final
@@ -1040,14 +1044,20 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             f"ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
         )
         parts.append(
+            # LEFT JOIN ON TRUE, not a cross join: an exhausted round
+            # (bbest empty) must be a NO-OP rewrite, not empty the
+            # whole vocab chain — the engine stops learning but still
+            # tokenizes with the rules it has, and the bpetok leg
+            # reads the FINAL vocab state
             f"bsym{r} AS (SELECT word, freq, "
+            f"CASE WHEN m.a IS NULL THEN sym ELSE "
             f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
             f"[[s] for s in sym]), "
             f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a "
             f"AND x[1] = m.b "
             f"THEN acc[1:len(acc) - 1] || [m.a || m.b] "
-            f"ELSE acc || x END) AS sym "
-            f"FROM {prev}, bbest{r} m)"
+            f"ELSE acc || x END) END AS sym "
+            f"FROM {prev} LEFT JOIN bbest{r} m ON TRUE)"
         )
     parts.append(
         "btk AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i "

@@ -840,7 +840,8 @@ def test_bpe_learning_matches_python_reference(spark):
         "aaaa aa aaaa",
     ]
     docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
-    got = learn_bpe_merges(docs, n_merges=12, min_pair_freq=2)
+    stats: dict = {}
+    got = learn_bpe_merges(docs, n_merges=12, min_pair_freq=2, stats=stats)
 
     # --- sequential reference ---
     freqs: dict[str, int] = {}
@@ -859,6 +860,7 @@ def test_bpe_learning_matches_python_reference(spark):
         return out
 
     expected = []
+    expected_counts = []
     for _ in range(12):
         counts: dict[tuple[str, str], int] = {}
         for w, sym in words.items():
@@ -871,9 +873,14 @@ def test_bpe_learning_matches_python_reference(spark):
             break
         a, b = best[0]
         expected.append((a, b))
+        expected_counts.append(best[1])
         words = {w: merge_seq(sym, a, b) for w, sym in words.items()}
 
     assert got == expected and len(got) > 3
+    # stats out-param: the selection-time pair count of each rule
+    # (the number the argmax ranked on — the r13 'bpe' oracle leg's v
+    # column) must align with the returned list
+    assert stats["merge_counts"] == expected_counts
 
     # tokenization with the learned rules matches sequential application
     tok = {
