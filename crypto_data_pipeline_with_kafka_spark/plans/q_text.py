@@ -358,9 +358,8 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY doc_id
     UNION ALL
-    SELECT 'vfp' AS method, doc_id, CAST(588 AS BIGINT) AS n_bytes,
-           content_hash, 'y4m_fp' AS format, CAST(nv AS INTEGER) AS width,
-           CAST(8 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels
+    SELECT method, doc_id, n_bytes, content_hash, format, width, height,
+           channels
     FROM (
       WITH vpx AS (
         SELECT d.doc_id, CAST(t.f AS INT) AS f, CAST(u.k AS INT) AS k,
@@ -402,12 +401,50 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n
         FROM voters, range(1, 65) t(j)
         GROUP BY 1, 2
+      ),
+      vfr AS (
+        SELECT doc_id, f,
+               string_agg(chr(CAST(px AS INT)), '' ORDER BY k) AS fr
+        FROM vpx GROUP BY doc_id, f
+      ),
+      vpay AS (
+        SELECT doc_id,
+               'YUV4MPEG2 W8 H8 F25:1 Cmono' || chr(10) ||
+               string_agg('FRAME' || chr(10) || fr, '' ORDER BY f) AS pay
+        FROM vfr GROUP BY doc_id
+      ),
+      vgate AS (
+        SELECT doc_id, f, fr,
+               CASE WHEN CAST(('0x' || substr(md5(fr), 1, 13)) AS BIGINT)
+                         % 3 = 0
+                    THEN 1 ELSE 0 END AS g
+        FROM vfr
+      ),
+      vsel AS (
+        SELECT doc_id, f, fr FROM (
+          SELECT doc_id, f, fr, g,
+                 sum(g) OVER (PARTITION BY doc_id) AS gd
+          FROM vgate
+        ) WHERE g = 1 OR gd = 0
       )
-      SELECT doc_id,
+      SELECT 'vfp' AS method, doc_id, CAST(588 AS BIGINT) AS n_bytes,
              string_agg(CASE WHEN 2 * s > n THEN '1' ELSE '0' END,
                         '' ORDER BY j) AS content_hash,
-             any_value(n) AS nv
+             'y4m_fp' AS format, CAST(any_value(n) AS INTEGER) AS width,
+             CAST(8 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels
       FROM vsum GROUP BY doc_id
+      UNION ALL
+      SELECT 'vmeta' AS method, doc_id, CAST(588 AS BIGINT) AS n_bytes,
+             md5(pay) AS content_hash, 'y4m@25.0' AS format,
+             CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+             CAST(8 AS INTEGER) AS channels
+      FROM vpay
+      UNION ALL
+      SELECT 'vframes' AS method, doc_id, CAST(75 AS BIGINT) AS n_bytes,
+             md5('P5 8 8 255' || chr(10) || fr) AS content_hash,
+             'pgm' AS format, CAST(8 AS INTEGER) AS width,
+             CAST(8 AS INTEGER) AS height, CAST(f AS INTEGER) AS channels
+      FROM vsel
     )
     UNION ALL
     SELECT 'afp' AS method, doc_id, CAST(556 AS BIGINT) AS n_bytes,
@@ -479,16 +516,27 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with quota top-up, and the strict-majority fold are ALL "
     "replayed arithmetically by the oracle; width carries the voter "
     "count so the vote-set size is checked alongside the 64 majority "
-    "bits",
+    "bits; 'vmeta' (r13) = decode_video metadata over the same "
+    "payloads (fps rational parse in format as 'y4m@<fps>', frame "
+    "count in channels, md5 of the raw payload bytes in content_hash "
+    "— the oracle rebuilds the byte-identical payload with chr() and "
+    "md5s it); 'vframes' (r13) = content-anchored frame sampling "
+    "(sample_video_frames anchor='content', every_nth=3 — the CDC "
+    "discipline on the time axis, with the all-frames fallback) — "
+    "the oracle replays the luma-md5 gate and hashes each sampled "
+    "frame's PGM repack, so the sampled set, the frame indices, and "
+    "the repacked bytes are all value-checked",
     tags=("multimodal", "udf", "audio"),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.multimodal import (
         attach_binary_payload,
         decode_images,
+        decode_video,
         perceptual_hash_audio,
         perceptual_hash_images,
         perceptual_hash_video,
+        sample_video_frames,
     )
 
     docs = _docs(spark, sf_dir)
@@ -623,6 +671,47 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         vid_payload.alias("payload"),
         F.length(vid_payload).cast("long").alias("n_bytes"),
     )
+    # 'vmeta' leg (r13): decode_video metadata over the same planted
+    # y4m payloads — the fps rational parse (F25:1 -> 25.0) rides the
+    # format column as 'y4m@<fps>', the frame-count walk rides
+    # channels, and content_hash = md5 of the raw payload bytes (the
+    # oracle rebuilds the byte-identical string with chr() and md5s
+    # it, so a single wrong byte anywhere in the planted fixture
+    # breaks BOTH this leg and the fingerprint legs coherently)
+    vmeta = decode_video(
+        planted_vid.withColumn("content_hash", F.md5("payload"))
+    ).select(
+        F.lit("vmeta").alias("method"),
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        F.concat(F.lit("y4m@"), F.col("fps").cast("string")).alias(
+            "format"
+        ),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("int").alias("channels"),
+    )
+    # 'vframes' leg (r13): CONTENT-anchored frame sampling
+    # (sample_video_frames anchor='content', every_nth=3 — the CDC
+    # discipline on the time axis: membership = 52-bit md5 fraction
+    # of the raw luma plane ≡ 0 mod 3, with the all-frames fallback
+    # when no frame passes). The oracle replays the gate over the
+    # chr()-rebuilt luma strings and md5s each sampled frame's PGM
+    # repack; channels carries frame_idx so the sampled SET and each
+    # frame's position are both value-checked
+    vframes = sample_video_frames(
+        planted_vid.select("doc_id", "payload"), 3, anchor="content"
+    ).select(
+        F.lit("vframes").alias("method"),
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        F.lit("pgm").alias("format"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("frame_idx").cast("int").alias("channels"),
+    )
     vfp = (
         perceptual_hash_video(
             planted_vid.select("doc_id", "payload"), every_nth=2
@@ -656,6 +745,8 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stub.unionByName(real)
         .unionByName(ih)
+        .unionByName(vmeta)
+        .unionByName(vframes)
         .unionByName(vfp)
         .unionByName(afp)
     )
