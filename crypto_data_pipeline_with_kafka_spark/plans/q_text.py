@@ -312,9 +312,67 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(via_join, "doc_id")
 
 
+# little-endian hex renderers for the 'ameta' oracle (DuckDB to_hex is
+# lowercase and unpadded; Spark F.hex is uppercase — upper() + lpad
+# align them)
+def _u16sql(e: str) -> str:
+    return (
+        f"upper(lpad(to_hex(({e}) % 256), 2, '0') || "
+        f"lpad(to_hex((({e}) // 256) % 256), 2, '0'))"
+    )
+
+
+def _u32sql(e: str) -> str:
+    return (
+        "upper("
+        + " || ".join(
+            f"lpad(to_hex((({e}) // {1 << (8 * i)}) % 256), 2, '0')"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+# decode_audio oracle: independently assemble the SAME RIFF/WAVE hex
+# the engine unhexes — tag/channels/rate/bits/sample-count all
+# doc-dependent — and state the decoded metadata arithmetically. The
+# engine's content_hash = hex(payload) must equal this hx string
+# byte-for-byte, so a single wrong header byte breaks the leg.
+_AMETA_SQL = f"""
+    SELECT 'ameta' AS method, doc_id, CAST(44 + dlen AS BIGINT) AS n_bytes,
+           hx AS content_hash,
+           (CASE WHEN tag = 3 THEN 'wav_float@32'
+                 ELSE 'wav_pcm@16' END) AS format,
+           CAST(rate AS INTEGER) AS width, CAST(nsamp AS INTEGER) AS height,
+           CAST(ch AS INTEGER) AS channels
+    FROM (
+      SELECT doc_id, tag, ch, rate, nsamp, dlen,
+             '52494646' || {_u32sql('36 + dlen')}
+             || '57415645666D742010000000'
+             || {_u16sql('tag')} || {_u16sql('ch')} || {_u32sql('rate')}
+             || {_u32sql('rate * frame')} || {_u16sql('frame')}
+             || {_u16sql('bits')} || '64617461' || {_u32sql('dlen')}
+             || repeat('00', CAST(dlen AS INT)) AS hx
+      FROM (
+        SELECT *, nsamp * frame AS dlen FROM (
+          SELECT *, ch * (bits // 8) AS frame FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS tag,
+                   CASE WHEN doc_id % 3 = 0 THEN 32 ELSE 16 END AS bits,
+                   1 + doc_id % 2 AS ch,
+                   8000 + (doc_id % 5) * 2000 AS rate,
+                   16 + doc_id % 17 AS nsamp
+            FROM documents
+          )
+        )
+      )
+    )
+"""
+
+
 @register(
     "mm_decode_stub",
-    """
+    f"""
     WITH b AS (
       SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
       FROM documents
@@ -357,6 +415,8 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d, range(0, 64) t(k)
     )
     GROUP BY doc_id
+    UNION ALL
+{_AMETA_SQL}
     UNION ALL
     SELECT method, doc_id, n_bytes, content_hash, format, width, height,
            channels
@@ -525,12 +585,22 @@ def text_sentiment_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "discipline on the time axis, with the all-frames fallback) — "
     "the oracle replays the luma-md5 gate and hashes each sampled "
     "frame's PGM repack, so the sampled set, the frame indices, and "
-    "the repacked bytes are all value-checked",
+    "the repacked bytes are all value-checked; 'ameta' (r13) = "
+    "decode_audio over planted RIFF/WAVE headers with DOC-DEPENDENT "
+    "geometry (PCM/IEEE-float tags, mono/stereo, 16/32-bit, varying "
+    "rates and sample counts — the paths the 8-bit afp fixture "
+    "cannot reach), built via unhex so multi-byte fields are "
+    "unconstrained; content_hash = hex(payload) pinned against the "
+    "oracle's independently assembled little-endian hex, and "
+    "rate/samples/channels/bit-depth stated arithmetically. Every "
+    "decode path in multimodal.py is now oracle-attested through its "
+    "real parser",
     tags=("multimodal", "udf", "audio"),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.multimodal import (
         attach_binary_payload,
+        decode_audio,
         decode_images,
         decode_video,
         perceptual_hash_audio,
@@ -671,6 +741,73 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         vid_payload.alias("payload"),
         F.length(vid_payload).cast("long").alias("n_bytes"),
     )
+    # 'ameta' leg (r13): decode_audio over planted RIFF/WAVE headers
+    # with DOC-DEPENDENT geometry — format tag (PCM 1 / IEEE-float 3),
+    # channels (mono/stereo), rate, bit depth (16/32) and sample count
+    # all vary per doc_id, exercising the paths the 8-bit 'afp'
+    # fixture cannot. The payload is built as a little-endian hex
+    # string and unhex'd (no UTF-8 constraint, so bytes >= 128 in the
+    # multi-byte fields are fine); content_hash = hex(payload) pins
+    # every byte against the oracle's independently assembled hex.
+    # The zero-filled data chunk is legal: decode_audio reads only
+    # chunk lengths, and n_samples = data_len // frame is the value
+    # being checked.
+    def _u16le(c):
+        return F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex(F.shiftright(c, 8) % 256), 2, "0"),
+        )
+
+    def _u32le(c):
+        return F.concat(
+            *[
+                F.lpad(F.hex(F.shiftright(c, 8 * i) % 256), 2, "0")
+                for i in range(4)
+            ]
+        )
+
+    did = F.col("doc_id")
+    a_tag = F.when(did % 3 == 0, F.lit(3)).otherwise(F.lit(1)).cast("long")
+    a_bits = (
+        F.when(did % 3 == 0, F.lit(32)).otherwise(F.lit(16)).cast("long")
+    )
+    a_ch = (did % 2 + 1).cast("long")
+    a_rate = (F.lit(8000) + (did % 5) * 2000).cast("long")
+    a_nsamp = (F.lit(16) + did % 17).cast("long")
+    a_frame = a_ch * (a_bits / F.lit(8)).cast("long")
+    a_dlen = a_nsamp * a_frame
+    a_hex = F.concat(
+        F.lit("52494646"),  # RIFF
+        _u32le(F.lit(36) + a_dlen),
+        F.lit("57415645666D742010000000"),  # WAVE, fmt , size 16
+        _u16le(a_tag),
+        _u16le(a_ch),
+        _u32le(a_rate),
+        _u32le(a_rate * a_frame),
+        _u16le(a_frame),
+        _u16le(a_bits),
+        F.lit("64617461"),  # data
+        _u32le(a_dlen),
+        F.repeat(F.lit("00"), a_dlen.cast("int")),
+    )
+    planted_am = docs.select("doc_id", a_hex.alias("_hx")).select(
+        "doc_id",
+        F.unhex("_hx").alias("payload"),
+        F.length(F.unhex("_hx")).cast("long").alias("n_bytes"),
+        F.hex(F.unhex("_hx")).alias("content_hash"),
+    )
+    ameta = decode_audio(planted_am).select(
+        F.lit("ameta").alias("method"),
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        F.concat(
+            F.col("format"), F.lit("@"), F.col("bit_depth").cast("string")
+        ).alias("format"),
+        F.col("sample_rate").cast("int").alias("width"),
+        F.col("n_samples").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+    )
     # 'vmeta' leg (r13): decode_video metadata over the same planted
     # y4m payloads — the fps rational parse (F25:1 -> 25.0) rides the
     # format column as 'y4m@<fps>', the frame-count walk rides
@@ -745,6 +882,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stub.unionByName(real)
         .unionByName(ih)
+        .unionByName(ameta)
         .unionByName(vmeta)
         .unionByName(vframes)
         .unionByName(vfp)
