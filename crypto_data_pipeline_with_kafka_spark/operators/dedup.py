@@ -1766,3 +1766,94 @@ def incremental_winnowing_dedup(
     for df in (fps_new, cand_fps, cand):
         df.unpersist()
     return spark.read.parquet(flagged_path)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN detection at k-gram
+    granularity (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — their suffix-array ExactSubstr pass,
+    re-expressed Spark-first): find, per document, the maximal token
+    spans whose every k-gram appears at least ``min_count`` times in
+    the corpus (instances, INCLUDING repeats inside one document — the
+    suffix-array semantics), i.e. the verbatim boilerplate/license/
+    quotation runs that document-level (MinHash) and chunk-level
+    (aligned/CDC) dedup both miss when they sit inside otherwise-unique
+    documents. Returns one row per maximal span:
+
+    (id, span_start, span_end, n_tokens, span_text)
+
+    with token positions 0-based and ``span_end`` exclusive
+    (``n_tokens = span_end - span_start``); a position is covered iff
+    some duplicated k-gram starts within [pos-k+1, pos] — consecutive
+    duplicated k-gram starts chain into one span (gaps-and-islands), so
+    a duplicated run of L tokens surfaces as ONE row with n_tokens = L,
+    not L-k+1 fragments. Spans shorter than k cannot exist (the k-gram
+    is the detection quantum — the standard ExactSubstr length floor).
+
+    Why not a distributed suffix array: the paper's exact structure
+    needs global suffix ORDER, which shuffles the corpus text itself;
+    at k-gram granularity the same spans fall out of an inverted-index
+    shape the engine already scales — ONE posexplode of (pos, gram),
+    ONE map-side-combined groupBy(gram) (output bounded by distinct
+    grams), one semi-join of positions against the duplicated-gram
+    set, one per-doc window for the island merge. No all-pairs
+    anywhere; cost is linear in corpus tokens + duplicated positions.
+    The granularity trade: a duplicated span is detected iff it is at
+    least k tokens long (below k, nothing; the paper's 50-token
+    threshold maps to k=50 here).
+
+    ``toks=`` threads a shared :func:`tokenized_docs` relation (the
+    multi-leg caller pattern); ``min_count`` ≥ 2 counts INSTANCES so a
+    doc repeating its own boilerplate twice self-flags, exactly as a
+    suffix array would."""
+    if k < 1:
+        raise ValueError(f"duplicated_spans: k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"duplicated_spans: min_count must be >= 2, got {min_count}"
+        )
+    base = toks if toks is not None else tokenized_docs(df, text_col, id_col)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(kgrams_from_tokens(F.col("_ws"), k)).alias(
+            "pos", "_gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_gram")
+    )
+    hits = grams.join(dup, "_gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("long").alias("span_end"),
+        )
+        .drop("_isl")
+    )
+    return spans.join(base, id_col).select(
+        F.col(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "_ws",
+                F.col("span_start") + 1,
+                F.col("span_end") - F.col("span_start"),
+            ),
+        ).alias("span_text"),
+    )

@@ -1223,6 +1223,40 @@ _WSAMPLE_SQL = f"""
 """
 
 
+# xdup leg (r13): ExactSubstr-style duplicated spans (Lee et al. 2022)
+# at k-gram granularity — per doc, the maximal token runs whose every
+# 5-gram appears >= 2 times in the corpus (instances, including
+# within-doc repeats: the suffix-array semantics). The oracle replays
+# the inverted-index + gaps-and-islands shape: positional 5-grams,
+# HAVING count(*) >= 2, pos - row_number() island merge, span text
+# re-sliced from the token array — so a boundary off-by-one, an
+# island-merge bug, or a wrong span slice all break the md5.
+_XDUP_K = 5
+_XDUP_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    xg AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(ws[CAST(i AS INT) : CAST(i + {_XDUP_K - 1} AS INT)], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_XDUP_K} + 2)) AS i
+            FROM toks WHERE len(ws) >= {_XDUP_K})
+    ),
+    xdupg AS (SELECT gram FROM xg GROUP BY gram HAVING count(*) >= 2),
+    xhit AS (SELECT doc_id, pos FROM xg JOIN xdupg USING (gram)),
+    xisl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM xhit
+    ),
+    xspan AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_XDUP_K} AS e
+      FROM xisl GROUP BY doc_id, isl
+    )
+    SELECT doc_id, s, e,
+           array_to_string(t.ws[CAST(s + 1 AS INT) : CAST(e AS INT)], ' ') AS sp
+    FROM xspan JOIN toks t USING (doc_id)
+"""
+
+
 # BPE legs (r13): the oracle re-learns the merge rules by UNROLLING
 # exact sequential BPE — one (pair-count, argmax, greedy-rewrite) CTE
 # triple per merge round, generated below — so the engine's
@@ -1366,6 +1400,10 @@ _MINING_SQL = f"""
     FROM ({_WSAMPLE_SQL})
     UNION ALL
     SELECT tag, k1, k2, n, v FROM ({_BPE_SQL})
+    UNION ALL
+    SELECT 'xdup', CAST(doc_id AS VARCHAR), md5(sp),
+           CAST(s AS BIGINT), CAST(e - s AS DOUBLE)
+    FROM ({_XDUP_SQL})
 """
 
 
@@ -1394,7 +1432,15 @@ _MINING_SQL = f"""
     "independent derivation, not a pinned golden), and the corpus "
     "re-tokenized through the public bpe_tokenize path with the "
     "per-doc token stream content-hashed (merge application, vocab "
-    "join, and word-order reassembly all land in the hash).",
+    "join, and word-order reassembly all land in the hash); 'xdup' "
+    "(r13) = ExactSubstr-style duplicated spans "
+    "(operators/dedup.py::duplicated_spans, Lee et al. 2022 at "
+    "k-gram granularity): per doc, the MAXIMAL token runs whose "
+    "every 5-gram appears >= 2 times corpus-wide (instances, incl. "
+    "within-doc repeats — the suffix-array semantics), merged via "
+    "gaps-and-islands; one row per span with both boundaries and the "
+    "span text md5 value-checked — the substring-level dedup that "
+    "document- and chunk-level dedup cannot express.",
     tags=("text", "sampling", "suite"),
 )
 def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,6 +1451,7 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
         chunk_documents,
+        duplicated_spans,
         winnowing_fingerprints,
     )
     from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
@@ -1547,6 +1594,16 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe_tokens").cast("long").alias("n"),
         nul_d.alias("v"),
     )
+    # xdup leg (r13): ExactSubstr-style duplicated spans — see the
+    # oracle comment above; spans content-hashed so the island merge
+    # and both boundaries land on the checked surface
+    xdup = duplicated_spans(docs, k=_XDUP_K, min_count=2).select(
+        F.lit("xdup").alias("tag"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.md5("span_text").alias("k2"),
+        F.col("span_start").alias("n"),
+        F.col("n_tokens").cast("double").alias("v"),
+    )
     wsample = weighted_sample_exact(
         docs.withColumn("_w", F.col("n_chars") + F.lit(1)),
         _WSAMPLE_N,
@@ -1561,7 +1618,7 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = colloc
     for leg in (
         lm, gop, chunk, mix, strat, winnow, nbq, wsample, bpe_rules,
-        bpetok,
+        bpetok, xdup,
     ):
         out = out.unionByName(leg)
     return out

@@ -4682,3 +4682,51 @@ def test_semantic_dedup_exact_mode_equivalence(spark):
         surv = [i for i in ids if not exa[i].is_duplicate]
         assert surv == [members[-1]], g  # largest perturbation
     spark.catalog.clearCache()
+
+
+def test_duplicated_spans_exactsubstr_semantics(spark):
+    """duplicated_spans (Lee et al. ExactSubstr at k-gram granularity):
+    a shared 8-token run surfaces as ONE maximal span in each document
+    (correct boundaries in both, despite different offsets), a doc
+    repeating its own 5-token run self-flags BOTH copies (instance
+    counting, the suffix-array semantics), an all-unique doc emits
+    nothing, and sub-k sharing is invisible (the detection quantum)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h U0 x y"),
+            (1, "P1 a b c d e f g h T1"),
+            (2, "r s t u v r s t u v"),
+            (3, "q w e r t z u i o p"),
+            # 4-token overlap with doc 0 — below k=5, must NOT flag
+            (4, "e f g h W4 W5 W6 W7 W8"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.span_start): r
+        for r in duplicated_spans(docs, k=5, min_count=2).collect()
+    }
+    assert set(got) == {(0, 0), (1, 1), (2, 0), (2, 5)}
+    s0 = got[(0, 0)]
+    assert (s0.span_end, s0.n_tokens, s0.span_text) == (
+        8, 8, "a b c d e f g h"
+    )
+    s1 = got[(1, 1)]
+    assert (s1.span_end, s1.n_tokens, s1.span_text) == (
+        9, 8, "a b c d e f g h"
+    )
+    for start in (0, 5):
+        s2 = got[(2, start)]
+        assert (s2.span_end - start, s2.span_text) == (5, "r s t u v")
+    # guards: the k-gram quantum and the instance floor are contracts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicated_spans(docs, k=0)
+    with _pytest.raises(ValueError):
+        duplicated_spans(docs, min_count=1)
+    spark.catalog.clearCache()
