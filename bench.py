@@ -341,6 +341,7 @@ def run_scale10(
 
     from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
         chunk_level_dedup,
+        duplicated_spans,
     )
 
     class _CountsThenReleases:
@@ -417,6 +418,12 @@ def run_scale10(
         "dedup_ngram_jaccard": lambda d: qs["dedup_ngram_jaccard"](spark, d),
         "dedup_simhash": lambda d: qs["dedup_simhash"](spark, d),
         "dedup_chunk_cdc": chunk_cdc,
+        # r13: ExactSubstr duplicated spans — inverted-index +
+        # islands; linear in corpus tokens + duplicated positions,
+        # same ≤4x dedup gate
+        "dedup_xdup_spans": lambda d: duplicated_spans(
+            spark.read.parquet(os.path.join(d, "documents.parquet"))
+        ),
         "ivf_fixed_c32": lambda d: ivf_at(d, 32),
         "ivf_sqrt_auto": lambda d: ivf_at(d, "auto"),
         "pq_train_encode": pq_train_encode,
