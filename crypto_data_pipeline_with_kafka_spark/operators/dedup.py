@@ -1857,3 +1857,67 @@ def duplicated_spans(
             ),
         ).alias("span_text"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spans: DataFrame | None = None,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """The removal half of the ExactSubstr pass (Lee et al. 2022 cut
+    the detected duplicated substrings OUT of the corpus — detection
+    alone is :func:`duplicated_spans`): returns
+
+    (id, clean_text, n_kept, n_total)
+
+    with ``clean_text`` the document's tokens OUTSIDE every duplicated
+    span, reassembled in order (the chunk_level_dedup output shape, so
+    downstream curation consumes either interchangeably); a fully
+    duplicated document survives as an empty clean_text with
+    n_kept = 0 — the caller decides whether to drop it (curation's
+    convention). Output is a STRICT function of the spans relation
+    (value-checked as text_mining_suite's 'xdup' leg) plus the
+    tokenization — the r2 consolidation rule for what needs its own
+    oracle row — and is pinned by the planted-corpus pytest instead.
+
+    ``spans=`` accepts a precomputed :func:`duplicated_spans` result
+    (the multi-leg reuse hook); ``toks=`` the shared tokenized base.
+    Scale shape: one vocab-of-spans groupBy (output ≤ one row per
+    doc), one join onto the tokenized corpus, then pure in-row
+    higher-order filters — linear, no new exchanges beyond the span
+    aggregation."""
+    base = toks if toks is not None else tokenized_docs(df, text_col, id_col)
+    sp = (
+        spans
+        if spans is not None
+        else duplicated_spans(df, k, min_count, text_col, id_col, toks=base)
+    )
+    agg = sp.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = base.join(agg, id_col, "left")
+    spans_c = F.coalesce(
+        F.col("_spans"),
+        F.array().cast(
+            "array<struct<span_start:bigint,span_end:bigint>>"
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.size("_ws") - 1)
+    kept_idx = F.filter(
+        idx,
+        lambda p: ~F.exists(
+            spans_c,
+            lambda s: (s["span_start"] <= p) & (p < s["span_end"]),
+        ),
+    )
+    kept = F.transform(kept_idx, lambda p: F.get("_ws", p))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept_idx).cast("long").alias("n_kept"),
+        F.size("_ws").cast("long").alias("n_total"),
+    )

@@ -4730,3 +4730,52 @@ def test_duplicated_spans_exactsubstr_semantics(spark):
     with _pytest.raises(ValueError):
         duplicated_spans(docs, min_count=1)
     spark.catalog.clearCache()
+
+
+def test_remove_duplicated_spans_cleanup(spark):
+    """remove_duplicated_spans (the ExactSubstr removal half): tokens
+    inside every detected span are cut and the remainder reassembled
+    in order; a fully-duplicated doc survives as empty clean_text
+    (n_kept=0, caller's drop decision); untouched docs pass through
+    verbatim; and a precomputed spans= relation short-circuits
+    re-detection (reuse hook)."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h U0 x y"),
+            (1, "P1 a b c d e f g h T1"),
+            (2, "r s t u v r s t u v"),
+            (3, "q w e r t z u i o p"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, k=5, min_count=2).collect()
+    }
+    assert (got[0].clean_text, got[0].n_kept, got[0].n_total) == (
+        "U0 x y", 3, 11
+    )
+    assert (got[1].clean_text, got[1].n_kept, got[1].n_total) == (
+        "P1 T1", 2, 10
+    )
+    assert (got[2].clean_text, got[2].n_kept, got[2].n_total) == (
+        "", 0, 10
+    )
+    assert (got[3].clean_text, got[3].n_kept, got[3].n_total) == (
+        "q w e r t z u i o p", 10, 10
+    )
+    # reuse hook: feeding the precomputed spans yields identical output
+    sp = duplicated_spans(docs, k=5, min_count=2)
+    again = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, spans=sp).collect()
+    }
+    assert {d: (r.clean_text, r.n_kept) for d, r in got.items()} == {
+        d: (r.clean_text, r.n_kept) for d, r in again.items()
+    }
+    spark.catalog.clearCache()
