@@ -34,6 +34,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
     connected_components,
     decontaminate,
     minhash_lsh_dedup,
+    remove_duplicated_spans,
     select_cluster_survivors,
     shingle_rows,
 )
@@ -94,6 +95,9 @@ def curate_corpus(
     cdc_divisor: int = 8,
     cdc_min_words: int = 4,
     cdc_max_words: int = 32,
+    exact_substr: bool = False,
+    exact_substr_k: int = 5,
+    exact_substr_min_count: int = 2,
     split_weights: dict[str, float] | None = None,
     export_path: str | None = None,
     n_shards: int = 8,
@@ -218,7 +222,19 @@ def curate_corpus(
       :func:`...operators.dedup.chunk_level_dedup`). In content mode
       ``words_per_chunk`` is NOT the size knob — expected chunk length
       is ``cdc_min_words + cdc_divisor``, bounded by
-      ``cdc_max_words``."""
+      ``cdc_max_words``.
+    * ``exact_substr`` (r13) — ExactSubstr substring-level dedup
+      (:func:`...operators.dedup.remove_duplicated_spans`, Lee et al.
+      2022): maximal token runs whose every ``exact_substr_k``-gram
+      appears ≥ ``exact_substr_min_count`` times corpus-wide are CUT
+      out of the surviving docs' text; docs reduced to nothing drop
+      (stats keys ``exactsubstr_docs_dropped`` and the
+      ``exactsubstr_tokens_kept``/``exactsubstr_tokens_total``
+      ratio). Runs after ``chunk_dedup`` when both are on — each
+      stage rewrites text, and span detection re-derives from the
+      rewritten bytes. The quantum: duplicated runs shorter than
+      ``exact_substr_k`` tokens are invisible (the paper's length
+      threshold maps to k)."""
     # validate the LAST stage's mode FIRST: the chunk stage runs after
     # the whole pipeline has materialized (and after the eager winnow
     # store write has committed this run's fingerprints) — a typo'd
@@ -790,6 +806,44 @@ def curate_corpus(
             cleaned.select(did, F.col("clean_text").alias(text_col)), id_col
         )
 
+    # stage 4b (optional, r13): ExactSubstr substring-level dedup —
+    # like the chunk stage it REWRITES text, so it runs after every
+    # content-reading verdict (and after chunk_dedup when both are
+    # on: detection re-derives from the rewritten bytes). Token
+    # accounting mirrors the chunk stage's; fully-duplicated docs
+    # drop and are counted.
+    xsub_caches: list = []
+    if exact_substr:
+        xcleaned = remove_duplicated_spans(
+            curated,
+            k=exact_substr_k,
+            min_count=exact_substr_min_count,
+            text_col=text_col,
+            id_col=id_col,
+            widen=False,
+        ).persist()
+        xsub_caches.append(xcleaned)
+        xrow = xcleaned.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_kept") > 0, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("nonempty"),
+            F.coalesce(F.sum("n_kept"), F.lit(0)).alias("kept"),
+            F.coalesce(F.sum("n_total"), F.lit(0)).alias("total"),
+        ).first()
+        stats["exactsubstr_docs_dropped"] = stats["curated_rows"] - int(
+            xrow["nonempty"]
+        )
+        stats["exactsubstr_tokens_kept"] = int(xrow["kept"])
+        stats["exactsubstr_tokens_total"] = int(xrow["total"])
+        stats["curated_rows"] = int(xrow["nonempty"])
+        curated = curated.drop(text_col).join(
+            xcleaned.filter(F.col("n_kept") > 0).select(
+                did, F.col("clean_text").alias(text_col)
+            ),
+            id_col,
+        )
+
     curated = hash_split(
         curated, split_weights or {"train": 0.9, "val": 0.05, "test": 0.05},
         key_col=id_col,
@@ -812,7 +866,7 @@ def curate_corpus(
     for df in (
         gated, pairs, flagged,
         *winnow_caches, *dense_caches, *image_caches, *audio_caches,
-        *video_caches, *chunk_caches,
+        *video_caches, *chunk_caches, *xsub_caches,
     ):
         df.unpersist()
     return curated, stats

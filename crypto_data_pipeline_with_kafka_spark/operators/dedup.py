@@ -1775,6 +1775,7 @@ def duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     toks: DataFrame | None = None,
+    widen: bool = True,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-SPAN detection at k-gram
     granularity (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -1819,7 +1820,11 @@ def duplicated_spans(
         raise ValueError(
             f"duplicated_spans: min_count must be >= 2, got {min_count}"
         )
-    base = toks if toks is not None else tokenized_docs(df, text_col, id_col)
+    base = (
+        toks
+        if toks is not None
+        else tokenized_docs(df, text_col, id_col, widen=widen)
+    )
     grams = base.select(
         F.col(id_col),
         F.posexplode(kgrams_from_tokens(F.col("_ws"), k)).alias(
@@ -1867,6 +1872,7 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     spans: DataFrame | None = None,
     toks: DataFrame | None = None,
+    widen: bool = True,
 ) -> DataFrame:
     """The removal half of the ExactSubstr pass (Lee et al. 2022 cut
     the detected duplicated substrings OUT of the corpus — detection
@@ -1890,7 +1896,11 @@ def remove_duplicated_spans(
     doc), one join onto the tokenized corpus, then pure in-row
     higher-order filters — linear, no new exchanges beyond the span
     aggregation."""
-    base = toks if toks is not None else tokenized_docs(df, text_col, id_col)
+    base = (
+        toks
+        if toks is not None
+        else tokenized_docs(df, text_col, id_col, widen=widen)
+    )
     sp = (
         spans
         if spans is not None

@@ -4779,3 +4779,47 @@ def test_remove_duplicated_spans_cleanup(spark):
         d: (r.clean_text, r.n_kept) for d, r in again.items()
     }
     spark.catalog.clearCache()
+
+
+def test_curate_corpus_exact_substr_stage(spark):
+    """exact_substr threaded through curate_corpus: the shared
+    boilerplate run is cut out of surviving docs (both copies), the
+    stats account tokens and dropped docs, and a doc reduced to
+    nothing drops from the curated output entirely."""
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    body0 = " ".join(f"a{j}" for j in range(25))
+    body1 = " ".join(f"b{j}" for j in range(25))
+    # two distinct boilerplates: doc 2 is their concatenation — all
+    # distinct tokens (passes every quality/repetition gate) yet fully
+    # covered by cross-doc duplicated spans, so it is reduced to
+    # nothing at THIS stage, not an upstream one
+    lic = "LIC c1 c2 c3 c4 c5 c6 c7 END"  # 9 tokens, shared with doc 0
+    hdr = "COPY h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 FIN"  # 12, with doc 1
+    docs = spark.createDataFrame(
+        [
+            (0, f"{body0} {lic}"),
+            (1, f"{hdr} {body1} extra0 extra1"),
+            (2, f"{lic} {hdr}"),
+        ],
+        ["doc_id", "text"],
+    )
+    cur, st = curate_corpus(
+        spark,
+        docs,
+        min_words=5,
+        minhash_jaccard=0.95,
+        exact_substr=True,
+        exact_substr_k=5,
+    )
+    texts = {r.doc_id: r.text for r in cur.collect()}
+    assert 0 in texts and 1 in texts
+    assert "LIC" not in texts[0] and "END" not in texts[0]
+    assert texts[0] == body0
+    assert "COPY" not in texts[1] and texts[1].endswith("extra0 extra1")
+    assert 2 not in texts  # fully covered by duplicated spans -> dropped
+    assert st["exactsubstr_docs_dropped"] == 1
+    assert (
+        st["exactsubstr_tokens_kept"] < st["exactsubstr_tokens_total"]
+    )
+    spark.catalog.clearCache()
