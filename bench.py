@@ -715,6 +715,7 @@ def run_scale10(
                 video_every_nth=1,
                 chunk_dedup=True,
                 chunk_boundaries="content",
+                exact_substr=True,
                 split_weights={"train": 0.9, "val": 0.1},
             )
             n = curated.count()
