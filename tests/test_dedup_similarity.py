@@ -4823,3 +4823,60 @@ def test_curate_corpus_exact_substr_stage(spark):
         st["exactsubstr_tokens_kept"] < st["exactsubstr_tokens_total"]
     )
     spark.catalog.clearCache()
+
+
+def test_duplicated_spans_matches_sequential_reference(spark):
+    """duplicated_spans vs a brute-force sequential reference on
+    random small-alphabet corpora (4 symbols force dense k-gram
+    collisions — island merges, doc-spanning runs, within-doc repeats
+    and full-coverage cases all occur): identical span sets including
+    boundaries and span text, across seeds."""
+    import random
+
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    k = 3
+    rng = random.Random(13)
+    for trial in range(3):
+        rows = []
+        for d in range(6):
+            n = rng.randint(0, 18)
+            rows.append(
+                (d, " ".join(rng.choice("abcd") for _ in range(n)))
+                if n
+                else (d, None)
+            )
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_text)
+            for r in duplicated_spans(docs, k=k, min_count=2).collect()
+        }
+        # --- sequential reference ---
+        toks = {d: t.split(" ") for d, t in rows if t is not None}
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for ws in toks.values():
+            for i in range(len(ws) - k + 1):
+                cnt[tuple(ws[i : i + k])] += 1
+        expected = set()
+        for d, ws in toks.items():
+            dup = [
+                i
+                for i in range(len(ws) - k + 1)
+                if cnt[tuple(ws[i : i + k])] >= 2
+            ]
+            run_start = None
+            prev = None
+            for i in dup + [None]:
+                if i is not None and prev is not None and i == prev + 1:
+                    prev = i
+                    continue
+                if run_start is not None:
+                    s, e = run_start, prev + k
+                    expected.add((d, s, e, " ".join(ws[s:e])))
+                run_start, prev = i, i
+        assert got == expected, (trial, got ^ expected)
+    spark.catalog.clearCache()
