@@ -244,6 +244,19 @@ def curate_corpus(
             "chunk_boundaries must be 'fixed' or 'content', got "
             f"{chunk_boundaries!r}"
         )
+    # same fail-fast rule for the other rewrite stage's knobs: stage
+    # 4b runs after hours of upstream compute at scale, so a typo'd
+    # quantum/floor must error HERE (the operator re-checks, but only
+    # when it finally runs)
+    if exact_substr_k < 1:
+        raise ValueError(
+            f"exact_substr_k must be >= 1, got {exact_substr_k}"
+        )
+    if exact_substr_min_count < 2:
+        raise ValueError(
+            "exact_substr_min_count must be >= 2, got "
+            f"{exact_substr_min_count}"
+        )
 
     txt, did = F.col(text_col), F.col(id_col)
 
@@ -821,6 +834,7 @@ def curate_corpus(
             text_col=text_col,
             id_col=id_col,
             widen=False,
+            caches=xsub_caches,
         ).persist()
         xsub_caches.append(xcleaned)
         xrow = xcleaned.agg(

@@ -1776,6 +1776,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     toks: DataFrame | None = None,
     widen: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-SPAN detection at k-gram
     granularity (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -1801,10 +1802,14 @@ def duplicated_spans(
     Why not a distributed suffix array: the paper's exact structure
     needs global suffix ORDER, which shuffles the corpus text itself;
     at k-gram granularity the same spans fall out of an inverted-index
-    shape the engine already scales — ONE posexplode of (pos, gram),
-    ONE map-side-combined groupBy(gram) (output bounded by distinct
-    grams), one semi-join of positions against the duplicated-gram
-    set, one per-doc window for the island merge. No all-pairs
+    shape the engine already scales — one PERSISTED posexplode of
+    (pos, gram) feeding both consumers (the frequency aggregate and
+    the position semi-join — un-persisted, each would rescan and
+    re-tokenize the corpus; ``caches=`` receives the handle, the
+    dedup_ngram_jaccard lifecycle pattern), ONE map-side-combined
+    groupBy(gram) (output bounded by distinct grams), one semi-join
+    of positions against the duplicated-gram set, one per-doc window
+    for the island merge. No all-pairs
     anywhere; cost is linear in corpus tokens + duplicated positions.
     The granularity trade: a duplicated span is detected iff it is at
     least k tokens long (below k, nothing; the paper's 50-token
@@ -1825,12 +1830,20 @@ def duplicated_spans(
         if toks is not None
         else tokenized_docs(df, text_col, id_col, widen=widen)
     )
+    # the positional-gram relation feeds BOTH the frequency aggregate
+    # and the position semi-join (and base is re-read for span_text) —
+    # persist so the corpus is scanned and tokenized once per call,
+    # not once per consumer (the dedup_ngram_jaccard toked pattern:
+    # pass ``caches`` to receive the handle for explicit unpersist; a
+    # bench/driver caller relies on its clearCache between queries)
     grams = base.select(
         F.col(id_col),
         F.posexplode(kgrams_from_tokens(F.col("_ws"), k)).alias(
             "pos", "_gram"
         ),
-    )
+    ).persist()
+    if caches is not None:
+        caches.append(grams)
     dup = (
         grams.groupBy("_gram")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1873,6 +1886,7 @@ def remove_duplicated_spans(
     spans: DataFrame | None = None,
     toks: DataFrame | None = None,
     widen: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """The removal half of the ExactSubstr pass (Lee et al. 2022 cut
     the detected duplicated substrings OUT of the corpus — detection
@@ -1904,7 +1918,9 @@ def remove_duplicated_spans(
     sp = (
         spans
         if spans is not None
-        else duplicated_spans(df, k, min_count, text_col, id_col, toks=base)
+        else duplicated_spans(
+            df, k, min_count, text_col, id_col, toks=base, caches=caches
+        )
     )
     agg = sp.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")

@@ -822,9 +822,9 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bytes",
         "content_hash",
-        F.concat(F.lit("y4m@"), F.col("fps").cast("string")).alias(
-            "format"
-        ),
+        F.concat(
+            F.col("format"), F.lit("@"), F.col("fps").cast("string")
+        ).alias("format"),
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
         F.col("n_frames").cast("int").alias("channels"),

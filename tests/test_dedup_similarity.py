@@ -4822,6 +4822,16 @@ def test_curate_corpus_exact_substr_stage(spark):
     assert (
         st["exactsubstr_tokens_kept"] < st["exactsubstr_tokens_total"]
     )
+    # knob typos fail FAST (head-of-function, before any stage runs) —
+    # and unconditionally, the chunk_boundaries precedent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact_substr_min_count"):
+        curate_corpus(
+            spark, docs, exact_substr=True, exact_substr_min_count=1
+        )
+    with _pytest.raises(ValueError, match="exact_substr_k"):
+        curate_corpus(spark, docs, exact_substr_k=0)
     spark.catalog.clearCache()
 
 
