@@ -87,30 +87,67 @@ def widen_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
     extra shuffle exists ONLY in the narrow-scan regime where the data
     is small (cheap to move) and the CPU work is the bottleneck.
 
-    CALLER CONTRACT: pass SCAN-ROOTED frames only. The partition probe
-    (``df.rdd.getNumPartitions()``) is job-free for a scan/projection,
-    but under AQE a shuffle-containing plan MATERIALIZES its upstream
-    stages to answer it — the caller would execute its query twice.
-    Operators that widen a derived relation must opt out (see the
-    ``widen=`` parameter on the similarity base builders). Pass
-    ``key_cols`` whenever anything downstream is sensitive to row
+    CALLER CONTRACT: pass SCAN-ROOTED frames only. The width probe is
+    ``df.inputFiles()`` plus driver-side FileStatus stats — a pure
+    metadata read (no job, no AQE stage materialization), but it
+    describes the SCAN, so on a derived relation it would measure the
+    wrong node. Operators that widen a derived relation must opt out
+    (see the ``widen=`` parameter on the similarity base builders).
+    Pass ``key_cols`` whenever anything downstream is sensitive to row
     placement: hash partitioning reproduces the layout under task
     retry, while the keyless fallback is round-robin (fine only
     immediately ahead of a shuffle that re-keys anyway, e.g. a
     groupBy). Streaming frames pass through untouched (their
     parallelism is the source's to decide), as do Spark Connect frames
-    (no driver-side RDD access there — widening is an optimization,
+    (no driver-side JVM access there — widening is an optimization,
     not a semantic)."""
     if df.isStreaming:
         return df
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
-        narrow = df.rdd.getNumPartitions() < target
-    except Exception:  # Spark Connect: no sparkContext / .rdd — skip
+        # A frame the caller already repartitioned has a layout of its
+        # own choosing — honor it (the file probe sees only the scan).
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+        splits = _estimated_scan_splits(df)
+        narrow = splits is not None and splits < target
+    except Exception:  # Spark Connect: no sparkContext / JVM — skip
         return df
     if not narrow:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Job-free estimate of a file scan's split count.
+
+    Each input file contributes ``ceil(size / maxPartitionBytes)``
+    splits — the same upper bound ``FilePartition`` packs against — so
+    a few large (splittable) parquet files are NOT mistaken for a
+    narrow scan. Sizes come from driver-side ``FileSystem.
+    getFileStatus`` (one metadata RPC per file, any Hadoop FS), and the
+    stat fan-out is bounded: it only runs when the file count is
+    already below the cluster width. Returns ``None`` for non-file
+    sources (empty ``inputFiles``), telling the caller to leave the
+    frame alone."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if len(files) >= target:
+        return len(files)
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    max_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    splits = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        size = path.getFileSystem(conf).getFileStatus(path).getLen()
+        splits += max(1, -(-size // max(1, max_bytes)))
+    return splits
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
