@@ -1768,6 +1768,17 @@ def incremental_winnowing_dedup(
     return spark.read.parquet(flagged_path)
 
 
+#: Lee et al. 2022's production operating point: ExactSubstr removes
+#: duplicated substrings of >= 50 TOKENS, and k is this pass's
+#: detection quantum, so ``k=EXACT_SUBSTR_PAPER_K`` reproduces the
+#: paper's threshold on a real corpus. Gram width changes posting-list
+#: density materially (wider grams -> near-unique postings, smaller
+#: duplicated set, same linear plan), so the 10x scale gate probes BOTH
+#: the fixture-sized default (k=5, which keeps the planted pytests
+#: readable) and this preset (bench.py --scale10, dedup_xdup_k50).
+EXACT_SUBSTR_PAPER_K = 50
+
+
 def duplicated_spans(
     df: DataFrame,
     k: int = 5,
@@ -1793,11 +1804,16 @@ def duplicated_spans(
 
     with token positions 0-based and ``span_end`` exclusive
     (``n_tokens = span_end - span_start``); a position is covered iff
-    some duplicated k-gram starts within [pos-k+1, pos] — consecutive
-    duplicated k-gram starts chain into one span (gaps-and-islands), so
-    a duplicated run of L tokens surfaces as ONE row with n_tokens = L,
-    not L-k+1 fragments. Spans shorter than k cannot exist (the k-gram
-    is the detection quantum — the standard ExactSubstr length floor).
+    some duplicated k-gram starts within [pos-k+1, pos], and each row
+    is a MAXIMAL contiguous covered region: duplicated k-gram starts
+    chain into one span whenever their coverage windows touch or
+    overlap (``next_start <= prev_start + k`` — gaps-and-islands on
+    coverage adjacency, not just start adjacency), so a duplicated run
+    of L tokens surfaces as ONE row with n_tokens = L, never as
+    overlapping fragments, and ``n_tokens`` sums to the covered-token
+    total with no double counting. Spans shorter than k cannot exist
+    (the k-gram is the detection quantum — the standard ExactSubstr
+    length floor).
 
     Why not a distributed suffix array: the paper's exact structure
     needs global suffix ORDER, which shuffles the corpus text itself;
@@ -1851,9 +1867,19 @@ def duplicated_spans(
         .select("_gram")
     )
     hits = grams.join(dup, "_gram").select(id_col, "pos")
+    # island merge on COVERAGE adjacency: a start within k of the
+    # previous one has a touching/overlapping [pos, pos+k) window, so
+    # it extends the same maximal span (lag-flag + running sum — one
+    # Exchange, both window functions share the per-doc sort). A plain
+    # pos - row_number() island would split such starts into
+    # overlapping rows and double-count their covered tokens.
     w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)  # first row per doc: lag is NULL -> new island
+    )
     spans = (
-        hits.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        hits.withColumn("_brk", brk)
+        .withColumn("_isl", F.sum("_brk").over(w))
         .groupBy(id_col, "_isl")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
@@ -1907,9 +1933,14 @@ def remove_duplicated_spans(
     ``spans=`` accepts a precomputed :func:`duplicated_spans` result
     (the multi-leg reuse hook); ``toks=`` the shared tokenized base.
     Scale shape: one vocab-of-spans groupBy (output ≤ one row per
-    doc), one join onto the tokenized corpus, then pure in-row
-    higher-order filters — linear, no new exchanges beyond the span
-    aggregation."""
+    doc), one join onto the tokenized corpus, then a pure in-row
+    sorted-boundary walk — sort the doc's spans, fold overlapping or
+    touching ones together (robust to arbitrary user-supplied
+    ``spans=``; :func:`duplicated_spans` output is already disjoint),
+    and keep the gap slices BETWEEN them. Per-document cost is
+    O(tokens + spans), not the O(tokens × spans) a per-token
+    contains-check would pay on boilerplate-heavy documents; no new
+    exchanges beyond the span aggregation."""
     base = (
         toks
         if toks is not None
@@ -1926,24 +1957,67 @@ def remove_duplicated_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     joined = base.join(agg, id_col, "left")
-    spans_c = F.coalesce(
-        F.col("_spans"),
-        F.array().cast(
-            "array<struct<span_start:bigint,span_end:bigint>>"
+    empty = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    )
+    spans_c = F.coalesce(F.col("_spans"), empty)
+    n = F.size("_ws").cast("long")
+    # sorted-boundary walk, all in-row: (1) sort spans by start (struct
+    # order: span_start, then span_end), (2) fold touching/overlapping
+    # neighbors into disjoint clamped-to-[0,n] runs — span count per doc
+    # is bounded by doc length, and duplicated_spans already emits
+    # disjoint maximal spans, so the fold is a cheap no-op pass in the
+    # normal path — then (3) keep the gap slices between the runs:
+    # segment i of m+1 spans [prev_end_i, next_start_i). O(tokens+spans)
+    # per doc vs the O(tokens x spans) of a per-token contains-check.
+    merged = F.aggregate(
+        F.array_sort(spans_c),
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) == F.lit(0))
+            | (s["span_start"] > F.element_at(acc, -1)["span_end"]),
+            F.concat(acc, F.array(s)),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["span_start"].alias(
+                            "span_start"
+                        ),
+                        F.greatest(
+                            F.element_at(acc, -1)["span_end"],
+                            s["span_end"],
+                        ).alias("span_end"),
+                    )
+                ),
+            )
         ),
     )
-    idx = F.sequence(F.lit(0), F.size("_ws") - 1)
-    kept_idx = F.filter(
-        idx,
-        lambda p: ~F.exists(
-            spans_c,
-            lambda s: (s["span_start"] <= p) & (p < s["span_end"]),
-        ),
+    m = F.size(merged)
+
+    def _gap(i):  # kept segment between merged run i-1 and run i
+        lo = F.when(i == F.lit(0), F.lit(0).cast("long")).otherwise(
+            F.element_at(merged, i.cast("int"))["span_end"]
+        )
+        hi = F.when(i == m.cast("long"), n).otherwise(
+            F.element_at(merged, i.cast("int") + 1)["span_start"]
+        )
+        # clamp: user-supplied spans may run past either end of the doc
+        lo_c = F.greatest(F.lit(0).cast("long"), F.least(lo, n))
+        hi_c = F.greatest(F.lit(0).cast("long"), F.least(hi, n))
+        return F.slice(
+            "_ws",
+            (lo_c + 1).cast("int"),
+            F.greatest(F.lit(0).cast("long"), hi_c - lo_c).cast("int"),
+        )
+
+    kept = F.flatten(
+        F.transform(F.sequence(F.lit(0).cast("long"), m.cast("long")), _gap)
     )
-    kept = F.transform(kept_idx, lambda p: F.get("_ws", p))
     return joined.select(
         F.col(id_col),
         F.concat_ws(" ", kept).alias("clean_text"),
-        F.size(kept_idx).cast("long").alias("n_kept"),
+        F.size(kept).cast("long").alias("n_kept"),
         F.size("_ws").cast("long").alias("n_total"),
     )

@@ -1223,14 +1223,18 @@ _WSAMPLE_SQL = f"""
 """
 
 
-# xdup leg (r13): ExactSubstr-style duplicated spans (Lee et al. 2022)
-# at k-gram granularity — per doc, the maximal token runs whose every
-# 5-gram appears >= 2 times in the corpus (instances, including
-# within-doc repeats: the suffix-array semantics). The oracle replays
-# the inverted-index + gaps-and-islands shape: positional 5-grams,
-# HAVING count(*) >= 2, pos - row_number() island merge, span text
-# re-sliced from the token array — so a boundary off-by-one, an
-# island-merge bug, or a wrong span slice all break the md5.
+# xdup leg (r13, island rule fixed r14): ExactSubstr-style duplicated
+# spans (Lee et al. 2022) at k-gram granularity — per doc, the maximal
+# token runs whose every 5-gram appears >= 2 times in the corpus
+# (instances, including within-doc repeats: the suffix-array
+# semantics). The oracle replays the inverted-index + gaps-and-islands
+# shape: positional 5-grams, HAVING count(*) >= 2, then islands merged
+# on COVERAGE adjacency (a lag-flag chains starts whenever
+# next_start <= prev_start + k, so touching/overlapping [pos, pos+k)
+# windows form ONE maximal span — start-adjacency-only chaining would
+# emit overlapping rows), span text re-sliced from the token array —
+# so a boundary off-by-one, an island-merge bug, or a wrong span slice
+# all break the md5.
 _XDUP_K = 5
 _XDUP_SQL = f"""
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
@@ -1242,10 +1246,16 @@ _XDUP_SQL = f"""
     ),
     xdupg AS (SELECT gram FROM xg GROUP BY gram HAVING count(*) >= 2),
     xhit AS (SELECT doc_id, pos FROM xg JOIN xdupg USING (gram)),
+    xbrk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_XDUP_K} THEN 0 ELSE 1 END AS brk
+      FROM xhit
+    ),
     xisl AS (
       SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-      FROM xhit
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM xbrk
     ),
     xspan AS (
       SELECT doc_id, min(pos) AS s, max(pos) + {_XDUP_K} AS e

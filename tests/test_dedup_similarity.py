@@ -4688,9 +4688,12 @@ def test_duplicated_spans_exactsubstr_semantics(spark):
     """duplicated_spans (Lee et al. ExactSubstr at k-gram granularity):
     a shared 8-token run surfaces as ONE maximal span in each document
     (correct boundaries in both, despite different offsets), a doc
-    repeating its own 5-token run self-flags BOTH copies (instance
-    counting, the suffix-array semantics), an all-unique doc emits
-    nothing, and sub-k sharing is invisible (the detection quantum)."""
+    repeating its own 5-token run back-to-back self-flags as ONE
+    maximal covered span over both copies (instance counting + the
+    coverage-adjacency island merge: the two duplicated 5-gram starts
+    sit exactly k apart, so their coverage windows touch), an
+    all-unique doc emits nothing, and sub-k sharing is invisible (the
+    detection quantum)."""
     from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
         duplicated_spans,
     )
@@ -4703,6 +4706,14 @@ def test_duplicated_spans_exactsubstr_semantics(spark):
             (3, "q w e r t z u i o p"),
             # 4-token overlap with doc 0 — below k=5, must NOT flag
             (4, "e f g h W4 W5 W6 W7 W8"),
+            # doc 5's duplicated 5-gram starts are {0, 2} — within k
+            # but NOT consecutive (the gram at 1 is unique): two
+            # OVERLAPPING coverage windows [0,5) and [2,7) that must
+            # merge into ONE maximal span [0,7), not two rows that
+            # double-count tokens 2..4
+            (5, "x1 x2 x3 x4 x5 x6 x7"),
+            (6, "N1 x1 x2 x3 x4 x5 N2"),
+            (7, "M1 x3 x4 x5 x6 x7"),
         ],
         ["doc_id", "text"],
     )
@@ -4710,7 +4721,17 @@ def test_duplicated_spans_exactsubstr_semantics(spark):
         (r.doc_id, r.span_start): r
         for r in duplicated_spans(docs, k=5, min_count=2).collect()
     }
-    assert set(got) == {(0, 0), (1, 1), (2, 0), (2, 5)}
+    assert set(got) == {(0, 0), (1, 1), (2, 0), (5, 0), (6, 1), (7, 1)}
+    s5 = got[(5, 0)]
+    assert (s5.span_end, s5.n_tokens, s5.span_text) == (
+        7, 7, "x1 x2 x3 x4 x5 x6 x7"
+    )
+    assert (got[(6, 1)].span_end, got[(6, 1)].span_text) == (
+        6, "x1 x2 x3 x4 x5"
+    )
+    assert (got[(7, 1)].span_end, got[(7, 1)].span_text) == (
+        6, "x3 x4 x5 x6 x7"
+    )
     s0 = got[(0, 0)]
     assert (s0.span_end, s0.n_tokens, s0.span_text) == (
         8, 8, "a b c d e f g h"
@@ -4719,9 +4740,13 @@ def test_duplicated_spans_exactsubstr_semantics(spark):
     assert (s1.span_end, s1.n_tokens, s1.span_text) == (
         9, 8, "a b c d e f g h"
     )
-    for start in (0, 5):
-        s2 = got[(2, start)]
-        assert (s2.span_end - start, s2.span_text) == (5, "r s t u v")
+    # doc 2's duplicated 5-gram starts {0, 5} are exactly k apart:
+    # coverage windows [0,5) and [5,10) touch -> ONE maximal span
+    # covering the whole doc, with n_tokens counting each token once
+    s2 = got[(2, 0)]
+    assert (s2.span_end, s2.n_tokens, s2.span_text) == (
+        10, 10, "r s t u v r s t u v"
+    )
     # guards: the k-gram quantum and the instance floor are contracts
     import pytest as _pytest
 
@@ -4778,6 +4803,25 @@ def test_remove_duplicated_spans_cleanup(spark):
     assert {d: (r.clean_text, r.n_kept) for d, r in got.items()} == {
         d: (r.clean_text, r.n_kept) for d, r in again.items()
     }
+    # user-supplied spans may OVERLAP, arrive unsorted, or run past the
+    # document ends — the sorted-boundary walk must union them, never
+    # double-cut or crash (duplicated_spans output is always disjoint;
+    # this pins the spans= hook's robustness)
+    raw = spark.createDataFrame(
+        [(3, 6, 9), (3, 2, 5), (3, 4, 7), (3, 8, 99)],
+        ["doc_id", "span_start", "span_end"],
+    )
+    messy = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, spans=raw).collect()
+    }
+    # doc 3 = "q w e r t z u i o p": union of [2,5)+[4,7)+[6,9)+[8,99)
+    # clipped to 10 tokens covers [2,10) -> keep tokens 0-1
+    assert (messy[3].clean_text, messy[3].n_kept, messy[3].n_total) == (
+        "q w", 2, 10
+    )
+    for d in (0, 1, 2):  # spanless docs pass through verbatim
+        assert messy[d].n_kept == messy[d].n_total
     spark.catalog.clearCache()
 
 
@@ -4838,13 +4882,16 @@ def test_curate_corpus_exact_substr_stage(spark):
 def test_duplicated_spans_matches_sequential_reference(spark):
     """duplicated_spans vs a brute-force sequential reference on
     random small-alphabet corpora (4 symbols force dense k-gram
-    collisions — island merges, doc-spanning runs, within-doc repeats
-    and full-coverage cases all occur): identical span sets including
-    boundaries and span text, across seeds."""
+    collisions — coverage-adjacency island merges, doc-spanning runs,
+    within-doc repeats and full-coverage cases all occur): identical
+    span sets including boundaries and span text, across seeds; and
+    remove_duplicated_spans' sorted-boundary walk reassembles exactly
+    the tokens OUTSIDE the reference coverage set."""
     import random
 
     from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
         duplicated_spans,
+        remove_duplicated_spans,
     )
 
     k = 3
@@ -4881,7 +4928,9 @@ def test_duplicated_spans_matches_sequential_reference(spark):
             run_start = None
             prev = None
             for i in dup + [None]:
-                if i is not None and prev is not None and i == prev + 1:
+                # coverage adjacency: starts within k have touching or
+                # overlapping [pos, pos+k) windows -> same maximal span
+                if i is not None and prev is not None and i - prev <= k:
                     prev = i
                     continue
                 if run_start is not None:
@@ -4889,4 +4938,22 @@ def test_duplicated_spans_matches_sequential_reference(spark):
                     expected.add((d, s, e, " ".join(ws[s:e])))
                 run_start, prev = i, i
         assert got == expected, (trial, got ^ expected)
+        # removal half vs the reference coverage set (union of spans)
+        rem = {
+            r.doc_id: r
+            for r in remove_duplicated_spans(
+                docs, k=k, min_count=2
+            ).collect()
+        }
+        assert set(rem) == set(toks)  # null-text rows dropped
+        for d, ws in toks.items():
+            cov = set()
+            for dd, s, e, _ in expected:
+                if dd == d:
+                    cov.update(range(s, e))
+            kept = [t for i, t in enumerate(ws) if i not in cov]
+            r = rem[d]
+            assert (r.clean_text, r.n_kept, r.n_total) == (
+                " ".join(kept), len(kept), len(ws)
+            ), (trial, d)
     spark.catalog.clearCache()
