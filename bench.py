@@ -340,6 +340,7 @@ def run_scale10(
         return pq_encode(emb, books)
 
     from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        EXACT_SUBSTR_PAPER_K,
         chunk_level_dedup,
         duplicated_spans,
     )
@@ -423,6 +424,14 @@ def run_scale10(
         # same ≤4x dedup gate
         "dedup_xdup_spans": lambda d: duplicated_spans(
             spark.read.parquet(os.path.join(d, "documents.parquet"))
+        ),
+        # r14: the same pass at the paper's production operating point
+        # (Lee et al.'s 50-token threshold) — wider grams flip the
+        # posting-list density regime (near-unique grams, tiny dup
+        # set), so the fixture-k gate alone would not cover production
+        "dedup_xdup_k50": lambda d: duplicated_spans(
+            spark.read.parquet(os.path.join(d, "documents.parquet")),
+            k=EXACT_SUBSTR_PAPER_K,
         ),
         "ivf_fixed_c32": lambda d: ivf_at(d, 32),
         "ivf_sqrt_auto": lambda d: ivf_at(d, "auto"),
