@@ -29,6 +29,7 @@ from crypto_data_pipeline_with_kafka_spark.functions.text import (
     kgrams_from_tokens,
     tokens,
 )
+from crypto_data_pipeline_with_kafka_spark.functions.urls import canonicalize_url
 from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
     chunk_level_dedup,
     connected_components,
@@ -51,6 +52,7 @@ def curate_corpus(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    url_col: str | None = None,
     min_words: int = 20,
     min_distinct_ratio: float = 0.2,
     max_top_bigram_frac: float = 0.2,
@@ -114,6 +116,21 @@ def curate_corpus(
     by cost so every expensive stage sees only cheaper stages'
     survivors:
 
+    * ``url_col`` — URL dedup as stage 0 (stats key
+      ``url_dups_dropped``): the reference's raw-url existence check
+      (``dags/producer_news.py:45,56``; ``dags/consumer_news.py:
+      44-47``) generalized to the canonical form
+      (:func:`...functions.urls.canonicalize_url` — tracking params
+      stripped, remaining params sorted, scheme/host case and port/
+      fragment dropped), keep = min id per canonical URL; docs whose
+      URL is NULL or unparseable never URL-dedup. The cheapest
+      verdict in the pipeline (one window on a derived string), so it
+      runs before everything; the exact-dedup window then ranks
+      url-keepers first so each content group's survivor is never a
+      url-dropped row. Pair with
+      :func:`...functions.urls.registrable_domain` as the ``source``
+      column of ``resample_to_mixture`` for domain-mixture resampling
+      (composition pytest-pinned).
     * ``winnow`` — PARTIAL-overlap dedup
       (:func:`...operators.dedup.winnowing_fingerprints` /
       ``winnowing_pairs``, the MOSS algorithm) right after the MinHash
@@ -260,9 +277,39 @@ def curate_corpus(
 
     txt, did = F.col(text_col), F.col(id_col)
 
-    # stage 1: exact dedup — canonical (min id) per content hash
-    w_exact = Window.partitionBy(F.md5(txt)).orderBy(did)
-    flagged = docs.filter(txt.isNotNull()).withColumn(
+    # stage 0 (optional): URL dedup — the reference's raw-url existence
+    # check (dags/producer_news.py:45,56 sent_urls set;
+    # dags/consumer_news.py:44-47 SELECT-before-INSERT) generalized to
+    # a CANONICAL form (functions/urls.py: tracking params stripped,
+    # params sorted, scheme/host case + port/fragment dropped), so the
+    # same article re-shared with ?utm_source=feed dedups. Cheapest
+    # verdict in the pipeline (one window on the canonical string), so
+    # it runs first; docs with no/unparseable URL never URL-dedup.
+    if url_col is not None:
+        canon = canonicalize_url(F.col(url_col))
+        w_url = Window.partitionBy(canon).orderBy(did)
+        flagged = docs.filter(txt.isNotNull()).withColumn(
+            "_url_keep",
+            F.when(canon.isNull(), F.lit(True)).otherwise(
+                F.row_number().over(w_url) == 1
+            ),
+        )
+    else:
+        flagged = docs.filter(txt.isNotNull()).withColumn(
+            "_url_keep", F.lit(True)
+        )
+
+    # stage 1: exact dedup — canonical (min id) per content hash.
+    # URL-dropped rows rank BELOW url-keepers inside each content
+    # group: the stats only ever consult _exact_keep conjoined with
+    # _url_keep, and without this ordering a url-dropped min-id doc
+    # would win its group and silently kill the url-kept twin's
+    # content. With the url stage off the ordering degenerates to
+    # plain min-id (every _url_keep is TRUE).
+    w_exact = Window.partitionBy(F.md5(txt)).orderBy(
+        F.col("_url_keep").desc(), did
+    )
+    flagged = flagged.withColumn(
         "_exact_keep", F.row_number().over(w_exact) == 1
     )
 
@@ -289,7 +336,9 @@ def curate_corpus(
     # heavily-duplicated corpus this cuts the dominant stage-2 shuffle
     # by the duplicate/low-quality fraction
     gc = (
-        flagged.filter(F.col("_exact_keep") & F.col("_quality_ok"))
+        flagged.filter(
+            F.col("_url_keep") & F.col("_exact_keep") & F.col("_quality_ok")
+        )
         .select(did, F.explode(tagged).alias("g"))
         .select(id_col, "g.glen", "g.gram")
         .groupBy(id_col, "glen", "gram")
@@ -319,7 +368,12 @@ def curate_corpus(
         "_rep_ok",
         ~F.coalesce(bad2, F.lit(False)) & ~F.coalesce(bad3, F.lit(False)),
     )
-    cheap_keep = F.col("_exact_keep") & F.col("_quality_ok") & F.col("_rep_ok")
+    cheap_keep = (
+        F.col("_url_keep")
+        & F.col("_exact_keep")
+        & F.col("_quality_ok")
+        & F.col("_rep_ok")
+    )
 
     # stage 2m (optional): model-based quality gate — a trained
     # (weights, meta) NB classifier (functions.quality_model) scores
@@ -752,10 +806,16 @@ def curate_corpus(
 
     srow = flagged.agg(
         F.count(F.lit(1)).alias("input_rows"),
-        _n(~F.col("_exact_keep")).alias("exact_dups_dropped"),
-        _n(F.col("_exact_keep") & ~F.col("_quality_ok")).alias("quality_dropped"),
+        _n(~F.col("_url_keep")).alias("url_dups_dropped"),
+        _n(F.col("_url_keep") & ~F.col("_exact_keep")).alias(
+            "exact_dups_dropped"
+        ),
         _n(
-            F.col("_exact_keep") & F.col("_quality_ok") & ~F.col("_rep_ok")
+            F.col("_url_keep") & F.col("_exact_keep") & ~F.col("_quality_ok")
+        ).alias("quality_dropped"),
+        _n(
+            F.col("_url_keep") & F.col("_exact_keep") & F.col("_quality_ok")
+            & ~F.col("_rep_ok")
         ).alias("repetition_dropped"),
         _n(cheap_keep & ~F.col("_model_ok")).alias("model_quality_dropped"),
         _n(model_keep & ~F.col("_decontam_ok")).alias("decontam_dropped"),
@@ -775,7 +835,8 @@ def curate_corpus(
     stats = {k: int(srow[k]) for k in srow.asDict()}
 
     curated = flagged.filter("_keep").drop(
-        "_exact_keep", "_quality_ok", "_rep_ok", "_model_ok", "_decontam_ok",
+        "_url_keep", "_exact_keep", "_quality_ok", "_rep_ok", "_model_ok",
+        "_decontam_ok",
         "_sem_decontam_ok",
         "_neardup_keep", "_winnow_keep", "_dense_keep", "_image_keep",
         "_audio_keep", "_video_keep", "_keep",

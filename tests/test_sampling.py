@@ -1186,3 +1186,138 @@ def test_nbq_leg_null_lang_and_text_alignment(spark, tmp_path):
     # the NULL-text doc surfaces as missing in both engines
     assert g.loc[g.k1 == "3", "v"].isna().all()
     assert w.loc[w.k1 == "3", "v"].isna().all()
+
+
+def test_url_canonicalize_and_registrable_domain(spark):
+    """canonicalize_url: scheme/host lowercased; userinfo, default AND
+    non-default ports, fragment dropped; tracking params stripped
+    (utm_ prefix + exact names) with survivors SORTED; trailing slash
+    stripped (root collapses to bare authority); NULL / scheme-less
+    input gives NULL; idempotent. registrable_domain: multi-part-TLD
+    heuristic (co.uk keeps three labels), www/subdomains fall away,
+    IPv4 hosts returned whole, two-label hosts pass through."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+    )
+
+    cases = [
+        (
+            "HTTPS://User:pw@WWW.News3.Example.CO.UK:443/articles/42/"
+            "?utm_source=feed&id=9&utm_campaign=x&b=2&a=1#frag",
+            "https://www.news3.example.co.uk/articles/42?a=1&b=2&id=9",
+            "example.co.uk",
+        ),
+        ("http://example.com/", "http://example.com", "example.com"),
+        ("http://example.com", "http://example.com", "example.com"),
+        ("https://sub.a.co.jp:8080/p/?gclid=z", "https://sub.a.co.jp/p",
+         "a.co.jp"),
+        ("https://192.168.0.1/x?a=1", "https://192.168.0.1/x?a=1",
+         "192.168.0.1"),
+        ("https://h.io/p/?utm_a=1&utm_b=2", "https://h.io/p", "h.io"),
+        ("https://localhost/x", "https://localhost/x", "localhost"),
+        ("no-scheme.example.com/path", None, None),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = df.select(
+        "url",
+        canonicalize_url("url").alias("c"),
+        registrable_domain("url").alias("d"),
+    ).collect()
+    by_url = {r.url: (r.c, r.d) for r in got}
+    for u, want_c, want_d in cases:
+        assert by_url[u] == (want_c, want_d), u
+    # idempotence: canonicalizing the canonical form is a no-op
+    twice = df.select(canonicalize_url("url").alias("c")).select(
+        F.col("c"), canonicalize_url(F.col("c")).alias("c2")
+    ).collect()
+    assert all(r.c2 == r.c for r in twice)
+
+
+def test_curate_corpus_url_dedup_stage(spark):
+    """url_col threads URL dedup through curate_corpus as stage 0:
+    canonical-URL twins dedup to the min id (a tracking-param or
+    case/port variant of the same URL counts as a dup), docs with a
+    NULL url never URL-dedup, the exact-dedup survivor of a content
+    group is never a url-dropped row, url_dups_dropped accounts the
+    stage, and the default path (url_col=None) emits 0 unchanged."""
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    def words(tag, n=22):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (0, words("a"), "https://ex.com/a?utm_source=x"),
+            # same canonical URL as doc 0 (case + default port): url dup
+            (1, words("b"), "HTTPS://EX.com:443/a"),
+            (2, words("c"), None),
+            # same TEXT as doc 2, distinct url: exact dup, min id wins
+            (3, words("c"), "https://ex.com/c"),
+            # fragment-only variant of doc 0's URL: url dup
+            (4, words("d"), "https://ex.com/a#frag"),
+            # content-group ordering: doc 5 is a url dup of doc 0 AND
+            # shares its text with doc 6 (url-kept) — the content
+            # survivor must be doc 6, not the url-dropped doc 5
+            (5, words("e"), "https://ex.com/a?utm_campaign=y"),
+            (6, words("e"), "https://other.net/e"),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    cur, st = curate_corpus(spark, docs, url_col="url")
+    kept = sorted(r.doc_id for r in cur.collect())
+    assert kept == [0, 2, 6]
+    assert st["url_dups_dropped"] == 3  # docs 1, 4, 5
+    assert st["exact_dups_dropped"] == 1  # doc 3 (text twin of doc 2)
+    assert st["curated_rows"] == 3
+
+    # default path: no url stage, zero accounting, content dedup only
+    cur0, st0 = curate_corpus(spark, docs)
+    assert st0["url_dups_dropped"] == 0
+    assert st0["exact_dups_dropped"] == 2  # docs 3 and 6 (text twins)
+    assert sorted(r.doc_id for r in cur0.collect()) == [0, 1, 2, 4, 5]
+    spark.catalog.clearCache()
+
+
+def test_domain_mixture_composition(spark):
+    """registrable_domain feeds resample_to_mixture as the source
+    column — the domain-rebalancing composition: per-domain counts
+    respect the mixture bound and the draw is deterministic."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.functions.urls import (
+        registrable_domain,
+    )
+    from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    rows = [
+        (i, f"https://www.a{i % 3}.ex.com/p/{i}" if i % 4 else
+            f"https://cdn.other.co.uk/v/{i}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "url"]).withColumn(
+        "source", registrable_domain(F.col("url"))
+    )
+    doms = {r.source for r in docs.select("source").distinct().collect()}
+    assert doms == {"ex.com", "other.co.uk"}
+    mix = {"ex.com": 0.5, "other.co.uk": 0.5}
+    out1 = resample_to_mixture(docs, mix, source_col="source")
+    out2 = resample_to_mixture(docs, mix, source_col="source")
+    got1 = sorted(r.doc_id for r in out1.collect())
+    assert got1 == sorted(r.doc_id for r in out2.collect())  # deterministic
+    by_src = {
+        r.source: r.n
+        for r in out1.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # 50 other.co.uk docs bound T at 100; each source supplies ~50
+    # (binomial around the exact rate, so allow the draw's spread)
+    assert set(by_src) == {"ex.com", "other.co.uk"}
+    assert by_src["other.co.uk"] == 50  # rate 1.0 side is exact
+    assert 30 <= by_src["ex.com"] <= 70
