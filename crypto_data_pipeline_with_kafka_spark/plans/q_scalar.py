@@ -182,7 +182,24 @@ def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
                  '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PII]', 'g')) AS redacted_hash,
            regexp_replace(regexp_replace(text, '[<>&]', '', 'g'),
-                 '^\s+|\s+$', '', 'g') || ' tail & end' AS html_paragraphs
+                 '^\s+|\s+$', '', 'g') || ' tail & end' AS html_paragraphs,
+           CASE WHEN doc_id % 2 = 0 THEN
+             'https://www.news.ex' || CAST(doc_id % 7 AS VARCHAR)
+               || '.co.uk/articles/' || CAST(doc_id AS VARCHAR)
+               || '?a=1&b=2&id=' || CAST(doc_id % 50 AS VARCHAR)
+           ELSE
+             'http://cdn.site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.com/p/' || CAST(doc_id AS VARCHAR) || '?z=9'
+           END AS canon_url,
+           CASE WHEN doc_id % 2 = 0 THEN
+             'ex' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+           ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+           END AS url_domain,
+           CAST(count(*) OVER (PARTITION BY
+             CASE WHEN doc_id % 2 = 0 THEN
+               'ex' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+             ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             END) AS BIGINT) AS domain_docs
     FROM planted
     """,
     doc="F6/F7/F8 in one checked plan: trim / case / concat_ws "
@@ -205,8 +222,22 @@ def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle's INDEPENDENT analytic derivation of the expected text — "
     "a stronger check than re-running the same regex chain (RE2 lacks "
     "the backreference the script-strip uses; BeautifulSoup semantics "
-    "are pinned per-construct in test_html_paragraph_text_*)",
-    tags=("string", "regex", "pii"),
+    "are pinned per-construct in test_html_paragraph_text_*). "
+    "URL leg (r14, functions/urls.py — the reference dedups news by "
+    "RAW url equality, producer_news.py:45,56 / consumer_news.py:"
+    "44-47, so utm-tagged re-shares ingest twice): a per-doc planted "
+    "URL with upper-cased scheme+host, default port, userinfo-free "
+    "host, tracking params (utm_*/gclid/ref), unsorted survivors and "
+    "a fragment runs through canonicalize_url (parse_url parts + "
+    "in-row split/filter/array_sort — no UDF) and "
+    "registrable_domain (multi-part-TLD heuristic, both the .co.uk "
+    "and plain-TLD branches exercised on alternating docs); the "
+    "oracle states the EXPECTED canonical string and domain "
+    "analytically (the HTML leg's independent-derivation discipline, "
+    "stronger than replaying the same parser), and domain_docs "
+    "value-checks the per-registrable-domain rollup (window count — "
+    "the domain-cap / crawl-frequency stat)",
+    tags=("string", "regex", "pii", "url"),
 )
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.functions.text import (
@@ -214,8 +245,39 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_counts,
         redact_pii,
     )
+    from crypto_data_pipeline_with_kafka_spark.functions.urls import (
+        canonicalize_url,
+        registrable_domain,
+    )
 
     _RE2_KINDS = ("url", "email", "phone")
+    did = F.col("doc_id")
+    # planted URL (URL leg): worst-case-messy on purpose — case, default
+    # port, tracking params out of order, fragment; even docs exercise
+    # the multi-part-TLD branch, odd docs the plain-TLD branch
+    planted_url = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://WWW.News.Ex"),
+            (did % 7).cast("string"),
+            F.lit(".CO.UK:443/articles/"),
+            did.cast("string"),
+            F.lit("/?utm_source=feed&id="),
+            (did % 50).cast("string"),
+            F.lit("&utm_campaign=x&b=2&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://CDN.Site"),
+            (did % 7).cast("string"),
+            F.lit(".COM:80/p/"),
+            did.cast("string"),
+            F.lit("/?gclid=g"),
+            did.cast("string"),
+            F.lit("&z=9&ref=tw"),
+        ),
+    )
+    url_domain = registrable_domain(planted_url)
     planted = F.when(
         F.col("doc_id") % 13 == 0,
         F.concat(
@@ -256,6 +318,12 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("html_paragraphs"),
+        canonicalize_url(planted_url).alias("canon_url"),
+        url_domain.alias("url_domain"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(url_domain))
+        .cast("long")
+        .alias("domain_docs"),
     )
 
 
@@ -303,9 +371,199 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# curate leg (r14): stats-identity attestation of the curate_corpus
+# COMPOSITION (curation.py) — the one product entry point whose stages
+# are each oracle-attested but whose cross-stage accounting previously
+# had only an integration pytest. A deterministic planted corpus is
+# derived from `documents` IDENTICALLY on both sides (a doc_id%8 base,
+# +100000-id exact clones of the %24 rows, +300000-id near-dup
+# partners with one prepended token on the %40 rows, and three literal
+# junk docs that each trip exactly one gate: a 5-word doc and an
+# all-same-token doc for the two quality legs, an 8-word-block-x4 doc
+# for the dup-trigram repetition leg), run through the DEFAULT
+# pipeline (exact dedup -> quality/repetition gates -> MinHash LSH
+# near-dup resolution, optional stages off), and the engine's
+# returned per-stage stats dict is value-checked against a full DuckDB
+# re-derivation of every stage flag — the exact-keep window, the
+# token/distinct-ratio gates, the gated bigram/trigram evidence-floor
+# repetition rule, and the shingle->signature->band->verify->
+# components->keep-best survivor chain (the dedup_minhash_lsh oracle
+# machinery re-scoped to the gated survivors). The off stages' zero
+# counts are asserted literally, so an off stage that ever dropped
+# rows breaks the hash. CTEs consumed inside or below the recursive
+# components CTE are MATERIALIZED — DuckDB otherwise re-evaluates the
+# whole upstream chain once per fixpoint iteration (measured: 300+ s
+# inlined vs 0.3 s materialized at sf0.01).
+_CURATE_JUNK_QUALITY = "only five words here now"
+_CURATE_JUNK_RATIO = " ".join(["dup"] * 30)
+_CURATE_JUNK_REP = " ".join(["r1 r2 r3 r4 r5 r6 r7 r8"] * 4)
+_CURATE_SIG_COLS = ",\n         ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(12)
+)
+_CURATE_BANDS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, '{b}' AS band_id, h{b * 3} || h{b * 3 + 1} || "
+    f"h{b * 3 + 2} AS band_key FROM csig"
+    for b in range(4)
+)
+_CURATE_ZERO_STATS = (
+    "url_dups_dropped",
+    "model_quality_dropped",
+    "decontam_dropped",
+    "semantic_decontam_dropped",
+    "winnow_dropped",
+    "dense_neardup_dropped",
+    "image_neardup_dropped",
+    "audio_neardup_dropped",
+    "video_neardup_dropped",
+)
+_CURATE_SQL = f"""
+    WITH RECURSIVE
+    ccorp AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 8 = 0 AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents
+      WHERE doc_id % 24 = 0 AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 300000, 'zzz ' || text FROM documents
+      WHERE doc_id % 40 = 0 AND text IS NOT NULL
+      UNION ALL SELECT 777001, '{_CURATE_JUNK_QUALITY}'
+      UNION ALL SELECT 777002, '{_CURATE_JUNK_RATIO}'
+      UNION ALL SELECT 777003, '{_CURATE_JUNK_REP}'
+    ),
+    cex AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+               AS ek
+      FROM ccorp
+    ),
+    cq AS (
+      SELECT doc_id, text, ek, ws,
+             len(ws) >= 20
+             AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.2
+               AS qk
+      FROM (SELECT doc_id, text, ek, string_split(trim(text), ' ') AS ws
+            FROM cex)
+    ),
+    cg2 AS (
+      SELECT doc_id,
+             array_to_string(ws[CAST(i AS INT) : CAST(i + 1 AS INT)], ' ')
+               AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+            FROM cq WHERE ek AND qk AND len(ws) >= 2)
+    ),
+    cg3 AS (
+      SELECT doc_id,
+             array_to_string(ws[CAST(i AS INT) : CAST(i + 2 AS INT)], ' ')
+               AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM cq WHERE ek AND qk AND len(ws) >= 3)
+    ),
+    cr2 AS (
+      SELECT doc_id, max(c) AS top2c, sum(c) AS n2
+      FROM (SELECT doc_id, g, count(*) AS c FROM cg2 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    cr3 AS (
+      SELECT doc_id, coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup3c,
+             sum(c) AS n3
+      FROM (SELECT doc_id, g, count(*) AS c FROM cg3 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    crep AS MATERIALIZED (
+      SELECT q.doc_id, q.text, q.ek, q.qk, q.ws,
+             NOT coalesce(r2.n2 >= 4
+                          AND CAST(r2.top2c AS DOUBLE) / r2.n2 > 0.2, FALSE)
+             AND NOT coalesce(r3.n3 >= 4
+                              AND CAST(r3.dup3c AS DOUBLE) / r3.n3 > 0.3,
+                              FALSE) AS rk
+      FROM cq q
+      LEFT JOIN cr2 r2 ON r2.doc_id = q.doc_id
+      LEFT JOIN cr3 r3 ON r3.doc_id = q.doc_id
+    ),
+    csh AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   for i in range(1, len(ws) - 1)]))
+               AS shingle
+      FROM crep WHERE ek AND qk AND rk AND len(ws) >= 3
+    ),
+    csizes AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+    cinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    cjac AS (
+      SELECT id_a, id_b,
+             CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      FROM cinter
+      JOIN csizes sa ON sa.doc_id = id_a
+      JOIN csizes sb ON sb.doc_id = id_b
+    ),
+    csig AS (SELECT doc_id, {_CURATE_SIG_COLS} FROM csh GROUP BY doc_id),
+    cbandl AS (
+      {_CURATE_BANDS}
+    ),
+    ccand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cbandl a
+      JOIN cbandl b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    cpairs AS (
+      SELECT c.id_a, c.id_b FROM ccand c JOIN cjac j USING (id_a, id_b)
+      WHERE j.jaccard >= 0.8
+    ),
+    cedges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM cpairs
+      UNION SELECT id_b, id_a FROM cpairs
+    ),
+    creach(id, lab) AS (
+      SELECT src, src FROM cedges
+      UNION SELECT e.dst, r.lab FROM creach r JOIN cedges e ON e.src = r.id
+    ),
+    ccomp AS (SELECT id, min(lab) AS lab FROM creach GROUP BY id),
+    csurv AS (
+      SELECT c.id,
+             row_number() OVER (PARTITION BY c.lab
+                                ORDER BY length(trim(d.text)) DESC, c.id)
+               AS rn
+      FROM ccomp c JOIN crep d ON d.doc_id = c.id
+    ),
+    cflag AS (
+      SELECT p.ek, p.qk, p.rk, (c.id IS NULL OR s.rn = 1) AS nk
+      FROM crep p
+      LEFT JOIN ccomp c ON c.id = p.doc_id
+      LEFT JOIN csurv s ON s.id = p.doc_id
+    )
+    SELECT 'input_rows' AS k1, CAST(count(*) AS BIGINT) AS n FROM cflag
+    UNION ALL SELECT 'exact_dups_dropped',
+      CAST(coalesce(sum(CASE WHEN NOT ek THEN 1 END), 0) AS BIGINT)
+    FROM cflag
+    UNION ALL SELECT 'quality_dropped',
+      CAST(coalesce(sum(CASE WHEN ek AND NOT qk THEN 1 END), 0) AS BIGINT)
+    FROM cflag
+    UNION ALL SELECT 'repetition_dropped',
+      CAST(coalesce(sum(CASE WHEN ek AND qk AND NOT rk THEN 1 END), 0)
+           AS BIGINT)
+    FROM cflag
+    UNION ALL SELECT 'neardup_dropped',
+      CAST(coalesce(sum(CASE WHEN ek AND qk AND rk AND NOT nk THEN 1 END), 0)
+           AS BIGINT)
+    FROM cflag
+    UNION ALL SELECT 'curated_rows',
+      CAST(coalesce(sum(CASE WHEN ek AND qk AND rk AND nk THEN 1 END), 0)
+           AS BIGINT)
+    FROM cflag
+    UNION ALL SELECT z.k1, CAST(0 AS BIGINT)
+    FROM (VALUES {", ".join(f"('{z}')" for z in _CURATE_ZERO_STATS)}) z(k1)
+"""
+
+
 @register(
     "udtf_explode_tokens",
-    """
+    f"""
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
     q AS (SELECT doc_id AS query_id, ws[1:4] AS qws FROM toks WHERE doc_id < 3),
     qterms AS (SELECT DISTINCT query_id, unnest(list_distinct(qws)) AS term FROM q),
@@ -428,6 +686,10 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            'q' || CAST(i.query_id AS VARCHAR) AS token,
            coalesce(d.dcg, 0) AS n
     FROM hidcg i LEFT JOIN hdcg d ON d.query_id = i.query_id
+    UNION ALL
+    SELECT 'curate' AS part, CAST(0 AS BIGINT) AS doc_id,
+           CAST(0 AS INT) AS pos, k1 AS token, n
+    FROM ({_CURATE_SQL})
     """,
     doc="UD3 tagged union: 'tokens' = UDTF-shaped one-row → N-rows "
     "explode with ordinality (the RSS-feed → <item> rows expansion, "
@@ -450,8 +712,20 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tier's rank feeds a nano-quantized 1/(60+rank) integer "
     "contribution, summed order-free; pos = fused rank, n = the exact "
     "nano score; the oracle replays the dense tier in the similarity "
-    "module's decimal CTEs and the fusion in integer arithmetic",
-    tags=("udtf", "explode", "text", "bm25", "hybrid"),
+    "module's decimal CTEs and the fusion in integer arithmetic; "
+    "'curate' (r14, homed on this slot — the registry's lightest — "
+    "for gate headroom) = the curate_corpus COMPOSITION's per-stage "
+    "accounting (curation.py, the product entry point, previously "
+    "integration-pytest only): a deterministic planted corpus "
+    "(doc_id%8 base + exact clones + near-dup partners + three "
+    "single-gate junk docs — see the _CURATE_SQL comment) runs the "
+    "default exact-dedup -> quality/repetition -> MinHash-neardup "
+    "pipeline, and every returned stage counter (15 keys incl. the "
+    "off stages' literal zeros) is value-checked against a full "
+    "DuckDB re-derivation of the stage flags (the dedup_minhash_lsh "
+    "oracle machinery re-scoped to gated survivors); stat names ride "
+    "token, counts ride n",
+    tags=("udtf", "explode", "text", "bm25", "hybrid", "curation"),
 )
 def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.functions.text import (
@@ -535,11 +809,70 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("token"),
         F.col("dcg_micro").alias("n"),
     )
+    # 'curate' leg (r14): the curate_corpus COMPOSITION's per-stage
+    # accounting, value-checked as data — the planted corpus (see the
+    # _CURATE_SQL comment) runs through the DEFAULT pipeline and the
+    # returned stats dict becomes one row per stage counter (names on
+    # token, counts on n). The stats dict is a bounded driver-side
+    # artifact by construction (ONE aggregation row — curation.py's
+    # stats contract), so createDataFrame from it is the BPE-rules
+    # pattern, not a collect smell.
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    did = F.col("doc_id")
+    planted_cur = (
+        docs.filter((did % 8 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((did % 24 == 0) & F.col("text").isNotNull()).select(
+                (did + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter((did % 40 == 0) & F.col("text").isNotNull()).select(
+                (did + 300000).alias("doc_id"),
+                F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (777001, _CURATE_JUNK_QUALITY),
+                    (777002, _CURATE_JUNK_RATIO),
+                    (777003, _CURATE_JUNK_REP),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    # The planted corpus is fixture-scale BY CONSTRUCTION (an
+    # attestation fixture, never a real corpus), but curate_corpus's
+    # stage chain is deep — at the session default width every tiny
+    # shuffle schedules a full task wave, and the composition pays
+    # ~15 of them. Pin the width for the eager stats computation and
+    # restore before the rest of this query's (lazy) legs plan.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _, cstats = curate_corpus(spark, planted_cur)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    curate = spark.createDataFrame(
+        sorted((k, int(v)) for k, v in cstats.items()),
+        "token string, n long",
+    ).select(
+        F.lit("curate").alias("part"),
+        F.lit(0).cast("long").alias("doc_id"),
+        F.lit(0).cast("int").alias("pos"),
+        "token",
+        "n",
+    )
     return (
         toks.unionByName(vocab)
         .unionByName(bm25)
         .unionByName(hybrid)
         .unionByName(nd)
+        .unionByName(curate)
     )
 
 

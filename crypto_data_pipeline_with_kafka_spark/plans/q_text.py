@@ -1448,9 +1448,10 @@ _MINING_SQL = f"""
     "k-gram granularity): per doc, the MAXIMAL token runs whose "
     "every 5-gram appears >= 2 times corpus-wide (instances, incl. "
     "within-doc repeats — the suffix-array semantics), merged via "
-    "gaps-and-islands; one row per span with both boundaries and the "
-    "span text md5 value-checked — the substring-level dedup that "
-    "document- and chunk-level dedup cannot express.",
+    "coverage-adjacency gaps-and-islands; one row per MAXIMAL span with "
+    "both boundaries and the span text md5 value-checked — the "
+    "substring-level dedup that document- and chunk-level dedup "
+    "cannot express.",
     tags=("text", "sampling", "suite"),
 )
 def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
