@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.functions.text import (
     kgrams_from_tokens,
+    normalize_text,
     tokens,
 )
 from crypto_data_pipeline_with_kafka_spark.functions.urls import canonicalize_url
@@ -53,6 +54,8 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    normalize: bool = False,
+    unicode_form: str | None = "NFC",
     min_words: int = 20,
     min_distinct_ratio: float = 0.2,
     max_top_bigram_frac: float = 0.2,
@@ -116,6 +119,13 @@ def curate_corpus(
     by cost so every expensive stage sees only cheaper stages'
     survivors:
 
+    * ``normalize`` — text canonicalization as stage -1
+      (:func:`...functions.text.normalize_text`: ``unicode_form``
+      (default NFC; None skips the Arrow hop) → lowercase →
+      whitespace collapse → trim), REWRITING ``text_col`` before any
+      content verdict so case/spacing/composed-form variants hash as
+      one document everywhere downstream. A rewrite, not a gate — no
+      stats key.
     * ``url_col`` — URL dedup as stage 0 (stats key
       ``url_dups_dropped``): the reference's raw-url existence check
       (``dags/producer_news.py:45,56``; ``dags/consumer_news.py:
@@ -265,6 +275,13 @@ def curate_corpus(
     # 4b runs after hours of upstream compute at scale, so a typo'd
     # quantum/floor must error HERE (the operator re-checks, but only
     # when it finally runs)
+    if unicode_form is not None and unicode_form not in (
+        "NFC", "NFD", "NFKC", "NFKD",
+    ):  # same unconditional fail-fast rule as chunk_boundaries
+        raise ValueError(
+            f"unicode_form must be NFC/NFD/NFKC/NFKD or None, got "
+            f"{unicode_form!r}"
+        )
     if exact_substr_k < 1:
         raise ValueError(
             f"exact_substr_k must be >= 1, got {exact_substr_k}"
@@ -276,6 +293,19 @@ def curate_corpus(
         )
 
     txt, did = F.col(text_col), F.col(id_col)
+
+    # stage -1 (optional): text canonicalization — rewrite the text
+    # column through normalize_text (Unicode form -> lowercase ->
+    # whitespace collapse -> trim) BEFORE any content verdict, so
+    # 'Café' / 'Café' / 'café  ' hash as one document in the
+    # exact stage and shingle identically in every dedup stage (the
+    # CCNet/RefinedWeb normalize-before-hash discipline). A rewrite,
+    # not a gate: no stats key, and every downstream stage (incl. the
+    # exported text) sees the normalized form.
+    if normalize:
+        docs = docs.withColumn(
+            text_col, normalize_text(txt, form=unicode_form)
+        )
 
     # stage 0 (optional): URL dedup — the reference's raw-url existence
     # check (dags/producer_news.py:45,56 sent_urls set;

@@ -22,7 +22,7 @@ import functools as _functools
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StringType
 
 # Deterministic sentiment lexicon (VADER-shaped: compound-style score per
 # token; half-point values are exactly representable so summation order
@@ -267,6 +267,53 @@ def sentiment_pandas_udf(lexicon: dict[str, float] | None = None) -> Column:
         return texts.map(score)
 
     return _sent
+
+
+def normalize_text(
+    col: Column | str,
+    form: str | None = "NFC",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Text canonicalization for dedup — the first step of every real
+    curation pipeline (CCNet/RefinedWeb normalize before hashing, so
+    ``Cafe\\u0301`` and ``Café`` and ``café  `` hash identically):
+    Unicode normalization (``form`` — NFC/NFD/NFKC/NFKD, or None to
+    skip) → lowercase → whitespace collapse (any ``\\s+`` run to one
+    space) → trim.
+
+    The Unicode hop is the ONE step the JVM has no built-in for, so it
+    is an Arrow-batched scalar Pandas UDF over ``unicodedata``
+    (stdlib — deterministic, version-pinned by the Unicode tables; the
+    documented sentiment_pandas_udf exception class, never
+    row-at-a-time). Everything after it stays JVM-side (``lower`` /
+    ``regexp_replace`` / ``trim`` — codegen'd), in THIS order on both
+    engines (DuckDB twin: ``trim(regexp_replace(lower(nfc_normalize(
+    t)), '\\s+', ' ', 'g'))``), because case-mapping is not
+    NFC-commutative in general. With ``form=None`` the whole pipeline
+    is pure JVM. NULL in, NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    if form is not None:
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(
+                f"normalize_text: unknown Unicode form {form!r}"
+            )
+        import unicodedata
+
+        @F.pandas_udf(StringType())
+        def _norm(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: None
+                if t is None
+                else unicodedata.normalize(form, t)
+            )
+
+        c = _norm(c)
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
 
 
 # HTML entity decode chain for html_paragraph_text: named/numeric forms

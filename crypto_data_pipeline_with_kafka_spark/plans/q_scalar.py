@@ -199,7 +199,10 @@ def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 2 = 0 THEN
                'ex' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
              ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
-             END) AS BIGINT) AS domain_docs
+             END) AS BIGINT) AS domain_docs,
+           md5(trim(regexp_replace(lower(nfc_normalize(
+             '  CaFE' || chr(769) || ' ' || text || chr(9) || 'X  Y'
+             || chr(10))), '\s+', ' ', 'g'))) AS norm_hash
     FROM planted
     """,
     doc="F6/F7/F8 in one checked plan: trim / case / concat_ws "
@@ -236,12 +239,22 @@ def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytically (the HTML leg's independent-derivation discipline, "
     "stronger than replaying the same parser), and domain_docs "
     "value-checks the per-registrable-domain rollup (window count — "
-    "the domain-cap / crawl-frequency stat)",
-    tags=("string", "regex", "pii", "url"),
+    "the domain-cap / crawl-frequency stat). "
+    "Norm leg (r14, functions/text.py::normalize_text — the CCNet/"
+    "RefinedWeb normalize-before-hash step): each doc wrapped in a "
+    "planted messy affix (DECOMPOSED e+U+0301, mixed case, tab/"
+    "newline/double spaces) runs Unicode-NFC (Arrow-batched stdlib "
+    "unicodedata — the one step the JVM lacks a built-in for; the "
+    "sentiment_pandas_udf exception class) then JVM lower/whitespace-"
+    "collapse/trim, md5-pinned against DuckDB's nfc_normalize/lower/"
+    "regexp_replace/trim applied in the SAME order (case-mapping is "
+    "not NFC-commutative in general)",
+    tags=("string", "regex", "pii", "url", "normalize"),
 )
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.functions.text import (
         html_paragraph_text,
+        normalize_text,
         pii_counts,
         redact_pii,
     )
@@ -324,6 +337,20 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy(url_domain))
         .cast("long")
         .alias("domain_docs"),
+        # norm leg (r14): normalize_text end to end — a planted messy
+        # prefix/suffix (DECOMPOSED e+U+0301, mixed case, tab/newline/
+        # double spaces) wraps each doc; the md5 pins the Arrow NFC
+        # hop + JVM lower/collapse/trim against DuckDB's
+        # nfc_normalize/lower/regexp_replace/trim in the same order
+        F.md5(
+            normalize_text(
+                F.concat(
+                    F.lit("  CaFE\u0301 "),  # decomposed: E + U+0301
+                    F.col("text"),
+                    F.lit("\tX  Y\n"),
+                )
+            )
+        ).alias("norm_hash"),
     )
 
 

@@ -1321,3 +1321,82 @@ def test_domain_mixture_composition(spark):
     assert set(by_src) == {"ex.com", "other.co.uk"}
     assert by_src["other.co.uk"] == 50  # rate 1.0 side is exact
     assert 30 <= by_src["ex.com"] <= 70
+
+
+def test_normalize_text_semantics(spark):
+    """normalize_text: NFC composes decomposed sequences, lowercase
+    and whitespace collapse+trim follow, NULL passes through, the
+    form=None path is pure JVM (still lowers/collapses), unknown form
+    fails fast, and each step is independently switchable."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.functions.text import (
+        normalize_text,
+    )
+
+    rows = [
+        ("  CaFÉ du  Parc\t",),  # decomposed accent, mess
+        ("Café du Parc",),        # composed twin
+        ("ALL  CAPS\n\nhere",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r.n for r in df.select(normalize_text("t").alias("n")).collect()]
+    assert got[0] == got[1] == "café du parc"
+    assert got[2] == "all caps here"
+    assert got[3] is None
+    # form=None skips the Arrow hop but still lowers + collapses
+    jvm_only = [
+        r.n
+        for r in df.select(
+            normalize_text("t", form=None).alias("n")
+        ).collect()
+    ]
+    assert jvm_only[0] == "café du parc"  # stays decomposed
+    assert jvm_only[2] == "all caps here"
+    # switches
+    keep_case = df.select(
+        normalize_text("t", lowercase=False).alias("n")
+    ).collect()[2].n
+    assert keep_case == "ALL CAPS here"
+    keep_ws = df.select(
+        normalize_text("t", collapse_whitespace=False).alias("n")
+    ).collect()[0].n
+    assert keep_ws == "  café du  parc\t"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown Unicode form"):
+        normalize_text("t", form="NFX")
+
+
+def test_curate_corpus_normalize_stage(spark):
+    """normalize=True rewrites text before any verdict: case/spacing/
+    composed-form variants of one document exact-dedup to a single
+    survivor, downstream stages and the curated output see the
+    normalized form, and the unicode_form knob fails fast on typos
+    unconditionally (the chunk_boundaries rule)."""
+    from crypto_data_pipeline_with_kafka_spark.curation import curate_corpus
+
+    body = " ".join(f"w{i}" for i in range(24))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{body} café terrace"),   # decomposed
+            (1, f"{body.upper()}  CAFÉ TERRACE "),  # composed, caps
+            (2, f"{body} café terrace"),    # composed, lower
+            (3, " ".join(f"z{i}" for i in range(24))),
+        ],
+        ["doc_id", "text"],
+    )
+    cur, st = curate_corpus(spark, docs, normalize=True)
+    kept = {r.doc_id: r.text for r in cur.collect()}
+    assert sorted(kept) == [0, 3]
+    assert kept[0] == f"{body} café terrace"  # rewritten form
+    assert st["exact_dups_dropped"] == 2
+    # without normalization all four texts are distinct
+    _, st0 = curate_corpus(spark, docs)
+    assert st0["exact_dups_dropped"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unicode_form"):
+        curate_corpus(spark, docs, unicode_form="NFX")
+    spark.catalog.clearCache()
