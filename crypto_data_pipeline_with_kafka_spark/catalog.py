@@ -105,9 +105,14 @@ def widen_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
         return df
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
-        # A frame the caller already repartitioned has a layout of its
-        # own choosing — honor it (the file probe sees only the scan).
-        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+        # A frame the caller just repartitioned has a layout of its own
+        # choosing — honor it. Checked on the analyzed plan's ROOT node
+        # name (df.repartition(...) puts Repartition/
+        # RepartitionByExpression at the root), never by substring over
+        # the stringified plan — a relation or column whose NAME
+        # contains "Repartition" must not disable widening.
+        root = df._jdf.queryExecution().analyzed().nodeName()
+        if root in ("Repartition", "RepartitionByExpression"):
             return df
         splits = _estimated_scan_splits(df)
         narrow = splits is not None and splits < target
@@ -119,17 +124,19 @@ def widen_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 def _estimated_scan_splits(df: DataFrame) -> int | None:
-    """Job-free estimate of a file scan's split count.
-
-    Each input file contributes ``ceil(size / maxPartitionBytes)``
-    splits — the same upper bound ``FilePartition`` packs against — so
-    a few large (splittable) parquet files are NOT mistaken for a
-    narrow scan. Sizes come from driver-side ``FileSystem.
-    getFileStatus`` (one metadata RPC per file, any Hadoop FS), and the
-    stat fan-out is bounded: it only runs when the file count is
-    already below the cluster width. Returns ``None`` for non-file
-    sources (empty ``inputFiles``), telling the caller to leave the
-    frame alone."""
+    """Job-free estimate of a file scan's split count, replaying
+    Spark's own planning rule: ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, (Σ(size + openCost)) / defaultParallelism))``
+    and splits ≈ ceil(paddedTotal / maxSplitBytes) — so neither a few
+    large splittable parquet files (which Spark fans out toward cluster
+    width) nor many tiny files (which it bin-packs together) are
+    mis-read. Sizes come from driver-side ``FileSystem.getFileStatus``
+    (one metadata RPC per file, any Hadoop FS), and the stat fan-out is
+    bounded: it only runs when the file count is already below the
+    cluster width. Returns ``None`` for non-file sources (empty
+    ``inputFiles`` — e.g. JDBC or in-memory relations), telling the
+    caller to leave the frame alone; a caller that widens such sources
+    repartitions explicitly."""
     files = df.inputFiles()
     if not files:
         return None
@@ -138,16 +145,24 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     if len(files) >= target:
         return len(files)
     jvm = sc._jvm
-    conf = sc._jsc.hadoopConfiguration()
-    max_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    hconf = sc._jsc.hadoopConfiguration()
+    as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    conf = df.sparkSession.conf
+    max_bytes = as_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "128m")
     )
-    splits = 0
+    open_cost = as_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    total = 0
     for f in files:
         path = jvm.org.apache.hadoop.fs.Path(f)
-        size = path.getFileSystem(conf).getFileStatus(path).getLen()
-        splits += max(1, -(-size // max(1, max_bytes)))
-    return splits
+        total += (
+            path.getFileSystem(hconf).getFileStatus(path).getLen()
+            + open_cost
+        )
+    max_split = min(
+        max(1, max_bytes), max(1, open_cost, total // max(1, target))
+    )
+    return max(1, -(-total // max_split))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -317,12 +317,20 @@ def curate_corpus(
     # it runs first; docs with no/unparseable URL never URL-dedup.
     if url_col is not None:
         canon = canonicalize_url(F.col(url_col))
-        w_url = Window.partitionBy(canon).orderBy(did)
+        # NULL-canon rows (no/unparseable URL) never URL-dedup — give
+        # each its OWN partition key instead of windowing them as one
+        # NULL group: on a web corpus with a large no-URL fraction a
+        # shared NULL partition funnels all those rows into a single
+        # straggler task just to compute a row_number the keep rule
+        # would discard. The \\x00 prefix cannot collide with a real
+        # canonical URL (those start with a scheme).
+        w_url = Window.partitionBy(
+            F.coalesce(
+                canon, F.concat(F.lit("\x00nourl:"), did.cast("string"))
+            )
+        ).orderBy(did)
         flagged = docs.filter(txt.isNotNull()).withColumn(
-            "_url_keep",
-            F.when(canon.isNull(), F.lit(True)).otherwise(
-                F.row_number().over(w_url) == 1
-            ),
+            "_url_keep", F.row_number().over(w_url) == 1
         )
     else:
         flagged = docs.filter(txt.isNotNull()).withColumn(

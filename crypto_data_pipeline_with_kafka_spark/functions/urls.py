@@ -23,8 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Query parameters that carry tracking/attribution state, never
-#: content identity. Exact names; ``utm_*`` is matched as a prefix.
+#: Default query parameters treated as tracking/attribution state.
+#: Exact names; ``utm_*`` is matched as a prefix. Deliberately
+#: conservative: every default is a vendor-specific click/campaign id
+#: that cannot name a resource. Ambiguous names like bare ``ref`` are
+#: NOT defaults — plenty of sites use ``?ref=`` for branch/section/
+#: product identity, and a canonicalizer that merges those silently
+#: DROPS distinct documents in URL dedup; pass
+#: ``tracking_params=TRACKING_PARAMS + ("ref",)`` per corpus when the
+#: referrer convention is known.
 TRACKING_PARAMS = (
     "gclid",
     "fbclid",
@@ -32,8 +39,6 @@ TRACKING_PARAMS = (
     "mc_eid",
     "mc_cid",
     "igshid",
-    "ref",
-    "ref_src",
     "cmpid",
     "spm",
     "yclid",
@@ -75,15 +80,15 @@ def _host(url: Column) -> Column:
     return F.lower(F.parse_url(url, F.lit("HOST")))
 
 
-def canonicalize_url(url) -> Column:
+def canonicalize_url(url, tracking_params: tuple = TRACKING_PARAMS) -> Column:
     """Canonical form of a URL for identity comparison:
 
     * scheme and host lowercased; userinfo, explicit port and fragment
       dropped (``parse_url`` parts — JVM-side, no UDF);
-    * tracking query params removed (:data:`TRACKING_PARAMS` exact
-      names + the ``utm_`` prefix), remaining params SORTED so
-      ``?b=2&a=1`` and ``?a=1&b=2`` meet — in-row split/filter/
-      array_sort, O(params) per row;
+    * tracking query params removed (``tracking_params`` exact names —
+      default :data:`TRACKING_PARAMS` — plus the ``utm_`` prefix),
+      remaining params SORTED so ``?b=2&a=1`` and ``?a=1&b=2`` meet —
+      in-row split/filter/array_sort, O(params) per row;
     * trailing slashes stripped from the path (root becomes empty:
       ``https://h/`` -> ``https://h``).
 
@@ -106,7 +111,7 @@ def canonicalize_url(url) -> Column:
         params,
         lambda p: ~(
             name(p).startswith("utm_")
-            | name(p).isin(*TRACKING_PARAMS)
+            | name(p).isin(*tracking_params)
         ),
     )
     cq = F.array_join(F.array_sort(kept), "&")

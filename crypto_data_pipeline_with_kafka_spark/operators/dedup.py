@@ -1964,12 +1964,18 @@ def remove_duplicated_spans(
     n = F.size("_ws").cast("long")
     # sorted-boundary walk, all in-row: (1) sort spans by start (struct
     # order: span_start, then span_end), (2) fold touching/overlapping
-    # neighbors into disjoint clamped-to-[0,n] runs — span count per doc
-    # is bounded by doc length, and duplicated_spans already emits
-    # disjoint maximal spans, so the fold is a cheap no-op pass in the
-    # normal path — then (3) keep the gap slices between the runs:
+    # neighbors into disjoint runs — span count per doc is bounded by
+    # doc length, and duplicated_spans already emits disjoint maximal
+    # spans, so the fold is a cheap no-op pass in the normal path —
+    # then (3) keep the gap slices between the runs (clamped to [0,n]):
     # segment i of m+1 spans [prev_end_i, next_start_i). O(tokens+spans)
     # per doc vs the O(tokens x spans) of a per-token contains-check.
+    # The fold and the gap walk are HOISTED into their own projections
+    # (withColumn) and the lambdas reference the materialized columns:
+    # expressions INSIDE higher-order-function lambdas get no
+    # common-subexpression elimination, so inlining `merged` would
+    # re-evaluate the whole fold once per gap element (O(spans^3) per
+    # row instead of one fold + one walk).
     merged = F.aggregate(
         F.array_sort(spans_c),
         empty,
@@ -1994,14 +2000,16 @@ def remove_duplicated_spans(
             )
         ),
     )
-    m = F.size(merged)
+    hoisted = joined.withColumn("_merged", merged)
+    mcol = F.col("_merged")
+    m = F.size(mcol)
 
     def _gap(i):  # kept segment between merged run i-1 and run i
         lo = F.when(i == F.lit(0), F.lit(0).cast("long")).otherwise(
-            F.element_at(merged, i.cast("int"))["span_end"]
+            F.element_at(mcol, i.cast("int"))["span_end"]
         )
         hi = F.when(i == m.cast("long"), n).otherwise(
-            F.element_at(merged, i.cast("int") + 1)["span_start"]
+            F.element_at(mcol, i.cast("int") + 1)["span_start"]
         )
         # clamp: user-supplied spans may run past either end of the doc
         lo_c = F.greatest(F.lit(0).cast("long"), F.least(lo, n))
@@ -2015,9 +2023,9 @@ def remove_duplicated_spans(
     kept = F.flatten(
         F.transform(F.sequence(F.lit(0).cast("long"), m.cast("long")), _gap)
     )
-    return joined.select(
+    return hoisted.withColumn("_kept", kept).select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias("clean_text"),
-        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+        F.size("_kept").cast("long").alias("n_kept"),
         F.size("_ws").cast("long").alias("n_total"),
     )

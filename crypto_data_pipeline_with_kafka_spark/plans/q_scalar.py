@@ -230,8 +230,8 @@ def fn_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RAW url equality, producer_news.py:45,56 / consumer_news.py:"
     "44-47, so utm-tagged re-shares ingest twice): a per-doc planted "
     "URL with upper-cased scheme+host, default port, userinfo-free "
-    "host, tracking params (utm_*/gclid/ref), unsorted survivors and "
-    "a fragment runs through canonicalize_url (parse_url parts + "
+    "host, tracking params (utm_*/gclid/yclid), unsorted survivors "
+    "and a fragment run through canonicalize_url (parse_url parts + "
     "in-row split/filter/array_sort — no UDF) and "
     "registrable_domain (multi-part-TLD heuristic, both the .co.uk "
     "and plain-TLD branches exercised on alternating docs); the "
@@ -287,7 +287,7 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             did.cast("string"),
             F.lit("/?gclid=g"),
             did.cast("string"),
-            F.lit("&z=9&ref=tw"),
+            F.lit("&z=9&yclid=tw"),
         ),
     )
     url_domain = registrable_domain(planted_url)
@@ -403,8 +403,10 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are each oracle-attested but whose cross-stage accounting previously
 # had only an integration pytest. A deterministic planted corpus is
 # derived from `documents` IDENTICALLY on both sides (a doc_id%8 base,
-# +100000-id exact clones of the %24 rows, +300000-id near-dup
-# partners with one prepended token on the %40 rows, and three literal
+# NEGATIVE-id exact clones of the %24 rows (-1-d: disjoint from
+# any real non-negative doc_id at EVERY scale) and near-dup
+# partners with one prepended token on the %40 rows (-1000000001-d),
+# and three literal
 # junk docs that each trip exactly one gate: a 5-word doc and an
 # all-same-token doc for the two quality legs, an 8-word-block-x4 doc
 # for the dup-trigram repetition leg), run through the DEFAULT
@@ -449,14 +451,14 @@ _CURATE_SQL = f"""
       SELECT doc_id, text FROM documents
       WHERE doc_id % 8 = 0 AND text IS NOT NULL
       UNION ALL
-      SELECT doc_id + 100000, text FROM documents
+      SELECT -1 - doc_id, text FROM documents
       WHERE doc_id % 24 = 0 AND text IS NOT NULL
       UNION ALL
-      SELECT doc_id + 300000, 'zzz ' || text FROM documents
+      SELECT -1000000001 - doc_id, 'zzz ' || text FROM documents
       WHERE doc_id % 40 = 0 AND text IS NOT NULL
-      UNION ALL SELECT 777001, '{_CURATE_JUNK_QUALITY}'
-      UNION ALL SELECT 777002, '{_CURATE_JUNK_RATIO}'
-      UNION ALL SELECT 777003, '{_CURATE_JUNK_REP}'
+      UNION ALL SELECT -2000000001, '{_CURATE_JUNK_QUALITY}'
+      UNION ALL SELECT -2000000002, '{_CURATE_JUNK_RATIO}'
+      UNION ALL SELECT -2000000003, '{_CURATE_JUNK_REP}'
     ),
     cex AS (
       SELECT doc_id, text,
@@ -852,21 +854,21 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(
             docs.filter((did % 24 == 0) & F.col("text").isNotNull()).select(
-                (did + 100000).alias("doc_id"), "text"
+                (-1 - did).alias("doc_id"), "text"
             )
         )
         .unionByName(
             docs.filter((did % 40 == 0) & F.col("text").isNotNull()).select(
-                (did + 300000).alias("doc_id"),
+                (-1000000001 - did).alias("doc_id"),
                 F.concat(F.lit("zzz "), F.col("text")).alias("text"),
             )
         )
         .unionByName(
             spark.createDataFrame(
                 [
-                    (777001, _CURATE_JUNK_QUALITY),
-                    (777002, _CURATE_JUNK_RATIO),
-                    (777003, _CURATE_JUNK_REP),
+                    (-2000000001, _CURATE_JUNK_QUALITY),
+                    (-2000000002, _CURATE_JUNK_RATIO),
+                    (-2000000003, _CURATE_JUNK_REP),
                 ],
                 "doc_id long, text string",
             )
@@ -878,6 +880,11 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle schedules a full task wave, and the composition pays
     # ~15 of them. Pin the width for the eager stats computation and
     # restore before the rest of this query's (lazy) legs plan.
+    # CAVEAT: spark.conf is session-global state — safe here because
+    # the driver executes registered queries sequentially and every
+    # curate job completes inside the try block, but a harness that
+    # ever plans OTHER work concurrently with this leg would see the
+    # pinned width; isolate with spark.newSession() in that world.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
