@@ -72,12 +72,12 @@ def _as_col(url) -> Column:
 
 
 def _host(url: Column) -> Column:
-    """Lowercased hostname: ``parse_url(HOST)`` already excludes
+    """Lowercased hostname: ``try_parse_url(HOST)`` already excludes
     userinfo and the port (the canonicalization drops explicit ports —
     aggressive on purpose: this form exists for DEDUP, where
     ``host:8080`` vs ``host`` is almost always the same resource
     republished, and the trade is documented here)."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def canonicalize_url(url, tracking_params: tuple = TRACKING_PARAMS) -> Column:
@@ -92,17 +92,20 @@ def canonicalize_url(url, tracking_params: tuple = TRACKING_PARAMS) -> Column:
     * trailing slashes stripped from the path (root becomes empty:
       ``https://h/`` -> ``https://h``).
 
-    NULL and scheme-less inputs return NULL (parse_url's no-match),
+    NULL, scheme-less, and MALFORMED inputs return NULL
+    (``try_parse_url`` — plain ``parse_url`` THROWS on an invalid
+    URL under ANSI semantics, and one junk string must never kill a
+    corpus-wide curation run; hypothesis-fuzzed),
     so a planted-URL consumer can coalesce explicitly. Idempotent:
     ``canonicalize_url(canonicalize_url(u)) == canonicalize_url(u)``
     (pytest-pinned)."""
     url = _as_col(url)
-    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     host = _host(url)
     path = F.regexp_replace(
-        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/+$", ""
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), "/+$", ""
     )
-    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     params = F.when(query == "", F.array().cast("array<string>")).otherwise(
         F.split(query, "&")
     )

@@ -1739,3 +1739,71 @@ def test_ndcg_fuzzed_vs_reference(spark, got_rows, truth_rows, k):
     for q in out:
         assert out[q] == (ref_dcg.get(q, 0), ref_idcg[q]), q
     spark.catalog.clearCache()
+
+
+@given(
+    st.lists(
+        st.one_of(
+            # URL-shaped: random pieces around a plausible skeleton
+            st.builds(
+                lambda sch, host, port, path, q, frag: (
+                    f"{sch}://{host}{port}{path}{q}{frag}"
+                ),
+                st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+                st.from_regex(
+                    r"[A-Za-z0-9.\-]{1,20}", fullmatch=True
+                ),
+                st.sampled_from(["", ":80", ":443", ":8080"]),
+                st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,8}){0,3}/?",
+                              fullmatch=True),
+                st.from_regex(
+                    r"(\?[A-Za-z0-9_]{1,8}(=[A-Za-z0-9%]{0,6})?"
+                    r"(&[A-Za-z0-9_]{1,8}(=[A-Za-z0-9%]{0,6})?){0,3})?",
+                    fullmatch=True,
+                ),
+                st.sampled_from(["", "#f", "#frag/x?y"]),
+            ),
+            # adversarial: arbitrary printable junk
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_canonicalize_url_robustness_properties(spark, urls):
+    """canonicalize_url over arbitrary URL-shaped and junk strings
+    (the curation url stage sees USER urls, not planted fixtures):
+    never crashes, output is NULL or starts with 'scheme://' in
+    lowercase with no fragment, and the map is IDEMPOTENT —
+    canon(canon(u)) == canon(u) for every input."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_with_kafka_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url",
+        canonicalize_url("url").alias("c"),
+    ).select(
+        "url", "c", canonicalize_url(F.col("c")).alias("c2")
+    ).collect()
+    import re as _re
+
+    for r in out:
+        assert r.c2 == r.c, (r.url, r.c, r.c2)  # idempotent
+        if r.c is not None:
+            assert _re.match(r"^[a-z][a-z0-9+.\-]*://", r.c), (r.url, r.c)
+            assert "#" not in r.c.split("://", 1)[0]
+            # fragment dropped entirely unless it was inside the query
+            # BEFORE any '#': parse_url REF semantics strip from the
+            # first '#', so canonical output never carries one
+            assert "#" not in r.c, (r.url, r.c)
+    spark.catalog.clearCache()
