@@ -188,6 +188,7 @@ def decontaminate(
     id_col: str = "doc_id",
     bench_id_col: str = "doc_id",
     corpus_shingles: DataFrame | None = None,
+    benchmark_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents whose k-gram
     overlap with any benchmark/eval document is too high to keep in a
@@ -214,15 +215,24 @@ def decontaminate(
     ``corpus_shingles`` accepts an already-built (id, shingle) relation
     (``shingle_rows(corpus, k=...)`` — with the SAME k, caller's
     responsibility) so a pipeline that has already shingled the corpus
-    for pair generation does not tokenize+explode it a second time."""
+    for pair generation does not tokenize+explode it a second time.
+    ``benchmark_shingles`` is the same hook for the BENCHMARK side:
+    when the eval slice is itself a subset of an already-shingled
+    corpus (e.g. the registered query's doc_id%97 slice), pass its
+    filtered shingle rows so the benchmark is not re-scanned and
+    re-tokenized — shingling is per-row, so filter-then-shingle and
+    shingle-then-filter are identical (r15: the un-hooked form cost
+    two extra corpus scans + token explodes per run)."""
     c_sh = (
         corpus_shingles
         if corpus_shingles is not None
         else shingle_rows(corpus, text_col, id_col, k)
     ).select(F.col(id_col).alias("doc_id"), "shingle")
-    b_sh = shingle_rows(benchmark, text_col, bench_id_col, k).select(
-        F.col(bench_id_col).alias("bench_id"), "shingle"
-    )
+    b_sh = (
+        benchmark_shingles
+        if benchmark_shingles is not None
+        else shingle_rows(benchmark, text_col, bench_id_col, k)
+    ).select(F.col(bench_id_col).alias("bench_id"), "shingle")
     sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     hits = (
         c_sh.join(F.broadcast(b_sh), "shingle")
@@ -1050,6 +1060,7 @@ def simhash_bits(
     text_col: str = "text",
     id_col: str = "doc_id",
     widen: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """64-bit SimHash as a 64-char '0'/'1' string per document.
     ``widen=False`` for derived (non-scan) inputs — see the
@@ -1067,13 +1078,24 @@ def simhash_bits(
     and sign-sum > 0 ⇔ 2·ones_j > n. Pure built-ins; md5 base keeps it
     oracle-exact in DuckDB (the oracle states the per-bit definition —
     the packing is implementation, not semantics).
+
+    The per-doc word-count relation feeds TWO consumers (the vocab
+    pass that hashes each distinct word once, and the probe side of
+    the pack join), so it is persisted — un-persisted, the corpus was
+    scanned, tokenized and count-aggregated twice per action (r15;
+    one full corpus pass saved at any scale). Module cache-lifecycle
+    contract applies: pass ``caches`` (a list) to receive the handle
+    for explicit unpersist, or clear the catalog when done.
     """
     wc = (
         (widen_if_narrow(df, id_col) if widen else df)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
+    if caches is not None:
+        caches.append(wc)
     # Hash bits depend only on the WORD: compute the 16 packed lane
     # values once per distinct word (vocab ≪ corpus — it grows
     # sublinearly, so the broadcast is safe where a per-doc broadcast

@@ -32,8 +32,14 @@ def get_or_create_keys(
     ``select(name).distinct()`` of a column with low cardinality —
     the distinct is a map-side-combined shuffle of just the names.
     """
+    # the dim side is small by definition (docstring above), so the
+    # anti-join takes an explicit broadcast: a createDataFrame dim is a
+    # stats-less LogicalRDD, and the un-hinted anti-join planned as a
+    # SortMergeJoin — two exchanges + two sorts for a few dim rows (r15)
     new_names = (
-        incoming.select(F.col(name_col)).distinct().join(existing, name_col, "left_anti")
+        incoming.select(F.col(name_col))
+        .distinct()
+        .join(F.broadcast(existing), name_col, "left_anti")
     )
     max_id = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("_max_id"))
     w = Window.orderBy(name_col)

@@ -444,6 +444,7 @@ def ivf_topk(
     assignments: DataFrame | None = None,
     cand: DataFrame | None = None,
     pair_scores: DataFrame | None = None,
+    serve_broadcast: bool = True,
 ) -> DataFrame:
     """IVF-bucketed ANN top-k — the QUERY-path scale twin of
     ``brute_force_topk`` (same API: query vectors are the corpus rows
@@ -501,8 +502,14 @@ def ivf_topk(
         # ranking tail below so the oracle-pinned tie-break rule has
         # exactly one definition. Duplicate-pair fan-out is refused
         # in-plan by the tail's uniqueness window (rides the rank
-        # exchange)
-        scored = cand.join(pair_scores, ["id_a", "id_b"], "left").select(
+        # exchange). pair_scores is candidate-bounded by contract
+        # (scored over exactly cand=), so it takes the family's gated
+        # force-broadcast (r15: a pinned relation has no stats, so the
+        # un-hinted LEFT join planned as a SortMergeJoin — two
+        # exchanges + two sorts; ``serve_broadcast=False`` is the
+        # big-serve escape, the ivf_pq_topk contract)
+        ps_b = F.broadcast(pair_scores) if serve_broadcast else pair_scores
+        scored = cand.join(ps_b, ["id_a", "id_b"], "left").select(
             "id_a",
             "id_b",
             F.when(

@@ -1623,9 +1623,19 @@ def ivf_pq_topk(
         # call's candidates (scored under a min_cosine, or pinned from
         # a stale cand) would otherwise silently DROP shortlist rows —
         # fewer than k results with plausible scores, the same
-        # silent-mis-serve class the codes=/adc_side= guards refuse
+        # silent-mis-serve class the codes=/adc_side= guards refuse.
+        # The relation is candidate-bounded (scored over exactly this
+        # call's cand), so it rides the same gated force-broadcast as
+        # the other candidate-bounded sides (r15: a pinned relation
+        # has no stats, so the un-hinted LEFT join planned as a
+        # SortMergeJoin — two exchanges + two sorts per serve leg)
+        ps_b = (
+            F.broadcast(pair_scores)
+            if inputs.should_broadcast()
+            else pair_scores
+        )
         scored = shortlist.join(
-            pair_scores, ["id_a", "id_b"], "left"
+            ps_b, ["id_a", "id_b"], "left"
         ).select(
             "id_a",
             "id_b",

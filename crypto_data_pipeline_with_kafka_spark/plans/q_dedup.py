@@ -298,13 +298,18 @@ def dedup_ngram_jaccard(
         F.col("jaccard").alias("score"),
     )
     # the decontam leg reuses the pairs leg's shingle relation
-    # (jaccard_pairs persists it) — the corpus is tokenized ONCE
+    # (jaccard_pairs persists it) — the corpus is tokenized ONCE; the
+    # benchmark side is the %97 slice OF THE SAME CORPUS, so its
+    # shingles are a filter over the persisted relation too (r15:
+    # shingling is per-row, so filter-then-shingle ≡
+    # shingle-then-filter — the re-derive cost two more corpus scans)
     dec = decontaminate(
         docs,
         docs.filter(F.col("doc_id") % 97 == 0),
         k=3,
         min_containment=0.5,
         corpus_shingles=sh,
+        benchmark_shingles=sh.filter(F.col("doc_id") % 97 == 0),
     ).select(
         F.lit("decontam").alias("method"),
         F.col("doc_id").alias("id_a"),

@@ -632,17 +632,29 @@ def run_incremental_hamming_stream(
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        incremental_hamming_dedup(
-            simhash_bits(batch.select("doc_id", "text")),
-            store_dir,
-            int(epoch_id),
-            max_hamming=max_hamming,
-            n_chunks=n_chunks,
-            # era stamp: this runner's bits are text SimHash — a store
-            # shared with another hasher (or a future bit-rule change)
-            # must refuse, not silently miss (check_store_algo)
-            algo="text/simhash-64/v1",
-        )
+        # release the hasher's per-batch word-count cache after the
+        # batch's store writes complete — a long-running stream must
+        # not accumulate one pinned relation per micro-batch (r15, the
+        # simhash_bits caches= contract)
+        batch_caches: list = []
+        try:
+            incremental_hamming_dedup(
+                simhash_bits(
+                    batch.select("doc_id", "text"), caches=batch_caches
+                ),
+                store_dir,
+                int(epoch_id),
+                max_hamming=max_hamming,
+                n_chunks=n_chunks,
+                # era stamp: this runner's bits are text SimHash — a
+                # store shared with another hasher (or a future
+                # bit-rule change) must refuse, not silently miss
+                # (check_store_algo)
+                algo="text/simhash-64/v1",
+            )
+        finally:
+            for c in batch_caches:
+                c.unpersist()
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
