@@ -415,7 +415,13 @@ def ivf_candidate_pairs(
     AQE stage materializations of size-independent overhead). No
     distinct needed: the corpus side is one rank-1 row per id and the
     query side one row per (id, probed centroid), so each (id_a, id_b)
-    arises from at most one shared cell."""
+    arises from at most one shared cell.
+
+    The query side is O(query_ids_max · probes) rows BY CONSTRUCTION —
+    the one side of this join that stays small at any corpus size — so
+    it takes an explicit broadcast (r15): un-hinted, BOTH sides of the
+    cells join shuffled by centroid_id, i.e. the O(corpus) cell index
+    moved through an exchange to meet a few dozen query rows."""
     corpus_cells = assignments.filter(F.col("probe_rank") == 1).select(
         F.col(id_col), "centroid_id"
     )
@@ -423,7 +429,7 @@ def ivf_candidate_pairs(
         F.col(id_col), "centroid_id"
     )
     return (
-        query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+        F.broadcast(query_cells.select(F.col(id_col).alias("id_a"), "centroid_id"))
         .join(
             corpus_cells.select(F.col(id_col).alias("id_b"), "centroid_id"),
             "centroid_id",
@@ -548,9 +554,16 @@ def ivf_topk(
             )
             # NO distinct (see ivf_candidate_pairs — same structural
             # uniqueness; a dedup here was one of the ivfpq leg's ~7
-            # size-independent shuffle stages, r9 job audit)
+            # size-independent shuffle stages, r9 job audit). Query
+            # side broadcast: O(queries · probes) by construction
+            # (ivf_candidate_pairs' r15 rationale — the corpus-cells
+            # index must never shuffle to meet it)
             cand = (
-                query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+                F.broadcast(
+                    query_cells.select(
+                        F.col(id_col).alias("id_a"), "centroid_id"
+                    )
+                )
                 .join(
                     corpus_cells.select(
                         F.col(id_col).alias("id_b"), "centroid_id"

@@ -1376,8 +1376,13 @@ def ivf_pq_topk(
         )
     cand_supplied = cand is not None
     if cand is None:
+        # query side broadcast: O(query_ids_max · probes) rows by
+        # construction (ivf_candidate_pairs' r15 rationale — the
+        # O(corpus) cell index must never shuffle to meet it)
         cand = (
-            query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+            F.broadcast(
+                query_cells.select(F.col(id_col).alias("id_a"), "centroid_id")
+            )
             .join(
                 corpus_cells.select(F.col(id_col).alias("id_b"), "centroid_id"),
                 "centroid_id",

@@ -67,6 +67,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Allow shuffled-hash joins where the planner's own size
+        # conditions prove a build side fits (r15, optimization guide
+        # §3.1: hash beats sort-merge when one side is moderately
+        # small per partition; unknown-stat sides still plan
+        # sort-merge, so the spill-safe fallback is untouched).
+        # Measured on the dedup family's big self-joins at sf0.1:
+        # minhash 3.51→3.07 s, simhash 4.06→3.73 s, ngram neutral
+        # (interleaved A/B, same JVM). Scale posture: the gate is the
+        # planner's per-partition size estimate, which scales with the
+        # data — not a local constant.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
