@@ -163,7 +163,13 @@ def recall_at_k(
     Exact by construction: integer counts and one division of exact
     longs — no floating accumulation, bitwise identical in any
     engine. Scale shape: two groupBys on (query) over O(queries·k)
-    ranking rows, one broadcast-friendly equi-join."""
+    ranking rows, one broadcast-friendly equi-join. The join sides are
+    bounded by the MODULE contract (rankings: O(queries·k) rows at any
+    corpus size), but callers routinely pass pinned/checkpointed
+    relations the planner has no stats for — un-hinted those joins
+    planned as SortMergeJoins (two exchanges + two sorts each, r15
+    plan audit), so every join in this module broadcasts its bounded
+    probe side explicitly."""
     t = truth.select(
         F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
     )
@@ -174,12 +180,12 @@ def recall_at_k(
         F.count(F.lit(1)).cast("long").alias("truth_n")
     )
     hits = (
-        t.join(g, ["query_id", "doc_id"], "left_semi")
+        t.join(F.broadcast(g), ["query_id", "doc_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
     return (
-        truth_n.join(hits, "query_id", "left")
+        truth_n.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
@@ -233,7 +239,9 @@ def ndcg_at_k(
 
     Scale shape: one join of the rank-truncated served relation to
     the truth grades, two groupBys on query — O(queries·k) rows
-    throughout, corpus-independent."""
+    throughout, corpus-independent. Joins broadcast their bounded
+    side explicitly (the recall_at_k rationale: pinned ranking inputs
+    have no stats and otherwise plan as SortMergeJoins)."""
     if k < 1:
         raise ValueError(f"ndcg_at_k: k must be >= 1, got {k}")
     grade = (
@@ -255,7 +263,7 @@ def ndcg_at_k(
         F.col(rank_col).alias("_pos"),
     ).filter(F.col("_pos") <= k)
     dcg = (
-        g.join(t, ["query_id", "doc_id"], "left")
+        g.join(F.broadcast(t), ["query_id", "doc_id"], "left")
         .select(
             "query_id",
             (F.coalesce(F.col("_rel"), F.lit(0)) * disc(F.col("_pos"))).alias(
@@ -278,7 +286,7 @@ def ndcg_at_k(
         .agg(F.sum("_term").cast("long").alias("idcg_micro"))
     )
     return (
-        idcg.join(dcg, "query_id", "left")
+        idcg.join(F.broadcast(dcg), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("dcg_micro"), F.lit(0).cast("long")).alias(
@@ -314,7 +322,9 @@ def precision_at_k(
     pure junk scores 0.0, not absent); truth queries the tier never
     served are ignored here — they have no served list to measure,
     and recall_at_k is where their 0.0 lives. Exact integer counting
-    with one exact-long division; O(queries·k) rows throughout."""
+    with one exact-long division; O(queries·k) rows throughout.
+    Joins broadcast their bounded side explicitly (the recall_at_k
+    rationale)."""
     g = got.select(
         F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
     )
@@ -325,12 +335,12 @@ def precision_at_k(
         F.count(F.lit(1)).cast("long").alias("served_n")
     )
     hits = (
-        g.join(t, ["query_id", "doc_id"], "left_semi")
+        g.join(F.broadcast(t), ["query_id", "doc_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
     return (
-        served_n.join(hits, "query_id", "left")
+        served_n.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
