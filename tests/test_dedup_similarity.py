@@ -559,6 +559,96 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_r15_share_hooks_leave_results_identical(spark):
+    """The r15 redundant-pass hooks are pure plan rewrites: (a)
+    decontaminate(benchmark_shingles=) — when the eval set is a slice
+    of an already-shingled corpus, passing the filtered shingle
+    relation must be value-identical to letting the operator re-shingle
+    the slice (shingling is per-row, so filter-then-shingle ≡
+    shingle-then-filter); (b) simhash_bits(caches=) hands back the
+    persisted word-count relation for explicit release without touching
+    the bits; (c) ivf_topk(serve_broadcast=False) — the big-serve
+    escape from the forced re-rank broadcast — leaves the served
+    ranking identical."""
+    from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
+        decontaminate,
+        shingle_rows,
+        simhash_bits,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    # (a) benchmark_shingles hook
+    sh = shingle_rows(docs, k=3)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    hooked = sorted(
+        map(
+            tuple,
+            decontaminate(
+                docs,
+                bench,
+                k=3,
+                min_containment=0.3,
+                corpus_shingles=sh,
+                benchmark_shingles=sh.filter(F.col("doc_id") % 7 == 0),
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            tuple,
+            decontaminate(docs, bench, k=3, min_containment=0.3).collect(),
+        )
+    )
+    assert hooked == plain and len(plain) > 0
+
+    # (b) simhash_bits caches= lifecycle
+    caches: list = []
+    with_handle = sorted(
+        map(tuple, simhash_bits(docs, caches=caches).collect())
+    )
+    assert len(caches) == 1 and caches[0].is_cached
+    bare = sorted(map(tuple, simhash_bits(docs).collect()))
+    assert with_handle == bare and len(bare) > 0
+    for c in caches:
+        c.unpersist()
+    assert not caches[0].is_cached
+
+    # (c) ivf_topk serve_broadcast escape
+    from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+        _ensure_ann_base,
+        ivf_topk,
+    )
+
+    rows = [
+        (i, [((i * 13 + j * 5) % 9 - 4) / 6.0 for j in range(64)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = _ensure_ann_base(emb, "vec_id")
+    ref = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                base, query_ids_max=10, k=3, num_centroids=8, probes=3
+            ).collect(),
+        )
+    )
+    streamed = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                base,
+                query_ids_max=10,
+                k=3,
+                num_centroids=8,
+                probes=3,
+                serve_broadcast=False,
+            ).collect(),
+        )
+    )
+    assert streamed == ref and len(ref) > 0
+
+
 def test_pii_counts_and_redaction(spark):
     """PII scrubbing contract: counts find each planted kind exactly
     once, redaction removes every match (so the redacted text counts
