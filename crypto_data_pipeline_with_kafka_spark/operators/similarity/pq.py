@@ -321,6 +321,7 @@ def pq_train_residual(
     lloyd_rounds: int = 0,
     exact: bool = False,
     picks: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """PQ codebooks over RESIDUALS x − c(x) against a FIXED cell
     geometry (the IVFADC training step): assign each vector its primary
@@ -350,15 +351,30 @@ def pq_train_residual(
     incremental store encodes batches in the production double mode
     and refuses exact books loudly at plan-build
     (``_check_codebook_mode`` — pytest-pinned), the same idiom as
-    every other mode mismatch in this module."""
+    every other mode mismatch in this module.
+
+    ``corpus_cells`` accepts an already-derived (id, centroid_id)
+    PRIMARY-cell relation over the SAME geometry (e.g. a suite's ranked
+    ``ivf_assignments(with_rank=True)`` filtered to ``probe_rank == 1``)
+    so training reuses one corpus-vs-centroids scoring pass instead of
+    re-running its own ``probes=1`` assignment — the same hook contract
+    as :func:`ivf_pq_topk`'s ``assignments=``: the caller asserts the
+    cells came from the ``centroids=`` passed here (r16; the un-hooked
+    form cost the suite one extra O(corpus·C) pass per residual
+    training)."""
     if exact:
         if lloyd_rounds > 0:
             raise ValueError(
                 "exact=True requires lloyd_rounds=0 (see pq_train)"
             )
         base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("_vd"))
-        assign = ivf_assignments(
-            base, probes=1, id_col=id_col, vec_col="_vd", centroids=centroids
+        assign = (
+            corpus_cells.select(F.col(id_col), "centroid_id")
+            if corpus_cells is not None
+            else ivf_assignments(
+                base, probes=1, id_col=id_col, vec_col="_vd",
+                centroids=centroids,
+            )
         )
         res = (
             base.join(assign, id_col)
@@ -385,8 +401,12 @@ def pq_train_residual(
             picks=picks,
         ).withColumn("residual", F.lit(True))
     base = emb.select(F.col(id_col), dbl_vector(vec_col).alias("_vd"))
-    assign = ivf_assignments(
-        base, probes=1, id_col=id_col, vec_col="_vd", centroids=centroids
+    assign = (
+        corpus_cells.select(F.col(id_col), "centroid_id")
+        if corpus_cells is not None
+        else ivf_assignments(
+            base, probes=1, id_col=id_col, vec_col="_vd", centroids=centroids
+        )
     )
     res = (
         base.join(assign, id_col)

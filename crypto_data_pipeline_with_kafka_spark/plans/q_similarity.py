@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_with_kafka_spark.catalog import load_table
 from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
+    _packed_codebooks,
     _seed_centroids,
     all_pairs_cosine,
     bq_encode,
@@ -31,6 +32,7 @@ from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
     pq_pick_ids,
     pq_topk,
     pq_train,
+    pq_train_residual,
     sq8_encode,
     sq8_topk,
     with_dbl_and_approx_norm,
@@ -665,15 +667,18 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_ann_pairs(base, num_planes=16, bands=4, min_cosine=0.4).select(
         F.lit("lsh").alias("method"), "id_a", "id_b", "cosine", null_rnk
     )
-    # TWO independent eager-pin chains (r11): the IVF-side pins
-    # (cents → assign → cand → pair_scores) and the PQ-side pins
-    # (picks → books → codes) share no edges, but localCheckpoints run
-    # jobs at plan-BUILD time, so built inline they serialized ~7 small
-    # materializations end to end. Building the chains on two threads
-    # overlaps that fixed scheduling latency (Spark job submission is
-    # thread-safe; the relations are identical either way) — measured
-    # 8.16 → 7.34 s suite min, interleaved A/B at sf0.1.
-    def _ivf_pins():
+    # OVERLAPPED eager-pin chains (r11, widened r16): localCheckpoints
+    # run jobs at plan-BUILD time, so built inline they serialized ~10
+    # small materializations end to end. The chains are split at their
+    # true data dependencies and built on a thread pool so the fixed
+    # scheduling latency overlaps (Spark job submission is thread-safe;
+    # the relations are identical either way) — r11 measured two-way
+    # overlap at 8.16 → 7.34 s suite min; r16 moves the rivfpq leg's
+    # in-call residual training (res pin + books pin, ~5 serial jobs at
+    # plan build) onto the pool too, overlapping it with the
+    # pair_scores pin instead of paying it after every other pin has
+    # completed.
+    def _geometry_pins():
         # ONE ranked corpus-vs-centroids scoring pass serves ALL IVF
         # legs: the pair leg uses all 3 probes, the query leg's corpus
         # index is the probe_rank==1 slice and its query probes the
@@ -687,6 +692,9 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             base, num_centroids=32, probes=3, vec_col="vdbl",
             with_rank=True, centroids=cents,
         ).persist()
+        return cents, assign
+
+    def _cand_pins(assign):
         # ONE pinned candidate-pair list serves all three query-path
         # legs (qtopk re-ranks it whole, ivfpq/rivfpq shortlist it),
         # and ONE pinned exact-cosine scoring of those pairs serves all
@@ -699,24 +707,26 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_scores = cosine_for_pairs(
             base, cand, exact_norms_in_base=False
         ).localCheckpoint()
-        return cents, assign, cand, pair_scores
+        return cand, pair_scores
 
-    def _pq_pins():
+    def _picks_pin():
+        # ONE ranked pick pass seeds BOTH code spaces (r10): the md5
+        # pick rule never reads a vector value, so the raw books and
+        # the rivfpq leg's residual books share this pinned O(m·k) id
+        # relation — un-shared, each training ran its own two-window
+        # ranked pass over the corpus.
+        return pq_pick_ids(
+            base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K
+        ).localCheckpoint()
+
+    def _pq_pins(picks):
         # pq legs ride the same persisted base (vec_col="vdbl" — the
         # quantization inside exact mode truncates identically from the
         # double components); dim passed explicitly, no inference job.
         # The O(m·k) codebook is localCheckpointed: three downstream
         # stages (encode, query LUTs, corpus ADC side) each pack it,
         # and pinning the 128 rows keeps the picks from re-running once
-        # per consumer. ONE ranked pick pass seeds BOTH code spaces
-        # (r10): the md5 pick rule never reads a vector value, so the
-        # raw books here and the rivfpq leg's residual books
-        # (pq_picks= hook) share this pinned O(m·k) id relation —
-        # un-shared, each training ran its own two-window ranked pass
-        # over the corpus.
-        picks = pq_pick_ids(
-            base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K
-        ).localCheckpoint()
+        # per consumer.
         books = pq_train(
             base, num_subvectors=_PQ_M, codes_per_subvector=_PQ_K,
             vec_col="vdbl", dim=_DIM, exact=True, picks=picks,
@@ -733,13 +743,48 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # relation — the parquet store layout, localCheckpoint standing
         # in for the read-back, exactly the sq8-leg convention
         bq_codes = bq_encode(base, "vec_id", "vdbl").localCheckpoint()
-        return picks, books, codes, bq_codes
+        return books, codes, bq_codes
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        ivf_fut = pool.submit(_ivf_pins)
-        pq_fut = pool.submit(_pq_pins)
-        cents, assign, cand, pair_scores = ivf_fut.result()
-        picks, books, codes, bq_codes = pq_fut.result()
+    def _res_books_pin(cents, assign, picks):
+        # r16: the rivfpq leg's residual books, pre-trained HERE so the
+        # ~5 pin jobs ivf_pq_topk(residual=True, codebooks=None) ran
+        # serially at plan build (res pin + books pin) overlap the
+        # pair_scores pin instead. Inputs are bitwise the in-call
+        # training's: same primary cells (the suite's ranked pass at
+        # probe_rank==1), same centroid vectors, same shared picks —
+        # pq_train_residual(exact=True) is the identical
+        # quantize-separately/subtract-in-integer-space pipeline and
+        # additionally stamps the residual tag the codebooks= hook
+        # requires. With books supplied, the serve call's inline
+        # residual relation is consumed ONCE (the fused encode side),
+        # so it no longer needs its own eager pin — that encode now
+        # runs inside the final action, off the serial plan-build path.
+        rbooks = pq_train_residual(
+            base, cents, num_subvectors=_PQ_M,
+            codes_per_subvector=_PQ_K, vec_col="vdbl", dim=_DIM,
+            exact=True, picks=picks,
+            corpus_cells=assign.filter(F.col("probe_rank") == 1).select(
+                "vec_id", "centroid_id"
+            ),
+        ).localCheckpoint()
+        # pre-pack on this thread too (memoized per books object): the
+        # main thread's two consumers (query LUTs + ADC side) would
+        # otherwise run the one-row pack job at plan build
+        _packed_codebooks(rbooks)
+        return rbooks
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        geo_fut = pool.submit(_geometry_pins)
+        picks_fut = pool.submit(_picks_pin)
+        pq_fut = pool.submit(lambda: _pq_pins(picks_fut.result()))
+        cents, assign = geo_fut.result()
+        cand_fut = pool.submit(lambda: _cand_pins(assign))
+        rbooks_fut = pool.submit(
+            lambda: _res_books_pin(cents, assign, picks_fut.result())
+        )
+        cand, pair_scores = cand_fut.result()
+        books, codes, bq_codes = pq_fut.result()
+        rbooks = rbooks_fut.result()
     ivf = ivf_ann_pairs(
         base, num_centroids=32, probes=3, min_cosine=0.4, assignments=assign
     ).select(F.lit("ivf").alias("method"), "id_a", "id_b", "cosine", null_rnk)
@@ -772,16 +817,17 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("ivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
     # sixth leg (r9): residual IVFADC in exact mode — same shared
     # cells/probes (assignments) with the pinned centroid VECTORS for
-    # the residual subtraction; residual books/codes train inline
-    # (integer-space residuals are a different code space, so the raw
-    # legs' books/codes cannot be shared), and the decomposed
+    # the residual subtraction; residual books pre-trained on the pin
+    # pool above (r16 — integer-space residuals are a different code
+    # space, so the raw legs' books/codes cannot be shared, but the
+    # training itself overlaps the other pins), and the decomposed
     # dot(q,c) + LUT score folds as one exact decimal — the oracle
     # replays shortlist membership, scores, and ranks bitwise
     ripq = ivf_pq_topk(
         base, query_ids_max=20, k=3, probes=3, refine=_IPQ_REFINE,
         assignments=assign, centroids=cents, dim=_DIM,
         residual=True, exact=True, cand=cand, pair_scores=pair_scores,
-        pq_picks=picks,
+        codebooks=rbooks,
     ).select(F.lit("rivfpq").alias("method"), "id_a", "id_b", "cosine", "rnk")
     # seventh leg (r12): BQ1 one-bit binary quantization serving from
     # the pinned sign-bit store — hamming shortlist at refine = k (the
