@@ -1196,6 +1196,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     n_chunks: int = 4,
+    caches: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
     blocked on ``n_chunks`` equal bit chunks (default 4 × 16 bits — a
@@ -1204,8 +1205,17 @@ def simhash_pairs(
     dedup does). Raise ``n_chunks`` to 8 to GUARANTEE recall up to
     hamming 7 — each chunk key shrinks to 8 bits, so buckets get
     hotter; the knob is the simhash analogue of LSH band width /
-    IVF probes. Returns (id_a, id_b, hamming)."""
+    IVF probes. Returns (id_a, id_b, hamming).
+
+    ``sims`` feeds two consumers (the chunk-blocking rows and the
+    packed-word re-attach), so it is persisted here; pass ``caches``
+    (a list) to receive the handle for explicit unpersist — the
+    module's cache-lifecycle contract (r16: callers that neither pass
+    ``caches`` nor clear the catalog accumulate one pinned relation
+    per call)."""
     sims = sims.persist()
+    if caches is not None:
+        caches.append(sims)
     chunks = _simhash_chunk_rows(sims, id_col, n_chunks)
     a = chunks.select(F.col(id_col).alias("id_a"), "c", "key")
     b = chunks.select(F.col(id_col).alias("id_b"), "c", "key")

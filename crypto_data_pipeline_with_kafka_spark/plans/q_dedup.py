@@ -502,9 +502,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verify — all built-ins, oracle-exact",
     tags=("dedup", "simhash"),
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sims = simhash_bits(load_table(spark, sf_dir, "documents"))
-    return simhash_pairs(sims, max_hamming=6)
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, caches: list | None = None
+) -> DataFrame:
+    # cache lifecycle (r16, the dedup_ngram_jaccard convention): pass
+    # ``caches`` to receive every persisted handle this plan creates
+    # (simhash_bits' word-count relation, simhash_pairs' signature
+    # relation) for explicit unpersist after the consuming action — a
+    # long-lived session calling the registered plan directly would
+    # otherwise accumulate two pinned relations per call; the bench
+    # instead relies on its documented clearCache() between samples.
+    sims = simhash_bits(load_table(spark, sf_dir, "documents"), caches=caches)
+    return simhash_pairs(sims, max_hamming=6, caches=caches)
 
 
 # (dedup_minhash_signature was folded into dedup_minhash_lsh: the LSH

@@ -613,6 +613,29 @@ def test_r15_share_hooks_leave_results_identical(spark):
         c.unpersist()
     assert not caches[0].is_cached
 
+    # (b2, r16) the registered dedup_simhash query path wires caches=
+    # end to end: every persisted relation the plan creates (the
+    # word-count relation inside simhash_bits AND the signature
+    # relation inside simhash_pairs) comes back through the out-param,
+    # results are identical to the bare call, and unpersisting the
+    # handles leaves nothing pinned.
+    from crypto_data_pipeline_with_kafka_spark.plans.q_dedup import (
+        dedup_simhash,
+    )
+
+    spark.catalog.clearCache()
+    q_caches: list = []
+    hooked_pairs = sorted(
+        map(tuple, dedup_simhash(spark, SF, caches=q_caches).collect())
+    )
+    assert len(q_caches) == 2 and all(c.is_cached for c in q_caches)
+    for c in q_caches:
+        c.unpersist()
+    assert not any(c.is_cached for c in q_caches)
+    bare_pairs = sorted(map(tuple, dedup_simhash(spark, SF).collect()))
+    assert hooked_pairs == bare_pairs and len(bare_pairs) > 0
+    spark.catalog.clearCache()
+
     # (c) ivf_topk serve_broadcast escape
     from crypto_data_pipeline_with_kafka_spark.operators.similarity import (
         _ensure_ann_base,
