@@ -222,7 +222,26 @@ def decontaminate(
     filtered shingle rows so the benchmark is not re-scanned and
     re-tokenized — shingling is per-row, so filter-then-shingle and
     shingle-then-filter are identical (r15: the un-hooked form cost
-    two extra corpus scans + token explodes per run)."""
+    two extra corpus scans + token explodes per run). BOTH hooks carry
+    the corpus_shingles same-``k`` caveat: a relation shingled at a
+    different k silently changes containment scores rather than
+    erroring, so the caller must pass shingles built with THIS call's
+    k. Column shape is guarded below (r16) — a differently-keyed
+    relation refuses at plan-build instead of failing later inside the
+    join resolution."""
+    for rel, hook, idc in (
+        (corpus_shingles, "corpus_shingles", id_col),
+        (benchmark_shingles, "benchmark_shingles", bench_id_col),
+    ):
+        if rel is not None and not {idc, "shingle"} <= set(rel.columns):
+            raise ValueError(
+                f"decontaminate({hook}=): expected columns ('{idc}', "
+                f"'shingle') but got {rel.columns} — pass a "
+                "shingle_rows() relation keyed the way this call reads "
+                "it (and built with the SAME k; a k mismatch cannot be "
+                "detected from the schema and silently changes "
+                "containment scores)"
+            )
     c_sh = (
         corpus_shingles
         if corpus_shingles is not None

@@ -144,6 +144,7 @@ def recall_at_k(
     truth: DataFrame,
     query_col: str = "query_id",
     doc_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-query recall of a served ranking against a ground-truth
     ranking: (query_id, hits, truth_n, recall) with ``recall`` =
@@ -169,7 +170,14 @@ def recall_at_k(
     relations the planner has no stats for — un-hinted those joins
     planned as SortMergeJoins (two exchanges + two sorts each, r15
     plan audit), so every join in this module broadcasts its bounded
-    probe side explicitly."""
+    probe side explicitly. ``broadcast`` gates that force (r16, the
+    serve_broadcast discipline from the ivf serve tiers): True, the
+    default, asserts the ranking-bounded contract; False streams the
+    sides and lets AQE pick the joins — the explicit escape for a
+    query LOG large enough that queries·k itself breaches the 8 GB /
+    int-max-rows broadcast cap (a mis-forced broadcast fails hard
+    where the shuffle it replaced merely degraded)."""
+    fb = F.broadcast if broadcast else (lambda d: d)
     t = truth.select(
         F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
     )
@@ -180,12 +188,12 @@ def recall_at_k(
         F.count(F.lit(1)).cast("long").alias("truth_n")
     )
     hits = (
-        t.join(F.broadcast(g), ["query_id", "doc_id"], "left_semi")
+        t.join(fb(g), ["query_id", "doc_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
     return (
-        truth_n.join(F.broadcast(hits), "query_id", "left")
+        truth_n.join(fb(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
@@ -215,6 +223,7 @@ def ndcg_at_k(
     doc_col: str = "doc_id",
     rank_col: str = "rank",
     grade_col: str | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """NDCG@k of a served ranking against ground truth — the
     order-SENSITIVE companion to :func:`recall_at_k` (recall says the
@@ -236,6 +245,7 @@ def ndcg_at_k(
     the truth set contribute 0 (standard); queries only ``got`` knows
     are ignored (no truth, no denominator — the recall_at_k
     convention); a truth query the tier never served scores 0.0.
+    ``broadcast=False`` is the big-query-log escape (see recall_at_k).
 
     Scale shape: one join of the rank-truncated served relation to
     the truth grades, two groupBys on query — O(queries·k) rows
@@ -244,6 +254,7 @@ def ndcg_at_k(
     have no stats and otherwise plan as SortMergeJoins)."""
     if k < 1:
         raise ValueError(f"ndcg_at_k: k must be >= 1, got {k}")
+    fb = F.broadcast if broadcast else (lambda d: d)
     grade = (
         F.col(grade_col).cast("long")
         if grade_col is not None
@@ -263,7 +274,7 @@ def ndcg_at_k(
         F.col(rank_col).alias("_pos"),
     ).filter(F.col("_pos") <= k)
     dcg = (
-        g.join(F.broadcast(t), ["query_id", "doc_id"], "left")
+        g.join(fb(t), ["query_id", "doc_id"], "left")
         .select(
             "query_id",
             (F.coalesce(F.col("_rel"), F.lit(0)) * disc(F.col("_pos"))).alias(
@@ -286,7 +297,7 @@ def ndcg_at_k(
         .agg(F.sum("_term").cast("long").alias("idcg_micro"))
     )
     return (
-        idcg.join(F.broadcast(dcg), "query_id", "left")
+        idcg.join(fb(dcg), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("dcg_micro"), F.lit(0).cast("long")).alias(
@@ -309,6 +320,7 @@ def precision_at_k(
     truth: DataFrame,
     query_col: str = "query_id",
     doc_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-query precision of a served ranking against ground truth:
     (query_id, hits, served_n, precision) with ``precision`` =
@@ -324,7 +336,9 @@ def precision_at_k(
     and recall_at_k is where their 0.0 lives. Exact integer counting
     with one exact-long division; O(queries·k) rows throughout.
     Joins broadcast their bounded side explicitly (the recall_at_k
-    rationale)."""
+    rationale); ``broadcast=False`` is the big-query-log escape (see
+    recall_at_k)."""
+    fb = F.broadcast if broadcast else (lambda d: d)
     g = got.select(
         F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
     )
@@ -335,12 +349,12 @@ def precision_at_k(
         F.count(F.lit(1)).cast("long").alias("served_n")
     )
     hits = (
-        g.join(F.broadcast(t), ["query_id", "doc_id"], "left_semi")
+        g.join(fb(t), ["query_id", "doc_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
     return (
-        served_n.join(F.broadcast(hits), "query_id", "left")
+        served_n.join(fb(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),

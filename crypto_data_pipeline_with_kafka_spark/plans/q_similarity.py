@@ -788,6 +788,17 @@ def sim_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_ann_pairs(
         base, num_centroids=32, probes=3, min_cosine=0.4, assignments=assign
     ).select(F.lit("ivf").alias("method"), "id_a", "id_b", "cosine", null_rnk)
+    # serve_broadcast operating bound (r16, explicit at every serve
+    # call below): the three serve legs keep the DEFAULT
+    # serve_broadcast=True, which force-broadcasts candidate-bounded
+    # relations (cand / pair_scores / the candidate-filtered ADC
+    # sides). The contract is candidate volume ≲ 1e8 slim rows (Spark's
+    # 8 GB / int-max-rows broadcast cap — see _PQServeInputs): here it
+    # holds by construction, |cand| ≤ 20 queries × 3 probed cells ×
+    # max cell size ≪ 1e8 at ANY corpus size that keeps √C-scaled
+    # cells. A deployment whose probed-cell volume can outgrow that
+    # passes serve_broadcast=False (pytest-pinned identical results)
+    # or a persisted adc_side=.
     qt = ivf_topk(
         base, query_ids_max=20, k=3, num_centroids=32, probes=3,
         assignments=assign, cand=cand, pair_scores=pair_scores,
