@@ -34,19 +34,31 @@ END_OF_WORD = "</w>"
 
 
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text", widen: bool = True
+    docs: DataFrame,
+    text_col: str = "text",
+    widen: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(word, freq) over the corpus — the ONE corpus-wide pass BPE
     needs; everything after operates on this vocab-sized relation.
     ``widen=False`` for derived (non-scan) inputs — see the
-    widen_if_narrow caller contract."""
-    return (
+    widen_if_narrow caller contract. ``toks``: a pre-tokenized
+    (id, ``_ws``) relation (the dedup module's ``tokenized_docs``
+    shape, ideally persisted) replaces the scan+tokenize — the r16
+    shared-token-relation hook; explode of a NULL token array drops
+    the row exactly as tokenizing a NULL text did."""
+    exploded = (
+        toks.select(F.explode("_ws").alias("word"))
+        if toks is not None
         # keyed on the text itself: hash partitioning keeps the widen's
         # layout deterministic under retry (the keyless fallback is
         # round-robin), and the immediate groupBy re-keys anyway
-        (widen_if_narrow(docs, text_col) if widen else docs)
-        .select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.col("word") != "")
+        else (widen_if_narrow(docs, text_col) if widen else docs).select(
+            F.explode(tokens(text_col)).alias("word")
+        )
+    )
+    return (
+        exploded.filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -105,6 +117,7 @@ def learn_bpe_merges(
     merges_per_sync: int = 1,
     stats: dict | None = None,
     widen: bool = True,
+    toks: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
     Returns the ordered rule list [(a, b), ...]; ties broken
@@ -136,9 +149,11 @@ def learn_bpe_merges(
     winning pair).
 
     The returned list is O(n_merges) — driver-sized by definition (it
-    IS the tokenizer artifact), not a collected data relation."""
+    IS the tokenizer artifact), not a collected data relation.
+    ``toks`` threads a pre-tokenized relation into the one corpus pass
+    (see :func:`word_frequencies`)."""
     words = (
-        word_frequencies(docs, text_col, widen=widen)
+        word_frequencies(docs, text_col, widen=widen, toks=toks)
         .withColumn("sym", _initial_symbols(F.col("word")))
         .localCheckpoint(eager=False)
     )
@@ -188,6 +203,7 @@ def bpe_tokenize(
     id_col: str = "doc_id",
     checkpoint_every: int = 8,
     widen: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, bpe_tokens array<string>): tokenize the corpus with learned
     merge rules. The rules are applied on the DISTINCT-WORD vocab (the
@@ -195,9 +211,15 @@ def bpe_tokenize(
     per-word work happens once per vocab entry, not once per corpus
     occurrence) and the (word → pieces) map is joined back to the
     exploded corpus (AQE picks broadcast when the vocab is actually
-    small), then re-assembled in word order."""
-    toked = (widen_if_narrow(docs, id_col) if widen else docs).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
+    small), then re-assembled in word order. ``toks``: a pre-tokenized
+    (id, ``_ws``) relation replaces the scan+tokenize (see
+    :func:`word_frequencies`)."""
+    toked = (
+        toks.select(F.col(id_col), F.posexplode("_ws").alias("pos", "word"))
+        if toks is not None
+        else (widen_if_narrow(docs, id_col) if widen else docs).select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
+        )
     )
     vocab = toked.select("word").distinct().withColumn(
         "sym", _initial_symbols(F.col("word"))

@@ -435,6 +435,7 @@ def bigram_lm_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     add_k: float = 0.5,
+    toks=None,
 ):
     """Corpus-trained bigram language-model quality score — the
     perplexity-filter stage of a training-data pipeline (CCNet-style:
@@ -471,14 +472,24 @@ def bigram_lm_quality(
     CLEAN reference corpus (wiki-grade text) and scores the crawl:
     ``score_with_bigram_lm(crawl, train_bigram_lm(wiki))``. ``add_k``
     > 0 keeps unseen bigrams finite (cross-corpus scoring hits them
-    constantly; self-scoring always finds its own counts)."""
+    constantly; self-scoring always finds its own counts).
+
+    ``toks`` (see :func:`train_bigram_lm`) threads one pre-tokenized
+    relation through BOTH the training aggregations and the scoring
+    pass — three tokenize passes become zero."""
     return score_with_bigram_lm(
-        docs, train_bigram_lm(docs, text_col, id_col), text_col, id_col, add_k
+        docs, train_bigram_lm(docs, text_col, id_col, toks=toks),
+        text_col, id_col, add_k, toks=toks,
     )
 
 
-def _doc_bigrams(docs, text_col: str, id_col: str):
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("_ws"))
+def _doc_bigrams(docs, text_col: str, id_col: str, toks=None):
+    # toks: a pre-tokenized (id, _ws) relation (the dedup module's
+    # tokenized_docs shape) replaces the scan+tokenize — value-identical
+    # because every downstream consumer drops the rows tokenization of
+    # a NULL text would drop anyway (size(NULL) = -1 < 2)
+    if toks is None:
+        toks = docs.select(F.col(id_col), tokens(text_col).alias("_ws"))
     return (
         toks.filter(F.size("_ws") >= 2)
         .select(
@@ -495,22 +506,32 @@ def _doc_bigrams(docs, text_col: str, id_col: str):
 
 
 def train_bigram_lm(
-    corpus, text_col: str = "text", id_col: str = "doc_id"
+    corpus, text_col: str = "text", id_col: str = "doc_id", toks=None
 ) -> tuple:
     """Train the bigram LM: returns ``(uni, big)`` count DataFrames —
     (w1, c1) unigram counts and (w1, w2, c12) bigram counts, both
     map-side-combined aggregations over the corpus token stream.
     Persist them (or write to parquet and read back) to score many
     batches against one model; the vocab size is derived from ``uni``
-    at scoring time, so the pair is the complete model artifact."""
+    at scoring time, so the pair is the complete model artifact.
+
+    ``toks``: a pre-tokenized (id, ``_ws``) relation (ideally
+    persisted — the dedup module's ``tokenized_docs`` shape) replaces
+    both legs' scan+tokenize, so a suite whose legs all start from
+    tokens pays one tokenize pass (r16; explode of a NULL token array
+    drops the row, exactly what tokenizing a NULL text produced)."""
     uni = (
-        corpus.select(F.explode(tokens(text_col)).alias("w1"))
+        (
+            toks.select(F.explode("_ws").alias("w1"))
+            if toks is not None
+            else corpus.select(F.explode(tokens(text_col)).alias("w1"))
+        )
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    big = _doc_bigrams(corpus, text_col, id_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
+    big = _doc_bigrams(corpus, text_col, id_col, toks=toks).groupBy(
+        "w1", "w2"
+    ).agg(F.count(F.lit(1)).alias("c12"))
     return uni, big
 
 
@@ -520,16 +541,18 @@ def score_with_bigram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     add_k: float = 0.5,
+    toks=None,
 ):
     """Score documents against a trained ``(uni, big)`` model (see
     ``train_bigram_lm`` / ``bigram_lm_quality`` for semantics and the
     numeric contract). Bigrams and head-words unseen in the model take
     the smoothed floor — left joins + coalesce(count, 0), so P =
     (0+k)/(0+k·V) for a fully-novel bigram; out-of-corpus text scores
-    high perplexity instead of erroring."""
+    high perplexity instead of erroring. ``toks`` (see
+    :func:`train_bigram_lm`) replaces the scoring pass's tokenize."""
     uni, big = model
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    bg = _doc_bigrams(docs, text_col, id_col)
+    bg = _doc_bigrams(docs, text_col, id_col, toks=toks)
     logp = F.log(
         (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("v"))
@@ -671,6 +694,7 @@ def collocations(
     top_k: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``top_k`` bigram collocations by pointwise mutual information
     — phrase mining for tokenizer/vocab preparation (merge "new york"
@@ -696,11 +720,18 @@ def collocations(
     last-ulp ln differences between engines; ``pmi`` is the double
     rendering for human use.
 
-    Returns (w1, w2, c12, pmi, pmi_micro)."""
-    bg = _doc_bigrams(docs, text_col, id_col)
+    Returns (w1, w2, c12, pmi, pmi_micro).
+
+    ``toks``: a pre-tokenized (id, ``_ws``) relation replaces both
+    corpus passes' scan+tokenize (see :func:`train_bigram_lm`)."""
+    bg = _doc_bigrams(docs, text_col, id_col, toks=toks)
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
+        (
+            toks.select(F.explode("_ws").alias("w"))
+            if toks is not None
+            else docs.select(F.explode(tokens(text_col)).alias("w"))
+        )
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -1413,6 +1413,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     widen: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS local-fingerprinting algorithm): hash every k-gram,
@@ -1437,9 +1438,16 @@ def winnowing_fingerprints(
     the row (``transform``/``array_min``/``slice``); the only shuffle
     anywhere downstream is whatever the CONSUMER does with the
     exploded (id, fp) rows. ``widen=False`` for derived inputs (the
-    widen_if_narrow contract)."""
-    toked = (widen_if_narrow(df, id_col) if widen else df).select(
-        F.col(id_col), tokens(text_col).alias("_ws")
+    widen_if_narrow contract). ``toks``: a pre-tokenized
+    :func:`tokenized_docs` frame replaces the scan+tokenize (the
+    ``size >= k`` filter below drops exactly the rows tokenizing a
+    NULL text would drop, so the hook is value-identical)."""
+    toked = (
+        toks
+        if toks is not None
+        else (widen_if_narrow(df, id_col) if widen else df).select(
+            F.col(id_col), tokens(text_col).alias("_ws")
+        )
     )
     grams = kgrams_from_tokens(F.col("_ws"), k)
     # the hash array is MATERIALIZED as a column before the window

@@ -1454,7 +1454,9 @@ _MINING_SQL = f"""
     "cannot express.",
     tags=("text", "sampling", "suite"),
 )
-def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_mining_suite(
+    spark: SparkSession, sf_dir: str, caches: list | None = None
+) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.functions.text import (
         bigram_lm_quality,
         collocations,
@@ -1463,6 +1465,7 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_with_kafka_spark.operators.dedup import (
         chunk_documents,
         duplicated_spans,
+        tokenized_docs,
         winnowing_fingerprints,
     )
     from crypto_data_pipeline_with_kafka_spark.operators.sampling import (
@@ -1475,14 +1478,28 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_l = F.lit(None).cast("long")
     nul_d = F.lit(None).cast("double")
 
-    colloc = collocations(docs, min_count=5, top_k=50).select(
+    # ONE tokenize pass serves every token-consuming leg (r16, the
+    # dedup_ngram_jaccard pattern): colloc's two corpus aggregations,
+    # the lm leg's three (train uni/bigram + score), the bpe word-freq
+    # pass, bpetok's posexplode, winnow and xdup — un-shared, each leg
+    # re-scanned AND re-tokenized the corpus (8 tokenize passes → 1).
+    # Legs whose NULL-text semantics differ from tokenized_docs' filter
+    # (chunk_documents emits an empty chunk-0 row for a NULL text) or
+    # that read non-token columns (gopher's char stats, mix/strat/
+    # wsample on metadata) keep their own scan. Cache lifecycle: the
+    # caches= out-param, same contract as dedup_ngram_jaccard.
+    toked = tokenized_docs(docs).persist()
+    if caches is not None:
+        caches.append(toked)
+
+    colloc = collocations(docs, min_count=5, top_k=50, toks=toked).select(
         F.lit("colloc").alias("tag"),
         F.col("w1").alias("k1"),
         F.col("w2").alias("k2"),
         F.col("c12").cast("long").alias("n"),
         F.col("pmi_micro").cast("double").alias("v"),
     )
-    lm = bigram_lm_quality(docs).select(
+    lm = bigram_lm_quality(docs, toks=toked).select(
         F.lit("lm").alias("tag"),
         F.col("doc_id").cast("string").alias("k1"),
         nul_s.alias("k2"),
@@ -1528,7 +1545,7 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_l.alias("n"),
         nul_d.alias("v"),
     )
-    winnow = winnowing_fingerprints(docs, k=5, window=4).select(
+    winnow = winnowing_fingerprints(docs, k=5, window=4, toks=toked).select(
         F.lit("winnow").alias("tag"),
         F.col("doc_id").cast("string").alias("k1"),
         nul_s.alias("k2"),
@@ -1587,7 +1604,7 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bstats: dict = {}
     bmerges = learn_bpe_merges(
         docs, n_merges=_BPE_MERGES, min_pair_freq=_BPE_MIN_FREQ,
-        stats=bstats,
+        stats=bstats, toks=toked,
     )
     bpe_rules = spark.createDataFrame(
         [
@@ -1598,7 +1615,7 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "k1 string, k2 string, n long, v double",
     ).select(F.lit("bpe").alias("tag"), "k1", "k2", "n", "v")
-    bpetok = bpe_tokenize(docs, bmerges).select(
+    bpetok = bpe_tokenize(docs, bmerges, toks=toked).select(
         F.lit("bpetok").alias("tag"),
         F.col("doc_id").cast("string").alias("k1"),
         F.md5(F.concat_ws(" ", "bpe_tokens")).alias("k2"),
@@ -1608,7 +1625,9 @@ def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xdup leg (r13): ExactSubstr-style duplicated spans — see the
     # oracle comment above; spans content-hashed so the island merge
     # and both boundaries land on the checked surface
-    xdup = duplicated_spans(docs, k=_XDUP_K, min_count=2).select(
+    xdup = duplicated_spans(
+        docs, k=_XDUP_K, min_count=2, toks=toked, caches=caches
+    ).select(
         F.lit("xdup").alias("tag"),
         F.col("doc_id").cast("string").alias("k1"),
         F.md5("span_text").alias("k2"),
