@@ -48,6 +48,90 @@ def _autodetect_jdbc() -> None:
 _autodetect_jdbc()
 
 
+# Slow tier (r16): soak/integration tests measured ≥ ~7 s each on 32
+# cores (full-suite --durations profile). The default run deselects
+# them (pytest.ini addopts) so the fast tier — the complete oracle
+# sweep in tests/test_oracle.py plus every unit test — finishes inside
+# an automated verification budget; `pytest -m slow` runs this tier.
+# Tests in test_oracle.py are NEVER listed here: they mirror the
+# driver's correctness gate and always run.
+SLOW_TESTS = frozenset({
+    "test_asof_join_matches_pandas_merge_asof",
+    "test_audio_fingerprint_near_dup_pairs",
+    "test_audio_fingerprint_nonsilent_prefix_tolerance",
+    "test_audio_fingerprint_shift_tolerance",
+    "test_bm25_random_corpora_property",
+    "test_bpe_random_corpora_property",
+    "test_bq1_serving_contract_random_vectors",
+    "test_chunk_level_dedup_content_defined_boundaries",
+    "test_compact_partitions_on_batch_id_store",
+    "test_connected_components_match_union_find",
+    "test_curate_corpus_all_gates_composed",
+    "test_curate_corpus_decontam_only_embeddings",
+    "test_curate_corpus_end_to_end",
+    "test_curate_corpus_image_gate",
+    "test_curate_corpus_model_quality_gate",
+    "test_curate_corpus_normalize_stage",
+    "test_curate_corpus_optional_stages",
+    "test_curate_corpus_optional_stages_empty_inputs",
+    "test_curate_corpus_semantic_decontam_stage",
+    "test_curate_corpus_url_dedup_stage",
+    "test_curate_corpus_winnow_stage",
+    "test_get_or_create_keys_properties",
+    "test_incremental_dedup_empty_batch_is_noop",
+    "test_incremental_dedup_stream_out_of_order_arrival",
+    "test_incremental_flag_plan_broadcasts_batch_never_index",
+    "test_incremental_hamming_dedup_text_and_images",
+    "test_incremental_hamming_reingest_uses_current_hash",
+    "test_incremental_hamming_stream_matches_batch_calls",
+    "test_incremental_ivf_matches_one_shot_batch",
+    "test_incremental_ivf_multiprobe_recall_and_invariance",
+    "test_incremental_ivf_reingest_uses_current_vector",
+    "test_incremental_ivf_stream_matches_batch_calls",
+    "test_incremental_minhash_matches_one_shot_batch",
+    "test_incremental_minhash_reingest_uses_current_text",
+    "test_incremental_winnow_stream_matches_batch_calls",
+    "test_incremental_winnowing_store",
+    "test_ivf_ann_recall_precision_and_determinism",
+    "test_ivf_pq_residual_encoding_lifts_recall",
+    "test_ivf_pq_residual_exact_mode",
+    "test_ivf_pq_residual_store_mode",
+    "test_ivf_pq_store_serves_and_preserves_contract",
+    "test_ivf_pq_topk_refine_tradeoff",
+    "test_ivf_topk_query_path",
+    "test_mrl_prefix_store_and_exact_mode",
+    "test_mrl_serving_contract_random_vectors",
+    "test_no_query_emits_nested_columns",
+    "test_pair_scores_hook_matches_inline",
+    "test_pq_adc_side_hook_matches_inline",
+    "test_pq_topk_recall_compression_curve",
+    "test_r15_share_hooks_leave_results_identical",
+    "test_retrain_ivf_store_equals_fresh_geometry",
+    "test_retrain_trains_on_latest_vectors_of_reingested_ids",
+    "test_rrf_weights_and_ndcg",
+    "test_semantic_decontaminate",
+    "test_semantic_dedup_custom_vec_col",
+    "test_semantic_dedup_lloyd_refined_centroids",
+    "test_semantic_dedup_real_embeddings_table",
+    "test_semantic_dedup_semdedup",
+    "test_shared_pick_and_serve_hooks_r10",
+    "test_sq8_exactness_contract_random_vectors",
+    "test_sq8_scalar_quantization",
+    "test_store_algo_stamp_refuses_era_mix",
+    "test_streaming_file_source_runs",
+    "test_video_fingerprint_shift_tolerance",
+    "test_video_temporal_majority_near_dup_pairs",
+    "test_video_vote_quota_topup_and_sampler_anchors",
+    "test_watermark_drops_too_late_rows_in_append_mode",
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.originalname in SLOW_TESTS or item.name in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="engine-tests", shuffle_partitions=8)
