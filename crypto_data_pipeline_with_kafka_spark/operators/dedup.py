@@ -161,13 +161,27 @@ def jaccard_pairs(
         # groupBy+join: the filtered postings are already partitioned on
         # shingle, so the self-join below reuses that exchange on both
         # sides (ReusedExchange) instead of shuffling twice more —
-        # measured 2.2× faster at sf0.1, same rows
+        # measured 2.2× faster at sf0.1, same rows.
+        # The filtered relation is PERSISTED (r16): both self-join
+        # sides consume it, and a persisted ``sh`` loses its output
+        # partitioning through the InMemoryRelation (the r15
+        # IMR-over-AdaptiveSparkPlan finding), so exchange reuse no
+        # longer deduplicated the two window chains — un-persisted,
+        # the doc-frequency window (full posting shuffle + sort) ran
+        # TWICE per action, once per join side. Plan evidence: Window
+        # 2 → 1, Sort 2 → 1, Exchange 6 → 5 on the pairs leg; rows
+        # identical. (Repartitioning sh on shingle before its persist
+        # was measured instead and rejected: the cache still reports
+        # no partitioning, so it only ADDED an exchange.)
         w = Window.partitionBy("shingle")
         postings = (
             sh.withColumn("_df", F.count(F.lit(1)).over(w))
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
+            .persist()
         )
+        if caches is not None:
+            caches.append(postings)
     a = postings.select(F.col(id_col).alias("id_a"), "shingle")
     b = postings.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
