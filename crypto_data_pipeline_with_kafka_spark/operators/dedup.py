@@ -1140,16 +1140,24 @@ def simhash_bits(
     vocab = wc.select("w").distinct().withColumn(
         "h", F.substring(F.md5("w"), 1, 16)
     )
-    packs = []
-    for p in range(16):
-        digit = F.substring(F.col("h"), p + 1, 1)
-        dval = F.instr(F.lit(_HEX), digit) - 1
-        pack = None
-        for k in range(4):
-            bit = (F.shiftright(dval, 3 - k) % 2).cast("long")
-            term = bit * F.lit(_SIMHASH_LANE**k).cast("long")
-            pack = term if pack is None else pack + term
-        packs.append(pack.alias(f"p{p}"))
+    # The 16 pack expressions (and the 64-bit unpack below) are built
+    # as generated SQL strings, ONE F.expr parse each, instead of
+    # per-op Column arithmetic: the loops totalled ~1000 py4j round
+    # trips and cost 2.5-3 s of DRIVER latency per plan build (r16
+    # profile — pure Python-side construction, zero jobs). Identical
+    # expression semantics (same functions, same integer types),
+    # pytest- and oracle-pinned.
+    packs = [
+        F.expr(
+            " + ".join(
+                f"(CAST(shiftright(instr('{_HEX}', substr(h, {p + 1}, 1))"
+                f" - 1, {3 - k}) % 2 AS BIGINT)"
+                f" * CAST({_SIMHASH_LANE**k} AS BIGINT))"
+                for k in range(4)
+            )
+        ).alias(f"p{p}")
+        for p in range(16)
+    ]
     word_packs = vocab.select("w", *packs)
     joined = wc.join(F.broadcast(word_packs), "w")
     # 16 packed sums + the token count: map-side partial aggregation
@@ -1158,17 +1166,22 @@ def simhash_bits(
         F.sum(F.col("cnt") * F.col(f"p{p}")).alias(f"s{p}") for p in range(16)
     ] + [F.sum("cnt").alias("n")]
     agg = joined.groupBy(id_col).agg(*sums)
-    bit_cols = []
-    for j in range(64):
-        p, k = divmod(j, 4)
-        ones = F.shiftright(F.col(f"s{p}"), _SIMHASH_LANE_BITS * k) % _SIMHASH_LANE
-        bit_cols.append((ones * 2 > F.col("n")).cast("int").cast("string"))
+    # one generated-SQL concat for the 64 unpacked bits (see the packs
+    # note above — this loop was the larger half of the driver cost)
+    bits_concat = F.expr(
+        "concat(" + ", ".join(
+            f"CAST(CAST((shiftright(s{j // 4},"
+            f" {_SIMHASH_LANE_BITS * (j % 4)}) % {_SIMHASH_LANE})"
+            f" * 2 > n AS INT) AS STRING)"
+            for j in range(64)
+        ) + ")"
+    )
     # Loud failure, never silent corruption: a document at or past the
     # lane bound would carry into the adjacent bit counter, so refuse it
     # at execution time (the replaced 64-column formulation had no such
     # bound; callers hitting this must chunk upstream).
     guard = F.when(
-        F.col("n") < _SIMHASH_LANE, F.concat(*bit_cols)
+        F.col("n") < _SIMHASH_LANE, bits_concat
     ).otherwise(
         F.raise_error(
             F.concat(
